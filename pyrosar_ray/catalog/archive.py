@@ -1,0 +1,259 @@
+"""RayArchive — the reference Archive's query surface over ray.data.
+
+Reproduces Archive.select semantics (pyroSAR/archive.py:902-1113):
+- attribute predicates: scalar equality or IN-lists
+- date predicates: strict (start>=mindate AND stop<=maxdate) vs overlap
+  (stop>=mindate AND start<=maxdate); malformed date strings are IGNORED
+  with a warning, never raised (archive.py:1029-1051)
+- unknown kwargs are ignored with a warning (archive.py:997-1001)
+- polarization flags hh/vv/hv/vh = 1 (archive.py:1053-1056)
+- spatial predicate: footprint-intersects-query via the broadcast
+  semi-join stage (archive.py:1058-1073)
+- invalid return_value entries raise ValueError (tests/test_archive.py:55-56)
+- pseudo return values: mindate → start, maxdate → stop, geometry_wkt,
+  geometry_wkb
+
+The storage model is a pair of Parquet directories (``data``,
+``duplicates``) written by the ingest pipeline; select compiles to
+pyarrow compute filters inside map_batches (pushed to the read where
+possible) — no SQL engine.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from ..functions.geometry import bbox_ring, convex_hull, polygon_wkb, polygon_wkt
+from ..stages.dedup_scenes import mark_duplicates, split_registered
+from ..stages.spatial import broadcast_polygon_filter
+
+log = logging.getLogger(__name__)
+
+_DATE_RE = re.compile("[0-9]{8}T[0-9]{6}")
+
+#: queryable catalog columns (reference DDL archive.py:374-394 minus geometry)
+COLNAMES = (
+    "sensor",
+    "orbit",
+    "acquisition_mode",
+    "start",
+    "stop",
+    "product",
+    "outname_base",
+    "scene",
+    "hh",
+    "vv",
+    "hv",
+    "vh",
+    "scene_key",
+    "xmin",
+    "ymin",
+    "xmax",
+    "ymax",
+)
+
+_PSEUDO_RETURNS = ("mindate", "maxdate", "geometry_wkt", "geometry_wkb")
+
+
+def apply_predicates(ds: Dataset, specs: list[tuple[str, str, object]]) -> Dataset:
+    """AND-combine (col, op, value) predicates vectorized in one map_batches."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, op, val in specs:
+            arr = batch[col]
+            if op == "eq":
+                m = pc.equal(arr, pa.scalar(val))
+            elif op == "in":
+                m = pc.is_in(arr, value_set=pa.array(val))
+            elif op == "ge":
+                m = pc.greater_equal(arr, pa.scalar(val))
+            elif op == "le":
+                m = pc.less_equal(arr, pa.scalar(val))
+            else:  # pragma: no cover
+                raise ValueError(op)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+class RayArchive:
+    """Catalog over a scenes Dataset (+ optional duplicates Dataset)."""
+
+    def __init__(self, data: Dataset, duplicates: Dataset | None = None):
+        self.data = data
+        self.duplicates = duplicates
+
+    # ------------------------------------------------------------ ingest
+
+    @classmethod
+    def ingest(cls, scenes: Dataset, materialize: bool = False) -> "RayArchive":
+        """Route an incoming scene stream into data/duplicates
+        (deterministic first-wins, see stages.dedup_scenes).
+
+        ``materialize=True`` pins the routed catalog in the object store —
+        use only for catalogs that are small relative to cluster memory
+        and queried repeatedly (a catalog is metadata, not imagery, so
+        this is usually safe; the image table itself must never be
+        materialized).
+        """
+        marked = mark_duplicates(scenes)
+        data, dup = split_registered(marked)
+        if materialize:
+            data = data.materialize()
+            dup = dup.materialize()
+        return cls(data, dup)
+
+    # ------------------------------------------------------------ select
+
+    def select(
+        self,
+        sensor=None,
+        product=None,
+        acquisition_mode=None,
+        mindate=None,
+        maxdate=None,
+        vectorobject_wkb: bytes | None = None,
+        date_strict: bool = True,
+        polarizations=None,
+        return_value="scene",
+        **kwargs,
+    ) -> Dataset:
+        """Filter the catalog; returns a Dataset projected to return_value.
+
+        ``vectorobject_wkb`` replaces the reference's Vector object with a
+        WKB polygon (single feature by construction).
+        """
+        return_values = [return_value] if isinstance(return_value, str) else list(return_value)
+        invalid = [
+            v for v in return_values if v not in COLNAMES and v not in _PSEUDO_RETURNS
+        ]
+        if invalid:
+            raise ValueError(
+                "The following options are not supported as return values: "
+                + ", ".join(invalid)
+            )
+
+        ds = self.data
+        # predicate spec: (col, op, value) with op ∈ {eq, in, ge, le}
+        filters: list[tuple[str, str, object]] = []
+
+        def general(col, val):
+            if isinstance(val, (list, tuple)):
+                return (col, "in", list(val))
+            return (col, "eq", val)
+
+        arg_valid = {k: v for k, v in kwargs.items() if k in COLNAMES}
+        arg_invalid = [k for k in kwargs if k not in COLNAMES]
+        if arg_invalid:
+            log.info(
+                "the following arguments will be ignored as they are not "
+                "registered in the data base: %s",
+                ", ".join(arg_invalid),
+            )
+        for k, v in arg_valid.items():
+            filters.append(general(k, v))
+        if sensor is not None:
+            filters.append(general("sensor", sensor))
+        if product is not None:
+            filters.append(general("product", product))
+        if acquisition_mode is not None:
+            filters.append(general("acquisition_mode", acquisition_mode))
+
+        for name, limit, strict_col, loose_col, op in (
+            ("mindate", mindate, "start", "stop", "ge"),
+            ("maxdate", maxdate, "stop", "start", "le"),
+        ):
+            if limit is None:
+                continue
+            if not isinstance(limit, str) or not _DATE_RE.search(limit):
+                log.info(
+                    "WARNING: argument %s is ignored, must be in format YYYYmmddTHHMMSS",
+                    name,
+                )
+                continue
+            col = strict_col if date_strict else loose_col
+            filters.append((col, op, limit))
+
+        if polarizations:
+            for pol in polarizations:
+                if pol in ("HH", "VV", "HV", "VH"):
+                    filters.append((pol.lower(), "eq", 1))
+
+        if filters:
+            ds = apply_predicates(ds, filters)
+
+        if vectorobject_wkb is not None:
+            ds = broadcast_polygon_filter(ds, vectorobject_wkb)
+
+        return self._project(ds, return_values)
+
+    # -------------------------------------------------------- projection
+
+    @staticmethod
+    def _project(ds: Dataset, return_values: list[str]) -> Dataset:
+        needs_geom = any(v.startswith("geometry_") for v in return_values)
+
+        def _proj(batch: pa.Table) -> pa.Table:
+            cols = {}
+            if needs_geom:
+                xmin = batch["xmin"].to_numpy()
+                ymin = batch["ymin"].to_numpy()
+                xmax = batch["xmax"].to_numpy()
+                ymax = batch["ymax"].to_numpy()
+            for v in return_values:
+                if v == "mindate":
+                    cols["mindate"] = batch["start"]
+                elif v == "maxdate":
+                    cols["maxdate"] = batch["stop"]
+                elif v == "geometry_wkt":
+                    cols["geometry_wkt"] = pa.array(
+                        [
+                            polygon_wkt(bbox_ring(xmin[i], ymin[i], xmax[i], ymax[i]))
+                            for i in range(len(batch))
+                        ],
+                        type=pa.string(),
+                    )
+                elif v == "geometry_wkb":
+                    cols["geometry_wkb"] = pa.array(
+                        [
+                            polygon_wkb(bbox_ring(xmin[i], ymin[i], xmax[i], ymax[i]))
+                            for i in range(len(batch))
+                        ],
+                        type=pa.binary(),
+                    )
+                else:
+                    cols[v] = batch[v]
+            return pa.table(cols)
+
+        return ds.map_batches(_proj, batch_format="pyarrow")
+
+    # ------------------------------------------------------------- misc
+
+    def is_registered(self, outname_base: str, product: str) -> bool:
+        n = apply_predicates(
+            self.data,
+            [("outname_base", "eq", outname_base), ("product", "eq", product)],
+        ).count()
+        if n > 0:
+            return True
+        if self.duplicates is not None:
+            return (
+                apply_predicates(
+                    self.duplicates, [("outname_base", "eq", outname_base)]
+                ).count()
+                > 0
+            )
+        return False
+
+    def size(self) -> tuple[int, int]:
+        """(data rows, duplicates rows) — Archive.size (archive.py:1170-1183)."""
+        ndup = self.duplicates.count() if self.duplicates is not None else 0
+        return self.data.count(), ndup

@@ -1,0 +1,171 @@
+"""Deterministic derivation of spatial test tables from the TPC-H-ish parquet.
+
+The driver's correctness gate runs each Ray pipeline side-by-side with an
+ANSI-SQL oracle over the same parquet views (region nation customer
+supplier part orders lineitem events documents embeddings). The spatial
+engine, however, operates on *scene footprints* and *points* — so both
+sides derive those deterministically from the base tables using identical
+integer arithmetic followed by exact IEEE double ops. The numpy kernels
+here and the SQL snippets in ``__ray_entry__.oracle_sql`` are two
+renderings of the same formulas; tests assert they agree bit-for-bit.
+
+Scene model mirrors the reference catalog schema
+(pyroSAR/archive.py:374-394): identity key (outname_base, product),
+polarization flag columns, start/stop stamps, bbox footprint. ~10% of
+scenes share an identity key (orderkey ending in 9 pairs with its
+predecessor) to exercise the duplicates routing of the ingest path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .functions.names import outname_base_array
+
+# ------------------------------------------------------------- scenes
+
+SENSORS = ("S1A", "S1B", "PSR2", "TSX1")
+MODES = ("IW", "EW", "FBD", "SM")
+PRODUCTS = ("GRD", "GRD", "SLC")  # key % 3 → GRD twice as common
+
+_EPOCH = np.datetime64("2015-01-01T00:00:00", "s")
+
+
+def scene_start_stamps(ident: np.ndarray) -> np.ndarray:
+    """Deterministic YYYYmmddTHHMMSS start stamp per identity key.
+
+    start = 2015-01-01 + (ident * 524287 % 31536000) seconds  (within 2015).
+    SQL twin: strftime(TIMESTAMP '2015-01-01' + to_seconds(...), '%Y%m%dT%H%M%S').
+    """
+    secs = ident * 524287 % 31536000
+    dt = _EPOCH + secs.astype("timedelta64[s]")
+    return np.datetime_as_string(dt, unit="s")
+
+
+def scenes_from_orders(keys: np.ndarray) -> pa.Table:
+    """Derive one catalog scene row per o_orderkey (vectorized).
+
+    All SQL-twin formulas (see __ray_entry__.SCENES_SQL):
+      ident  = key - 1 when key % 10 == 9 else key   (≈10% duplicate pairs)
+      xmin   = (ident * 9973  % 33000) / 100.0 - 170.0
+      ymin   = (ident * 7919  % 13000) / 100.0 - 70.0
+      xmax   = xmin + (100 + ident % 7 * 50) / 100.0
+      ymax   = ymin + (100 + ident % 5 * 50) / 100.0
+      sensor = SENSORS[ident % 4]; mode = MODES[ident % 4]
+      orbit  = 'A' if ident % 2 == 0 else 'D'
+      product= PRODUCTS[ident % 3]
+      vv/vh  = 1 when sensor starts with 'S1' else 0; hh/hv inverse
+    """
+    k = np.asarray(keys, dtype=np.int64)
+    ident = np.where(k % 10 == 9, k - 1, k)
+    xmin = (ident * 9973 % 33000) / 100.0 - 170.0
+    ymin = (ident * 7919 % 13000) / 100.0 - 70.0
+    xmax = xmin + (100 + ident % 7 * 50) / 100.0
+    ymax = ymin + (100 + ident % 5 * 50) / 100.0
+    sensor = np.array(SENSORS, dtype=object)[ident % 4]
+    mode = np.array(MODES, dtype=object)[ident % 4]
+    orbit = np.where(ident % 2 == 0, "A", "D").astype(object)
+    product = np.array(PRODUCTS, dtype=object)[ident % 3]
+    start = scene_start_stamps(ident)
+    start_str = (
+        pd.Series(start)
+        .str.replace("-", "", regex=False)
+        .str.replace(":", "", regex=False)
+        .to_numpy(dtype=object)
+    )
+    # stop = start + 25 s (reference scenes are ~25 s acquisitions)
+    stop = np.datetime_as_string(
+        (_EPOCH + (ident * 524287 % 31536000 + 25).astype("timedelta64[s]")), unit="s"
+    )
+    stop_str = (
+        pd.Series(stop)
+        .str.replace("-", "", regex=False)
+        .str.replace(":", "", regex=False)
+        .to_numpy(dtype=object)
+    )
+    base = outname_base_array(sensor, mode, orbit, start_str)
+    s1 = pd.Series(sensor).str.startswith("S1").to_numpy()
+    return pa.table(
+        {
+            "scene_key": pa.array(k),
+            "sensor": pa.array(sensor, type=pa.string()),
+            "acquisition_mode": pa.array(mode, type=pa.string()),
+            "orbit": pa.array(orbit, type=pa.string()),
+            "start": pa.array(start_str, type=pa.string()),
+            "stop": pa.array(stop_str, type=pa.string()),
+            "product": pa.array(product, type=pa.string()),
+            "outname_base": pa.array(base, type=pa.string()),
+            "scene": pa.array([f"/data/scenes/scene-{x:09d}.zip" for x in k], type=pa.string()),
+            "hh": pa.array((~s1).astype(np.int32)),
+            "vv": pa.array(s1.astype(np.int32)),
+            "hv": pa.array((~s1).astype(np.int32)),
+            "vh": pa.array(s1.astype(np.int32)),
+            "xmin": pa.array(xmin),
+            "ymin": pa.array(ymin),
+            "xmax": pa.array(xmax),
+            "ymax": pa.array(ymax),
+        }
+    )
+
+
+# ------------------------------------------------------------- points
+
+
+def points_from_lineitem(orderkey: np.ndarray, linenumber: np.ndarray) -> pa.Table:
+    """Derive one geolocated point per lineitem row (vectorized).
+
+    SQL twin:
+      pk   = l_orderkey * 8 + l_linenumber
+      lon  = (pk * 104729   % 36000) / 100.0 - 180.0
+      lat  = (pk * 15485863 % 18000) / 100.0 - 90.0
+    """
+    pk = np.asarray(orderkey, dtype=np.int64) * 8 + np.asarray(linenumber, dtype=np.int64)
+    lon = (pk * 104729 % 36000) / 100.0 - 180.0
+    lat = (pk * 15485863 % 18000) / 100.0 - 90.0
+    return pa.table({"point_id": pa.array(pk), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+
+# SQL twins, kept adjacent to the numpy formulas they mirror.
+# DuckDB `/` is float division; `%` on BIGINT matches numpy int64 for
+# the positive operands used here.
+SCENES_SQL = """
+    SELECT
+        o_orderkey AS scene_key,
+        ['S1A','S1B','PSR2','TSX1'][(ident % 4 + 1)::INT] AS sensor,
+        ['IW','EW','FBD','SM'][(ident % 4 + 1)::INT] AS acquisition_mode,
+        CASE WHEN ident % 2 = 0 THEN 'A' ELSE 'D' END AS orbit,
+        strftime(TIMESTAMP '2015-01-01' + to_seconds(ident * 524287 % 31536000),
+                 '%Y%m%dT%H%M%S') AS start,
+        strftime(TIMESTAMP '2015-01-01' + to_seconds(ident * 524287 % 31536000 + 25),
+                 '%Y%m%dT%H%M%S') AS stop,
+        ['GRD','GRD','SLC'][(ident % 3 + 1)::INT] AS product,
+        rpad(['S1A','S1B','PSR2','TSX1'][(ident % 4 + 1)::INT], 4, '_') || '_' ||
+        rpad(['IW','EW','FBD','SM'][(ident % 4 + 1)::INT], 4, '_') || '_' ||
+        (CASE WHEN ident % 2 = 0 THEN 'A' ELSE 'D' END) || '_' ||
+        strftime(TIMESTAMP '2015-01-01' + to_seconds(ident * 524287 % 31536000),
+                 '%Y%m%dT%H%M%S') AS outname_base,
+        '/data/scenes/scene-' || lpad(o_orderkey::VARCHAR, 9, '0') || '.zip' AS scene,
+        CASE WHEN ['S1A','S1B','PSR2','TSX1'][(ident % 4 + 1)::INT] LIKE 'S1%' THEN 0 ELSE 1 END AS hh,
+        CASE WHEN ['S1A','S1B','PSR2','TSX1'][(ident % 4 + 1)::INT] LIKE 'S1%' THEN 1 ELSE 0 END AS vv,
+        CASE WHEN ['S1A','S1B','PSR2','TSX1'][(ident % 4 + 1)::INT] LIKE 'S1%' THEN 0 ELSE 1 END AS hv,
+        CASE WHEN ['S1A','S1B','PSR2','TSX1'][(ident % 4 + 1)::INT] LIKE 'S1%' THEN 1 ELSE 0 END AS vh,
+        (ident * 9973 % 33000) / 100.0 - 170.0 AS xmin,
+        (ident * 7919 % 13000) / 100.0 - 70.0 AS ymin,
+        (ident * 9973 % 33000) / 100.0 - 170.0 + (100 + ident % 7 * 50) / 100.0 AS xmax,
+        (ident * 7919 % 13000) / 100.0 - 70.0 + (100 + ident % 5 * 50) / 100.0 AS ymax
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 9 THEN o_orderkey - 1 ELSE o_orderkey END AS ident
+        FROM orders
+    )
+"""
+
+POINTS_SQL = """
+    SELECT
+        l_orderkey * 8 + l_linenumber AS point_id,
+        ((l_orderkey * 8 + l_linenumber) * 104729 % 36000) / 100.0 - 180.0 AS lon,
+        ((l_orderkey * 8 + l_linenumber) * 15485863 % 18000) / 100.0 - 90.0 AS lat
+    FROM lineitem
+"""

@@ -1,0 +1,85 @@
+"""Tile-assignment stages: bbox → 1° tiles, with skew-aware aggregation.
+
+Reference semantics: ID.getHGT (pyroSAR/drivers.py:535-558) per scene;
+at engine scale the expansion runs loop-free inside map_batches and the
+per-tile aggregate uses the partial-combine pattern (one partial row per
+tile per batch) so hot coastal/polar tiles never concentrate raw rows on
+one reducer — the groupby shuffles pre-combined partials only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..functions.tiles import expand_bbox_tiles, tile_names_1deg
+
+
+def assign_tiles(
+    scenes: Dataset,
+    keep_cols: tuple[str, ...] = ("scene_key", "outname_base"),
+) -> Dataset:
+    """Flat-expand each scene bbox to one row per overlapping 1° tile.
+
+    Output columns: *keep_cols, tile (``N51E011`` grammar, reference
+    naming order preserved within each scene).
+    """
+    cols = list(keep_cols) + ["xmin", "ymin", "xmax", "ymax"]
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        row_idx, lat, lon = expand_bbox_tiles(
+            batch["xmin"].to_numpy(),
+            batch["xmax"].to_numpy(),
+            batch["ymin"].to_numpy(),
+            batch["ymax"].to_numpy(),
+        )
+        taken = batch.select(list(keep_cols)).take(pa.array(row_idx))
+        return taken.append_column("tile", pa.array(tile_names_1deg(lat, lon)))
+
+    return scenes.select_columns(cols).map_batches(_expand, batch_format="pyarrow")
+
+
+def tile_counts(tile_rows: Dataset) -> Dataset:
+    """Per-tile row counts via partial aggregation.
+
+    map_batches emits one (tile, partial n) row per tile per batch, then a
+    small groupby sums partials — the shuffle moves at most
+    (#tiles × #batches) rows regardless of skew.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tiles, counts = np.unique(np.asarray(batch["tile"]), return_counts=True)
+        return pa.table({"tile": pa.array(tiles), "n": pa.array(counts.astype(np.int64))})
+
+    partials = tile_rows.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby("tile").aggregate(Sum("n", alias_name="n_scenes"))
+
+
+def salted_group_apply(
+    ds: Dataset,
+    key: str,
+    fn,
+    num_salts: int = 8,
+    batch_format: str = "pandas",
+) -> Dataset:
+    """Two-phase salted groupby for per-group functions with hot keys.
+
+    Phase 1 groups on (key, salt) — hot keys split across ``num_salts``
+    reducers — applying ``fn`` per sub-group; phase 2 re-groups phase-1
+    results on the bare key and applies ``fn`` again. ``fn`` must be a
+    combinable reduction (e.g. partial counts/min/max rows).
+    """
+
+    def _salt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_salt"] = np.arange(len(batch)) % num_salts
+        return batch
+
+    salted = ds.map_batches(_salt, batch_format="pandas")
+    phase1 = salted.groupby([key, "_salt"]).map_groups(
+        lambda g: fn(g.drop(columns=["_salt"])), batch_format=batch_format
+    )
+    return phase1.groupby(key).map_groups(fn, batch_format=batch_format)

@@ -1,0 +1,103 @@
+"""Spatial join, tile assignment and dedup routing over derived tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from pyrosar_ray.derive import points_from_lineitem, scenes_from_orders
+from pyrosar_ray.functions.geometry import bbox_ring, polygon_wkb
+from pyrosar_ray.stages.dedup_scenes import mark_duplicates, split_registered
+from pyrosar_ray.stages.spatial import broadcast_polygon_filter, spatial_join_points
+from pyrosar_ray.stages.tiling import assign_tiles, tile_counts
+
+
+@pytest.fixture(scope="module")
+def scenes_tbl(sf_dir):
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    return scenes_from_orders(orders["o_orderkey"].to_numpy())
+
+
+@pytest.fixture(scope="module")
+def points_tbl(sf_dir):
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+    return points_from_lineitem(li["l_orderkey"].to_numpy(), li["l_linenumber"].to_numpy())
+
+
+def brute_force_pairs(scenes_tbl, points_tbl):
+    s = scenes_tbl.to_pandas()
+    p = points_tbl.to_pandas()
+    out = []
+    for _, sc in s.iterrows():
+        hit = p[
+            (p.lon >= sc.xmin) & (p.lon < sc.xmax) & (p.lat >= sc.ymin) & (p.lat < sc.ymax)
+        ]
+        for pid in hit.point_id:
+            out.append((sc.scene_key, pid))
+    return sorted(out)
+
+
+def test_spatial_join_matches_bruteforce(scenes_tbl, points_tbl):
+    scenes = rd.from_arrow(scenes_tbl)
+    points = rd.from_arrow(points_tbl)
+    joined = spatial_join_points(scenes, points, num_partitions=8)
+    got = sorted(
+        (r["scene_key"], r["point_id"]) for r in joined.select_columns(["scene_key", "point_id"]).take_all()
+    )
+    assert got == brute_force_pairs(scenes_tbl, points_tbl)
+    assert len(got) > 0
+
+
+def test_tile_assign_matches_scalar(scenes_tbl):
+    from pyrosar_ray.functions.tiles import hgt_tiles
+
+    scenes = rd.from_arrow(scenes_tbl)
+    tiles = assign_tiles(scenes).take_all()
+    df = pd.DataFrame(tiles)
+    s = scenes_tbl.to_pandas().set_index("scene_key")
+    # spot-check 25 scenes against the scalar reference implementation
+    for key in s.index[:25]:
+        sc = s.loc[key]
+        expected = [t[:-4] for t in hgt_tiles(sc.xmin, sc.xmax, sc.ymin, sc.ymax)]
+        got = df[df.scene_key == key]["tile"].tolist()
+        assert got == expected
+
+
+def test_tile_counts(scenes_tbl):
+    scenes = rd.from_arrow(scenes_tbl)
+    counts = tile_counts(assign_tiles(scenes)).take_all()
+    total = sum(r["n_scenes"] for r in counts)
+    assert total == assign_tiles(scenes).count()
+
+
+def test_dedup_routing(scenes_tbl):
+    scenes = rd.from_arrow(scenes_tbl)
+    data, dup = split_registered(mark_duplicates(scenes))
+    ndata, ndup = data.count(), dup.count()
+    assert ndata + ndup == scenes_tbl.num_rows
+    # winner is min(scene path) per identity group
+    df = scenes_tbl.to_pandas()
+    expected_dup = (
+        df.sort_values("scene")
+        .groupby(["outname_base", "product"])
+        .apply(lambda g: g.scene.iloc[1:])
+        .reset_index(drop=True)
+    )
+    got_dup = sorted(r["scene"] for r in dup.take_all())
+    assert got_dup == sorted(expected_dup.tolist())
+    # deterministic across runs
+    data2, dup2 = split_registered(mark_duplicates(rd.from_arrow(scenes_tbl)))
+    assert sorted(r["scene"] for r in dup2.take_all()) == got_dup
+
+
+def test_broadcast_polygon_filter(scenes_tbl):
+    scenes = rd.from_arrow(scenes_tbl)
+    df = scenes_tbl.to_pandas()
+    q = polygon_wkb(bbox_ring(-10.0, -10.0, 10.0, 10.0))
+    got = broadcast_polygon_filter(scenes, q).count()
+    expected = (
+        (df.xmin <= 10.0) & (df.xmax >= -10.0) & (df.ymin <= 10.0) & (df.ymax >= -10.0)
+    ).sum()
+    assert got == expected
+    assert got > 0
