@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() ↔ oracle_sql() pairs.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Each ``queries()`` entry is a Ray-Data pipeline from pyrosar_ray;
+``oracle_sql()`` holds the DuckDB twin evaluated over the same parquet
+views. The spatial inputs (scenes / points / osv inventory) are derived
+deterministically from the base tables by the kernels in
+``pyrosar_ray.derive`` whose SQL twins are inlined as CTEs, so both
+sides see bit-identical inputs. Column names match exactly on both
+sides (the driver hashes values under sorted column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,624 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pyrosar_ray.derive import OSV_DURATION, OSV_SQL, POINTS_SQL, SCENES_SQL
+
+_SCENES = f"WITH scenes AS ({SCENES_SQL})"
+_GAP_US = 1_800_000_000  # 30-minute session gap
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _scene_time_seconds(scenes):
+    """Append t_sec = seconds since 2015-01-01 parsed from the start stamp."""
+    import pandas as pd
+
+    def _t(batch: pa.Table) -> pa.Table:
+        ts = pd.to_datetime(pd.Series(batch["start"].to_pylist()), format="%Y%m%dT%H%M%S")
+        secs = ((ts - pd.Timestamp("2015-01-01")).dt.total_seconds()).astype(np.int64)
+        return batch.append_column("t_sec", pa.array(secs.to_numpy()))
+
+    return scenes.map_batches(_t, batch_format="pyarrow")
+
+
+def _load_queries_matrix(sf_dir: str, modulus: int = 50):
+    """Small-side ANN query set (vec_id % modulus == 0), driver-resident."""
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tab["vec_id"].to_numpy()
+    keep = ids % modulus == 0
+    emb = np.asarray(tab["embedding"].combine_chunks().flatten()).reshape(len(ids), -1)
+    return ids[keep], emb[keep].astype(np.float64)
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_spatial_join(sf_dir: str):
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.spatial import spatial_join_points
+
+    pairs = spatial_join_points(load_scenes(sf_dir), load_points(sf_dir))
+    return pairs.select_columns(["scene_key", "point_id"])
+
+
+def q_tile_assign(sf_dir: str):
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.tiling import assign_tiles
+
+    return assign_tiles(load_scenes(sf_dir), keep_cols=("scene_key",))
+
+
+def q_tile_counts(sf_dir: str):
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.tiling import assign_tiles, tile_counts
+
+    return tile_counts(assign_tiles(load_scenes(sf_dir), keep_cols=("scene_key",)))
+
+
+def q_dem_srtm3(sf_dir: str):
+    """SRTM 3Sec CGIAR tile names per scene (inverted 5° grid)."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        y0 = np.floor((60.0 - ymax) / 5.0).astype(np.int64) + 1
+        y1 = np.ceil((60.0 - ymin) / 5.0).astype(np.int64) + 1
+        x0 = np.floor((xmin + 180.0) / 5.0).astype(np.int64) + 1
+        x1 = np.ceil((xmax + 180.0) / 5.0).astype(np.int64) + 1
+        ny = np.maximum(y1 - y0, 0)
+        nx = np.maximum(x1 - x0, 0)
+        count = ny * nx
+        total = int(count.sum())
+        if total == 0:
+            return pa.table(
+                {"scene_key": pa.array([], type=pa.int64()), "tile": pa.array([], type=pa.string())}
+            )
+        row_idx = np.repeat(np.arange(len(count), dtype=np.int64), count)
+        offsets = np.concatenate([[0], np.cumsum(count)[:-1]])
+        j = np.arange(total, dtype=np.int64) - np.repeat(offsets, count)
+        nx_r = np.repeat(nx, count)
+        ys = np.repeat(y0, count) + j // nx_r
+        xs = np.repeat(x0, count) + j % nx_r
+        names = np.char.add(
+            np.char.add(
+                np.char.add("srtm_", np.char.zfill(xs.astype("U2"), 2)), "_"
+            ),
+            np.char.add(np.char.zfill(ys.astype("U2"), 2), ".zip"),
+        )
+        keys = batch["scene_key"].to_numpy()[row_idx]
+        return pa.table({"scene_key": pa.array(keys), "tile": pa.array(names)})
+
+    return load_scenes(sf_dir).map_batches(_expand, batch_format="pyarrow")
+
+
+def q_archive_select(sf_dir: str):
+    from pyrosar_ray.catalog.archive import RayArchive
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    archive = RayArchive(load_scenes(sf_dir))
+    return archive.select(
+        sensor=("S1A", "S1B"),
+        mindate="20150301T000000",
+        maxdate="20151001T000000",
+        polarizations=["VV"],
+        product="GRD",
+        return_value=["outname_base", "scene", "start"],
+    )
+
+
+def q_archive_select_overlap(sf_dir: str):
+    from pyrosar_ray.catalog.archive import RayArchive
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    archive = RayArchive(load_scenes(sf_dir))
+    return archive.select(
+        acquisition_mode=("IW", "EW"),
+        mindate="20150601T000000",
+        maxdate="20150701T000000",
+        date_strict=False,
+        return_value=["scene", "mindate", "maxdate"],
+    )
+
+
+def q_dedup_data(sf_dir: str):
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.dedup_scenes import mark_duplicates, split_registered
+
+    data, _ = split_registered(mark_duplicates(load_scenes(sf_dir)))
+    return data.select_columns(["scene_key", "outname_base", "product", "scene"])
+
+
+def q_dedup_duplicates(sf_dir: str):
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.dedup_scenes import mark_duplicates, split_registered
+
+    _, dup = split_registered(mark_duplicates(load_scenes(sf_dir)))
+    return dup
+
+
+def q_scene_seconds(sf_dir: str):
+    from pyrosar_ray.functions.dates import seconds_array
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    def _secs(batch: pa.Table) -> pa.Table:
+        secs = seconds_array(batch["outname_base"].to_pylist())
+        return pa.table({"scene_key": batch["scene_key"], "secs": pa.array(secs)})
+
+    return load_scenes(sf_dir).map_batches(_secs, batch_format="pyarrow")
+
+
+def q_parse_names(sf_dir: str):
+    from pyrosar_ray.functions.names import parse_datasetname_batch
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        names = [b + "_VV_db.tif" for b in batch["outname_base"].to_pylist()]
+        df = parse_datasetname_batch(names)
+        return pa.table(
+            {
+                "filename": pa.array(df["filename"].tolist(), type=pa.string()),
+                "sensor": pa.array(df["sensor"].tolist(), type=pa.string()),
+                "acquisition_mode": pa.array(df["acquisition_mode"].tolist(), type=pa.string()),
+                "orbit": pa.array(df["orbit"].tolist(), type=pa.string()),
+                "start": pa.array(df["start"].tolist(), type=pa.string()),
+                "polarization": pa.array(df["polarization"].tolist(), type=pa.string()),
+            }
+        )
+
+    return load_scenes(sf_dir).map_batches(_parse, batch_format="pyarrow")
+
+
+def q_asof_osv(sf_dir: str):
+    from pyrosar_ray.derive import osv_from_supplier
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.asof import asof_match
+
+    inv = osv_from_supplier(
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])["s_suppkey"].to_numpy()
+    )
+
+    def _s1_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["sensor"], value_set=pa.array(["S1A", "S1B"])))
+
+    scenes = load_scenes(sf_dir).map_batches(_s1_only, batch_format="pyarrow")
+    probes = _scene_time_seconds(scenes)
+    matched = asof_match(probes, inv, OSV_DURATION)
+    return matched.select_columns(["scene_key", "osv_id"])
+
+
+def q_sessionize(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.sessions import sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(events, gap_us=_GAP_US).select_columns(
+        ["user_id", "event_id", "session_id"]
+    )
+
+
+def q_session_counts(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.sessions import session_counts
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_counts(events, gap_us=_GAP_US)
+
+
+def q_events_stats(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    agg = events.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Sum("value", alias_name="sum_value"),
+    )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.round(batch["sum_value"], ndigits=2),
+        )
+
+    return agg.map_batches(_round, batch_format="pyarrow")
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.dedup_text import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def q_doc_tokens(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.text import token_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_stats(docs)
+
+
+def q_doc_quality(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.text import quality_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_scores(docs)
+
+
+def q_doc_jaccard_pairs(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.dedup_text import jaccard_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return jaccard_pairs(docs, block_col="source", threshold=0.5)
+
+
+def q_embed_topk(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.ann import brute_force_topk
+
+    qids, qmat = _load_queries_matrix(sf_dir)
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk(corpus, qids, qmat, k=10)
+
+
+# ------------------------------------------------ rows-only (non-SQL ops)
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.dedup_text import minhash_candidate_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_candidate_pairs(docs)
+
+
+def q_doc_simhash(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.dedup_text import simhash_column
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_column(docs)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.text import fingerprints
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprints(docs)
+
+
+def q_doc_langid(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.text import LangID, lang_id
+
+    sample = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    profiles = LangID.fit_profiles(sample["text"].to_pylist(), sample["lang"].to_pylist())
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(docs, profiles)
+
+
+def q_image_features(sf_dir: str):
+    from pyrosar_ray.sources.images import images_from_documents
+    from pyrosar_ray.stages.images import image_features
+
+    feats = image_features(images_from_documents(sf_dir))
+    return feats.select_columns(["image_id", "caption", "mean_px", "std_px", "phash"])
+
+
+def q_image_neardup(sf_dir: str):
+    from pyrosar_ray.sources.images import images_from_documents
+    from pyrosar_ray.stages.images import phash_near_dup_pairs
+
+    images = images_from_documents(sf_dir).select_columns(["image_id", "phash"])
+    return phash_near_dup_pairs(images)
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    import ray.data
+
+    from pyrosar_ray.stages.ann import lsh_topk
+
+    qids, qmat = _load_queries_matrix(sf_dir)
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(corpus, qids, qmat, k=10)
+
+
+# ---------------------------------------------------------------- driver
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: spatial join + tile assignment + counts."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.spatial import spatial_join_points
+    from pyrosar_ray.stages.tiling import tile_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    pairs = spatial_join_points(load_scenes(sf_dir), load_points(sf_dir))
+
+    def _point_tiles(batch: pa.Table) -> pa.Table:
+        from pyrosar_ray.functions.tiles import tile_index_1deg, tile_name_from_index
+
+        idx = tile_index_1deg(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        return pa.table(
+            {
+                "scene_key": batch["scene_key"],
+                "point_id": batch["point_id"],
+                "tile": pa.array(tile_name_from_index(idx)),
+            }
+        )
+
+    assigned = pairs.map_batches(_point_tiles, batch_format="pyarrow")
+    return tile_counts(assigned)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "spatial_join": q_spatial_join,
+        "tile_assign": q_tile_assign,
+        "tile_counts": q_tile_counts,
+        "dem_srtm3": q_dem_srtm3,
+        "archive_select": q_archive_select,
+        "archive_select_overlap": q_archive_select_overlap,
+        "dedup_data": q_dedup_data,
+        "dedup_duplicates": q_dedup_duplicates,
+        "scene_seconds": q_scene_seconds,
+        "parse_names": q_parse_names,
+        "asof_osv": q_asof_osv,
+        "sessionize": q_sessionize,
+        "session_counts": q_session_counts,
+        "events_stats": q_events_stats,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "embed_topk": q_embed_topk,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash": q_doc_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_langid": q_doc_langid,
+        "image_features": q_image_features,
+        "image_neardup": q_image_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "['the','a','of','and','to','in']"
+    return {
+        "spatial_join": f"""
+            {_SCENES}, points AS ({POINTS_SQL})
+            SELECT s.scene_key, p.point_id
+            FROM scenes s JOIN points p
+              ON p.lon >= s.xmin AND p.lon < s.xmax
+             AND p.lat >= s.ymin AND p.lat < s.ymax
+        """,
+        "tile_assign": f"""
+            {_SCENES},
+            lat_exp AS (
+                SELECT scene_key, xmin, xmax,
+                       unnest(generate_series(floor(ymin)::BIGINT, floor(ymax)::BIGINT)) AS lat
+                FROM scenes
+            ),
+            lon_exp AS (
+                SELECT scene_key, lat,
+                       unnest(generate_series(floor(xmin)::BIGINT, floor(xmax)::BIGINT)) AS lon
+                FROM lat_exp
+            )
+            SELECT scene_key,
+                   (CASE WHEN lat < 0 THEN 'S' ELSE 'N' END ||
+                    lpad(abs(lat)::VARCHAR, 2, '0') ||
+                    CASE WHEN lon < 0 THEN 'W' ELSE 'E' END ||
+                    lpad(abs(lon)::VARCHAR, 3, '0')) AS tile
+            FROM lon_exp
+        """,
+        "tile_counts": f"""
+            {_SCENES},
+            lat_exp AS (
+                SELECT xmin, xmax,
+                       unnest(generate_series(floor(ymin)::BIGINT, floor(ymax)::BIGINT)) AS lat
+                FROM scenes
+            ),
+            lon_exp AS (
+                SELECT lat,
+                       unnest(generate_series(floor(xmin)::BIGINT, floor(xmax)::BIGINT)) AS lon
+                FROM lat_exp
+            )
+            SELECT (CASE WHEN lat < 0 THEN 'S' ELSE 'N' END ||
+                    lpad(abs(lat)::VARCHAR, 2, '0') ||
+                    CASE WHEN lon < 0 THEN 'W' ELSE 'E' END ||
+                    lpad(abs(lon)::VARCHAR, 3, '0')) AS tile,
+                   COUNT(*) AS n_scenes
+            FROM lon_exp GROUP BY 1
+        """,
+        "dem_srtm3": f"""
+            {_SCENES},
+            y_exp AS (
+                SELECT scene_key, xmin, xmax,
+                       unnest(generate_series(floor((60 - ymax) / 5)::BIGINT + 1,
+                                              ceil((60 - ymin) / 5)::BIGINT)) AS y
+                FROM scenes
+            ),
+            x_exp AS (
+                SELECT scene_key, y,
+                       unnest(generate_series(floor((xmin + 180) / 5)::BIGINT + 1,
+                                              ceil((xmax + 180) / 5)::BIGINT)) AS x
+                FROM y_exp
+            )
+            SELECT scene_key,
+                   'srtm_' || lpad(x::VARCHAR, 2, '0') || '_' ||
+                   lpad(y::VARCHAR, 2, '0') || '.zip' AS tile
+            FROM x_exp
+        """,
+        "archive_select": f"""
+            {_SCENES}
+            SELECT outname_base, scene, start FROM scenes
+            WHERE sensor IN ('S1A', 'S1B') AND product = 'GRD' AND vv = 1
+              AND start >= '20150301T000000' AND stop <= '20151001T000000'
+        """,
+        "archive_select_overlap": f"""
+            {_SCENES}
+            SELECT scene, start AS mindate, stop AS maxdate FROM scenes
+            WHERE acquisition_mode IN ('IW', 'EW')
+              AND stop >= '20150601T000000' AND start <= '20150701T000000'
+        """,
+        "dedup_data": f"""
+            {_SCENES}
+            SELECT scene_key, outname_base, product, scene FROM (
+                SELECT scene_key, outname_base, product, scene,
+                       ROW_NUMBER() OVER (PARTITION BY outname_base, product
+                                          ORDER BY scene) AS rn
+                FROM scenes
+            ) WHERE rn = 1
+        """,
+        "dedup_duplicates": f"""
+            {_SCENES}
+            SELECT outname_base, scene FROM (
+                SELECT outname_base, scene,
+                       ROW_NUMBER() OVER (PARTITION BY outname_base, product
+                                          ORDER BY scene) AS rn
+                FROM scenes
+            ) WHERE rn > 1
+        """,
+        "scene_seconds": f"""
+            {_SCENES}
+            SELECT scene_key,
+                   date_diff('second', TIMESTAMP '1900-01-01',
+                             strptime(start, '%Y%m%dT%H%M%S'))::DOUBLE AS secs
+            FROM scenes
+        """,
+        "parse_names": f"""
+            {_SCENES}
+            SELECT outname_base || '_VV_db.tif' AS filename,
+                   sensor, acquisition_mode, orbit, start,
+                   'VV' AS polarization
+            FROM scenes
+        """,
+        "asof_osv": f"""
+            {_SCENES}, osv AS ({OSV_SQL}),
+            probes AS (
+                SELECT scene_key, sensor,
+                       date_diff('second', TIMESTAMP '2015-01-01',
+                                 strptime(start, '%Y%m%dT%H%M%S')) AS t_sec
+                FROM scenes WHERE sensor IN ('S1A', 'S1B')
+            )
+            SELECT p.scene_key, COALESCE(best.osv_id, -1) AS osv_id
+            FROM probes p LEFT JOIN LATERAL (
+                SELECT o.osv_id FROM osv o
+                WHERE o.sensor = p.sensor
+                  AND o.start_sec <= p.t_sec AND p.t_sec <= o.stop_sec
+                ORDER BY CASE WHEN o.osv_type = 'POE' THEN 0 ELSE 1 END,
+                         o.publish_sec DESC, o.osv_id
+                LIMIT 1
+            ) best ON TRUE
+        """,
+        "sessionize": f"""
+            SELECT user_id, event_id,
+                   SUM(CASE WHEN gap IS NOT NULL AND gap > {_GAP_US} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) AS gap
+                FROM events
+            )
+        """,
+        "session_counts": f"""
+            SELECT user_id,
+                   (1 + SUM(CASE WHEN gap > {_GAP_US} THEN 1 ELSE 0 END))::BIGINT AS n_sessions
+            FROM (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap
+                FROM events
+            ) GROUP BY user_id
+        """,
+        "events_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   MIN(value) AS min_value, MAX(value) AS max_value,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_tokens": r"""
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_retokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id, n_tokens, n_uniq_tokens, n_stopwords,
+                   n_stopwords / n_tokens::DOUBLE AS stop_ratio
+            FROM (
+                SELECT doc_id,
+                       len(string_split(text, ' '))::BIGINT AS n_tokens,
+                       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq_tokens,
+                       len(list_filter(string_split(text, ' '),
+                                       x -> list_contains({stop_list}, x)))::BIGINT AS n_stopwords
+                FROM documents
+            )
+        """,
+        "doc_jaccard_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.toks, b.toks))::DOUBLE /
+                   (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                       AS jac
+            FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents) a
+            JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents) b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        """,
+        "embed_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id % 50 = 0
+            ), e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, e.ee) DESC, e.vec_id
+                       ) AS rank
+                FROM q, e WHERE e.vec_id <> q.query_id
+            ) WHERE rank <= 10
+        """,
+    }

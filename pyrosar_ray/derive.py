@@ -127,6 +127,44 @@ def points_from_lineitem(orderkey: np.ndarray, linenumber: np.ndarray) -> pa.Tab
     return pa.table({"point_id": pa.array(pk), "lon": pa.array(lon), "lat": pa.array(lat)})
 
 
+# ------------------------------------------------------------- OSV files
+
+#: all synthetic orbit files span exactly 7 days (enables the fixed-window
+#: searchsorted candidate lookup in stages.asof; the reference's POE files
+#: are likewise fixed-length dressings around one day, S1/auxil.py:670-692)
+OSV_DURATION = 604800
+
+
+def osv_from_supplier(keys: np.ndarray) -> pa.Table:
+    """Derive an orbit-state-vector file inventory from s_suppkey (vectorized).
+
+    Mirrors the reference's OSV model (S1/auxil.py:91-692): each file has a
+    validity interval [start, stop], a sensor it applies to, a precision
+    tier (POE preferred over RES, S1/auxil.py:545-587) and a publish date
+    used as the tie-break (max wins).
+
+    SQL twin (see __ray_entry__.OSV_SQL):
+      osv_id      = s_suppkey
+      sensor      = 'S1A' if s % 2 == 0 else 'S1B'
+      osv_type    = 'POE' if s % 4 < 2 else 'RES'
+      start_sec   = s * 100003 % 31536000          (seconds into 2015)
+      stop_sec    = start_sec + 604800             (7-day validity)
+      publish_sec = stop_sec + s % 5 * 3600
+    """
+    s = np.asarray(keys, dtype=np.int64)
+    start = s * 100003 % 31536000
+    return pa.table(
+        {
+            "osv_id": pa.array(s),
+            "sensor": pa.array(np.where(s % 2 == 0, "S1A", "S1B").astype(object), type=pa.string()),
+            "osv_type": pa.array(np.where(s % 4 < 2, "POE", "RES").astype(object), type=pa.string()),
+            "start_sec": pa.array(start),
+            "stop_sec": pa.array(start + OSV_DURATION),
+            "publish_sec": pa.array(start + OSV_DURATION + s % 5 * 3600),
+        }
+    )
+
+
 # SQL twins, kept adjacent to the numpy formulas they mirror.
 # DuckDB `/` is float division; `%` on BIGINT matches numpy int64 for
 # the positive operands used here.
@@ -168,4 +206,15 @@ POINTS_SQL = """
         ((l_orderkey * 8 + l_linenumber) * 104729 % 36000) / 100.0 - 180.0 AS lon,
         ((l_orderkey * 8 + l_linenumber) * 15485863 % 18000) / 100.0 - 90.0 AS lat
     FROM lineitem
+"""
+
+OSV_SQL = """
+    SELECT
+        s_suppkey AS osv_id,
+        CASE WHEN s_suppkey % 2 = 0 THEN 'S1A' ELSE 'S1B' END AS sensor,
+        CASE WHEN s_suppkey % 4 < 2 THEN 'POE' ELSE 'RES' END AS osv_type,
+        s_suppkey * 100003 % 31536000 AS start_sec,
+        s_suppkey * 100003 % 31536000 + 604800 AS stop_sec,
+        s_suppkey * 100003 % 31536000 + 604800 + s_suppkey % 5 * 3600 AS publish_sec
+    FROM supplier
 """

@@ -1,0 +1,43 @@
+"""Dataset loaders for the sf-dir parquet tables + derived spatial tables.
+
+The spatial engine operates on scene footprints and geolocated points;
+both are derived deterministically from the driver's TPC-H-ish tables by
+the kernels in :mod:`pyrosar_ray.derive` (each has an exact SQL twin so
+the DuckDB oracle reproduces them bit-for-bit). Loads always prune to
+the columns actually consumed (scale rule: never ship unused columns out
+of storage).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+from ray.data import Dataset
+
+from ..derive import points_from_lineitem, scenes_from_orders
+
+
+def load_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def load_scenes(sf_dir: str) -> Dataset:
+    """Scene catalog Dataset derived from orders (columns pruned at read)."""
+    ds = load_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        return scenes_from_orders(batch["o_orderkey"].to_numpy())
+
+    return ds.map_batches(_derive, batch_format="pyarrow")
+
+
+def load_points(sf_dir: str) -> Dataset:
+    """Geolocated point Dataset derived from lineitem (columns pruned)."""
+    ds = load_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        return points_from_lineitem(
+            batch["l_orderkey"].to_numpy(), batch["l_linenumber"].to_numpy()
+        )
+
+    return ds.map_batches(_derive, batch_format="pyarrow")

@@ -1,0 +1,91 @@
+"""Deterministic synthetic image table per BASELINE.json ``input_hint``.
+
+Schema: (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64). Derived 1:1 from the driver's
+``documents`` table so every sf-dir yields the same rows on every run
+and on any cluster size: the pixel array is a seeded-PRNG gradient
+keyed by the SEED id, captions are the document texts (byte-equality
+checked downstream).
+
+Near-dup structure for the dedup stages: ids ending in 9 reuse the
+previous id's seed → identical pixels → identical phash (mirrors the
+~10% identity-collision rate of the derived scene catalog).
+
+``fmt`` is ``raw`` (uncompressed RGB bytes) in-sandbox; the png/jpeg
+decode slot is a clearly-marked stub (no imaging libs in this
+container) — the Ray-side plumbing (binary column, batch sizing, actor
+signature, output layout) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data import Dataset
+
+_SIZES = (16, 24, 32)  # small in tests; production rows are MB-scale
+
+
+def synth_image(seed: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic RGB uint8 array for a seed id."""
+    w = _SIZES[seed % 3]
+    h = _SIZES[seed // 3 % 3]
+    rng = np.random.RandomState(seed % (2**31))
+    base = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint16)
+    # dominant low-frequency random field: per-image 8x8 structure so
+    # block-mean phashes are decorrelated across seeds (identical seeds
+    # still produce identical pixels for the near-dup pairs)
+    low = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint16)
+    low = np.repeat(np.repeat(low, (h + 7) // 8, axis=0), (w + 7) // 8, axis=1)[:h, :w]
+    ramp = (np.arange(w, dtype=np.uint16) * 255 // max(w - 1, 1)).astype(np.uint16)
+    arr = ((2 * low + base + ramp[None, :, None]) // 4).astype(np.uint8)
+    return arr, w, h
+
+
+def average_phash(arr: np.ndarray, grid: int = 8) -> int:
+    """64-bit average hash: 8×8 block-mean luma thresholded at its mean."""
+    luma = arr.astype(np.float64).mean(axis=2)
+    h, w = luma.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    cum = np.zeros((h + 1, w + 1))
+    cum[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    sums = cum[ys[1:], :][:, xs[1:]] - cum[ys[:-1], :][:, xs[1:]] - cum[ys[1:], :][:, xs[:-1]] + cum[ys[:-1], :][:, xs[:-1]]
+    areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    cells = sums / areas
+    bits = (cells > cells.mean()).ravel()
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(np.int64((weights[bits].sum(dtype=np.uint64)) >> np.uint64(1)))
+
+
+def images_from_documents(sf_dir: str) -> Dataset:
+    """The synthetic image+caption Dataset (one row per document)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        blobs, ws, hs, fmts, phashes, image_ids = [], [], [], [], [], []
+        for i, t in zip(ids.tolist(), texts):
+            seed = i - 1 if i % 10 == 9 else i  # near-dup pairs
+            arr, w, h = synth_image(seed)
+            blobs.append(arr.tobytes())
+            ws.append(w)
+            hs.append(h)
+            fmts.append("raw")
+            phashes.append(average_phash(arr))
+            image_ids.append(f"img-{i:012d}")
+        return pa.table(
+            {
+                "image_id": pa.array(image_ids, type=pa.string()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "w": pa.array(ws, type=pa.int32()),
+                "h": pa.array(hs, type=pa.int32()),
+                "fmt": pa.array(fmts, type=pa.string()),
+                "caption": pa.array(texts, type=pa.string()),
+                "phash": pa.array(phashes, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow")

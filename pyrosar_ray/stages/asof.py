@@ -1,0 +1,162 @@
+"""As-of / interval join with priority tiers — the OSV.match semantics.
+
+Reference (pyroSAR S1/auxil.py:545-587): for an acquisition time ``t``
+pick the orbit file whose validity interval covers ``t`` (start<=t<=stop),
+restricted to the matching sensor, preferring the POE tier over RES, and
+breaking ties by the maximum publish date. The engine adds a final
+deterministic tie-break (minimum osv_id) so N-node and 4N-node runs
+agree (SURVEY.md §7.4-2).
+
+Physical plan: the file inventory is the SMALL side (thousands of rows
+for years of acquisitions), so it is broadcast once via ``ray.put`` and
+every map_batches actor builds the lookup index in ``__init__`` — no
+shuffle touches the big side. Per-probe cost is O(1): intervals have a
+fixed duration (derive.OSV_DURATION), so the candidate set for ``t`` is
+the contiguous ``searchsorted`` window ``start ∈ (t-dur, t]``, and the
+best candidate inside any window comes from a sparse-table
+range-maximum index built once per actor.
+
+Partitioning assumption: broadcast requires the inventory to fit in
+worker memory. If it ever doesn't, range-partition BOTH sides by
+``floor(t / dur)`` (each probe's candidates live in its own or the
+previous bucket → duplicate inventory rows into their successor bucket,
+join per partition with the same index) — documented here per the
+custom-operator rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+class _TierIndex:
+    """Sorted interval starts + RMQ over (publish, -id) for one (sensor, tier)."""
+
+    def __init__(self, start: np.ndarray, publish: np.ndarray, ids: np.ndarray):
+        order = np.argsort(start, kind="stable")
+        self.start = start[order]
+        self.ids = ids[order]
+        # orderable composite key: higher publish wins, then lower id
+        key = publish[order].astype(np.int64) * (1 << 21) - ids[order]
+        n = len(key)
+        levels = max(1, int(np.floor(np.log2(n))) + 1) if n else 1
+        # sparse table of argmax indices: st[k][i] = argmax key over [i, i+2^k)
+        st = [np.arange(n, dtype=np.int64)]
+        size = 1
+        for _ in range(1, levels):
+            prev = st[-1]
+            m = n - size * 2 + 1
+            if m <= 0:
+                break
+            left = prev[:m]
+            right = prev[size : size + m]
+            take_right = key[right] > key[left]
+            st.append(np.where(take_right, right, left))
+            size *= 2
+        self.key = key
+        self.st = st
+
+    def query(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """Vectorized argmax of key over [lo, hi); -1 where empty."""
+        out = np.full(len(lo), -1, dtype=np.int64)
+        width = hi - lo
+        nonempty = width > 0
+        if not nonempty.any():
+            return out
+        lo_, hi_, w = lo[nonempty], hi[nonempty], width[nonempty]
+        k = np.floor(np.log2(w)).astype(np.int64)
+        k = np.minimum(k, len(self.st) - 1)
+        size = np.int64(1) << k
+        # gather the two overlapping 2^k windows per probe
+        a = np.empty(len(lo_), dtype=np.int64)
+        b = np.empty(len(lo_), dtype=np.int64)
+        for kk in np.unique(k):
+            m = k == kk
+            tab = self.st[int(kk)]
+            a[m] = tab[lo_[m]]
+            b[m] = tab[hi_[m] - size[m]]
+        best = np.where(self.key[b] > self.key[a], b, a)
+        out[nonempty] = best
+        return out
+
+
+class IntervalInventory:
+    """Broadcastable fixed-duration interval inventory with priority tiers."""
+
+    def __init__(self, table: pa.Table, duration: int, tiers: tuple[str, ...] = ("POE", "RES")):
+        self.duration = duration
+        self.tiers = tiers
+        self.index: dict[tuple[str, str], _TierIndex] = {}
+        sensor = np.asarray(table["sensor"].to_pandas(), dtype=object)
+        tier = np.asarray(table["osv_type"].to_pandas(), dtype=object)
+        start = table["start_sec"].to_numpy()
+        publish = table["publish_sec"].to_numpy()
+        ids = table["osv_id"].to_numpy()
+        for s in np.unique(sensor):
+            for t in tiers:
+                m = (sensor == s) & (tier == t)
+                if m.any():
+                    self.index[(str(s), t)] = _TierIndex(start[m], publish[m], ids[m])
+
+    def match(self, sensors: np.ndarray, t: np.ndarray) -> np.ndarray:
+        """Best covering osv_id per probe (POE preferred, max publish, min id);
+        -1 where no interval covers t."""
+        out = np.full(len(t), -1, dtype=np.int64)
+        sensors = np.asarray(sensors, dtype=object)
+        for s in np.unique(sensors):
+            smask = sensors == s
+            ts = t[smask]
+            res = np.full(len(ts), -1, dtype=np.int64)
+            for tier in self.tiers:
+                idx = self.index.get((str(s), tier))
+                if idx is None:
+                    continue
+                todo = res == -1
+                if not todo.any():
+                    break
+                tt = ts[todo]
+                # candidates: start in (t - duration, t]  ⇔  start<=t<=stop
+                lo = np.searchsorted(idx.start, tt - self.duration, side="left")
+                hi = np.searchsorted(idx.start, tt, side="right")
+                pos = idx.query(lo, hi)
+                found = pos >= 0
+                vals = np.full(len(tt), -1, dtype=np.int64)
+                vals[found] = idx.ids[pos[found]]
+                res[todo] = vals
+            out[smask] = res
+        return out
+
+
+def asof_match(
+    probes: Dataset,
+    inventory: pa.Table,
+    duration: int,
+    sensor_col: str = "sensor",
+    time_col: str = "t_sec",
+    out_col: str = "osv_id",
+    concurrency: int = 4,
+) -> Dataset:
+    """Append the best-matching interval id to every probe row.
+
+    Actor-pool stage: the inventory is ``ray.put`` once; each actor builds
+    the searchsorted+RMQ index in ``__init__`` and matches whole batches
+    vectorized in ``__call__``. Unmatched rows get ``osv_id = -1``
+    (reference returns None and falls back to RES, S1/auxil.py:576-587).
+    """
+    ref = ray.put(inventory)
+
+    class _Match:
+        def __init__(self):
+            self.inv = IntervalInventory(ray.get(ref), duration)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = self.inv.match(
+                np.asarray(batch[sensor_col].to_pandas(), dtype=object),
+                batch[time_col].to_numpy(),
+            )
+            return batch.append_column(out_col, pa.array(ids, type=pa.int64()))
+
+    return probes.map_batches(_Match, batch_format="pyarrow", concurrency=concurrency)

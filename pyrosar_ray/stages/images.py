@@ -1,0 +1,167 @@
+"""Image compute stages: decode, feature-extract, resize, phash near-dup.
+
+The engine's raster core (reference shape: removeGRDBorderNoise /
+erode_edges — decode bytes → vectorized numpy → re-encode,
+S1/auxil.py:695-858, snap/auxil.py:1457-1587) expressed as actor-pool
+``map_batches`` over the binary ``bytes`` column. Memory rule for
+MB-scale rows: small ``batch_size`` (payload × batch × concurrency must
+fit the worker heap), zero-copy Arrow in, plain numpy per row inside.
+
+Compressed-format decode (png/jpeg) is stubbed behind a try-import —
+no imaging library ships in this container; ``fmt='raw'`` rows decode
+via ``np.frombuffer`` for real.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..sources.images import average_phash
+
+
+def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """bytes → (h, w, 3) uint8. Raw decodes natively; png/jpeg need PIL."""
+    if fmt == "raw":
+        return np.frombuffer(blob, dtype=np.uint8).reshape(h, w, 3)
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    except ImportError as err:  # pragma: no cover
+        raise NotImplementedError(
+            f"decode of fmt={fmt!r} requires an imaging library (PIL/opencv); "
+            "only fmt='raw' decodes in this sandbox"
+        ) from err
+
+
+def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style downsample via integral image (exact block means)."""
+    luma = arr.astype(np.float64)
+    h, w = luma.shape[:2]
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    cum = np.zeros((h + 1, w + 1, luma.shape[2]))
+    cum[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    sums = (
+        cum[ys[1:], :][:, xs[1:]]
+        - cum[ys[:-1], :][:, xs[1:]]
+        - cum[ys[1:], :][:, xs[:-1]]
+        + cum[ys[:-1], :][:, xs[:-1]]
+    )
+    areas = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])[:, :, None]
+    return (sums / areas).round().astype(np.uint8)
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode → stats + thumbnail + recomputed phash.
+
+    Stateful setup (the thumbnail geometry) happens once per actor; each
+    __call__ handles one Arrow batch. Output keeps ``caption``
+    unchanged — the per-row caption byte-equality invariant.
+    """
+
+    def __init__(self, thumb: int = 8):
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        means, stds, phashes, thumbs = [], [], [], []
+        for blob, w, h, fmt in zip(blobs, ws, hs, fmts):
+            arr = decode_image(blob, int(w), int(h), fmt)
+            means.append(float(arr.mean()))
+            stds.append(float(arr.std()))
+            phashes.append(average_phash(arr))
+            thumbs.append(block_mean_resize(arr, self.thumb, self.thumb).tobytes())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "caption": batch["caption"],
+                "mean_px": pa.array(means, type=pa.float64()),
+                "std_px": pa.array(stds, type=pa.float64()),
+                "phash": pa.array(phashes, type=pa.int64()),
+                "thumbnail": pa.array(thumbs, type=pa.binary()),
+            }
+        )
+
+
+def image_features(images: Dataset, concurrency: int = 4, batch_size: int = 64) -> Dataset:
+    """Run the decode/feature stage as an actor pool (setup once per actor)."""
+    return images.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+# --------------------------------------------------------- phash near-dup
+
+
+def phash_bands(ds: Dataset, bands: int = 4, id_col: str = "image_id") -> Dataset:
+    """Emit one (band, band_key, id, phash) row per 16-bit phash band."""
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        ph = batch[id_col], batch["phash"].to_numpy().astype(np.uint64)
+        ids, phash = ph
+        n = len(batch)
+        out_id = []
+        out_band = np.empty(n * bands, dtype=np.int32)
+        out_key = np.empty(n * bands, dtype=np.int64)
+        out_ph = np.empty(n * bands, dtype=np.int64)
+        idl = ids.to_pylist()
+        for b in range(bands):
+            chunk = (phash >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out_band[b * n : (b + 1) * n] = b
+            out_key[b * n : (b + 1) * n] = chunk.astype(np.int64)
+            out_ph[b * n : (b + 1) * n] = phash.astype(np.int64)
+            out_id.extend(idl)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.string()),
+                "band": pa.array(out_band),
+                "band_key": pa.array(out_key),
+                "phash": pa.array(out_ph),
+            }
+        )
+
+    return ds.map_batches(_bands, batch_format="pyarrow")
+
+
+def phash_near_dup_pairs(
+    ds: Dataset, max_hamming: int = 6, bands: int = 4, id_col: str = "image_id"
+) -> Dataset:
+    """Near-dup image pairs: same 16-bit band value AND hamming ≤ threshold.
+
+    Banding guarantees recall for hamming ≤ bands-1 misses worst-case
+    distributions but catches all pairs with any identical band — the
+    standard LSH-for-hamming trade. Verification inside the bucket is
+    exact popcount.
+    """
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].tolist()
+        ph = g["phash"].to_numpy().astype(np.uint64)
+        rows = []
+        for i, j in combinations(range(len(ids)), 2):
+            ham = int(bin(int(ph[i]) ^ int(ph[j])).count("1"))
+            if ham <= max_hamming and ids[i] != ids[j]:
+                rows.append((min(ids[i], ids[j]), max(ids[i], ids[j]), ham))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    pairs = phash_bands(ds, bands=bands, id_col=id_col).groupby(
+        ["band", "band_key"]
+    ).map_groups(_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

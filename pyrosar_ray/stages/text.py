@@ -1,0 +1,184 @@
+"""Text-analysis stages for the training-data pipeline surface.
+
+These extend the reference's scalar-function repertoire (SURVEY.md §2.9)
+to the document table a 100 TB training-data pipeline carries alongside
+imagery: token counting, quality scoring, language ID and document
+fingerprinting. All stages are stateless ``map_batches`` with vectorized
+kernels; tokenization is bit-matched to the DuckDB oracle
+(``string_split(text, ' ')`` ⇔ ``str.count(' ') + 1``, which agree even
+on repeated spaces because DuckDB keeps empty split elements).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+#: stopword list shared verbatim with the SQL oracle
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: BPE-ish word/punctuation tokenizer, identical to the oracle's
+#: regexp_extract_all pattern
+TOKEN_RE = r"\w+|[^\w\s]"
+_TOKEN_RE = re.compile(TOKEN_RE)
+
+
+def token_stats(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Per-doc token counts: whitespace tokens and regex (BPE-ish) tokens."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        n_ws = (s.str.count(" ") + 1).astype("int64")
+        n_re = s.str.count(TOKEN_RE).astype("int64")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_ws.to_numpy()),
+                "n_retokens": pa.array(n_re.to_numpy()),
+            }
+        )
+
+    return docs.map_batches(_stats, batch_format="pyarrow")
+
+
+def quality_scores(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Per-doc quality signals: token count, distinct tokens, stopword ratio.
+
+    ``stop_ratio`` is one int/int double division on both engine and
+    oracle sides, so values are bit-equal.
+    """
+    stopset = frozenset(STOPWORDS)
+
+    def _scores(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        tokens = s.str.split(" ")
+        n_tokens = tokens.map(len).astype("int64")
+        n_uniq = tokens.map(lambda t: len(set(t))).astype("int64")
+        n_stop = tokens.map(lambda t: sum(1 for x in t if x in stopset)).astype("int64")
+        ratio = n_stop.to_numpy() / n_tokens.to_numpy()
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tokens.to_numpy()),
+                "n_uniq_tokens": pa.array(n_uniq.to_numpy()),
+                "n_stopwords": pa.array(n_stop.to_numpy()),
+                "stop_ratio": pa.array(ratio),
+            }
+        )
+
+    return docs.map_batches(_scores, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- lang id
+
+
+class LangID:
+    """Char-trigram language classifier (actor-pool stage).
+
+    Profiles are learned once per actor in ``__init__`` from a broadcast
+    (lang → trigram-frequency vector) table and scored per batch with one
+    sparse dot product per doc — the standard n-gram-heuristic lang-ID
+    shape. Deterministic: hashing trigrams into a fixed 2^14 bucket space.
+    """
+
+    BUCKETS = 1 << 14
+
+    @staticmethod
+    def trigram_counts(texts: "pd.Series") -> np.ndarray:
+        """(n_docs, BUCKETS) float32 L2-normalized trigram histograms."""
+        out = np.zeros((len(texts), LangID.BUCKETS), dtype=np.float32)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8", "ignore")
+            if len(b) < 3:
+                continue
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            tri = (a[:-2] * 1_000_003 + a[1:-1] * 10_007 + a[2:]) % LangID.BUCKETS
+            np.add.at(out[i], tri, 1.0)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return out / norms
+
+    @classmethod
+    def fit_profiles(cls, texts, langs) -> dict[str, np.ndarray]:
+        """lang → mean normalized trigram vector."""
+        hist = cls.trigram_counts(pd.Series(list(texts)))
+        langs = np.asarray(langs, dtype=object)
+        profiles = {}
+        for lang in np.unique(langs):
+            v = hist[langs == lang].mean(axis=0)
+            n = np.linalg.norm(v)
+            profiles[str(lang)] = v / (n if n else 1.0)
+        return profiles
+
+    def __init__(self, profiles_ref):
+        import ray
+
+        self.profiles = ray.get(profiles_ref)
+        self.langs = sorted(self.profiles)
+        self.matrix = np.stack([self.profiles[lang] for lang in self.langs])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hist = self.trigram_counts(batch["text"].to_pandas())
+        scores = hist @ self.matrix.T
+        pred = np.asarray(self.langs, dtype=object)[scores.argmax(axis=1)]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(pred, type=pa.string()),
+            }
+        )
+
+
+def lang_id(docs: Dataset, profiles: dict[str, np.ndarray], concurrency: int = 2) -> Dataset:
+    """Predict a language per doc against broadcast trigram profiles."""
+    import ray
+
+    ref = ray.put(profiles)
+    return docs.map_batches(
+        LangID, batch_format="pyarrow", concurrency=concurrency, fn_constructor_args=(ref,)
+    )
+
+
+# ---------------------------------------------------------- fingerprints
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def rolling_fingerprint(texts) -> np.ndarray:
+    """Polynomial rolling hash of each text's bytes, mod 2^61-1 (int64).
+
+    Vectorized across bytes per doc: split each byte array into 7-byte
+    limbs (fits exactly in an int64), then Horner over the ~len/7 limbs
+    with Python-int modular arithmetic (exact, overflow-free).
+    """
+    limb_base = pow(_BASE, 7, _MOD)
+    weights = _BASE ** np.arange(6, -1, -1, dtype=object)
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) == 0:
+            out[i] = 0
+            continue
+        pad = (-len(b)) % 7
+        padded = np.concatenate([np.zeros(pad, dtype=np.uint8), b])
+        limbs = (padded.reshape(-1, 7).astype(object) * weights).sum(axis=1) % _MOD
+        acc = 0
+        for limb in limbs.tolist():
+            acc = (acc * limb_base + int(limb)) % _MOD
+        out[i] = acc
+    return out
+
+
+def fingerprints(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Per-doc rolling-hash fingerprint column."""
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        fp = rolling_fingerprint(batch[text_col].to_pylist())
+        return pa.table({id_col: batch[id_col], "fingerprint": pa.array(fp)})
+
+    return docs.map_batches(_fp, batch_format="pyarrow")

@@ -1,0 +1,100 @@
+"""Image plumbing + ANN stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pyrosar_ray.sources.images import average_phash, images_from_documents, synth_image
+from pyrosar_ray.stages.ann import brute_force_topk, lsh_topk
+from pyrosar_ray.stages.images import (
+    block_mean_resize,
+    decode_image,
+    image_features,
+    phash_near_dup_pairs,
+)
+
+
+def test_synth_image_deterministic():
+    a, w, h = synth_image(123)
+    b, _, _ = synth_image(123)
+    assert np.array_equal(a, b) and a.shape == (h, w, 3)
+
+
+def test_decode_raw_roundtrip():
+    arr, w, h = synth_image(5)
+    assert np.array_equal(decode_image(arr.tobytes(), w, h, "raw"), arr)
+
+
+def test_decode_compressed_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", 4, 4, "png")
+
+
+def test_block_mean_resize_constant():
+    arr = np.full((32, 16, 3), 77, dtype=np.uint8)
+    out = block_mean_resize(arr, 8, 8)
+    assert out.shape == (8, 8, 3) and np.all(out == 77)
+
+
+def test_image_features_and_neardup(sf_dir):
+    images = images_from_documents(sf_dir)
+    feats = image_features(images, concurrency=2).to_pandas()
+    assert len(feats) == 500
+    # caption passthrough: byte equality with the source documents
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    merged = feats.assign(doc_id=feats["image_id"].str[4:].astype(int)).merge(docs, on="doc_id")
+    assert (merged["caption"] == merged["text"]).all()
+    # recomputed phash equals the stored one (decode is lossless for raw)
+    stored = images.select_columns(["image_id", "phash"]).to_pandas()
+    joined = feats.merge(stored, on="image_id", suffixes=("_new", "_stored"))
+    assert (joined["phash_new"] == joined["phash_stored"]).all()
+
+    pairs = phash_near_dup_pairs(images.select_columns(["image_id", "phash"])).to_pandas()
+    # planted dups: ids ending in 9 pair with id-1
+    planted = {
+        (f"img-{i-1:012d}", f"img-{i:012d}") for i in docs["doc_id"] if i % 10 == 9 and i - 1 in set(docs["doc_id"])
+    }
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert planted <= found
+    assert (pairs[pairs["hamming"] == 0].shape[0]) >= len(planted)
+
+
+def _embedding_table(n=200, dim=16, seed=0):
+    rng = np.random.RandomState(seed)
+    mat = rng.standard_normal((n, dim))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(mat.astype(np.float32))),
+        }
+    ), mat
+
+
+def test_brute_force_topk_matches_numpy():
+    tab, mat = _embedding_table()
+    qids = np.array([0, 50], dtype=np.int64)
+    qmat = mat[[0, 50]]
+    out = (
+        brute_force_topk(ray.data.from_arrow(tab), qids, qmat, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi, qid in enumerate([0, 50]):
+        sims = norm @ norm[qid]
+        sims[qid] = -np.inf
+        want = np.argsort(-sims, kind="stable")[:5]
+        got = out[out["query_id"] == qid]["neighbor_id"].to_numpy()
+        assert got.tolist() == want.tolist()
+
+
+def test_lsh_topk_schema_and_recall():
+    tab, mat = _embedding_table()
+    qids = np.array([3], dtype=np.int64)
+    out = lsh_topk(ray.data.from_arrow(tab), qids, mat[[3]], k=5).to_pandas()
+    assert list(out.columns) == ["query_id", "neighbor_id", "rank"]
+    assert 0 < len(out) <= 5
+    assert 3 not in out["neighbor_id"].tolist()

@@ -1,0 +1,119 @@
+"""Text analysis + dedup stages: kernels and Ray pipelines."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pyrosar_ray.stages.dedup_text import (
+    MinHasher,
+    exact_dedup,
+    jaccard_pairs,
+    md5_digests,
+    minhash_candidate_pairs,
+    shingle_hashes,
+    simhash,
+)
+from pyrosar_ray.stages.text import (
+    LangID,
+    quality_scores,
+    rolling_fingerprint,
+    token_stats,
+)
+
+DOCS = pa.table(
+    {
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+                "the quick brown fox leaps over the lazy dog",  # near dup
+                "completely different words here entirely now",
+                "a b",
+            ]
+        ),
+        "source": pa.array(["s1", "s1", "s1", "s1", "s2"]),
+    }
+)
+
+
+def test_token_stats():
+    out = token_stats(ray.data.from_arrow(DOCS)).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [9, 9, 9, 6, 2]
+    assert out["n_retokens"].tolist() == [9, 9, 9, 6, 2]
+
+
+def test_quality_scores():
+    out = quality_scores(ray.data.from_arrow(DOCS)).to_pandas().sort_values("doc_id")
+    assert out["n_uniq_tokens"].tolist() == [8, 8, 8, 6, 2]
+    # 'the' twice per fox doc; 'a' once in doc 5
+    assert out["n_stopwords"].tolist() == [2, 2, 2, 0, 1]
+    assert out["stop_ratio"].iloc[0] == 2 / 9
+
+
+def test_exact_dedup():
+    out = exact_dedup(ray.data.from_arrow(DOCS)).to_pandas()
+    assert len(out) == 4  # 5 docs, one exact dup
+    dup_row = out[out["n"] == 2]
+    assert dup_row["keeper"].tolist() == [1]
+    assert set(out["text_hash"]) == set(md5_digests(set(DOCS["text"].to_pylist())))
+
+
+def test_rolling_fingerprint_deterministic():
+    a = rolling_fingerprint(["hello world", "hello world", "hello worle"])
+    assert a[0] == a[1] != a[2]
+    # matches a plain byte-wise Horner evaluation
+    acc = 0
+    for byte in b"hello world":
+        acc = (acc * 1_000_003 + byte) % ((1 << 61) - 1)
+    assert a[0] == acc
+
+
+def test_simhash_properties():
+    s = simhash(DOCS["text"].to_pylist())
+    assert s[0] == s[1]  # identical text → identical simhash
+    ham_near = bin(int(np.uint64(s[0])) ^ int(np.uint64(s[2]))).count("1")
+    ham_far = bin(int(np.uint64(s[0])) ^ int(np.uint64(s[3]))).count("1")
+    assert ham_near < ham_far
+
+
+def test_minhash_similarity_estimate():
+    h = MinHasher()
+    a = shingle_hashes(DOCS["text"][0].as_py())
+    c = shingle_hashes(DOCS["text"][2].as_py())
+    sig_a, sig_c = h.signature(a), h.signature(c)
+    est = (sig_a == sig_c).mean()
+    inter = len(np.intersect1d(a, c))
+    true_j = inter / (len(a) + len(c) - inter)
+    assert abs(est - true_j) < 0.3
+
+
+def test_minhash_candidate_pairs():
+    out = minhash_candidate_pairs(ray.data.from_arrow(DOCS)).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in pairs  # exact dup always a candidate
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_pairs():
+    out = jaccard_pairs(ray.data.from_arrow(DOCS), threshold=0.5).to_pandas()
+    pairs = {(a, b): j for a, b, j in out.to_numpy()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # 8∩ of 8+8-8... near dup passes 0.5
+    assert all(a < b for a, b in pairs)
+
+
+def test_langid_roundtrip():
+    texts = ["aaa bbb aaa bbb aaa"] * 5 + ["zzz yyy zzz yyy zzz"] * 5
+    langs = ["aa"] * 5 + ["zz"] * 5
+    profiles = LangID.fit_profiles(texts, langs)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(10), "text": texts})
+    )
+    import ray as _ray
+
+    from pyrosar_ray.stages.text import lang_id
+
+    out = lang_id(ds, profiles, concurrency=1).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == langs
