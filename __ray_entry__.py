@@ -303,7 +303,104 @@ def q_embed_topk(sf_dir: str):
     return brute_force_topk(corpus, qids, qmat, k=10)
 
 
+def q_unique_dirs(sf_dir: str):
+    """Distinct scene parent directories (Archive.get_unique_directories)."""
+    from pyrosar_ray.catalog.archive import RayArchive
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    # derived scene paths share one directory per 1000-key block to make
+    # the distinct non-trivial: rewrite path dir by key block first
+    def _block_dirs(batch: pa.Table) -> pa.Table:
+        keys = batch["scene_key"].to_numpy()
+        scenes = [
+            f"/data/scenes/block-{k // 1000:04d}/scene-{k:09d}.zip" for k in keys.tolist()
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("scene"), "scene", pa.array(scenes)
+        )
+
+    scenes = load_scenes(sf_dir).map_batches(_block_dirs, batch_format="pyarrow")
+    return RayArchive(scenes).get_unique_directories()
+
+
+def q_osv_best(sf_dir: str):
+    """Per-sensor top-1 orbit file by publish date (OSV.sortByDate + [-1],
+    S1/auxil.py:653-668; tie-break min osv_id)."""
+    import pandas as pd
+    import ray.data
+
+    from pyrosar_ray.derive import osv_from_supplier
+
+    inv = osv_from_supplier(
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])["s_suppkey"].to_numpy()
+    )
+
+    def _top(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["publish_sec", "osv_id"], ascending=[False, True], kind="mergesort"
+        )
+        return group.head(1)[["sensor", "osv_id", "publish_sec"]]
+
+    return ray.data.from_arrow(inv).groupby("sensor").map_groups(_top, batch_format="pandas")
+
+
+def q_geo_grid(sf_dir: str):
+    """Tie-point grid: 5×5 lattice over each scene bbox (geo_grid model;
+    reference drivers.py:1943-2014 emits one point per geolocationGridPoint)."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        keys = batch["scene_key"].to_numpy()
+        line = np.tile(np.repeat(np.arange(5, dtype=np.int64), 5), n)
+        pixel = np.tile(np.tile(np.arange(5, dtype=np.int64), 5), n)
+        k = np.repeat(keys, 25)
+        lon = np.repeat(xmin, 25) + (np.repeat(xmax, 25) - np.repeat(xmin, 25)) * pixel / 4.0
+        lat = np.repeat(ymin, 25) + (np.repeat(ymax, 25) - np.repeat(ymin, 25)) * line / 4.0
+        return pa.table(
+            {
+                "scene_key": pa.array(k),
+                "line": pa.array(line),
+                "pixel": pa.array(pixel),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    return load_scenes(sf_dir).map_batches(_grid, batch_format="pyarrow")
+
+
+def q_db_convert(sf_dir: str):
+    """Radiometric linear→dB map over lineitem prices (vectorized numpy)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def _db(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy()
+        ids = batch["l_orderkey"].to_numpy() * 8 + batch["l_linenumber"].to_numpy()
+        db = np.round(10.0 * np.log10(price), 6)
+        return pa.table({"item_id": pa.array(ids), "price_db": pa.array(db)})
+
+    return ds.map_batches(_db, batch_format="pyarrow")
+
+
 # ------------------------------------------------ rows-only (non-SQL ops)
+
+
+def q_image_process(sf_dir: str):
+    from pyrosar_ray.sources.images import images_from_documents
+    from pyrosar_ray.stages.images import process_images
+
+    out = process_images(images_from_documents(sf_dir))
+    return out.select_columns(["image_id", "caption", "w", "h", "mean_db"])
 
 
 def q_doc_minhash_pairs(sf_dir: str):
@@ -419,6 +516,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
+        "unique_dirs": q_unique_dirs,
+        "osv_best": q_osv_best,
+        "geo_grid": q_geo_grid,
+        "db_convert": q_db_convert,
+        "image_process": q_image_process,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -620,6 +722,35 @@ def oracle_sql() -> dict[str, str]:
               ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
                   (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        """,
+        "unique_dirs": f"""
+            {_SCENES}
+            SELECT DISTINCT '/data/scenes/block-' ||
+                   lpad((scene_key // 1000)::VARCHAR, 4, '0') AS directory
+            FROM scenes
+        """,
+        "osv_best": f"""
+            WITH osv AS ({OSV_SQL})
+            SELECT sensor, osv_id, publish_sec FROM (
+                SELECT sensor, osv_id, publish_sec,
+                       ROW_NUMBER() OVER (PARTITION BY sensor
+                                          ORDER BY publish_sec DESC, osv_id) AS rn
+                FROM osv
+            ) WHERE rn = 1
+        """,
+        "geo_grid": f"""
+            {_SCENES},
+            lines AS (SELECT unnest(generate_series(0, 4)) AS line),
+            pixels AS (SELECT unnest(generate_series(0, 4)) AS pixel)
+            SELECT scene_key, line, pixel,
+                   xmin + (xmax - xmin) * pixel / 4.0 AS lon,
+                   ymin + (ymax - ymin) * line / 4.0 AS lat
+            FROM scenes, lines, pixels
+        """,
+        "db_convert": """
+            SELECT l_orderkey * 8 + l_linenumber AS item_id,
+                   round(10.0 * log10(l_extendedprice), 6) AS price_db
+            FROM lineitem
         """,
         "embed_topk": """
             WITH q AS (

@@ -257,3 +257,89 @@ class RayArchive:
         """(data rows, duplicates rows) — Archive.size (archive.py:1170-1183)."""
         ndup = self.duplicates.count() if self.duplicates is not None else 0
         return self.data.count(), ndup
+
+    def get_unique_directories(self) -> Dataset:
+        """Distinct parent directories of registered scenes
+        (Archive.get_unique_directories, archive.py:795-807)."""
+
+        def _dirs(batch: pa.Table) -> pa.Table:
+            dirs = [s.rsplit("/", 1)[0] for s in batch["scene"].to_pylist()]
+            uniq = sorted(set(dirs))
+            return pa.table({"directory": pa.array(uniq, type=pa.string())})
+
+        # per-batch dedup partial → tiny global distinct
+        partials = self.data.select_columns(["scene"]).map_batches(
+            _dirs, batch_format="pyarrow"
+        )
+        return partials.groupby("directory").map_groups(
+            lambda g: g.head(1), batch_format="pandas"
+        )
+
+    def drop_element(self, outname_base: str, product: str) -> "RayArchive":
+        """Remove one scene from data; promote its single duplicate if any
+        (Archive.drop_element, archive.py:1202-1267).
+
+        Driver-side compaction over catalog metadata: the affected key is
+        one row, so the promotion decision is a small filtered read, not
+        a shuffle.
+        """
+        specs = [("outname_base", "eq", outname_base), ("product", "eq", product)]
+        keep = self.data.map_batches(
+            lambda b: b.filter(
+                pc.invert(
+                    pc.and_(
+                        pc.equal(b["outname_base"], outname_base),
+                        pc.equal(b["product"], product),
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        if self.duplicates is None:
+            return RayArchive(keep, None)
+        dup_match = apply_predicates(
+            self.duplicates, [("outname_base", "eq", outname_base)]
+        ).to_pandas()
+        rest_dup = self.duplicates.map_batches(
+            lambda b: b.filter(pc.not_equal(b["outname_base"], outname_base)),
+            batch_format="pyarrow",
+        )
+        if len(dup_match) == 1:
+            # single duplicate is promoted: re-insert as a data row with
+            # the dropped row's attributes but the duplicate's scene path
+            dropped = apply_predicates(self.data, specs).to_pandas()
+            if len(dropped) == 1:
+                promoted = dropped.assign(scene=dup_match["scene"].iloc[0])
+                import ray.data as rd
+
+                keep = keep.union(rd.from_pandas(promoted))
+            return RayArchive(keep, rest_dup)
+        return RayArchive(keep, self.duplicates if len(dup_match) > 1 else rest_dup)
+
+    def cleanup(self, exists_fn) -> "RayArchive":
+        """Drop rows whose scene file vanished (Archive.cleanup,
+        archive.py:490-511). ``exists_fn(path) -> bool`` is evaluated
+        inside map_batches (on the cluster, near the shared FS)."""
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            mask = pa.array([exists_fn(s) for s in batch["scene"].to_pylist()])
+            return batch.filter(mask)
+
+        data = self.data.map_batches(_filter, batch_format="pyarrow")
+        dup = (
+            self.duplicates.map_batches(_filter, batch_format="pyarrow")
+            if self.duplicates is not None
+            else None
+        )
+        return RayArchive(data, dup)
+
+    def export(self, path: str, fmt: str = "parquet") -> None:
+        """Dump the catalog (Archive.export2shp analogue; archive.py:668-715
+        writes a Shapefile — the engine writes parquet/csv, the formats a
+        Ray-native consumer reads)."""
+        if fmt == "parquet":
+            self.data.write_parquet(path)
+        elif fmt == "csv":
+            self.data.write_csv(path)
+        else:
+            raise ValueError(f"unsupported export format: {fmt}")

@@ -87,7 +87,7 @@ def brute_force_topk(
             )
 
     partials = corpus.select_columns([id_col, emb_col]).map_batches(
-        _Partial, batch_format="pyarrow", concurrency=4
+        _Partial, batch_format="pyarrow", concurrency=(1, 4)
     )
 
     def _merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -172,7 +172,7 @@ def lsh_topk(
             )
 
     partials = corpus.select_columns([id_col, emb_col]).map_batches(
-        _Partial, batch_format="pyarrow", concurrency=4
+        _Partial, batch_format="pyarrow", concurrency=(1, 4)
     )
 
     def _merge(group: pd.DataFrame) -> pd.DataFrame:

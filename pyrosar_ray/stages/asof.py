@@ -137,7 +137,7 @@ def asof_match(
     sensor_col: str = "sensor",
     time_col: str = "t_sec",
     out_col: str = "osv_id",
-    concurrency: int = 4,
+    concurrency=(1, 4),
 ) -> Dataset:
     """Append the best-matching interval id to every probe row.
 

@@ -14,26 +14,79 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
+from ray.data.aggregate import Min
 
 
-def mark_duplicates(scenes: Dataset) -> Dataset:
+def mark_duplicates(scenes: Dataset, winners_via: str = "driver") -> Dataset:
     """Append ``is_duplicate`` (bool): False for the per-identity winner.
 
     Winner = minimum ``scene`` path within each (outname_base, product)
-    group. Identity groups are tiny (collisions, not content groups), so
-    a plain hash groupby + per-group sort is shuffle-bounded by the
-    input size with no skew risk.
+    group. Physical plan (no per-group Python):
+
+    1. winner per identity key: per-batch partial min + driver merge
+       (default — the winner table is catalog-sized metadata) or a
+       distributed ``groupby.aggregate(Min)`` (``winners_via='shuffle'``
+       for identity-key spaces too large to merge driver-side);
+    2. the winner table is broadcast once via ``ray.put``; each batch
+       marks ``scene != winner`` with one hash-map probe per row.
+
+    If the identity-key space ever outgrew worker memory, step 2 becomes
+    a hash-partitioned join on the identity key instead of a broadcast
+    (same semantics, one more shuffle).
     """
+    if winners_via == "shuffle":
+        winners = (
+            scenes.select_columns(["outname_base", "product", "scene"])
+            .groupby(["outname_base", "product"])
+            .aggregate(Min("scene", alias_name="winner"))
+        )
+        wdf = winners.to_pandas()
+    else:
+        # per-batch partial min → driver merge: the winner table is one
+        # row per identity key (catalog metadata), so collecting partials
+        # driver-side skips the all-to-all entirely
+        def _partial(batch: pa.Table) -> pa.Table:
+            df = batch.select(["outname_base", "product", "scene"]).to_pandas()
+            part = df.groupby(["outname_base", "product"], as_index=False)["scene"].min()
+            return pa.Table.from_pandas(part, preserve_index=False)
 
-    def _route(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("scene", kind="mergesort")
-        group = group.assign(is_duplicate=[False] + [True] * (len(group) - 1))
-        return group
+        partials = scenes.select_columns(["outname_base", "product", "scene"]).map_batches(
+            _partial, batch_format="pyarrow"
+        )
+        wdf = (
+            partials.to_pandas()
+            .groupby(["outname_base", "product"], as_index=False)["scene"]
+            .min()
+            .rename(columns={"scene": "winner"})
+        )
+    wtab = pa.Table.from_pandas(wdf, preserve_index=False)
+    ref = ray.put(wtab)
 
-    return scenes.groupby(["outname_base", "product"]).map_groups(
-        _route, batch_format="pandas"
-    )
+    class _Mark:
+        def __init__(self):
+            tab = ray.get(ref)
+            keys = [
+                f"{b}\x00{p}"
+                for b, p in zip(tab["outname_base"].to_pylist(), tab["product"].to_pylist())
+            ]
+            self.winner = dict(zip(keys, tab["winner"].to_pylist()))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = [
+                f"{b}\x00{p}"
+                for b, p in zip(
+                    batch["outname_base"].to_pylist(), batch["product"].to_pylist()
+                )
+            ]
+            scene = batch["scene"].to_pylist()
+            lookup = self.winner
+            dup = pa.array([lookup[k] != s for k, s in zip(keys, scene)])
+            return batch.append_column("is_duplicate", dup)
+
+    return scenes.map_batches(_Mark, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def split_registered(marked: Dataset) -> tuple[Dataset, Dataset]:

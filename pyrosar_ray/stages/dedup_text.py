@@ -55,18 +55,32 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
 
 # ------------------------------------------------------- shingles/minhash
 
-_MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_TOKEN_BYTES = 16  # tokens hashed on their first 16 bytes (zero-padded)
+_MIX = np.uint64(1_000_003)
+
+
+def _token_hash_matrix(tokens: np.ndarray) -> np.ndarray:
+    """FNV-1a over fixed-width token bytes — one vectorized op per column.
+
+    ``tokens``: numpy bytes array (S{_TOKEN_BYTES}). Deterministic across
+    processes (no PYTHONHASHSEED dependence), wrap-around uint64 math.
+    """
+    if len(tokens) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    mat = tokens.view(np.uint8).reshape(len(tokens), _TOKEN_BYTES)
+    h = np.full(len(tokens), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(_TOKEN_BYTES):
+            h = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+    return h
 
 
 def _token_hashes(text: str) -> np.ndarray:
-    """Stable 64-bit hash per whitespace token (blake2b-seeded, not PYTHONHASHSEED)."""
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in text.split(" ")
-        ),
-        dtype=np.uint64,
-    )
+    """Stable 64-bit hash per whitespace token."""
+    toks = np.array(text.split(" "), dtype=f"S{_TOKEN_BYTES}")
+    return _token_hash_matrix(toks)
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -74,28 +88,65 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     th = _token_hashes(text)
     if len(th) < k:
         return np.unique(th)
-    stacked = np.stack([th[i : len(th) - k + 1 + i] for i in range(k)])
-    mix = np.zeros(stacked.shape[1], dtype=np.uint64)
-    for row in stacked:
-        mix = mix * np.uint64(1_000_003) + row
+    with np.errstate(over="ignore"):
+        mix = th[: len(th) - k + 1].copy()
+        for i in range(1, k):
+            mix = mix * _MIX + th[i : len(th) - k + 1 + i]
     return np.unique(mix)
 
 
 class MinHasher:
-    """Vectorized 64-permutation MinHash over shingle hash sets."""
+    """Vectorized multiply-shift MinHash (uint64 wrap-around permutations)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        # odd multipliers → bijections mod 2^64
+        self.a = (rng.randint(0, 2**62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if len(shingles) == 0:
             return np.full(self.num_perm, np.iinfo(np.int64).max, dtype=np.int64)
-        s = shingles.astype(object)[:, None]
-        vals = (s * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return vals.min(axis=0).astype(np.int64)
+        with np.errstate(over="ignore"):
+            vals = shingles.astype(np.uint64)[:, None] * self.a[None, :] + self.b[None, :]
+        return (vals.min(axis=0) >> np.uint64(1)).astype(np.int64)
+
+    def signatures(self, texts: list[str], k: int = 3) -> np.ndarray:
+        """(n_docs, num_perm) signatures for a whole batch — one pass of
+        token hashing + per-doc segment minima (no per-doc Python math)."""
+        tok_lists = [t.split(" ") for t in texts]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat = [tok for lst in tok_lists for tok in lst]
+        th = _token_hash_matrix(np.array(flat, dtype=f"S{_TOKEN_BYTES}"))
+        tok_off = np.concatenate([[0], np.cumsum(counts)])
+        # per-doc shingle arrays (k-windows; short docs fall back to tokens)
+        sh_counts = np.where(counts >= k, counts - k + 1, counts)
+        out = np.empty((len(texts), self.num_perm), dtype=np.int64)
+        pieces = []
+        for i in range(len(texts)):
+            seg = th[tok_off[i] : tok_off[i + 1]]
+            if counts[i] >= k:
+                with np.errstate(over="ignore"):
+                    mix = seg[: len(seg) - k + 1].copy()
+                    for j in range(1, k):
+                        mix = mix * _MIX + seg[j : len(seg) - k + 1 + j]
+                pieces.append(mix)
+            else:
+                pieces.append(seg)
+        all_sh = np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.uint64)
+        sh_off = np.concatenate([[0], np.cumsum(sh_counts)])
+        with np.errstate(over="ignore"):
+            vals = all_sh[:, None] * self.a[None, :] + self.b[None, :]
+        empty = sh_counts == 0
+        starts = np.minimum(sh_off[:-1], max(len(all_sh) - 1, 0))
+        if len(all_sh):
+            mins = np.minimum.reduceat(vals, starts, axis=0)
+        else:
+            mins = np.full((len(texts), self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        out = (mins >> np.uint64(1)).astype(np.int64)
+        out[empty] = np.iinfo(np.int64).max
+        return out
 
 
 def minhash_band_rows(
@@ -110,25 +161,29 @@ def minhash_band_rows(
     ``bands`` buckets of ``num_perm/bands`` signature rows; two docs land
     in the same (band, band_hash) bucket iff that band of their
     signatures agrees — the standard shingle→minhash→band→bucket LSH.
+    Band hashes come from an FNV fold over the band's signature words,
+    computed vectorized for the whole batch.
     """
     rows_per_band = num_perm // bands
 
     def _sig(batch: pa.Table) -> pa.Table:
         hasher = MinHasher(num_perm)
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = hasher.signature(shingle_hashes(text))
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(int.from_bytes(h, "little") >> 1)
+        texts = batch[text_col].to_pylist()
+        sig = hasher.signatures(texts).astype(np.uint64)  # (n, num_perm)
+        n = len(texts)
+        chunks = sig.reshape(n, bands, rows_per_band)
+        h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                h = (h ^ chunks[:, :, r]) * _FNV_PRIME
+        band_hash = (h >> np.uint64(1)).astype(np.int64).ravel()
+        ids = np.repeat(batch[id_col].to_numpy(), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         return pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),
-                "band": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.int64()),
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(band_hash),
             }
         )
 

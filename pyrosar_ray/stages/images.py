@@ -92,10 +92,64 @@ class ImageFeatures:
         )
 
 
-def image_features(images: Dataset, concurrency: int = 4, batch_size: int = 64) -> Dataset:
+def image_features(images: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
     """Run the decode/feature stage as an actor pool (setup once per actor)."""
     return images.map_batches(
         ImageFeatures,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+class ImageProcessChain:
+    """Actor-pool geocode-style chain: decode → multilook → dB → erode → encode.
+
+    The engine analogue of the reference's SNAP workflow node chain
+    (snap/util.py:28-703: Calibration → Multilook → ... → LinearToFromdB
+    → Write), collapsed into ONE actor stage so intermediates never
+    leave the worker (the reference's .dim intermediates become local
+    arrays; Ray object store only carries the final product).
+    """
+
+    def __init__(self, looks: tuple[int, int] = (2, 2), erode_px: int = 1):
+        self.looks = looks
+        self.erode_px = erode_px
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.raster import erode_edges, linear_to_db, multilook
+
+        out_bytes, out_w, out_h, out_mean = [], [], [], []
+        for blob, w, h, fmt in zip(
+            batch["bytes"].to_pylist(),
+            batch["w"].to_numpy(),
+            batch["h"].to_numpy(),
+            batch["fmt"].to_pylist(),
+        ):
+            arr = decode_image(blob, int(w), int(h), fmt).astype(np.float64)
+            ml = multilook(arr, *self.looks)
+            db = linear_to_db(ml.mean(axis=2) + 1.0)  # +1: keep zeros valid
+            masked = erode_edges(db[None, ...], pixels=self.erode_px)[0]
+            out_bytes.append(masked.astype(np.float32).tobytes())
+            out_h.append(masked.shape[0])
+            out_w.append(masked.shape[1])
+            out_mean.append(float(masked.mean()))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "caption": batch["caption"],
+                "bytes": pa.array(out_bytes, type=pa.binary()),
+                "w": pa.array(np.asarray(out_w, dtype=np.int32)),
+                "h": pa.array(np.asarray(out_h, dtype=np.int32)),
+                "fmt": pa.array(["f32"] * len(out_bytes), type=pa.string()),
+                "mean_db": pa.array(out_mean, type=pa.float64()),
+            }
+        )
+
+
+def process_images(images: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+    return images.map_batches(
+        ImageProcessChain,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

@@ -78,9 +78,22 @@ def spatial_join_points(
     res: int = 0,
     scene_cols: tuple[str, ...] = ("scene_key", "outname_base", "xmin", "ymin", "xmax", "ymax"),
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
+    strategy: str = "broadcast",
 ) -> Dataset:
     """Inner spatial join: (scene, point) pairs where the point falls in
-    the scene bbox. Hash-partitioned on the grid cell; exact refine after."""
+    the scene bbox.
+
+    ``strategy='broadcast'`` (default): the scene catalog is the SMALL
+    side (SAR catalogs are ~10^5-10^6 rows vs 10^12 image rows); its
+    cell index is built once per actor from a ``ray.put`` table and the
+    point stream never shuffles — the plan that scales to the north-star
+    input. ``strategy='partitioned'``: both sides hash-shuffle on the
+    grid cell (for large-large joins where no side fits in memory).
+    """
+    if strategy == "broadcast":
+        return broadcast_spatial_join(
+            scenes, points, res=res, scene_cols=scene_cols, point_cols=point_cols
+        )
     s = expand_scene_cells(scenes.select_columns(list(scene_cols)), res)
     p = add_point_cells(points.select_columns(list(point_cols)), res)
     joined = s.join(
@@ -90,6 +103,112 @@ def spatial_join_points(
         on=("cell",),
     )
     return joined.map_batches(refine_bbox, batch_format="pyarrow").drop_columns(["cell"])
+
+
+class SceneCellIndex:
+    """Per-actor cell→scenes index over a broadcast scene bbox table.
+
+    Built once in ``__init__`` (sorted cell-cover arrays + offsets);
+    per-batch probe is pure searchsorted/repeat arithmetic — no Python
+    loop over rows, no shuffle.
+    """
+
+    def __init__(self, scenes_ref, res: int, scene_cols, point_cols):
+        tab: pa.Table = ray.get(scenes_ref)
+        self.res = res
+        self.scene_cols = scene_cols
+        self.point_cols = point_cols
+        row_idx, cells = cell_cover_bbox(
+            tab["xmin"].to_numpy(),
+            tab["ymin"].to_numpy(),
+            tab["xmax"].to_numpy(),
+            tab["ymax"].to_numpy(),
+            res,
+        )
+        order = np.argsort(cells, kind="stable")
+        self.cells_sorted = cells[order]
+        self.scene_idx_sorted = row_idx[order]
+        self.unique_cells, starts = np.unique(self.cells_sorted, return_index=True)
+        self.offsets = np.concatenate([starts, [len(self.cells_sorted)]])
+        self.scene_table = tab
+        self.sxmin = tab["xmin"].to_numpy()
+        self.symin = tab["ymin"].to_numpy()
+        self.sxmax = tab["xmax"].to_numpy()
+        self.symax = tab["ymax"].to_numpy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        pcells = cell_of_points(lon, lat, self.res)
+        if len(self.unique_cells) == 0:
+            counts = np.zeros(len(lon), dtype=np.int64)
+            total = 0
+            empty_s = self.scene_table.select(list(self.scene_cols)).slice(0, 0)
+            empty_p = batch.select(list(self.point_cols)).slice(0, 0)
+            cols = {c: empty_s[c] for c in self.scene_cols}
+            cols.update({c: empty_p[c] for c in self.point_cols})
+            return pa.table(cols)
+        pos = np.searchsorted(self.unique_cells, pcells)
+        pos_c = np.clip(pos, 0, len(self.unique_cells) - 1)
+        hit = self.unique_cells[pos_c] == pcells
+        lo = np.where(hit, self.offsets[pos_c], 0)
+        hi = np.where(hit, self.offsets[pos_c + 1], 0)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            empty_s = self.scene_table.select(list(self.scene_cols)).slice(0, 0)
+            empty_p = batch.select(list(self.point_cols)).slice(0, 0)
+            cols = {c: empty_s[c] for c in self.scene_cols}
+            cols.update({c: empty_p[c] for c in self.point_cols})
+            return pa.table(cols)
+        point_rep = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        run_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        j = np.arange(total, dtype=np.int64) - np.repeat(run_off, counts)
+        entry = np.repeat(lo, counts) + j
+        scene_idx = self.scene_idx_sorted[entry]
+        # exact half-open bbox refine
+        pl, pt = lon[point_rep], lat[point_rep]
+        keep = (
+            (pl >= self.sxmin[scene_idx])
+            & (pl < self.sxmax[scene_idx])
+            & (pt >= self.symin[scene_idx])
+            & (pt < self.symax[scene_idx])
+        )
+        scene_idx = scene_idx[keep]
+        point_rep = point_rep[keep]
+        staken = self.scene_table.select(list(self.scene_cols)).take(pa.array(scene_idx))
+        ptaken = batch.select(list(self.point_cols)).take(pa.array(point_rep))
+        cols = {c: staken[c] for c in self.scene_cols}
+        cols.update({c: ptaken[c] for c in self.point_cols})
+        return pa.table(cols)
+
+
+def broadcast_spatial_join(
+    scenes: Dataset,
+    points: Dataset,
+    res: int = 0,
+    scene_cols: tuple[str, ...] = ("scene_key", "outname_base", "xmin", "ymin", "xmax", "ymax"),
+    point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
+    concurrency: tuple[int, int] = (1, 8),
+) -> Dataset:
+    """Shuffle-free spatial join: broadcast scene index, stream points.
+
+    The scene side is materialized driver-side ONCE (must fit in driver
+    memory — it is catalog metadata, not imagery) and shipped to the
+    actor pool via a single ``ray.put``. The pool autoscales from 1 so
+    upstream read tasks are never starved of CPUs on small clusters.
+    """
+    need = sorted(set(scene_cols) | {"xmin", "ymin", "xmax", "ymax"})
+    stab = pa.Table.from_pandas(
+        scenes.select_columns(need).to_pandas(), preserve_index=False
+    )
+    ref = ray.put(stab)
+    return points.select_columns(list(point_cols)).map_batches(
+        SceneCellIndex,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(ref, res, tuple(scene_cols), tuple(point_cols)),
+    )
 
 
 def broadcast_polygon_filter(
@@ -130,4 +249,4 @@ def broadcast_polygon_filter(
                         keep[i] = False
             return batch.filter(pa.array(keep))
 
-    return scenes.map_batches(_Filter, batch_format="pyarrow", concurrency=2)
+    return scenes.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 2))

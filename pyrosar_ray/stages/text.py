@@ -133,7 +133,7 @@ class LangID:
         )
 
 
-def lang_id(docs: Dataset, profiles: dict[str, np.ndarray], concurrency: int = 2) -> Dataset:
+def lang_id(docs: Dataset, profiles: dict[str, np.ndarray], concurrency=(1, 2)) -> Dataset:
     """Predict a language per doc against broadcast trigram profiles."""
     import ray
 

@@ -42,12 +42,19 @@ def assign_tiles(
     return scenes.select_columns(cols).map_batches(_expand, batch_format="pyarrow")
 
 
-def tile_counts(tile_rows: Dataset) -> Dataset:
+def tile_counts(tile_rows: Dataset, combine: str = "driver") -> Dataset:
     """Per-tile row counts via partial aggregation.
 
-    map_batches emits one (tile, partial n) row per tile per batch, then a
-    small groupby sums partials — the shuffle moves at most
-    (#tiles × #batches) rows regardless of skew.
+    map_batches emits one (tile, partial n) row per tile per batch; the
+    1° tile key space is globally BOUNDED (≤ 64800 land/sea cells), so
+    the partial stream is tiny relative to the input no matter how big
+    the input is.
+
+    ``combine='driver'`` (default): final merge of the bounded partials
+    happens driver-side — no all-to-all shuffle at all; right whenever
+    #blocks × #tiles stays driver-sized. ``combine='shuffle'``: a
+    groupby-Sum shuffle of the partials — the fully distributed path for
+    unbounded key spaces or very high block counts.
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -55,7 +62,15 @@ def tile_counts(tile_rows: Dataset) -> Dataset:
         return pa.table({"tile": pa.array(tiles), "n": pa.array(counts.astype(np.int64))})
 
     partials = tile_rows.map_batches(_partial, batch_format="pyarrow")
-    return partials.groupby("tile").aggregate(Sum("n", alias_name="n_scenes"))
+    if combine == "shuffle":
+        return partials.groupby("tile").aggregate(Sum("n", alias_name="n_scenes"))
+    import ray.data
+
+    df = partials.to_pandas()
+    out = (
+        df.groupby("tile", as_index=False)["n"].sum().rename(columns={"n": "n_scenes"})
+    )
+    return ray.data.from_pandas(out)
 
 
 def salted_group_apply(

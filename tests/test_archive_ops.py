@@ -1,0 +1,56 @@
+"""RayArchive maintenance ops: drop_element, cleanup, unique dirs, export."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pyrosar_ray.catalog.archive import RayArchive
+
+
+def _catalog():
+    rows = pd.DataFrame(
+        {
+            "scene_key": [1, 2, 3],
+            "outname_base": ["A", "B", "C"],
+            "product": ["GRD", "GRD", "SLC"],
+            "scene": ["/d1/a.zip", "/d1/b.zip", "/d2/c.zip"],
+        }
+    )
+    dups = pd.DataFrame({"outname_base": ["A"], "scene": ["/d9/a2.zip"]})
+    return RayArchive(ray.data.from_pandas(rows), ray.data.from_pandas(dups))
+
+
+def test_drop_element_promotes_single_duplicate():
+    arch = _catalog()
+    out = arch.drop_element("A", "GRD")
+    data = out.data.to_pandas().sort_values("outname_base")
+    assert data["outname_base"].tolist() == ["A", "B", "C"]
+    promoted = data[data["outname_base"] == "A"]
+    assert promoted["scene"].tolist() == ["/d9/a2.zip"]  # duplicate took over
+    assert out.duplicates.count() == 0
+
+
+def test_drop_element_without_duplicate():
+    arch = _catalog()
+    out = arch.drop_element("B", "GRD")
+    assert out.data.count() == 2
+    assert out.duplicates.count() == 1  # untouched
+
+
+def test_cleanup_drops_vanished():
+    arch = _catalog()
+    out = arch.cleanup(lambda p: p != "/d1/b.zip")
+    assert sorted(out.data.to_pandas()["outname_base"]) == ["A", "C"]
+
+
+def test_unique_directories():
+    arch = _catalog()
+    dirs = sorted(arch.get_unique_directories().to_pandas()["directory"])
+    assert dirs == ["/d1", "/d2"]
+
+
+def test_export_parquet(tmp_path):
+    arch = _catalog()
+    arch.export(str(tmp_path / "cat"), fmt="parquet")
+    back = ray.data.read_parquet(str(tmp_path / "cat"))
+    assert back.count() == 3
