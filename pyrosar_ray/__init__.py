@@ -17,3 +17,27 @@ Everything here is built on public Ray Data / PyArrow / NumPy APIs.
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator() -> None:
+    """Keep large numpy buffers on the heap for reuse.
+
+    glibc's default 128 KiB mmap threshold makes every multi-MB numpy
+    array a fresh mmap/munmap pair, so each batch re-faults all its
+    pages — measured ~1000x slowdown on large-array kernels in
+    page-fault-throttled environments. Raising M_MMAP_THRESHOLD (and
+    disabling eager trim) lets freed buffers be reused warm. Called at
+    import time, so every Ray worker that deserializes one of our UDFs
+    gets the tuned allocator.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD: 1 GiB
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD: keep freed heap
+    except Exception:  # pragma: no cover - non-glibc platforms
+        pass
+
+
+_tune_allocator()

@@ -333,6 +333,14 @@ class RayArchive:
         )
         return RayArchive(data, dup)
 
+    @classmethod
+    def from_csv(cls, path: str) -> "RayArchive":
+        """Re-ingest a legacy CSV catalog dump (Archive.import_outdated,
+        archive.py:809-837): read → dedup-route into data/duplicates."""
+        import ray.data as rd
+
+        return cls.ingest(rd.read_csv(path))
+
     def export(self, path: str, fmt: str = "parquet") -> None:
         """Dump the catalog (Archive.export2shp analogue; archive.py:668-715
         writes a Shapefile — the engine writes parquet/csv, the formats a

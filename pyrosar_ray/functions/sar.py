@@ -1,0 +1,169 @@
+"""SAR physics + auxiliary scalar kernels.
+
+Behavioral reimplementations (no code reuse) of the reference's
+remaining scalar operators:
+
+- ``s1_resolution`` — Sentinel-1 mid-swath resolution from Hamming
+  window coefficients and IRW broadening factors
+  (pyroSAR/drivers.py:2134-2203)
+- ``passdb_lookup`` — ERS pass interval lookup with the ERS1→ERS2
+  substitution after the cutoff date and ``orbitNumber_rel =
+  ceil(pass/2)`` (pyroSAR/ERS/auxil.py:83-129); the pass table is a
+  broadcastable numpy struct, the lookup vectorized searchsorted
+- ``rgba_quicklook`` — per-pixel black→transparent RGBA rewrite of the
+  KMZ quicklook export (pyroSAR/drivers.py:2083-2132)
+- ``create_dummy_dem`` — 1×1-px zero raster spanning an extent, the
+  all-ocean fallback (pyroSAR/auxdata.py:634-661)
+- ``envi_hdr`` — ENVI header synthesis for raw binary tiles
+  (pyroSAR/auxdata.py:1552-1596)
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from math import ceil, radians, sin
+
+import numpy as np
+
+_C = 299792458.0
+
+#: Sentinel-1 product definition: Hamming window coefficient → IRW
+#: broadening factor (reference table drivers.py:2173-2174)
+_HAMMING_COEFFS = (0.52, 0.6, 0.61, 0.62, 0.63, 0.65, 0.70, 0.72, 0.73, 0.75)
+_B_FACTORS = (1.54, 1.32, 1.3, 1.28, 1.27, 1.24, 1.18, 1.16, 1.15, 1.13)
+
+
+def irw_broadening(window_coefficient: float) -> float:
+    """IRW broadening factor for a Hamming window coefficient."""
+    return _B_FACTORS[_HAMMING_COEFFS.index(window_coefficient)]
+
+
+def s1_resolution(
+    swaths: list[dict],
+    image_geometry: str = "SLANT_RANGE",
+    incidence: float | None = None,
+) -> tuple[float, float]:
+    """Mid-swath (range, azimuth) resolution, median over sub-swaths.
+
+    Each swath dict carries the annotation fields: ``wrg brg lbrg``
+    (range window coefficient, processing & look bandwidth), ``waz baz
+    lbaz`` (azimuth equivalents) and ``sp_az ti_az`` (azimuth pixel
+    spacing & time interval). GROUND_RANGE geometry divides the range
+    resolution by sin(incidence) (drivers.py:2199-2200).
+    """
+    res_rg, res_az = [], []
+    for sw in swaths:
+        lrg = sw["brg"] / sw["lbrg"]
+        res_rg.append(0.886 * _C / (2 * sw["brg"]) * irw_broadening(sw["wrg"]) * lrg)
+        laz = sw["baz"] / sw["lbaz"]
+        vsat = sw["sp_az"] / sw["ti_az"]
+        res_az.append(0.886 * vsat / sw["baz"] * irw_broadening(sw["waz"]) * laz)
+    rg = float(np.median(res_rg))
+    az = float(np.median(res_az))
+    if image_geometry == "GROUND_RANGE":
+        rg /= sin(radians(incidence))
+    return rg, az
+
+
+# ----------------------------------------------------------------- ERS
+
+#: after this timestamp ERS-1 acquisitions use the ERS-2 pass table
+ERS1_CUTOVER = datetime.strptime("1996-06-02 21:59:26.618659", "%Y-%m-%d %H:%M:%S.%f")
+
+
+class PassTable:
+    """Broadcastable ERS pass-interval table with vectorized lookup.
+
+    Rows: (satellite, start, end, phase, cycle, pass_number), intervals
+    non-overlapping per satellite. Lookup semantics mirror
+    passdb_query: ERS1 after the cutover (or with no ERS1 row covering
+    the time) falls through to the ERS2 table; the returned
+    ``orbitNumber_rel`` is ``ceil(pass/2)``.
+    """
+
+    def __init__(self, rows: list[tuple]):
+        self.tables = {}
+        for sat in ("ERS1", "ERS2"):
+            rs = sorted(r for r in rows if r[0] == sat)
+            starts = np.array([r[1] for r in rs], dtype="datetime64[us]")
+            ends = np.array([r[2] for r in rs], dtype="datetime64[us]")
+            meta = [(r[3], r[4], r[5]) for r in rs]
+            self.tables[sat] = (starts, ends, meta)
+
+    def _probe(self, sat: str, t: np.datetime64):
+        starts, ends, meta = self.tables[sat]
+        if len(starts) == 0:
+            return None
+        i = int(np.searchsorted(starts, t, side="right")) - 1
+        if i < 0 or t > ends[i]:
+            return None
+        return meta[i]
+
+    def lookup(self, satellite: str, acqtime: datetime) -> dict | None:
+        if satellite not in ("ERS1", "ERS2"):
+            raise ValueError(
+                f"satellite must be either 'ERS1' or 'ERS2', was '{satellite}'"
+            )
+        sat = "ERS2" if satellite == "ERS1" and acqtime > ERS1_CUTOVER else satellite
+        t = np.datetime64(acqtime, "us")
+        hit = self._probe(sat, t) or self._probe("ERS2", t)
+        if hit is None:
+            return None
+        phase, cycle, pass_number = hit
+        return {
+            "satellite": satellite,
+            "phase": phase,
+            "cycleNumber": cycle,
+            "passNumber": pass_number,
+            "orbitNumber_rel": int(ceil(pass_number / 2.0)),
+        }
+
+
+# ------------------------------------------------------------ raster aux
+
+
+def rgba_quicklook(rgb: np.ndarray) -> np.ndarray:
+    """RGB uint8 → RGBA with black pixels fully transparent."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    alpha = np.where((rgb == 0).all(axis=2), 0, 255).astype(np.uint8)
+    return np.dstack([rgb, alpha])
+
+
+def create_dummy_dem(extent: dict, res: float = 0.001) -> dict:
+    """Zero-elevation raster descriptor spanning an extent (ocean fallback).
+
+    Mirrors the reference's 1-px dummy (auxdata.py:634-661): data is a
+    1×1 zero array; the geotransform stretches it over the extent.
+    """
+    xmin, ymax = float(extent["xmin"]), float(extent["ymax"])
+    width = float(extent["xmax"]) - xmin
+    height = ymax - float(extent["ymin"])
+    return {
+        "data": np.zeros((1, 1), dtype=np.float32),
+        "geotransform": (xmin, width, 0.0, ymax, 0.0, -height),
+        "nodata": None,
+        "crs": "EPSG:4326",
+    }
+
+
+def envi_hdr(samples: int, lines: int, ulx: float, uly: float, step: float,
+             dtype: int = 2, byte_order: int = 1) -> str:
+    """Synthesize an ENVI header for a raw binary tile
+    (reference shape: auxdata.py:1552-1596)."""
+    return "\n".join(
+        [
+            "ENVI",
+            f"samples = {samples}",
+            f"lines = {lines}",
+            "bands = 1",
+            "header offset = 0",
+            "file type = ENVI Standard",
+            f"data type = {dtype}",
+            "interleave = bsq",
+            f"byte order = {byte_order}",
+            f"map info = {{Geographic Lat/Lon, 1, 1, {ulx}, {uly}, {step}, {step}, WGS-84}}",
+            "coordinate system string = {GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\","
+            "SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],"
+            "UNIT[\"degree\",0.0174532925199433]]}",
+        ]
+    )

@@ -156,6 +156,108 @@ def process_images(images: Dataset, concurrency=(1, 4), batch_size: int = 64) ->
     )
 
 
+class BorderNoiseRemoval:
+    """Actor-pool stage: the removeGRDBorderNoise semantics per image row.
+
+    Reference core (S1/auxil.py:695-858): expand a sparse noise LUT to
+    the image grid (2-pass linear interp), compute the denoise mask
+    ``I² − noise·k ≥ 0.5 AND I ≥ 30``, simplify the detected border line
+    (VW + re-insertion) and zero everything outside it. Here the sparse
+    LUT rides along as deterministic per-image metadata (seeded from the
+    image id); on real S1 data it comes from the calibration annex.
+    """
+
+    def __init__(self, lut_points: int = 5, maxpoints: int = 20):
+        self.lut_points = lut_points
+        self.maxpoints = maxpoints
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.raster import border_noise_mask, interp_lut_2d
+        from ..functions.simplify import reduce_line
+
+        out_bytes, out_valid = [], []
+        for image_id, blob, w, h, fmt in zip(
+            batch["image_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["w"].to_numpy(),
+            batch["h"].to_numpy(),
+            batch["fmt"].to_pylist(),
+        ):
+            arr = decode_image(blob, int(w), int(h), fmt)
+            luma = arr.astype(np.float64).mean(axis=2)
+            # deterministic sparse LUT: stronger noise toward the left edge
+            seed = int(image_id.rsplit("-", 1)[-1])
+            rng = np.random.RandomState(seed % (2**31))
+            rows = np.linspace(0, int(h) - 1, self.lut_points)
+            cols = np.linspace(0, int(w) - 1, self.lut_points)
+            base = rng.uniform(0, 40, size=(self.lut_points, self.lut_points))
+            base[:, 0] += 200.0  # left-edge border noise
+            noise = interp_lut_2d(rows, cols, base**2, int(h), int(w))
+            mask = border_noise_mask(luma, noise)
+            # border line: first valid column per row → VW-simplified
+            first_valid = np.argmax(mask, axis=1).astype(np.float64)
+            line = reduce_line(
+                np.arange(int(h), dtype=np.float64), first_valid, self.maxpoints
+            )
+            # zero every pixel left of the simplified border
+            cut = np.interp(np.arange(int(h)), line[:, 0], line[:, 1])
+            keep = np.arange(int(w))[None, :] >= np.floor(cut)[:, None]
+            cleaned = np.where(keep[:, :, None], arr, 0).astype(np.uint8)
+            out_bytes.append(cleaned.tobytes())
+            out_valid.append(float(keep.mean()))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "caption": batch["caption"],
+                "bytes": pa.array(out_bytes, type=pa.binary()),
+                "w": batch["w"],
+                "h": batch["h"],
+                "fmt": batch["fmt"],
+                "valid_fraction": pa.array(out_valid, type=pa.float64()),
+            }
+        )
+
+
+def remove_border_noise(images: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+    return images.map_batches(
+        BorderNoiseRemoval,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def mosaic_tiles(
+    tiled_thumbs: Dataset, tile_col: str = "tile", thumb: int = 8
+) -> Dataset:
+    """Per-tile mosaic: stitch member thumbnails into one tile image.
+
+    Engine twin of the reference's groupby-mosaic compose
+    (gamma/util.py:899-917 MLI_cat, auxdata.py:531-604 VRT mosaic):
+    group on the tile key, deterministic member order (image_id), stitch
+    along x. Input rows: (tile, image_id, thumbnail bytes of
+    ``thumb×thumb×3``).
+    """
+
+    def _stitch(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("image_id", kind="mergesort")
+        arrs = [
+            np.frombuffer(b, dtype=np.uint8).reshape(thumb, thumb, 3)
+            for b in group["thumbnail"]
+        ]
+        stitched = np.concatenate(arrs, axis=1)
+        return pd.DataFrame(
+            {
+                tile_col: [group[tile_col].iloc[0]],
+                "n_members": [len(arrs)],
+                "mosaic": [stitched.tobytes()],
+                "mosaic_w": [stitched.shape[1]],
+            }
+        )
+
+    return tiled_thumbs.groupby(tile_col).map_groups(_stitch, batch_format="pandas")
+
+
 # --------------------------------------------------------- phash near-dup
 
 

@@ -76,25 +76,27 @@ def spatial_join_points(
     points: Dataset,
     num_partitions: int = 32,
     res: int = 0,
-    scene_cols: tuple[str, ...] = ("scene_key", "outname_base", "xmin", "ymin", "xmax", "ymax"),
+    scene_cols: tuple[str, ...] = ("scene_key",),
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
     strategy: str = "broadcast",
 ) -> Dataset:
     """Inner spatial join: (scene, point) pairs where the point falls in
-    the scene bbox.
+    the scene bbox. Output columns = scene_cols + point_cols.
 
     ``strategy='broadcast'`` (default): the scene catalog is the SMALL
     side (SAR catalogs are ~10^5-10^6 rows vs 10^12 image rows); its
-    cell index is built once per actor from a ``ray.put`` table and the
-    point stream never shuffles — the plan that scales to the north-star
-    input. ``strategy='partitioned'``: both sides hash-shuffle on the
-    grid cell (for large-large joins where no side fits in memory).
+    cell index is built once driver-side, shipped via one ``ray.put``,
+    and the point stream never shuffles — the plan that scales to the
+    north-star input. ``strategy='partitioned'``: both sides
+    hash-shuffle on the grid cell (for large-large joins where no side
+    fits in memory).
     """
     if strategy == "broadcast":
         return broadcast_spatial_join(
             scenes, points, res=res, scene_cols=scene_cols, point_cols=point_cols
         )
-    s = expand_scene_cells(scenes.select_columns(list(scene_cols)), res)
+    with_bbox = tuple(dict.fromkeys((*scene_cols, "xmin", "ymin", "xmax", "ymax")))
+    s = expand_scene_cells(scenes.select_columns(list(with_bbox)), res)
     p = add_point_cells(points.select_columns(list(point_cols)), res)
     joined = s.join(
         p,
@@ -102,52 +104,73 @@ def spatial_join_points(
         num_partitions=num_partitions,
         on=("cell",),
     )
-    return joined.map_batches(refine_bbox, batch_format="pyarrow").drop_columns(["cell"])
+    refined = joined.map_batches(refine_bbox, batch_format="pyarrow")
+    drop = ["cell"] + [c for c in with_bbox if c not in scene_cols]
+    return refined.drop_columns(drop)
+
+
+def build_scene_index(tab: pa.Table, res: int, emit_cols) -> dict:
+    """Cell→scenes lookup structure, built ONCE driver-side and broadcast.
+
+    Numeric arrays ship zero-copy through the object store; actors only
+    ``ray.get`` — no per-actor rebuild of the cover expansion/sort."""
+    row_idx, cells = cell_cover_bbox(
+        tab["xmin"].to_numpy(),
+        tab["ymin"].to_numpy(),
+        tab["xmax"].to_numpy(),
+        tab["ymax"].to_numpy(),
+        res,
+    )
+    order = np.argsort(cells)
+    cells_sorted = cells[order]
+    # diff-based unique over the already-sorted array (skips a second sort)
+    if len(cells_sorted):
+        newgrp = np.empty(len(cells_sorted), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(cells_sorted[1:], cells_sorted[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        unique_cells = cells_sorted[starts]
+    else:
+        starts = np.zeros(0, dtype=np.int64)
+        unique_cells = cells_sorted
+    return {
+        "res": res,
+        "scene_idx_sorted": row_idx[order],
+        "unique_cells": unique_cells,
+        "offsets": np.concatenate([starts, [len(cells)]]),
+        "sxmin": tab["xmin"].to_numpy(),
+        "symin": tab["ymin"].to_numpy(),
+        "sxmax": tab["xmax"].to_numpy(),
+        "symax": tab["ymax"].to_numpy(),
+        "emit": tab.select(list(emit_cols)),
+    }
 
 
 class SceneCellIndex:
-    """Per-actor cell→scenes index over a broadcast scene bbox table.
+    """Actor probe stage over a prebuilt broadcast scene index.
 
-    Built once in ``__init__`` (sorted cell-cover arrays + offsets);
-    per-batch probe is pure searchsorted/repeat arithmetic — no Python
+    Per-batch probe is pure searchsorted/repeat arithmetic — no Python
     loop over rows, no shuffle.
     """
 
-    def __init__(self, scenes_ref, res: int, scene_cols, point_cols):
-        tab: pa.Table = ray.get(scenes_ref)
-        self.res = res
+    def __init__(self, index_ref, scene_cols, point_cols):
+        idx = ray.get(index_ref)
+        self.__dict__.update(idx)
         self.scene_cols = scene_cols
         self.point_cols = point_cols
-        row_idx, cells = cell_cover_bbox(
-            tab["xmin"].to_numpy(),
-            tab["ymin"].to_numpy(),
-            tab["xmax"].to_numpy(),
-            tab["ymax"].to_numpy(),
-            res,
-        )
-        order = np.argsort(cells, kind="stable")
-        self.cells_sorted = cells[order]
-        self.scene_idx_sorted = row_idx[order]
-        self.unique_cells, starts = np.unique(self.cells_sorted, return_index=True)
-        self.offsets = np.concatenate([starts, [len(self.cells_sorted)]])
-        self.scene_table = tab
-        self.sxmin = tab["xmin"].to_numpy()
-        self.symin = tab["ymin"].to_numpy()
-        self.sxmax = tab["xmax"].to_numpy()
-        self.symax = tab["ymax"].to_numpy()
+
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        cols = {c: self.emit[c].slice(0, 0) for c in self.scene_cols}
+        empty_p = batch.select(list(self.point_cols)).slice(0, 0)
+        cols.update({c: empty_p[c] for c in self.point_cols})
+        return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
-        pcells = cell_of_points(lon, lat, self.res)
         if len(self.unique_cells) == 0:
-            counts = np.zeros(len(lon), dtype=np.int64)
-            total = 0
-            empty_s = self.scene_table.select(list(self.scene_cols)).slice(0, 0)
-            empty_p = batch.select(list(self.point_cols)).slice(0, 0)
-            cols = {c: empty_s[c] for c in self.scene_cols}
-            cols.update({c: empty_p[c] for c in self.point_cols})
-            return pa.table(cols)
+            return self._empty(batch)
+        pcells = cell_of_points(lon, lat, self.res)
         pos = np.searchsorted(self.unique_cells, pcells)
         pos_c = np.clip(pos, 0, len(self.unique_cells) - 1)
         hit = self.unique_cells[pos_c] == pcells
@@ -156,11 +179,7 @@ class SceneCellIndex:
         counts = hi - lo
         total = int(counts.sum())
         if total == 0:
-            empty_s = self.scene_table.select(list(self.scene_cols)).slice(0, 0)
-            empty_p = batch.select(list(self.point_cols)).slice(0, 0)
-            cols = {c: empty_s[c] for c in self.scene_cols}
-            cols.update({c: empty_p[c] for c in self.point_cols})
-            return pa.table(cols)
+            return self._empty(batch)
         point_rep = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         run_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
         j = np.arange(total, dtype=np.int64) - np.repeat(run_off, counts)
@@ -176,38 +195,47 @@ class SceneCellIndex:
         )
         scene_idx = scene_idx[keep]
         point_rep = point_rep[keep]
-        staken = self.scene_table.select(list(self.scene_cols)).take(pa.array(scene_idx))
+        staken = self.emit.take(pa.array(scene_idx))
         ptaken = batch.select(list(self.point_cols)).take(pa.array(point_rep))
         cols = {c: staken[c] for c in self.scene_cols}
         cols.update({c: ptaken[c] for c in self.point_cols})
         return pa.table(cols)
 
 
+def materialize_small_side(ds: Dataset, columns: list[str]) -> pa.Table:
+    """Collect a SMALL Dataset driver-side as one Arrow table (no pandas
+    round-trip; block refs are fetched zero-copy and concatenated)."""
+    refs = ds.select_columns(columns).to_arrow_refs()
+    tables = ray.get(refs)
+    return pa.concat_tables([t for t in tables if len(t) > 0]).combine_chunks()
+
+
 def broadcast_spatial_join(
     scenes: Dataset,
     points: Dataset,
     res: int = 0,
-    scene_cols: tuple[str, ...] = ("scene_key", "outname_base", "xmin", "ymin", "xmax", "ymax"),
+    scene_cols: tuple[str, ...] = ("scene_key",),
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
     concurrency: tuple[int, int] = (1, 8),
 ) -> Dataset:
     """Shuffle-free spatial join: broadcast scene index, stream points.
 
-    The scene side is materialized driver-side ONCE (must fit in driver
-    memory — it is catalog metadata, not imagery) and shipped to the
-    actor pool via a single ``ray.put``. The pool autoscales from 1 so
+    The scene side is materialized driver-side ONCE (it is catalog
+    metadata, not imagery), the cell index is built ONCE, and a single
+    ``ray.put`` ships it; every probe actor reads it zero-copy. Only the
+    ``scene_cols`` requested for output are shipped/emited — pass the
+    minimum the downstream stage needs. The pool autoscales from 1 so
     upstream read tasks are never starved of CPUs on small clusters.
     """
     need = sorted(set(scene_cols) | {"xmin", "ymin", "xmax", "ymax"})
-    stab = pa.Table.from_pandas(
-        scenes.select_columns(need).to_pandas(), preserve_index=False
-    )
-    ref = ray.put(stab)
+    stab = materialize_small_side(scenes, need)
+    index = build_scene_index(stab, res, scene_cols)
+    ref = ray.put(index)
     return points.select_columns(list(point_cols)).map_batches(
         SceneCellIndex,
         batch_format="pyarrow",
         concurrency=concurrency,
-        fn_constructor_args=(ref, res, tuple(scene_cols), tuple(point_cols)),
+        fn_constructor_args=(ref, tuple(scene_cols), tuple(point_cols)),
     )
 
 

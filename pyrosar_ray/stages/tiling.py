@@ -73,6 +73,30 @@ def tile_counts(tile_rows: Dataset, combine: str = "driver") -> Dataset:
     return ray.data.from_pandas(out)
 
 
+def tile_counts_indexed(tile_rows: Dataset, col: str = "tile_idx") -> Dataset:
+    """Per-tile counts over an INTEGER tile index column.
+
+    The scale-path variant of :func:`tile_counts`: the hot pipeline
+    carries int64 cell indices (no per-row string materialization);
+    names are attached only to the ≤ 64800 distinct aggregated rows at
+    the very end (driver-side, bounded).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        idx, counts = np.unique(batch[col].to_numpy(), return_counts=True)
+        return pa.table({col: pa.array(idx), "n": pa.array(counts.astype(np.int64))})
+
+    partials = tile_rows.map_batches(_partial, batch_format="pyarrow")
+    import ray.data
+
+    from ..functions.tiles import tile_name_from_index
+
+    df = partials.to_pandas()
+    out = df.groupby(col, as_index=False)["n"].sum().rename(columns={"n": "n_scenes"})
+    out["tile"] = tile_name_from_index(out[col].to_numpy())
+    return ray.data.from_pandas(out[["tile", "n_scenes"]])
+
+
 def salted_group_apply(
     ds: Dataset,
     key: str,

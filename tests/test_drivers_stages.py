@@ -1,0 +1,114 @@
+"""Format drivers (identify), border-noise stage, mosaic, PSNR, CSV import."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pyrosar_ray.functions.metrics import pixels_match, psnr
+from pyrosar_ray.sources.drivers import (
+    encode_ceosish,
+    encode_kvish,
+    encode_xmlish,
+    identify,
+    identify_many,
+    register_driver,
+)
+from pyrosar_ray.sources.images import images_from_documents
+from pyrosar_ray.stages.images import mosaic_tiles, remove_border_noise
+
+META = {
+    "sensor": "S1A",
+    "acquisition_mode": "IW",
+    "orbit": "A",
+    "start": "20150222T170750",
+    "lines": 16685,
+    "samples": 25368,
+}
+
+
+def test_identify_dispatch_all_formats():
+    for enc in (encode_xmlish, encode_kvish):
+        rec = identify(enc(META))
+        assert rec["sensor"] == "S1A" and rec["lines"] == 16685
+
+    rec = identify(encode_ceosish(META, lon_udeg=-62_900_521, lat_udeg=-11_423_305))
+    assert rec["sensor"] == "S1A"
+    assert rec["lon"] == -62.900521 and rec["lat"] == -11.423305  # µdeg ÷ 1e6
+
+
+def test_identify_swallows_garbage():
+    assert identify(b"\x00\x01garbage") is None
+    assert identify(b"<scene><sensor>S1A</sensor></scene>") is None  # missing fields
+
+
+def test_register_driver_extension():
+    register_driver("magic9", lambda b: b.startswith(b"M9"), lambda b: dict(META, sensor="X9"))
+    try:
+        assert identify(b"M9whatever")["sensor"] == "X9"
+    finally:
+        from pyrosar_ray.sources import drivers
+
+        drivers.DRIVERS.pop("magic9")
+
+
+def test_identify_many_drops_failures_and_sorts():
+    metas = [dict(META, start=f"2015022{i}T000000") for i in (3, 1, 2)]
+    blobs = [encode_xmlish(metas[0]), b"junk", encode_ceosish(metas[1]), encode_kvish(metas[2])]
+    ds = ray.data.from_items([{"blob": b, "path": f"p{i}"} for i, b in enumerate(blobs)])
+    out = identify_many(ds).to_pandas()
+    assert len(out) == 3
+    assert out["start"].tolist() == sorted(out["start"].tolist())
+    assert set(out["path"]) == {"p0", "p2", "p3"}
+
+
+def test_psnr_invariant():
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    assert psnr(a, a) == float("inf")
+    b = a.copy()
+    b[0, 0, 0] = 2  # tiny error → high PSNR
+    assert psnr(a, b) > 40
+    assert pixels_match(a, a, lossy=False)
+    assert not pixels_match(a, b, lossy=False)
+    assert pixels_match(a, b, lossy=True)
+
+
+def test_remove_border_noise(sf_dir):
+    images = images_from_documents(sf_dir).limit(40)
+    out = remove_border_noise(images, concurrency=1).to_pandas()
+    assert len(out) == 40
+    assert (out["valid_fraction"] > 0).all() and (out["valid_fraction"] <= 1).all()
+    # left-edge noise strip is zeroed on every image
+    row = out.iloc[0]
+    arr = np.frombuffer(row["bytes"], dtype=np.uint8).reshape(row["h"], row["w"], 3)
+    assert arr[:, 0, :].sum() == 0
+
+
+def test_mosaic_tiles():
+    thumb = 4
+    rows = []
+    for tile, n in (("T1", 3), ("T2", 1)):
+        for i in range(n):
+            arr = np.full((thumb, thumb, 3), i + 1, dtype=np.uint8)
+            rows.append({"tile": tile, "image_id": f"img-{tile}-{i}", "thumbnail": arr.tobytes()})
+    out = mosaic_tiles(ray.data.from_items(rows), thumb=thumb).to_pandas()
+    t1 = out[out["tile"] == "T1"].iloc[0]
+    assert t1["n_members"] == 3 and t1["mosaic_w"] == 3 * thumb
+    stitched = np.frombuffer(t1["mosaic"], dtype=np.uint8).reshape(thumb, 3 * thumb, 3)
+    assert stitched[0, 0, 0] == 1 and stitched[0, -1, 0] == 3
+
+
+def test_archive_from_csv(tmp_path):
+    df = pd.DataFrame(
+        {
+            "outname_base": ["A", "A", "B"],
+            "product": ["GRD", "GRD", "SLC"],
+            "scene": ["/x/a1.zip", "/x/a2.zip", "/x/b.zip"],
+        }
+    )
+    path = tmp_path / "legacy.csv"
+    df.to_csv(path, index=False)
+    from pyrosar_ray.catalog.archive import RayArchive
+
+    arch = RayArchive.from_csv(str(path))
+    assert arch.size() == (2, 1)

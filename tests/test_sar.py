@@ -1,0 +1,89 @@
+"""SAR physics + ERS pass lookup kernels (pure python, Ray-free)."""
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from pyrosar_ray.functions.sar import (
+    ERS1_CUTOVER,
+    PassTable,
+    create_dummy_dem,
+    envi_hdr,
+    irw_broadening,
+    rgba_quicklook,
+    s1_resolution,
+)
+
+
+def test_irw_broadening_table():
+    assert irw_broadening(0.52) == 1.54
+    assert irw_broadening(0.75) == 1.13
+    with pytest.raises(ValueError):
+        irw_broadening(0.99)
+
+
+def test_s1_resolution_slant_vs_ground():
+    swath = {
+        "wrg": 0.52, "brg": 56.5e6, "lbrg": 56.5e6,
+        "waz": 0.52, "baz": 327.0, "lbaz": 327.0,
+        "sp_az": 13.9, "ti_az": 2.05e-3,
+    }
+    rg, az = s1_resolution([swath])
+    # IW SLC ballpark: ~3.6 m slant range, ~22 m azimuth
+    assert 3.0 < rg < 4.5
+    assert 15.0 < az < 30.0
+    rg_g, _ = s1_resolution([swath], image_geometry="GROUND_RANGE", incidence=39.0)
+    assert rg_g == pytest.approx(rg / np.sin(np.radians(39.0)))
+
+
+def _table():
+    return PassTable(
+        [
+            ("ERS1", datetime(1995, 1, 1), datetime(1995, 6, 30), "C", 10, 7),
+            ("ERS2", datetime(1995, 1, 1), datetime(1999, 12, 31), "A", 20, 42),
+        ]
+    )
+
+
+def test_passdb_direct_hit():
+    res = _table().lookup("ERS1", datetime(1995, 3, 1))
+    assert res == {
+        "satellite": "ERS1",
+        "phase": "C",
+        "cycleNumber": 10,
+        "passNumber": 7,
+        "orbitNumber_rel": 4,  # ceil(7/2)
+    }
+
+
+def test_passdb_cutover_substitution():
+    # after the 1996-06-02 cutover ERS1 queries use the ERS2 table but
+    # report the requested satellite name
+    res = _table().lookup("ERS1", datetime(1997, 1, 1))
+    assert res["satellite"] == "ERS1" and res["passNumber"] == 42
+    assert ERS1_CUTOVER.year == 1996
+
+
+def test_passdb_fallback_and_invalid():
+    # ERS1 window miss before cutover → ERS2 fallback (reference retry)
+    res = _table().lookup("ERS1", datetime(1995, 8, 1))
+    assert res["passNumber"] == 42
+    with pytest.raises(ValueError):
+        _table().lookup("ERS3", datetime(1995, 1, 1))
+
+
+def test_rgba_quicklook():
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 0] = (10, 20, 30)
+    rgba = rgba_quicklook(rgb)
+    assert rgba.shape == (2, 2, 4)
+    assert rgba[0, 0, 3] == 255 and rgba[1, 1, 3] == 0
+
+
+def test_dummy_dem_and_envi_hdr():
+    dem = create_dummy_dem({"xmin": 10, "xmax": 12, "ymin": 50, "ymax": 53})
+    assert dem["data"].shape == (1, 1) and dem["data"].sum() == 0
+    assert dem["geotransform"] == (10.0, 2.0, 0.0, 53.0, 0.0, -3.0)
+    hdr = envi_hdr(3600, 3600, 11.0, 52.0, 1 / 3600)
+    assert "samples = 3600" in hdr and "ENVI" in hdr.splitlines()[0]
