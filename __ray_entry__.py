@@ -303,6 +303,25 @@ def q_embed_topk(sf_dir: str):
     return brute_force_topk(corpus, qids, qmat, k=10)
 
 
+def q_spatial_knn(sf_dir: str):
+    """5 nearest scene centroids per sampled point (expanding-ring kNN)."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.knn import spatial_knn
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["point_id"].to_numpy() % 100 == 0))
+
+    points = (
+        load_points(sf_dir)
+        .map_batches(_sample, batch_format="pyarrow")
+        # lineitem carries duplicate (orderkey, linenumber) pairs → dedup
+        # probe ids (duplicates are identical rows; keep one)
+        .groupby("point_id")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    return spatial_knn(load_scenes(sf_dir), points, k=5)
+
+
 def q_unique_dirs(sf_dir: str):
     """Distinct scene parent directories (Archive.get_unique_directories)."""
     from pyrosar_ray.catalog.archive import RayArchive
@@ -516,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
+        "spatial_knn": q_spatial_knn,
         "unique_dirs": q_unique_dirs,
         "osv_best": q_osv_best,
         "geo_grid": q_geo_grid,
@@ -722,6 +742,22 @@ def oracle_sql() -> dict[str, str]:
               ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
                   (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        """,
+        "spatial_knn": f"""
+            {_SCENES}, points AS ({POINTS_SQL}),
+            p AS (SELECT DISTINCT point_id, lon, lat FROM points WHERE point_id % 100 = 0),
+            s AS (SELECT scene_key, (xmin + xmax) / 2 AS cx, (ymin + ymax) / 2 AS cy
+                  FROM scenes)
+            SELECT point_id, scene_key, rank FROM (
+                SELECT p.point_id, s.scene_key,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.point_id
+                           ORDER BY (s.cx - p.lon) * (s.cx - p.lon) +
+                                    (s.cy - p.lat) * (s.cy - p.lat),
+                                    s.scene_key
+                       ) AS rank
+                FROM p, s
+            ) WHERE rank <= 5
         """,
         "unique_dirs": f"""
             {_SCENES}

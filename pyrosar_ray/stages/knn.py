@@ -1,0 +1,156 @@
+"""Spatial kNN: k nearest catalog scenes per probe point.
+
+The north-star's "kNN burst/orbit neighbor lookup" (BASELINE.json):
+each probe point finds its k nearest scene centroids. Physical plan =
+broadcast centroid cell index (built once driver-side, one ``ray.put``)
++ expanding-ring search inside an actor-pool ``map_batches`` — the
+probe stream never shuffles.
+
+Ring-search correctness: after exhausting all cells within Chebyshev
+ring ``r`` of the probe's cell, any unseen candidate lies in ring
+≥ r+1, whose nearest possible point is ≥ r·cell_size away. A probe is
+finalized once it holds ≥ k candidates with kth distance ≤ r·cell_size
+(planar degree metric — adequate for neighbor RANKING at catalog
+density; swap in haversine for metric-true distances).
+
+Determinism: ties break on (distance, scene_key) ascending, so any
+cluster size produces identical neighbor lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def build_centroid_index(tab: pa.Table, res: int = 0) -> dict:
+    """Scene centroids bucketed by grid cell (sorted-cell + offsets)."""
+    cx = (tab["xmin"].to_numpy() + tab["xmax"].to_numpy()) / 2.0
+    cy = (tab["ymin"].to_numpy() + tab["ymax"].to_numpy()) / 2.0
+    scale = float(1 << res)
+    row = np.floor((cy + 90.0) * scale).astype(np.int64)
+    col = np.floor((cx + 180.0) * scale).astype(np.int64)
+    ncols = int(360 * scale) + 1
+    cell = row * ncols + col
+    order = np.argsort(cell)
+    cell_sorted = cell[order]
+    newgrp = np.empty(len(cell_sorted), dtype=bool)
+    if len(cell_sorted):
+        newgrp[0] = True
+        np.not_equal(cell_sorted[1:], cell_sorted[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        unique_cells = cell_sorted[starts]
+    else:
+        starts = np.zeros(0, dtype=np.int64)
+        unique_cells = cell_sorted
+    return {
+        "res": res,
+        "ncols": ncols,
+        "cell_size": 1.0 / scale,
+        "order": order,
+        "cx": cx[order],
+        "cy": cy[order],
+        "keys": tab["scene_key"].to_numpy()[order],
+        "unique_cells": unique_cells,
+        "offsets": np.concatenate([starts, [len(cell_sorted)]]),
+    }
+
+
+class CentroidKNN:
+    """Actor probe: expanding-ring kNN against the broadcast index."""
+
+    def __init__(self, index_ref, k: int, point_cols):
+        self.__dict__.update(ray.get(index_ref))
+        self.k = k
+        self.point_cols = point_cols
+
+    def _cells_of_ring(self, crow: int, ccol: int, r: int) -> list[int]:
+        if r == 0:
+            return [crow * self.ncols + ccol]
+        cells = []
+        for dc in range(-r, r + 1):
+            cells.append((crow - r) * self.ncols + ccol + dc)
+            cells.append((crow + r) * self.ncols + ccol + dc)
+        for dr in range(-r + 1, r):
+            cells.append((crow + dr) * self.ncols + ccol - r)
+            cells.append((crow + dr) * self.ncols + ccol + r)
+        return cells
+
+    def _candidates(self, cells: list[int]) -> np.ndarray:
+        pos = np.searchsorted(self.unique_cells, cells)
+        pos = np.clip(pos, 0, max(len(self.unique_cells) - 1, 0))
+        out = []
+        for c, p in zip(cells, pos):
+            if len(self.unique_cells) and self.unique_cells[p] == c:
+                out.append(np.arange(self.offsets[p], self.offsets[p + 1]))
+        return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        pids = batch[self.point_cols[0]].to_numpy()
+        scale = 1.0 / self.cell_size
+        crows = np.floor((lat + 90.0) * scale).astype(np.int64)
+        ccols = np.floor((lon + 180.0) * scale).astype(np.int64)
+        out_pid, out_key, out_rank = [], [], []
+        max_ring = int(360 * scale)
+        # per-point ring search; candidate scoring fully vectorized
+        for i in range(len(lon)):
+            cand: list[np.ndarray] = []
+            best: np.ndarray | None = None
+            bestd: np.ndarray | None = None
+            for r in range(max_ring):
+                idx = self._candidates(self._cells_of_ring(int(crows[i]), int(ccols[i]), r))
+                if len(idx):
+                    cand.append(idx)
+                    all_idx = np.concatenate(cand)
+                    dx = self.cx[all_idx] - lon[i]
+                    dy = self.cy[all_idx] - lat[i]
+                    # squared distance, same IEEE expression as the SQL
+                    # oracle (dx*dx + dy*dy) so exact ties tie in both
+                    d2 = dx * dx + dy * dy
+                    order = np.lexsort((self.keys[all_idx], d2))[: self.k]
+                    best = all_idx[order]
+                    bestd = d2[order]
+                bound = r * self.cell_size
+                if (
+                    best is not None
+                    and len(best) >= self.k
+                    and bestd[self.k - 1] <= bound * bound
+                ):
+                    break
+            if best is None:
+                continue
+            out_pid.extend([pids[i]] * len(best))
+            out_key.extend(self.keys[best].tolist())
+            out_rank.extend(range(1, len(best) + 1))
+        return pa.table(
+            {
+                "point_id": pa.array(out_pid, type=pa.int64()),
+                "scene_key": pa.array(out_key, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int64()),
+            }
+        )
+
+
+def spatial_knn(
+    scenes: Dataset,
+    points: Dataset,
+    k: int = 5,
+    res: int = 0,
+    point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
+    concurrency=(1, 8),
+) -> Dataset:
+    """k nearest scene centroids per point: rows (point_id, scene_key, rank)."""
+    from .spatial import materialize_small_side
+
+    tab = materialize_small_side(scenes, ["scene_key", "xmin", "ymin", "xmax", "ymax"])
+    ref = ray.put(build_centroid_index(tab, res))
+    return points.select_columns(list(point_cols)).map_batches(
+        CentroidKNN,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(ref, k, tuple(point_cols)),
+    )
