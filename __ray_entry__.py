@@ -224,6 +224,20 @@ def q_sessionize(sf_dir: str):
     )
 
 
+def q_sessionize_ranged(sf_dir: str):
+    """Range-partitioned sessionization with bucket-edge stitching —
+    must equal the single-partition result (same oracle as sessionize)."""
+    import ray.data
+
+    from pyrosar_ray.stages.sessions import sessionize_range_partitioned
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = sessionize_range_partitioned(events, gap_us=_GAP_US, bucket_us=43_200_000_000)
+    return out.select_columns(["user_id", "event_id", "session_id"])
+
+
 def q_session_counts(sf_dir: str):
     import ray.data
 
@@ -528,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_names": q_parse_names,
         "asof_osv": q_asof_osv,
         "sessionize": q_sessionize,
+        "sessionize_ranged": q_sessionize_ranged,
         "session_counts": q_session_counts,
         "events_stats": q_events_stats,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -681,6 +696,18 @@ def oracle_sql() -> dict[str, str]:
             ) best ON TRUE
         """,
         "sessionize": f"""
+            SELECT user_id, event_id,
+                   SUM(CASE WHEN gap IS NOT NULL AND gap > {_GAP_US} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) AS gap
+                FROM events
+            )
+        """,
+        "sessionize_ranged": f"""
             SELECT user_id, event_id,
                    SUM(CASE WHEN gap IS NOT NULL AND gap > {_GAP_US} THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_id

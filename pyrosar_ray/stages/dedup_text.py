@@ -190,10 +190,49 @@ def minhash_band_rows(
     return docs.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pyarrow")
 
 
+def keep_multi_member_buckets(
+    ds: Dataset, key_cols: tuple[str, ...], combine: str = "driver"
+) -> Dataset:
+    """Drop rows whose bucket has a single member (vectorized prefilter).
+
+    LSH buckets are overwhelmingly singletons; per-group functions must
+    only ever see REAL candidate buckets. Bucket sizes come from
+    per-batch partial counts merged driver-side (``combine='driver'``,
+    right while distinct-bucket partials are driver-sized) or a
+    distributed groupby-sum (``combine='shuffle'``); the multi-member
+    key set (proportional to actual near-dups, small) broadcasts back
+    as a filter.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(list(key_cols)).to_pandas()
+        part = df.groupby(list(key_cols), as_index=False).size()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    if combine == "shuffle":
+        from ray.data.aggregate import Sum
+
+        counts = partials.groupby(list(key_cols)).aggregate(Sum("size", alias_name="size")).to_pandas()
+    else:
+        counts = partials.to_pandas().groupby(list(key_cols), as_index=False)["size"].sum()
+    multi = counts[counts["size"] > 1]
+    keys = frozenset(map(tuple, multi[list(key_cols)].itertuples(index=False)))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        df = batch.select(list(key_cols)).to_pandas()
+        mask = pa.array([t in keys for t in df.itertuples(index=False, name=None)])
+        return batch.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
 def minhash_candidate_pairs(docs: Dataset, **kwargs) -> Dataset:
     """Near-dup candidate pairs (a < b) from LSH band buckets, deduplicated."""
     id_col = kwargs.get("id_col", "doc_id")
-    band_rows = minhash_band_rows(docs, **kwargs)
+    band_rows = keep_multi_member_buckets(
+        minhash_band_rows(docs, **kwargs), ("band", "band_hash")
+    )
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(group[id_col].tolist())

@@ -227,6 +227,64 @@ def remove_border_noise(images: Dataset, concurrency=(1, 4), batch_size: int = 6
     )
 
 
+class FrameSampler:
+    """Actor-pool stage: sample every k-th frame of a raw video column.
+
+    Multimodal plumbing for video rows: ``bytes`` holds ``n_frames``
+    concatenated raw RGB frames of (h, w); the stage slices frame views
+    zero-copy from the buffer, keeps every ``step``-th frame, and emits
+    one OUTPUT ROW PER KEPT FRAME (flat_map shape). Compressed codecs
+    (mp4 etc.) would decode here behind the same signature — that path
+    is stubbed like compressed images (no codec libs in this sandbox).
+    """
+
+    def __init__(self, step: int = 2):
+        self.step = step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, blobs, caps = [], [], [], []
+        for vid, blob, w, h, fmt, cap in zip(
+            batch["image_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["w"].to_numpy(),
+            batch["h"].to_numpy(),
+            batch["fmt"].to_pylist(),
+            batch["caption"].to_pylist(),
+        ):
+            if fmt != "rawvideo":
+                raise NotImplementedError(
+                    f"frame sampling of fmt={fmt!r} requires a video codec; "
+                    "only fmt='rawvideo' decodes in this sandbox"
+                )
+            frame_bytes = int(w) * int(h) * 3
+            n = len(blob) // frame_bytes
+            arr = np.frombuffer(blob[: n * frame_bytes], dtype=np.uint8)
+            for f in range(0, n, self.step):
+                ids.append(vid)
+                frames.append(f)
+                blobs.append(arr[f * frame_bytes : (f + 1) * frame_bytes].tobytes())
+                caps.append(cap)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.string()),
+                "frame": pa.array(frames, type=pa.int32()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "caption": pa.array(caps, type=pa.string()),
+            }
+        )
+
+
+def sample_frames(videos: Dataset, step: int = 2, concurrency=(1, 4), batch_size: int = 16) -> Dataset:
+    """Per-video frame sampling (small batch_size: video rows are large)."""
+    return videos.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        fn_constructor_args=(step,),
+    )
+
+
 def mosaic_tiles(
     tiled_thumbs: Dataset, tile_col: str = "tile", thumb: int = 8
 ) -> Dataset:
@@ -315,9 +373,14 @@ def phash_near_dup_pairs(
                 rows.append((min(ids[i], ids[j]), max(ids[i], ids[j]), ham))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
-    pairs = phash_bands(ds, bands=bands, id_col=id_col).groupby(
-        ["band", "band_key"]
-    ).map_groups(_pairs, batch_format="pandas")
+    from .dedup_text import keep_multi_member_buckets
+
+    band_rows = keep_multi_member_buckets(
+        phash_bands(ds, bands=bands, id_col=id_col), ("band", "band_key")
+    )
+    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
+        _pairs, batch_format="pandas"
+    )
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )

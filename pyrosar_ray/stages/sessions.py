@@ -43,6 +43,90 @@ def sessionize(
     )
 
 
+def sessionize_range_partitioned(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_us: int = 1_800_000_000,
+    bucket_us: int = 86_400_000_000,
+) -> Dataset:
+    """Sessionize with (key, time-bucket) partitioning + edge stitching.
+
+    The scale path for keys whose event volume outgrows one reducer
+    (SURVEY.md §2.5 groupbyTime row): rows hash on (key, coarse time
+    bucket), each partition sessionizes its own sorted range, and
+    bucket-edge sessions are stitched by a driver pass over the
+    per-bucket summaries (first/last timestamp + local session count —
+    one tiny row per (key, bucket)). A session spanning buckets b, b+1
+    merges when the cross-boundary gap ≤ ``gap_us``; merged offsets
+    cascade so final ids equal the single-partition result exactly.
+    """
+    import pyarrow as pa
+    import ray
+
+    def _bucket(batch: "pa.Table") -> "pa.Table":
+        us = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return batch.append_column("_bucket", pa.array(us // bucket_us))
+
+    bucketed = events.map_batches(_bucket, batch_format="pyarrow")
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = sessionize_group(df, ts_col, gap_us).rename(
+            columns={"session_id": "_local_sid"}
+        )
+        return df
+
+    local = bucketed.groupby([key_col, "_bucket"]).map_groups(_local, batch_format="pandas")
+
+    # per-(key, bucket) summaries — tiny, driver-merged
+    def _summary(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "_bucket": [df["_bucket"].iloc[0]],
+                "first_us": [int(us.min())],
+                "last_us": [int(us.max())],
+                "n_sessions": [int(df["_local_sid"].max()) + 1],
+            }
+        )
+
+    summaries = (
+        local.groupby([key_col, "_bucket"]).map_groups(_summary, batch_format="pandas").to_pandas()
+    )
+    summaries = summaries.sort_values([key_col, "_bucket"], kind="mergesort")
+    offsets: dict[tuple, int] = {}
+    for key, grp in summaries.groupby(key_col):
+        running = 0
+        prev_last = None
+        for _, row in grp.iterrows():  # summaries are tiny (one row per bucket)
+            merged = prev_last is not None and (row["first_us"] - prev_last) <= gap_us
+            if merged:
+                running -= 1  # first local session continues the previous one
+            offsets[(key, row["_bucket"])] = running
+            running += int(row["n_sessions"])
+            prev_last = row["last_us"]
+    ref = ray.put(offsets)
+
+    class _Adjust:
+        def __init__(self):
+            self.offsets = ray.get(ref)
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            keys = batch[key_col].to_numpy()
+            buckets = batch["_bucket"].to_numpy()
+            local_sid = batch["_local_sid"].to_numpy()
+            off = np.fromiter(
+                (self.offsets[(k, b)] for k, b in zip(keys.tolist(), buckets.tolist())),
+                dtype=np.int64,
+                count=len(keys),
+            )
+            out = batch.append_column("session_id", pa.array(local_sid + off))
+            return out.drop_columns(["_bucket", "_local_sid"])
+
+    return local.map_batches(_Adjust, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def session_counts(
     events: Dataset,
     key_col: str = "user_id",

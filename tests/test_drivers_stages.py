@@ -112,3 +112,30 @@ def test_archive_from_csv(tmp_path):
 
     arch = RayArchive.from_csv(str(path))
     assert arch.size() == (2, 1)
+
+
+def test_frame_sampler():
+    import ray.data as rd
+
+    from pyrosar_ray.stages.images import sample_frames
+
+    w = h = 4
+    frames = [np.full((h, w, 3), f, dtype=np.uint8) for f in range(6)]
+    blob = b"".join(f.tobytes() for f in frames)
+    rows = [{"image_id": "vid-0", "bytes": blob, "w": w, "h": h, "fmt": "rawvideo", "caption": "c"}]
+    out = sample_frames(rd.from_items(rows), step=2, concurrency=1).to_pandas()
+    assert out["frame"].tolist() == [0, 2, 4]
+    first = np.frombuffer(out.iloc[1]["bytes"], dtype=np.uint8)
+    assert (first == 2).all()
+    assert (out["caption"] == "c").all()
+
+
+def test_frame_sampler_compressed_is_stubbed():
+    import pytest
+    import ray.data as rd
+
+    from pyrosar_ray.stages.images import sample_frames
+
+    rows = [{"image_id": "v", "bytes": b"x", "w": 2, "h": 2, "fmt": "mp4", "caption": "c"}]
+    with pytest.raises(Exception):
+        sample_frames(rd.from_items(rows), concurrency=1).to_pandas()
