@@ -269,6 +269,30 @@ def q_events_stats(sf_dir: str):
     return agg.map_batches(_round, batch_format="pyarrow")
 
 
+def q_events_props(sf_dir: str):
+    """JSON property extraction + rollup (scalar JSON surface, §2.9)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = (
+            pd.Series(batch["props"].to_pylist(), dtype="string")
+            .str.extract(r'"k":\s*(\d+)', expand=False)
+            .astype("int64")
+        )
+        return pa.table({"event_type": batch["event_type"], "k": pa.array(k.to_numpy())})
+
+    return (
+        events.map_batches(_extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
 def q_doc_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -545,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_ranged": q_sessionize_ranged,
         "session_counts": q_session_counts,
         "events_stats": q_events_stats,
+        "events_props": q_events_props,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -733,6 +758,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    MIN(value) AS min_value, MAX(value) AS max_value,
                    ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "events_props": r"""
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k
             FROM events GROUP BY event_type
         """,
         "doc_exact_dedup": """
