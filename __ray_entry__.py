@@ -145,6 +145,18 @@ def q_archive_select_overlap(sf_dir: str):
     )
 
 
+def q_archive_select_spatial(sf_dir: str):
+    """select(vectorobject=...): scenes intersecting one query polygon
+    (broadcast semi-join; reference archive.py:1058-1073)."""
+    from pyrosar_ray.catalog.archive import RayArchive
+    from pyrosar_ray.functions.geometry import bbox_ring, polygon_wkb
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    query = polygon_wkb(bbox_ring(5.0, 40.0, 25.0, 55.0))
+    archive = RayArchive(load_scenes(sf_dir))
+    return archive.select(vectorobject_wkb=query, return_value=["outname_base", "scene"])
+
+
 def q_dedup_data(sf_dir: str):
     from pyrosar_ray.pipelines.tables import load_scenes
     from pyrosar_ray.stages.dedup_scenes import mark_duplicates, split_registered
@@ -560,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_srtm3": q_dem_srtm3,
         "archive_select": q_archive_select,
         "archive_select_overlap": q_archive_select_overlap,
+        "archive_select_spatial": q_archive_select_spatial,
         "dedup_data": q_dedup_data,
         "dedup_duplicates": q_dedup_duplicates,
         "scene_seconds": q_scene_seconds,
@@ -669,6 +682,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT scene, start AS mindate, stop AS maxdate FROM scenes
             WHERE acquisition_mode IN ('IW', 'EW')
               AND stop >= '20150601T000000' AND start <= '20150701T000000'
+        """,
+        "archive_select_spatial": f"""
+            {_SCENES}
+            SELECT outname_base, scene FROM scenes
+            WHERE xmin <= 25.0 AND xmax >= 5.0 AND ymin <= 55.0 AND ymax >= 40.0
         """,
         "dedup_data": f"""
             {_SCENES}

@@ -59,6 +59,32 @@ def average_phash(arr: np.ndarray, grid: int = 8) -> int:
     return int(np.int64((weights[bits].sum(dtype=np.uint64)) >> np.uint64(1)))
 
 
+def read_image_table(path: str) -> Dataset:
+    """Read the image+caption table: Lance when available, else Parquet.
+
+    The production format is Lance (BASELINE.json input_hint); this
+    container ships no ``lance`` package, so the reader degrades to a
+    parquet directory with the identical schema — the pipeline code is
+    format-agnostic either way.
+    """
+    try:
+        import lance  # noqa: F401
+
+        return ray.data.read_lance(path)
+    except ImportError:
+        return ray.data.read_parquet(path)
+
+
+def write_image_table(ds: Dataset, path: str) -> None:
+    """Write the image table (Lance when available, else Parquet)."""
+    try:
+        import lance  # noqa: F401
+
+        ds.write_lance(path)
+    except (ImportError, AttributeError):
+        ds.write_parquet(path)
+
+
 def images_from_documents(sf_dir: str) -> Dataset:
     """The synthetic image+caption Dataset (one row per document)."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
