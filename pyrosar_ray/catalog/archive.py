@@ -85,11 +85,22 @@ def apply_predicates(ds: Dataset, specs: list[tuple[str, str, object]]) -> Datas
 
 
 class RayArchive:
-    """Catalog over a scenes Dataset (+ optional duplicates Dataset)."""
+    """Catalog over a scenes Dataset (+ optional duplicates Dataset).
 
-    def __init__(self, data: Dataset, duplicates: Dataset | None = None):
+    ``custom_fields`` registers extra queryable columns (the reference's
+    Archive(custom_fields=...), archive.py:396-403) — kwargs naming them
+    become predicates instead of being ignored-with-warning.
+    """
+
+    def __init__(
+        self,
+        data: Dataset,
+        duplicates: Dataset | None = None,
+        custom_fields: tuple[str, ...] = (),
+    ):
         self.data = data
         self.duplicates = duplicates
+        self.colnames = tuple(COLNAMES) + tuple(custom_fields)
 
     # ------------------------------------------------------------ ingest
 
@@ -133,7 +144,7 @@ class RayArchive:
         """
         return_values = [return_value] if isinstance(return_value, str) else list(return_value)
         invalid = [
-            v for v in return_values if v not in COLNAMES and v not in _PSEUDO_RETURNS
+            v for v in return_values if v not in self.colnames and v not in _PSEUDO_RETURNS
         ]
         if invalid:
             raise ValueError(
@@ -150,8 +161,8 @@ class RayArchive:
                 return (col, "in", list(val))
             return (col, "eq", val)
 
-        arg_valid = {k: v for k, v in kwargs.items() if k in COLNAMES}
-        arg_invalid = [k for k in kwargs if k not in COLNAMES]
+        arg_valid = {k: v for k, v in kwargs.items() if k in self.colnames}
+        arg_invalid = [k for k in kwargs if k not in self.colnames]
         if arg_invalid:
             log.info(
                 "the following arguments will be ignored as they are not "

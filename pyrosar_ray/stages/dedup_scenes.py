@@ -20,7 +20,9 @@ from ray.data import Dataset
 from ray.data.aggregate import Min
 
 
-def mark_duplicates(scenes: Dataset, winners_via: str = "driver") -> Dataset:
+def mark_duplicates(
+    scenes: Dataset, winners_via: str = "driver", materialize_input: bool = True
+) -> Dataset:
     """Append ``is_duplicate`` (bool): False for the per-identity winner.
 
     Winner = minimum ``scene`` path within each (outname_base, product)
@@ -36,7 +38,14 @@ def mark_duplicates(scenes: Dataset, winners_via: str = "driver") -> Dataset:
     If the identity-key space ever outgrew worker memory, step 2 becomes
     a hash-partitioned join on the identity key instead of a broadcast
     (same semantics, one more shuffle).
+
+    The input executes twice (winner pass + mark pass); catalog streams
+    are metadata-sized, so they are pinned once via ``materialize()``
+    rather than recomputed — pass ``materialize_input=False`` for inputs
+    too large to pin (they will recompute instead).
     """
+    if materialize_input:
+        scenes = scenes.materialize()
     if winners_via == "shuffle":
         winners = (
             scenes.select_columns(["outname_base", "product", "scene"])
@@ -44,47 +53,46 @@ def mark_duplicates(scenes: Dataset, winners_via: str = "driver") -> Dataset:
             .aggregate(Min("scene", alias_name="winner"))
         )
         wdf = winners.to_pandas()
+        wtab = pa.Table.from_pandas(wdf, preserve_index=False)
     else:
         # per-batch partial min → driver merge: the winner table is one
         # row per identity key (catalog metadata), so collecting partials
-        # driver-side skips the all-to-all entirely
-        def _partial(batch: pa.Table) -> pa.Table:
-            df = batch.select(["outname_base", "product", "scene"]).to_pandas()
-            part = df.groupby(["outname_base", "product"], as_index=False)["scene"].min()
-            return pa.Table.from_pandas(part, preserve_index=False)
+        # driver-side skips the all-to-all entirely; Arrow's C++ hash
+        # aggregate does both combine levels
+        def _agg(tab: pa.Table) -> pa.Table:
+            out = pa.TableGroupBy(tab, ["outname_base", "product"]).aggregate(
+                [("scene", "min")]
+            )
+            return out.rename_columns(["outname_base", "product", "scene"])
 
         partials = scenes.select_columns(["outname_base", "product", "scene"]).map_batches(
-            _partial, batch_format="pyarrow"
+            _agg, batch_format="pyarrow"
         )
-        wdf = (
-            partials.to_pandas()
-            .groupby(["outname_base", "product"], as_index=False)["scene"]
-            .min()
-            .rename(columns={"scene": "winner"})
-        )
-    wtab = pa.Table.from_pandas(wdf, preserve_index=False)
+        from .spatial import materialize_small_side
+
+        merged = materialize_small_side(partials, ["outname_base", "product", "scene"])
+        wtab = _agg(merged).rename_columns(["outname_base", "product", "winner"])
     ref = ray.put(wtab)
 
     class _Mark:
         def __init__(self):
+            # hash index over the broadcast winners, built ONCE per actor
             tab = ray.get(ref)
-            keys = [
-                f"{b}\x00{p}"
-                for b, p in zip(tab["outname_base"].to_pylist(), tab["product"].to_pylist())
-            ]
-            self.winner = dict(zip(keys, tab["winner"].to_pylist()))
+            combined = pc.binary_join_element_wise(
+                tab["outname_base"], tab["product"], "\x00"
+            )
+            self.index = pd.Index(combined.to_pandas())
+            self.winner_scene = tab["winner"].to_numpy(zero_copy_only=False)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = [
-                f"{b}\x00{p}"
-                for b, p in zip(
-                    batch["outname_base"].to_pylist(), batch["product"].to_pylist()
-                )
-            ]
-            scene = batch["scene"].to_pylist()
-            lookup = self.winner
-            dup = pa.array([lookup[k] != s for k, s in zip(keys, scene)])
-            return batch.append_column("is_duplicate", dup)
+            combined = pc.binary_join_element_wise(
+                batch["outname_base"].combine_chunks(),
+                batch["product"].combine_chunks(),
+                "\x00",
+            )
+            pos = self.index.get_indexer(pd.Index(combined.to_pandas()))
+            dup = self.winner_scene[pos] != batch["scene"].to_numpy(zero_copy_only=False)
+            return batch.append_column("is_duplicate", pa.array(dup))
 
     return scenes.map_batches(_Mark, batch_format="pyarrow", concurrency=(1, 4))
 

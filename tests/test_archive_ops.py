@@ -54,3 +54,39 @@ def test_export_parquet(tmp_path):
     arch.export(str(tmp_path / "cat"), fmt="parquet")
     back = ray.data.read_parquet(str(tmp_path / "cat"))
     assert back.count() == 3
+
+
+def test_custom_fields_queryable():
+    rows = pd.DataFrame(
+        {
+            "scene_key": [1, 2],
+            "outname_base": ["A", "B"],
+            "product": ["GRD", "GRD"],
+            "scene": ["/d/a.zip", "/d/b.zip"],
+            "cloud_cover": [10, 90],
+        }
+    )
+    arch = RayArchive(ray.data.from_pandas(rows), custom_fields=("cloud_cover",))
+    out = arch.select(cloud_cover=10, return_value=["scene", "cloud_cover"]).to_pandas()
+    assert out["scene"].tolist() == ["/d/a.zip"]
+    # without registration the kwarg is ignored-with-warning (both rows)
+    arch2 = RayArchive(ray.data.from_pandas(rows))
+    assert arch2.select(cloud_cover=10).count() == 2
+
+
+def test_scene_catalog_protocol():
+    from pyrosar_ray.catalog.protocol import SceneCatalog, StaticCatalog
+
+    rows = pd.DataFrame(
+        {
+            "scene_key": [1],
+            "outname_base": ["A"],
+            "product": ["GRD"],
+            "scene": ["/d/a.zip"],
+            "sensor": ["S1A"],
+        }
+    )
+    cat = StaticCatalog(ray.data.from_pandas(rows))
+    assert isinstance(cat, SceneCatalog)
+    with cat as c:
+        assert c.select(sensor="S1A").count() == 1

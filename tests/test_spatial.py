@@ -101,3 +101,25 @@ def test_broadcast_polygon_filter(scenes_tbl):
     ).sum()
     assert got == expected
     assert got > 0
+
+
+def test_salted_group_apply_hot_key():
+    import pandas as pd
+
+    import ray.data as rd
+    from pyrosar_ray.stages.tiling import salted_group_apply
+
+    # one hot key (90% of rows) + cold keys: salted two-phase count
+    df = pd.DataFrame(
+        {
+            "tile": ["HOT"] * 900 + [f"c{i}" for i in range(100)],
+            "n": [1] * 1000,
+        }
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tile": [g["tile"].iloc[0]], "n": [int(g["n"].sum())]})
+
+    out = salted_group_apply(rd.from_pandas(df), "tile", combine).to_pandas()
+    got = dict(zip(out["tile"], out["n"]))
+    assert got["HOT"] == 900 and got["c0"] == 1 and len(got) == 101
