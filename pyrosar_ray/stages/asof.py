@@ -130,6 +130,16 @@ class IntervalInventory:
         return out
 
 
+def overlap_mask(
+    start1: np.ndarray, stop1: np.ndarray, start2: np.ndarray, stop2: np.ndarray
+) -> np.ndarray:
+    """Vectorized interval-overlap predicate: start2 < stop1 AND stop2 > start1
+    (reference: OSV.catch candidate filter, S1/auxil.py:276-278)."""
+    return (np.asarray(start2) < np.asarray(stop1)) & (
+        np.asarray(stop2) > np.asarray(start1)
+    )
+
+
 def asof_match(
     probes: Dataset,
     inventory: pa.Table,

@@ -84,3 +84,14 @@ def test_asof_match_dataset():
     )
     out = asof_match(probes, inv_table, DUR).to_pandas().sort_values("k")
     assert out["osv_id"].tolist() == [1, -1, 5, 6]
+
+
+def test_overlap_mask():
+    from pyrosar_ray.stages.asof import overlap_mask
+
+    got = overlap_mask(
+        np.array([0, 0, 0]), np.array([10, 10, 10]),
+        np.array([5, 10, -5]), np.array([15, 20, 0]),
+    )
+    # touching intervals (start2 == stop1 or stop2 == start1) do NOT overlap
+    assert got.tolist() == [True, False, False]
