@@ -87,6 +87,61 @@ class CentroidKNN:
                 out.append(np.arange(self.offsets[p], self.offsets[p + 1]))
         return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
 
+    def _bulk_3x3(self, lon, lat, crows, ccols):
+        """Vectorized (2R+1)² neighborhood kNN for all probes at once.
+
+        Returns (probe_idx, scene_pos, rank) for probes PROVABLY correct
+        after ring ≤ R (kth d² ≤ (R·cell_size)²: unseen cells are ring
+        ≥ R+1, nearest possible point ≥ R·cell_size away) plus the mask
+        of unresolved probes needing the ring-expansion fallback.
+        """
+        n = len(lon)
+        R = 2  # bulk radius: 5x5 neighborhood, correctness bound 2*cell
+        span = np.arange(-R, R + 1)
+        dr = np.repeat(span, 2 * R + 1)
+        dc = np.tile(span, 2 * R + 1)
+        cells = (crows[:, None] + dr[None, :]) * self.ncols + (ccols[:, None] + dc[None, :])
+        flat = cells.ravel()
+        pos = np.searchsorted(self.unique_cells, flat)
+        pos_c = np.clip(pos, 0, max(len(self.unique_cells) - 1, 0))
+        hit = (
+            (self.unique_cells[pos_c] == flat)
+            if len(self.unique_cells)
+            else np.zeros(len(flat), dtype=bool)
+        )
+        lo = np.where(hit, self.offsets[pos_c], 0)
+        hi = np.where(hit, self.offsets[pos_c + 1], 0)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return (np.zeros(0, np.int64),) * 3 + (np.ones(n, dtype=bool),)
+        ncells = (2 * R + 1) ** 2
+        probe_rep = np.repeat(np.arange(n * ncells, dtype=np.int64) // ncells, counts)
+        run_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        j = np.arange(total, dtype=np.int64) - np.repeat(run_off, counts)
+        entry = np.repeat(lo, counts) + j
+        dx = self.cx[entry] - lon[probe_rep]
+        dy = self.cy[entry] - lat[probe_rep]
+        d2 = dx * dx + dy * dy
+        # rank candidates per probe: sort by (probe, d2, key)
+        order = np.lexsort((self.keys[entry], d2, probe_rep))
+        sp, sd2, se = probe_rep[order], d2[order], entry[order]
+        newgrp = np.empty(len(sp), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(sp[1:], sp[:-1], out=newgrp[1:])
+        grp_start = np.maximum.accumulate(np.where(newgrp, np.arange(len(sp)), 0))
+        rank = np.arange(len(sp)) - grp_start
+        keep = rank < self.k
+        # per-probe candidate count and kth distance for the correctness bound
+        cand_count = np.bincount(sp, minlength=n)
+        kth_d2 = np.full(n, np.inf)
+        kth_rows = keep & (rank == np.minimum(cand_count[sp] - 1, self.k - 1))
+        kth_d2[sp[kth_rows]] = sd2[kth_rows]
+        bound2 = (R * self.cell_size) ** 2
+        unresolved = (cand_count < self.k) | (kth_d2 > bound2)
+        ok = keep & ~unresolved[sp]
+        return sp[ok], se[ok], rank[ok] + 1, unresolved
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
@@ -96,8 +151,12 @@ class CentroidKNN:
         ccols = np.floor((lon + 180.0) * scale).astype(np.int64)
         out_pid, out_key, out_rank = [], [], []
         max_ring = int(360 * scale)
-        # per-point ring search; candidate scoring fully vectorized
-        for i in range(len(lon)):
+        bp, be, br, unresolved = self._bulk_3x3(lon, lat, crows, ccols)
+        out_pid.extend(pids[bp].tolist())
+        out_key.extend(self.keys[be].tolist())
+        out_rank.extend(br.tolist())
+        # ring-expansion fallback for sparse neighborhoods only
+        for i in np.flatnonzero(unresolved):
             cand: list[np.ndarray] = []
             best: np.ndarray | None = None
             bestd: np.ndarray | None = None
