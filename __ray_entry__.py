@@ -246,7 +246,8 @@ def q_sessionize_ranged(sf_dir: str):
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    out = sessionize_range_partitioned(events, gap_us=_GAP_US, bucket_us=43_200_000_000)
+    # 30-day buckets: far above the 30-min gap, few groups per key
+    out = sessionize_range_partitioned(events, gap_us=_GAP_US, bucket_us=2_592_000_000_000)
     return out.select_columns(["user_id", "event_id", "session_id"])
 
 

@@ -26,14 +26,17 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: benchmark suite: name → queries() key (all read SF_DIR)
 BENCH_QUERIES = (
     "spatial_join",
+    "spatial_knn",
     "tile_assign",
     "tile_counts",
     "dedup_data",
     "asof_osv",
     "sessionize",
+    "sessionize_ranged",
     "events_stats",
     "embed_topk",
     "doc_minhash_pairs",
+    "doc_jaccard_pairs",
     "image_features",
 )
 

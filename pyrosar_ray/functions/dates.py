@@ -63,6 +63,24 @@ def seconds_array(names) -> np.ndarray:
     return ((dt - pd.Timestamp(_EPOCH_1900)).dt.total_seconds()).to_numpy()
 
 
+_EPOCH_1985 = datetime(1985, 1, 1)
+_EPOCH_2000 = datetime(2000, 1, 1)
+
+
+def seconds_since_1985(stamp: str) -> float:
+    """ERS auxiliary epoch: seconds since 1985-01-01
+    (reference ERS/auxil.py:61-63)."""
+    return (datetime.strptime(stamp, STANDARD) - _EPOCH_1985).total_seconds()
+
+
+def mjd2000_to_datetime(days: int, seconds: int, microseconds: int) -> datetime:
+    """ESA MJD2000 (days, seconds, µs) triplet → datetime
+    (reference drivers.py:1721-1725)."""
+    from datetime import timedelta
+
+    return _EPOCH_2000 + timedelta(days=days, seconds=seconds, microseconds=microseconds)
+
+
 def stamp_to_datetime64(stamps) -> np.ndarray:
     """``YYYYmmddTHHMMSS`` string sequence → datetime64[s] (vectorized)."""
     return pd.to_datetime(pd.Series(stamps), format=STANDARD).to_numpy().astype("datetime64[s]")

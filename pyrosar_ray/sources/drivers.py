@@ -110,6 +110,55 @@ def parse_kvish(blob: bytes) -> dict:
     return out
 
 
+# ------------------------------------------------------- archive members
+
+
+def list_members(blob: bytes) -> list[str]:
+    """Member names of a zip/tar scene blob, sorted (deterministic order;
+    reference sorts before extraction, drivers.py:751,767)."""
+    import io
+    import tarfile
+    import zipfile
+
+    bio = io.BytesIO(blob)
+    if zipfile.is_zipfile(bio):
+        bio.seek(0)
+        with zipfile.ZipFile(bio) as zf:
+            return sorted(zf.namelist())
+    bio.seek(0)
+    try:
+        with tarfile.open(fileobj=bio) as tf:
+            return sorted(m.name for m in tf.getmembers())
+    except tarfile.TarError as err:
+        raise ValueError("blob is neither zip nor tar") from err
+
+
+def find_members(blob: bytes, pattern: str) -> list[str]:
+    """Members matching a regex (ID.findfiles, drivers.py:372-427)."""
+    rx = re.compile(pattern)
+    return [m for m in list_members(blob) if rx.search(m)]
+
+
+def get_member(blob: bytes, name: str) -> bytes:
+    """Random access to one member of a zip/tar scene blob
+    (getFileObj, drivers.py:2528-2575) — in-task, no filesystem."""
+    import io
+    import tarfile
+    import zipfile
+
+    bio = io.BytesIO(blob)
+    if zipfile.is_zipfile(bio):
+        bio.seek(0)
+        with zipfile.ZipFile(bio) as zf:
+            return zf.read(name)
+    bio.seek(0)
+    with tarfile.open(fileobj=bio) as tf:
+        fh = tf.extractfile(name)
+        if fh is None:
+            raise KeyError(name)
+        return fh.read()
+
+
 # -------------------------------------------------------------- registry
 
 #: fmt → (sniff, parse); sniff returns bool on raw bytes

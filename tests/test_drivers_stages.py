@@ -139,3 +139,44 @@ def test_frame_sampler_compressed_is_stubbed():
     rows = [{"image_id": "v", "bytes": b"x", "w": 2, "h": 2, "fmt": "mp4", "caption": "c"}]
     with pytest.raises(Exception):
         sample_frames(rd.from_items(rows), concurrency=1).to_pandas()
+
+
+def test_archive_members_zip_and_tar():
+    import io
+    import tarfile
+    import zipfile
+
+    from pyrosar_ray.sources.drivers import find_members, get_member, list_members
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("annotation/s1a-iw-grd.xml", "<x/>")
+        zf.writestr("manifest.safe", "MANIFEST")
+    zblob = zbuf.getvalue()
+    assert list_members(zblob) == ["annotation/s1a-iw-grd.xml", "manifest.safe"]
+    assert find_members(zblob, r"manifest\.safe$") == ["manifest.safe"]
+    assert get_member(zblob, "manifest.safe") == b"MANIFEST"
+
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        data = b"LEADER"
+        info = tarfile.TarInfo("LED-ALPSRP066")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    tblob = tbuf.getvalue()
+    assert list_members(tblob) == ["LED-ALPSRP066"]
+    assert get_member(tblob, "LED-ALPSRP066") == b"LEADER"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        list_members(b"not an archive")
+
+
+def test_extra_date_epochs():
+    from datetime import datetime
+
+    from pyrosar_ray.functions.dates import mjd2000_to_datetime, seconds_since_1985
+
+    assert seconds_since_1985("19850101T000010") == 10.0
+    assert mjd2000_to_datetime(1, 2, 3) == datetime(2000, 1, 2, 0, 0, 2, 3)

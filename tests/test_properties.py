@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the geometry/tile/session kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyrosar_ray.functions.geometry import (
+    convex_hull,
+    points_in_polygon,
+    polygon_wkt,
+    ring_area,
+    wkt_to_ring,
+)
+from pyrosar_ray.functions.grouping import session_ids
+from pyrosar_ray.functions.tiles import expand_bbox_tiles, hgt_tiles
+
+coords = st.floats(min_value=-179.0, max_value=179.0, allow_nan=False, width=32)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=3, max_size=30))
+def test_convex_hull_properties(pts):
+    arr = np.array(pts, dtype=np.float64)
+    hull = convex_hull(arr)
+    if len(hull) < 3:
+        return  # degenerate (collinear) input
+    # CCW orientation: positive signed area
+    assert ring_area(hull) >= 0
+    # every input point lies inside or on the hull
+    assert points_in_polygon(hull, arr[:, 0], arr[:, 1]).all()
+    # idempotent: hull of hull = hull
+    again = convex_hull(hull)
+    assert np.allclose(np.sort(again, axis=0), np.sort(hull, axis=0))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=3, max_size=15))
+def test_wkt_roundtrip(pts):
+    hull = convex_hull(np.array(pts, dtype=np.float64))
+    if len(hull) < 3:
+        return
+    back = wkt_to_ring(polygon_wkt(hull))
+    assert np.allclose(back, hull)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.floats(min_value=-179, max_value=178, allow_nan=False),
+    st.floats(min_value=-89, max_value=88, allow_nan=False),
+    st.floats(min_value=0.01, max_value=3.0),
+    st.floats(min_value=0.01, max_value=3.0),
+)
+def test_tile_expansion_matches_scalar(x0, y0, w, h):
+    xmax, ymax = min(x0 + w, 179.5), min(y0 + h, 89.5)
+    row_idx, lat, lon = expand_bbox_tiles(
+        np.array([x0]), np.array([xmax]), np.array([y0]), np.array([ymax])
+    )
+    got = [f"{'S' if la < 0 else 'N'}{abs(la):02d}" f"{'W' if lo < 0 else 'E'}{abs(lo):03d}.hgt"
+           for la, lo in zip(lat, lon)]
+    assert got == hgt_tiles(x0, xmax, y0, ymax)
+    assert (row_idx == 0).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(min_value=0, max_value=1e6, allow_nan=False), min_size=1, max_size=100),
+       st.floats(min_value=0.1, max_value=1e5))
+def test_session_ids_properties(ts, gap):
+    arr = np.sort(np.array(ts, dtype=np.float64))
+    sid = session_ids(arr, gap)
+    # dense, nondecreasing, steps of ≤1, starts at 0
+    assert sid[0] == 0
+    assert ((np.diff(sid) == 0) | (np.diff(sid) == 1)).all()
+    # a break happens exactly where the gap exceeds the threshold
+    breaks = np.diff(arr) > gap
+    assert (np.diff(sid) == breaks.astype(int)).all()
