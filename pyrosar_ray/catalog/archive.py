@@ -24,12 +24,11 @@ from __future__ import annotations
 import logging
 import re
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from ..functions.geometry import bbox_ring, convex_hull, polygon_wkb, polygon_wkt
+from ..functions.geometry import bbox_ring, polygon_wkb, polygon_wkt
 from ..stages.dedup_scenes import mark_duplicates, split_registered
 from ..stages.spatial import broadcast_polygon_filter
 

@@ -23,7 +23,6 @@ import re
 import struct
 from collections.abc import Callable
 
-import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
