@@ -82,59 +82,112 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_headline(sf_dir: str, num_cpus: int) -> dict:
-    """The scaling pipeline: spatial join + point-tile counts, row-counted.
+    """The scaling pipeline: image rows through join + tiling + decode.
 
-    The point stream is replicated GRAFT_BENCH_MULT× (default 16) with
-    distinct ids inside the pipeline, standing in for the target's much
-    larger image table so the parallel probe work dominates fixed
-    startup costs — both parallelism levels run the identical inflated
-    input.
+    The north-star metric is IMAGES/SEC through spatial join + tile
+    assignment over an image+caption table, where each row carries an
+    image payload — so the representative per-row cost includes the
+    decode/feature compute, not just metadata arithmetic. Per row:
+    deterministic image synthesis (standing in for Lance blob decode,
+    same cost shape), phash + 8x8 thumbnail, centroid -> broadcast-index
+    scene join -> tile assignment -> per-batch partial tile counts. The
+    consumer is an aggregate, so nothing wider than bounded partials
+    ever leaves the actor (fused plan; the pair-emitting join is
+    benchmarked by the `spatial_join` suite query).
+
+    GRAFT_BENCH_MULT (default 6) replicates the document ids with
+    distinct seeds - identical work at every parallelism level.
     """
     _init_ray(num_cpus)
+    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
+    import ray as _ray
+    import ray.data
 
-    from pyrosar_ray.functions.tiles import tile_index_1deg, tile_name_from_index
-    from pyrosar_ray.pipelines.tables import load_points, load_scenes
-    from pyrosar_ray.stages.spatial import spatial_join_points
-    from pyrosar_ray.stages.tiling import tile_counts_indexed
+    from pyrosar_ray.stages.spatial import (
+        SceneCellIndex,
+        build_scene_index,
+        materialize_small_side,
+    )
+    from pyrosar_ray.pipelines.tables import load_scenes
 
-    mult = int(os.environ.get("GRAFT_BENCH_MULT", "16"))
-
-    def _replicate(batch: pa.Table) -> pa.Table:
-        copies = []
-        for r in range(mult):
-            ids = pc.add(batch["point_id"], r * 10_000_000_000)
-            copies.append(batch.set_column(0, "point_id", ids))
-        return pa.concat_tables(copies)
+    mult = int(os.environ.get("GRAFT_BENCH_MULT", "6"))
 
     import pyarrow.parquet as pq
 
-    n_points = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows * mult
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_images = n_docs * mult
     t0 = time.time()
-    points = load_points(sf_dir).map_batches(_replicate, batch_format="pyarrow")
-    pairs = spatial_join_points(load_scenes(sf_dir), points)
+    stab = materialize_small_side(
+        load_scenes(sf_dir), ["scene_key", "xmin", "ymin", "xmax", "ymax"]
+    )
+    index_ref = _ray.put(build_scene_index(stab, 0, ("scene_key",)))
 
-    # hot path carries int64 tile indices; names attach to the bounded
-    # aggregate at the end (tile_counts_indexed)
-    def _point_tiles(batch: pa.Table) -> pa.Table:
-        idx = tile_index_1deg(batch["lon"].to_numpy(), batch["lat"].to_numpy())
-        return pa.table(
-            {
-                "scene_key": batch["scene_key"],
-                "point_id": batch["point_id"],
-                "tile_idx": pa.array(idx),
-            }
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _replicate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        rep = np.repeat(ids, mult) * mult + np.tile(
+            np.arange(mult, dtype=np.int64), len(ids)
         )
+        return pa.table({"seed": pa.array(rep)})
 
-    counts = tile_counts_indexed(pairs.map_batches(_point_tiles, batch_format="pyarrow"))
-    n_tiles = counts.count()
+    class _ImageTileProbe(SceneCellIndex):
+        def __init__(self):
+            super().__init__(
+                index_ref, ("scene_key",), ("point_id", "lon", "lat"), refine="polygon"
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from pyrosar_ray.sources.images import average_phash, synth_image
+            from pyrosar_ray.stages.images import block_mean_resize
+
+            seeds = batch["seed"].to_numpy()
+            phashes = np.empty(len(seeds), dtype=np.int64)
+            checksum = 0
+            for i, s in enumerate(seeds.tolist()):
+                arr, w, h = synth_image(s)  # decode stand-in
+                phashes[i] = average_phash(arr)
+                checksum += int(block_mean_resize(arr, 8, 8).sum())
+            # deterministic centroid per image from its phash bits
+            ph = phashes.astype(np.uint64)
+            lon = (ph % np.uint64(33000)).astype(np.float64) / 100.0 - 170.0
+            lat = ((ph >> np.uint64(17)) % np.uint64(13000)).astype(np.float64) / 100.0 - 60.0
+            probe = pa.table(
+                {
+                    "point_id": pa.array(seeds),
+                    "lon": pa.array(lon),
+                    "lat": pa.array(lat),
+                }
+            )
+            pairs = SceneCellIndex.__call__(self, probe)
+            from pyrosar_ray.functions.tiles import tile_index_1deg
+
+            idx = tile_index_1deg(pairs["lon"].to_numpy(), pairs["lat"].to_numpy())
+            tiles, counts = np.unique(idx, return_counts=True)
+            out = pa.table(
+                {
+                    "tile_idx": pa.array(tiles.astype(np.int64)),
+                    "n": pa.array(counts.astype(np.int64)),
+                }
+            )
+            return out
+
+    partials = docs.map_batches(_replicate, batch_format="pyarrow").map_batches(
+        _ImageTileProbe,
+        batch_format="pyarrow",
+        concurrency=(1, num_cpus),
+        batch_size=512,
+    )
+    df = partials.to_pandas()
+    totals = df.groupby("tile_idx")["n"].sum()
+    n_tiles = int(len(totals))
     elapsed = time.time() - t0
     return {
         "elapsed_sec": elapsed,
-        "rows_in": n_points,
+        "rows_in": n_images,
         "tiles_out": n_tiles,
-        "rows_per_sec": n_points / elapsed,
+        "rows_per_sec": n_images / elapsed,
     }
 
 
@@ -143,6 +196,14 @@ def main() -> None:
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--headline-only", action="store_true", help="internal: one headline run")
     parser.add_argument("--num-cpus", type=int, default=NUM_CPUS)
+    parser.add_argument("--repeat", type=int, default=3, help="scaling run pairs")
+    parser.add_argument(
+        "--pair",
+        type=int,
+        nargs=2,
+        default=(8, 32),
+        help="the (N, 4N) parallelism pair for --scaling",
+    )
     parser.add_argument("--sf-dir", default=SF_DIR)
     args = parser.parse_args()
 
@@ -155,8 +216,11 @@ def main() -> None:
         return
 
     if args.scaling:
-        results = {}
-        for n in (8, 32):
+        # interleaved repeats + median: the sandbox's throughput varies
+        # several-fold between runs, so a single (8, 32) pair is noise
+        import statistics
+
+        def one_run(n: int) -> dict:
             proc = subprocess.run(
                 [
                     sys.executable,
@@ -172,20 +236,31 @@ def main() -> None:
                 check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
-        r8 = results[8]["rows_per_sec"]
-        r32 = results[32]["rows_per_sec"]
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+
+        lo, hi = args.pair
+        runs = {lo: [], hi: []}
+        for _ in range(args.repeat):
+            for n in (lo, hi):
+                runs[n].append(one_run(n)["rows_per_sec"])
+        med8 = statistics.median(runs[lo])
+        med32 = statistics.median(runs[hi])
         print(
             json.dumps(
                 {
                     "metric": "spatial_join_tile_scaling",
-                    "value": round((r32 / r8) / 4.0, 4),
+                    "value": round((med32 / med8) / (hi / lo), 4),
                     "unit": "efficiency",
-                    "throughput_rows_per_sec": {"8": round(r8, 1), "32": round(r32, 1)},
-                    "elapsed_sec": {
-                        "8": round(results[8]["elapsed_sec"], 2),
-                        "32": round(results[32]["elapsed_sec"], 2),
+                    "cpus": {"N": lo, "4N": hi},
+                    "throughput_rows_per_sec": {
+                        str(lo): round(med8, 1),
+                        str(hi): round(med32, 1),
                     },
+                    "all_runs_rows_per_sec": {
+                        str(lo): [round(x, 1) for x in runs[lo]],
+                        str(hi): [round(x, 1) for x in runs[hi]],
+                    },
+                    "repeat": args.repeat,
                     "sf_dir": args.sf_dir,
                 }
             )

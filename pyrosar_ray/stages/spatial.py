@@ -150,13 +150,42 @@ class SceneCellIndex:
 
     Per-batch probe is pure searchsorted/repeat arithmetic — no Python
     loop over rows, no shuffle.
+
+    ``refine='bbox'`` uses the axis-aligned half-open test (the derived
+    test footprints are boxes); ``refine='polygon'`` runs the general
+    convex-footprint point-in-polygon kernel (per-edge cross products —
+    the path real SAR footprints need, since acquisition quads are not
+    axis-aligned) and then applies the half-open bbox mask so results
+    stay identical on box footprints.
     """
 
-    def __init__(self, index_ref, scene_cols, point_cols):
+    def __init__(self, index_ref, scene_cols, point_cols, refine: str = "bbox"):
         idx = ray.get(index_ref)
         self.__dict__.update(idx)
         self.scene_cols = scene_cols
         self.point_cols = point_cols
+        self.refine = refine
+        if refine == "polygon":
+            # CCW quad ring per scene from its corner coordinates
+            self.rings = np.stack(
+                [
+                    np.stack([self.sxmin, self.symin], axis=1),
+                    np.stack([self.sxmax, self.symin], axis=1),
+                    np.stack([self.sxmax, self.symax], axis=1),
+                    np.stack([self.sxmin, self.symax], axis=1),
+                ],
+                axis=1,
+            )  # (n_scenes, 4, 2)
+
+    def _pip_mask(self, scene_idx: np.ndarray, pl: np.ndarray, pt: np.ndarray):
+        """Vectorized point-in-convex-CCW-ring test for candidate pairs."""
+        rings = self.rings[scene_idx]  # (m, 4, 2)
+        ax = rings[:, :, 0]
+        ay = rings[:, :, 1]
+        bx = np.roll(ax, -1, axis=1)
+        by = np.roll(ay, -1, axis=1)
+        cross = (bx - ax) * (pt[:, None] - ay) - (by - ay) * (pl[:, None] - ax)
+        return (cross >= -1e-12).all(axis=1)
 
     def _empty(self, batch: pa.Table) -> pa.Table:
         cols = {c: self.emit[c].slice(0, 0) for c in self.scene_cols}
@@ -184,14 +213,16 @@ class SceneCellIndex:
         j = np.arange(total, dtype=np.int64) - np.repeat(run_off, counts)
         entry = np.repeat(lo, counts) + j
         scene_idx = self.scene_idx_sorted[entry]
-        # exact half-open bbox refine
         pl, pt = lon[point_rep], lat[point_rep]
+        # exact half-open bbox refine (general PIP first when requested)
         keep = (
             (pl >= self.sxmin[scene_idx])
             & (pl < self.sxmax[scene_idx])
             & (pt >= self.symin[scene_idx])
             & (pt < self.symax[scene_idx])
         )
+        if self.refine == "polygon":
+            keep &= self._pip_mask(scene_idx, pl, pt)
         scene_idx = scene_idx[keep]
         point_rep = point_rep[keep]
         staken = self.emit.take(pa.array(scene_idx))
@@ -216,6 +247,7 @@ def broadcast_spatial_join(
     scene_cols: tuple[str, ...] = ("scene_key",),
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
     concurrency: tuple[int, int] = (1, 8),
+    batch_size: int = 32768,
 ) -> Dataset:
     """Shuffle-free spatial join: broadcast scene index, stream points.
 
@@ -225,6 +257,11 @@ def broadcast_spatial_join(
     ``scene_cols`` requested for output are shipped/emited — pass the
     minimum the downstream stage needs. The pool autoscales from 1 so
     upstream read tasks are never starved of CPUs on small clusters.
+
+    ``batch_size`` pins per-call array sizes regardless of block sizing
+    (Ray sizes blocks by cluster parallelism; without the cap, low-CPU
+    runs get much larger per-call arrays and allocator behavior —
+    therefore throughput — would depend on cluster size).
     """
     need = sorted(set(scene_cols) | {"xmin", "ymin", "xmax", "ymax"})
     stab = materialize_small_side(scenes, need)
@@ -234,6 +271,7 @@ def broadcast_spatial_join(
         SceneCellIndex,
         batch_format="pyarrow",
         concurrency=concurrency,
+        batch_size=batch_size,
         fn_constructor_args=(ref, tuple(scene_cols), tuple(point_cols)),
     )
 
