@@ -43,20 +43,34 @@ def synth_image(seed: int) -> tuple[np.ndarray, int, int]:
     return arr, w, h
 
 
-def average_phash(arr: np.ndarray, grid: int = 8) -> int:
-    """64-bit average hash: 8×8 block-mean luma thresholded at its mean."""
+def block_mean_cells(arr: np.ndarray, grid: int = 8) -> np.ndarray:
+    """(grid, grid) block-mean luma cells via one integral image."""
     luma = arr.astype(np.float64).mean(axis=2)
     h, w = luma.shape
     ys = (np.arange(grid + 1) * h) // grid
     xs = (np.arange(grid + 1) * w) // grid
     cum = np.zeros((h + 1, w + 1))
     cum[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
-    sums = cum[ys[1:], :][:, xs[1:]] - cum[ys[:-1], :][:, xs[1:]] - cum[ys[1:], :][:, xs[:-1]] + cum[ys[:-1], :][:, xs[:-1]]
+    sums = (
+        cum[ys[1:], :][:, xs[1:]]
+        - cum[ys[:-1], :][:, xs[1:]]
+        - cum[ys[1:], :][:, xs[:-1]]
+        + cum[ys[:-1], :][:, xs[:-1]]
+    )
     areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
-    cells = sums / areas
+    return sums / areas
+
+
+def phash_from_cells(cells: np.ndarray) -> int:
+    """64-bit average hash from precomputed 8×8 block-mean cells."""
     bits = (cells > cells.mean()).ravel()
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     return int(np.int64((weights[bits].sum(dtype=np.uint64)) >> np.uint64(1)))
+
+
+def average_phash(arr: np.ndarray, grid: int = 8) -> int:
+    """64-bit average hash: 8×8 block-mean luma thresholded at its mean."""
+    return phash_from_cells(block_mean_cells(arr, grid))
 
 
 def read_image_table(path: str) -> Dataset:
