@@ -116,6 +116,81 @@ def q_dem_srtm3(sf_dir: str):
     return load_scenes(sf_dir).map_batches(_expand, batch_format="pyarrow")
 
 
+def _format_lat_arr(y: np.ndarray, pad: int) -> np.ndarray:
+    hemi = np.where(y < 0, "S", "N")
+    return np.char.add(hemi.astype("U1"), np.char.zfill(np.abs(y).astype(f"U{pad}"), pad))
+
+
+def _format_lon_arr(x: np.ndarray, pad: int) -> np.ndarray:
+    hemi = np.where(x < 0, "W", "E")
+    return np.char.add(hemi.astype("U1"), np.char.zfill(np.abs(x).astype(f"U{pad}"), pad))
+
+
+def _expand_intrange(batch: pa.Table, step: int):
+    """Vectorized intrange expansion: per-scene (row_idx, y, x) tie points."""
+    ymin = batch["ymin"].to_numpy()
+    ymax = batch["ymax"].to_numpy()
+    xmin = batch["xmin"].to_numpy()
+    xmax = batch["xmax"].to_numpy()
+    y0 = np.floor(ymin / step).astype(np.int64) * step
+    y1 = np.ceil(ymax / step).astype(np.int64) * step
+    x0 = np.floor(xmin / step).astype(np.int64) * step
+    x1 = np.ceil(xmax / step).astype(np.int64) * step
+    ny = np.maximum((y1 - y0) // step, 0)
+    nx = np.maximum((x1 - x0) // step, 0)
+    count = ny * nx
+    total = int(count.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    row_idx = np.repeat(np.arange(len(count), dtype=np.int64), count)
+    offsets = np.concatenate([[0], np.cumsum(count)[:-1]])
+    j = np.arange(total, dtype=np.int64) - np.repeat(offsets, count)
+    nx_r = np.repeat(nx, count)
+    ys = np.repeat(y0, count) + j // nx_r * step
+    xs = np.repeat(x0, count) + j % nx_r * step
+    return row_idx, ys, xs
+
+
+def q_dem_aw3d30(sf_dir: str):
+    """AW3D30 nested 5°-group/1°-tile paths per scene (auxdata.py grammar)."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        row_idx, ys, xs = _expand_intrange(batch, step=1)
+        gy = np.floor_divide(ys, 5) * 5
+        gx = np.floor_divide(xs, 5) * 5
+        names = np.char.add(
+            np.char.add(_format_lat_arr(gy, 3), _format_lon_arr(gx, 3)),
+            np.char.add(
+                "/", np.char.add(np.char.add(_format_lat_arr(ys, 3), _format_lon_arr(xs, 3)), ".tar.gz")
+            ),
+        )
+        keys = batch["scene_key"].to_numpy()[row_idx]
+        return pa.table({"scene_key": pa.array(keys), "tile": pa.array(names)})
+
+    return load_scenes(sf_dir).map_batches(_expand, batch_format="pyarrow")
+
+
+def q_dem_getasse30(sf_dir: str):
+    """GETASSE30 reversed 15° tiles per scene (digits before hemisphere)."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        row_idx, ys, xs = _expand_intrange(batch, step=15)
+        names = np.char.add(
+            np.char.add(
+                np.char.add(np.char.zfill(np.abs(ys).astype("U2"), 2), np.where(ys < 0, "S", "N")),
+                np.char.add(np.char.zfill(np.abs(xs).astype("U3"), 3), np.where(xs < 0, "W", "E")),
+            ),
+            "_GETASSE30.zip",
+        )
+        keys = batch["scene_key"].to_numpy()[row_idx]
+        return pa.table({"scene_key": pa.array(keys), "tile": pa.array(names)})
+
+    return load_scenes(sf_dir).map_batches(_expand, batch_format="pyarrow")
+
+
 def q_archive_select(sf_dir: str):
     from pyrosar_ray.catalog.archive import RayArchive
     from pyrosar_ray.pipelines.tables import load_scenes
@@ -571,6 +646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
         "dem_srtm3": q_dem_srtm3,
+        "dem_aw3d30": q_dem_aw3d30,
+        "dem_getasse30": q_dem_getasse30,
         "archive_select": q_archive_select,
         "archive_select_overlap": q_archive_select_overlap,
         "archive_select_spatial": q_archive_select_spatial,
@@ -670,6 +747,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT scene_key,
                    'srtm_' || lpad(x::VARCHAR, 2, '0') || '_' ||
                    lpad(y::VARCHAR, 2, '0') || '.zip' AS tile
+            FROM x_exp
+        """,
+        "dem_aw3d30": f"""
+            {_SCENES},
+            y_exp AS (
+                SELECT scene_key, xmin, xmax,
+                       unnest(generate_series(floor(ymin)::BIGINT,
+                                              ceil(ymax)::BIGINT - 1)) AS y
+                FROM scenes
+            ),
+            x_exp AS (
+                SELECT scene_key, y,
+                       unnest(generate_series(floor(xmin)::BIGINT,
+                                              ceil(xmax)::BIGINT - 1)) AS x
+                FROM y_exp
+            )
+            SELECT scene_key,
+                   (CASE WHEN floor(y / 5.0) * 5 < 0 THEN 'S' ELSE 'N' END ||
+                    lpad(abs(floor(y / 5.0) * 5)::BIGINT::VARCHAR, 3, '0') ||
+                    CASE WHEN floor(x / 5.0) * 5 < 0 THEN 'W' ELSE 'E' END ||
+                    lpad(abs(floor(x / 5.0) * 5)::BIGINT::VARCHAR, 3, '0') || '/' ||
+                    CASE WHEN y < 0 THEN 'S' ELSE 'N' END ||
+                    lpad(abs(y)::VARCHAR, 3, '0') ||
+                    CASE WHEN x < 0 THEN 'W' ELSE 'E' END ||
+                    lpad(abs(x)::VARCHAR, 3, '0') || '.tar.gz') AS tile
+            FROM x_exp
+        """,
+        "dem_getasse30": f"""
+            {_SCENES},
+            y_exp AS (
+                SELECT scene_key, xmin, xmax,
+                       unnest(generate_series(floor(ymin / 15.0)::BIGINT * 15,
+                                              ceil(ymax / 15.0)::BIGINT * 15 - 15,
+                                              15)) AS y
+                FROM scenes
+            ),
+            x_exp AS (
+                SELECT scene_key, y,
+                       unnest(generate_series(floor(xmin / 15.0)::BIGINT * 15,
+                                              ceil(xmax / 15.0)::BIGINT * 15 - 15,
+                                              15)) AS x
+                FROM y_exp
+            )
+            SELECT scene_key,
+                   (lpad(abs(y)::VARCHAR, 2, '0') ||
+                    CASE WHEN y < 0 THEN 'S' ELSE 'N' END ||
+                    lpad(abs(x)::VARCHAR, 3, '0') ||
+                    CASE WHEN x < 0 THEN 'W' ELSE 'E' END ||
+                    '_GETASSE30.zip') AS tile
             FROM x_exp
         """,
         "archive_select": f"""

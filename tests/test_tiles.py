@@ -70,3 +70,25 @@ def test_expand_bbox_tiles_matches_scalar():
         expected = [t[:-4] for t in hgt_tiles(xmin[i], xmax[i], ymin[i], ymax[i])]
         got = list(names[row_idx == i])
         assert got == expected, i
+
+
+def test_vectorized_dem_expansion_matches_scalar():
+    """__ray_entry__'s vectorized AW3D30/GETASSE30 expansions agree with
+    the golden-tested scalar dem_tile_ids grammar."""
+    import pyarrow as pa
+
+    from __ray_entry__ import q_dem_aw3d30, q_dem_getasse30  # noqa: E402
+    from pyrosar_ray.functions.tiles import dem_tile_ids
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    scenes = load_scenes("/root/testdata/sf0.001").limit(50).to_pandas()
+    aw = q_dem_aw3d30("/root/testdata/sf0.001").to_pandas()
+    ge = q_dem_getasse30("/root/testdata/sf0.001").to_pandas()
+    for _, sc in scenes.head(10).iterrows():
+        extent = {"xmin": sc.xmin, "xmax": sc.xmax, "ymin": sc.ymin, "ymax": sc.ymax}
+        want_aw = sorted(dem_tile_ids(extent, "AW3D30"))
+        got_aw = sorted(aw[aw.scene_key == sc.scene_key]["tile"])
+        assert got_aw == want_aw
+        want_ge = sorted(dem_tile_ids(extent, "GETASSE30"))
+        got_ge = sorted(ge[ge.scene_key == sc.scene_key]["tile"])
+        assert got_ge == want_ge
