@@ -1,0 +1,84 @@
+"""16-attribute scene contract + the golden S1/PSR2 records."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyrosar_ray.catalog.schema import LOCAL_ATTRS, SCENE_SCHEMA, validate_record, validate_table
+from pyrosar_ray.functions.geometry import corners
+from pyrosar_ray.functions.tiles import hgt_tiles
+
+#: the reference test suite's golden S1 GRD record
+#: (/root/reference/tests/test_drivers.py:23-55)
+S1_GOLDEN = {
+    "sensor": "S1A",
+    "acquisition_mode": "IW",
+    "orbit": "A",
+    "start": "20150222T170750",
+    "stop": "20150222T170815",
+    "product": "GRD",
+    "samples": 25368,
+    "lines": 16685,
+    "orbitNumber_abs": 4703,
+    "orbitNumber_rel": 131,
+    "cycleNumber": 29,
+    "frameNumber": 159,
+    "polarizations": ["VV", "VH"],
+    "spacing": (10.0, 9.998647),
+    "projection": 'GEOGCS["WGS 84"...]',
+    "coordinates": [
+        (8.505644, 50.295261),
+        (12.0268, 50.688881),
+        (11.653832, 52.183979),
+        (8.017178, 51.788181),
+    ],
+}
+
+
+def test_validate_record_complete_and_missing():
+    validate_record(S1_GOLDEN)
+    broken = dict(S1_GOLDEN)
+    del broken["spacing"]
+    broken["orbit"] = None
+    with pytest.raises(KeyError) as err:
+        validate_record(broken)
+    assert "spacing" in str(err.value) and "orbit" in str(err.value)
+
+
+def test_schema_covers_all_attrs():
+    assert set(LOCAL_ATTRS) == set(SCENE_SCHEMA.names)
+    empty = pa.table({name: pa.array([], SCENE_SCHEMA.field(name).type) for name in SCENE_SCHEMA.names})
+    validate_table(empty)
+    with pytest.raises(KeyError):
+        validate_table(empty.drop_columns(["polarizations"]))
+
+
+def test_s1_golden_derived_values():
+    """The golden record reproduces the reference's derived anchors:
+    corners and HGT tile count (tests/test_drivers.py:27-28)."""
+    pts = np.array(S1_GOLDEN["coordinates"])
+    c = corners(pts)
+    assert c == {
+        "xmin": 8.017178,
+        "xmax": 12.0268,
+        "ymin": 50.295261,
+        "ymax": 52.183979,
+    }
+    assert len(hgt_tiles(c["xmin"], c["xmax"], c["ymin"], c["ymax"])) == 15
+
+
+def test_psr2_golden_corners():
+    """PSR2 golden corners (tests/test_drivers.py:43) via the µdeg path."""
+    from pyrosar_ray.sources.drivers import encode_ceosish, parse_ceosish
+
+    meta = {
+        "sensor": "PSR2",
+        "acquisition_mode": "FBD",
+        "orbit": "A",
+        "start": "20140909T043342",
+        "lines": 100,
+        "samples": 100,
+    }
+    rec = parse_ceosish(encode_ceosish(meta, lon_udeg=-62_900_521, lat_udeg=-11_423_305))
+    assert rec["lon"] == -62.900521  # matches xmin -62.9005207 at µdeg precision
+    assert rec["lat"] == -11.423305
