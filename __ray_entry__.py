@@ -367,12 +367,16 @@ def q_events_props(sf_dir: str):
     def _extract(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        k = (
-            pd.Series(batch["props"].to_pylist(), dtype="string")
-            .str.extract(r'"k":\s*(\d+)', expand=False)
-            .astype("int64")
+        k = pd.to_numeric(
+            pd.Series(batch["props"].to_pylist(), dtype="string").str.extract(
+                r'"k":\s*(\d+)', expand=False
+            ),
+            errors="coerce",
+        ).astype("Int64")  # rows without the key become NULL, like the
+        # oracle's CAST(regexp_extract(...)) — Sum skips nulls both sides
+        return pa.table(
+            {"event_type": batch["event_type"], "k": pa.array(k, from_pandas=True)}
         )
-        return pa.table({"event_type": batch["event_type"], "k": pa.array(k.to_numpy())})
 
     return (
         events.map_batches(_extract, batch_format="pyarrow")
@@ -437,13 +441,17 @@ def q_spatial_knn(sf_dir: str):
     def _sample(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.array(batch["point_id"].to_numpy() % 100 == 0))
 
+    from ray.data.aggregate import Min
+
     points = (
         load_points(sf_dir)
         .map_batches(_sample, batch_format="pyarrow")
         # lineitem carries duplicate (orderkey, linenumber) pairs → dedup
-        # probe ids (duplicates are identical rows; keep one)
+        # probe ids; duplicate rows are identical, so a Min aggregate per
+        # id (Arrow C++ hash-agg, partial-combined) reproduces head(1)
+        # without per-group pandas calls
         .groupby("point_id")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Min("lon", alias_name="lon"), Min("lat", alias_name="lat"))
     )
     return spatial_knn(load_scenes(sf_dir), points, k=5)
 

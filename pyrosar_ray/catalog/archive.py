@@ -277,12 +277,17 @@ class RayArchive:
             uniq = sorted(set(dirs))
             return pa.table({"directory": pa.array(uniq, type=pa.string())})
 
-        # per-batch dedup partial → tiny global distinct
+        # per-batch dedup partial → tiny global distinct via a C++ hash
+        # aggregate (no per-group pandas calls)
+        from ray.data.aggregate import Count
+
         partials = self.data.select_columns(["scene"]).map_batches(
             _dirs, batch_format="pyarrow"
         )
-        return partials.groupby("directory").map_groups(
-            lambda g: g.head(1), batch_format="pandas"
+        return (
+            partials.groupby("directory")
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
         )
 
     def drop_element(self, outname_base: str, product: str) -> "RayArchive":

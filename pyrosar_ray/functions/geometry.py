@@ -160,6 +160,49 @@ def bbox_ring(xmin: float, ymin: float, xmax: float, ymax: float) -> np.ndarray:
     )
 
 
+def boxes_intersect_convex(
+    ring: np.ndarray,
+    xmin: np.ndarray,
+    ymin: np.ndarray,
+    xmax: np.ndarray,
+    ymax: np.ndarray,
+) -> np.ndarray:
+    """Vectorized exact intersects of M axis-aligned boxes vs ONE convex ring.
+
+    Full separating-axis test (touch counts as intersect, matching
+    :func:`convex_intersects`): the box axes reduce to a bbox-interval
+    overlap against the ring's bounds; the ring's edge normals are tested
+    with the boxes' support points selected by normal sign — an O(E)
+    loop of O(M) numpy ops, no per-box Python.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    xmin = np.asarray(xmin, dtype=np.float64)
+    ymin = np.asarray(ymin, dtype=np.float64)
+    xmax = np.asarray(xmax, dtype=np.float64)
+    ymax = np.asarray(ymax, dtype=np.float64)
+    keep = (
+        (xmin <= ring[:, 0].max())
+        & (xmax >= ring[:, 0].min())
+        & (ymin <= ring[:, 1].max())
+        & (ymax >= ring[:, 1].min())
+    )
+    edges = np.roll(ring, -1, axis=0) - ring
+    axes = np.stack([-edges[:, 1], edges[:, 0]], axis=1)
+    proj = ring @ axes.T  # (V, E)
+    pmin = proj.min(axis=0)
+    pmax = proj.max(axis=0)
+    for e in range(len(axes)):
+        if not keep.any():
+            break
+        nx, ny = axes[e]
+        bx_lo, bx_hi = (xmin, xmax) if nx >= 0 else (xmax, xmin)
+        by_lo, by_hi = (ymin, ymax) if ny >= 0 else (ymax, ymin)
+        lo = nx * bx_lo + ny * by_lo
+        hi = nx * bx_hi + ny * by_hi
+        keep &= ~((hi < pmin[e]) | (pmax[e] < lo))
+    return keep
+
+
 def bbox_intersects(
     axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
 ) -> np.ndarray:

@@ -174,7 +174,20 @@ def split(plan: Plan, groups: list[list[str]]) -> list[Plan]:
                 if src in member:
                     new_sources.append(src)
                 else:
-                    product = prod_tmp.get(src, plan.suffix(stop=src))
+                    product = prod_tmp.get(src)
+                    if product is None:
+                        # branched DAGs: the cross-group source was not its
+                        # group's last worker, so no Write was auto-appended
+                        # for it — inject one into the owning sub-plan so the
+                        # Read below has a producer.
+                        product = plan.suffix(stop=src)
+                        prod_tmp[src] = product
+                        for prev in out:
+                            if src in prev.ids():
+                                wid = f"Write ({src})"
+                                if wid not in prev.ids():
+                                    prev.add(Node(wid, "Write", {"file": product}, [src]))
+                                break
                     read_id = f"Read ({src})"
                     if read_id not in sub.ids():
                         sub.add(Node(read_id, "Read", {"file": product}, []))

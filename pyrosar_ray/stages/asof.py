@@ -39,8 +39,18 @@ class _TierIndex:
         order = np.argsort(start, kind="stable")
         self.start = start[order]
         self.ids = ids[order]
-        # orderable composite key: higher publish wins, then lower id
-        key = publish[order].astype(np.int64) * (1 << 21) - ids[order]
+        # Orderable key via a dense rank instead of an arithmetic composite
+        # (publish*(1<<21)-id overflows / inverts for large ids or sub-second
+        # publish units): lexsort by (publish desc, id asc) and take the
+        # NEGATED rank, so argmax(key) = max publish then min id for any
+        # int/float publish domain and unbounded ids.
+        pub = publish[order]
+        # dense-rank publish first so negation can't overflow any dtype
+        _, pub_rank = np.unique(pub, return_inverse=True)
+        best_first = np.lexsort((ids[order], -pub_rank))
+        rank = np.empty(len(best_first), dtype=np.int64)
+        rank[best_first] = np.arange(len(best_first), dtype=np.int64)
+        key = -rank
         n = len(key)
         levels = max(1, int(np.floor(np.log2(n))) + 1) if n else 1
         # sparse table of argmax indices: st[k][i] = argmax key over [i, i+2^k)

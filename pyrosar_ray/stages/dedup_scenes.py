@@ -12,6 +12,7 @@ rows identically (SURVEY.md §7.4-2).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -91,7 +92,15 @@ def mark_duplicates(
                 "\x00",
             )
             pos = self.index.get_indexer(pd.Index(combined.to_pandas()))
-            dup = self.winner_scene[pos] != batch["scene"].to_numpy(zero_copy_only=False)
+            # A key absent from the winner table (possible when the winner
+            # pass and mark pass recompute a non-materialized input, or on
+            # caller-supplied winner drift) must not be compared against an
+            # arbitrary winner row: treat it as its own winner (not dup).
+            found = pos >= 0
+            dup = np.zeros(len(pos), dtype=bool)
+            if found.any():
+                scene = batch["scene"].to_numpy(zero_copy_only=False)
+                dup[found] = self.winner_scene[pos[found]] != scene[found]
             return batch.append_column("is_duplicate", pa.array(dup))
 
     return scenes.map_batches(_Mark, batch_format="pyarrow", concurrency=(1, 4))

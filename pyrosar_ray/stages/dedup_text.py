@@ -191,17 +191,20 @@ def minhash_band_rows(
 
 
 def keep_multi_member_buckets(
-    ds: Dataset, key_cols: tuple[str, ...], combine: str = "driver"
+    ds: Dataset, key_cols: tuple[str, ...], combine: str = "shuffle"
 ) -> Dataset:
     """Drop rows whose bucket has a single member (vectorized prefilter).
 
     LSH buckets are overwhelmingly singletons; per-group functions must
     only ever see REAL candidate buckets. Bucket sizes come from
-    per-batch partial counts merged driver-side (``combine='driver'``,
-    right while distinct-bucket partials are driver-sized) or a
-    distributed groupby-sum (``combine='shuffle'``); the multi-member
-    key set (proportional to actual near-dups, small) broadcasts back
-    as a filter.
+    per-batch partial counts followed by a distributed groupby-Sum
+    (``combine='shuffle'``, the default — band-hash key space is 63-bit,
+    unbounded, so the full count table must never land on the driver);
+    ``combine='driver'`` merges partials driver-side and is only valid
+    for provably-bounded key domains. Either way, ONLY the multi-member
+    key set (proportional to actual near-dups, small) is collected and
+    broadcast; batches are filtered with a vectorized hash semi-join
+    (pandas MultiIndex.isin — C hash probe, no per-row Python).
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -213,36 +216,67 @@ def keep_multi_member_buckets(
     if combine == "shuffle":
         from ray.data.aggregate import Sum
 
-        counts = partials.groupby(list(key_cols)).aggregate(Sum("size", alias_name="size")).to_pandas()
+        from .spatial import materialize_small_side
+
+        counts_ds = partials.groupby(list(key_cols)).aggregate(
+            Sum("size", alias_name="size")
+        )
+        # drop singletons BEFORE collecting — only near-dup volume ships
+        multi_ds = counts_ds.map_batches(
+            lambda b: b.filter(pa.compute.greater(b["size"], 1)),
+            batch_format="pyarrow",
+        )
+        multi = materialize_small_side(multi_ds, list(key_cols)).to_pandas()
     else:
         counts = partials.to_pandas().groupby(list(key_cols), as_index=False)["size"].sum()
-    multi = counts[counts["size"] > 1]
-    keys = frozenset(map(tuple, multi[list(key_cols)].itertuples(index=False)))
+        multi = counts[counts["size"] > 1][list(key_cols)]
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        df = batch.select(list(key_cols)).to_pandas()
-        mask = pa.array([t in keys for t in df.itertuples(index=False, name=None)])
-        return batch.filter(mask)
+    import ray
 
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    ref = ray.put(multi)
+
+    class _Filter:
+        def __init__(self):
+            self.index = pd.MultiIndex.from_frame(ray.get(ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.select(list(key_cols)).to_pandas()
+            mask = pd.MultiIndex.from_frame(df).isin(self.index)
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
 
 
-def minhash_candidate_pairs(docs: Dataset, **kwargs) -> Dataset:
-    """Near-dup candidate pairs (a < b) from LSH band buckets, deduplicated."""
+def minhash_candidate_pairs(
+    docs: Dataset, combine: str = "shuffle", **kwargs
+) -> Dataset:
+    """Near-dup candidate pairs (a < b) from LSH band buckets, deduplicated.
+
+    ``combine`` is forwarded to :func:`keep_multi_member_buckets` (default
+    distributed groupby-Sum; 'driver' only for bounded key domains).
+    """
     id_col = kwargs.get("id_col", "doc_id")
     band_rows = keep_multi_member_buckets(
-        minhash_band_rows(docs, **kwargs), ("band", "band_hash")
+        minhash_band_rows(docs, **kwargs), ("band", "band_hash"), combine=combine
     )
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(group[id_col].tolist())
         pairs = list(combinations(ids, 2)) if len(ids) > 1 else []
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([a for a, _ in pairs], dtype="int64"),
+                "id_b": pd.Series([b for _, b in pairs], dtype="int64"),
+            }
+        )
 
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pandas")
-    # a pair can surface from several bands → distinct
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a pair can surface from several bands → distinct via a C++ hash
+    # aggregate (no per-group pandas calls)
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
 
 
@@ -250,19 +284,25 @@ def minhash_candidate_pairs(docs: Dataset, **kwargs) -> Dataset:
 
 
 def simhash(texts, bits: int = 64) -> np.ndarray:
-    """64-bit SimHash per text from token hash bit-votes (vectorized)."""
-    out = np.empty(len(texts), dtype=np.int64)
+    """64-bit SimHash per text from token hash bit-votes.
+
+    Fully batch-vectorized: one token-hash pass over the concatenated
+    batch, per-doc bit votes via segmented ``np.add.reduceat`` — no
+    per-text Python loop.
+    """
+    if len(texts) == 0:
+        return np.zeros(0, dtype=np.int64)
     weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        th = _token_hashes(t)
-        if len(th) == 0:
-            out[i] = 0
-            continue
-        votes = ((th[:, None] & weights[None, :]) != 0).sum(axis=0)
-        sig = np.uint64(0)
-        sig = (weights[votes * 2 > len(th)]).sum(dtype=np.uint64)
-        out[i] = np.int64(sig >> np.uint64(1))  # keep sign bit clear for int64
-    return out
+    tok_lists = [t.split(" ") for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [tok for lst in tok_lists for tok in lst]
+    th = _token_hash_matrix(np.array(flat, dtype=f"S{_TOKEN_BYTES}"))
+    bitmat = (th[:, None] & weights[None, :]) != 0  # (total_tokens, bits)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    votes = np.add.reduceat(bitmat, offsets, axis=0)  # (n_docs, bits)
+    sigbits = votes * 2 > counts[:, None]
+    sig = (sigbits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return (sig >> np.uint64(1)).astype(np.int64)  # keep sign bit clear
 
 
 def simhash_column(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
@@ -290,22 +330,72 @@ def jaccard_pairs(
     shares the identical block + threshold definition). Jaccard is
     computed on distinct whitespace tokens; the emitted ``jac`` value is
     one int/int double division → bit-equal to SQL.
+
+    All-pairs intersection sizes come from a tiled boolean-incidence
+    matrix product (dense-rank tokens → ``A[docs, tokens]`` → one BLAS
+    matmul per row tile), not per-pair Python set ops: exact for every
+    pair, O(n²·T) flops but vectorized, and peak memory bounded by the
+    tile budget (~128 MB) regardless of block size. The quadratic term
+    is still inherent to exact all-pairs within a block — callers with
+    unbounded hot blocks should pre-block on a finer key.
     """
+    _empty = {
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "jac": pd.Series(dtype="float64"),
+    }
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(id_col, kind="mergesort")
-        ids = group[id_col].tolist()
-        sets = [set(t.split(" ")) for t in group[text_col]]
-        out_a, out_b, out_j = [], [], []
-        for i, j in combinations(range(len(ids)), 2):
-            inter = len(sets[i] & sets[j])
-            union = len(sets[i]) + len(sets[j]) - inter
-            jac = inter / union if union else 0.0
-            if jac >= threshold:
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-                out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jac": out_j})
+        ids = group[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(_empty)
+        tok_lists = [t.split(" ") for t in group[text_col]]
+        doc_idx = np.repeat(np.arange(n), [len(t) for t in tok_lists])
+        codes, uniques = pd.factorize(
+            np.array([tok for lst in tok_lists for tok in lst], dtype=object)
+        )
+        T = len(uniques)
+        # distinct (doc, token) incidence
+        A = np.zeros((n, T), dtype=bool)
+        A[doc_idx, codes] = True
+        sizes = A.sum(axis=1).astype(np.int64)
+        budget = 1 << 25  # floats per tile (~128 MB)
+        if n * T <= budget:
+            Af = A.astype(np.float32)
+        else:
+            Af = None
+        row_chunk = max(1, budget // max(n, 1))
+        tok_chunk = max(1, budget // max(n, 1))
+        frames = []
+        for r0 in range(0, n, row_chunk):
+            r1 = min(n, r0 + row_chunk)
+            if Af is not None:
+                inter = Af[r0:r1] @ Af.T
+            else:
+                inter = np.zeros((r1 - r0, n), dtype=np.float32)
+                for t0 in range(0, T, tok_chunk):
+                    t1 = min(T, t0 + tok_chunk)
+                    inter += A[r0:r1, t0:t1].astype(np.float32) @ A[:, t0:t1].T.astype(np.float32)
+            inter = inter.astype(np.int64)
+            union = sizes[r0:r1, None] + sizes[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            ii, jj = np.nonzero((jac >= threshold) & (np.arange(n)[None, :] > np.arange(r0, r1)[:, None]))
+            if len(ii):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ii + r0].astype(np.int64),
+                            "id_b": ids[jj].astype(np.int64),
+                            "jac": jac[ii, jj],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(_empty)
+        return pd.concat(frames, ignore_index=True)
 
     return (
         docs.select_columns([id_col, text_col, block_col])

@@ -366,12 +366,36 @@ def phash_near_dup_pairs(
         g = group.sort_values(id_col, kind="mergesort")
         ids = g[id_col].tolist()
         ph = g["phash"].to_numpy().astype(np.uint64)
-        rows = []
-        for i, j in combinations(range(len(ids)), 2):
-            ham = int(bin(int(ph[i]) ^ int(ph[j])).count("1"))
-            if ham <= max_hamming and ids[i] != ids[j]:
-                rows.append((min(ids[i], ids[j]), max(ids[i], ids[j]), ham))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        n = len(ids)
+        if n > 1:
+            # vectorized all-pairs popcount inside the (small) bucket
+            ii, jj = np.triu_indices(n, k=1)
+            x = ph[ii] ^ ph[jj]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while True:
+                nz = x != 0
+                if not nz.any():
+                    break
+                ham[nz] += 1
+                x = x & (x - np.uint64(1))
+            keep = ham <= max_hamming
+            ii, jj, ham = ii[keep], jj[keep], ham[keep]
+        else:
+            ii = jj = np.zeros(0, dtype=np.int64)
+            ham = np.zeros(0, dtype=np.int64)
+        a = np.array(ids, dtype=object)
+        id_a = np.minimum(a[ii], a[jj])
+        id_b = np.maximum(a[ii], a[jj])
+        neq = id_a != id_b  # an id may appear twice in a bucket
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(id_a[neq], dtype="string"),
+                "id_b": pd.Series(id_b[neq], dtype="string"),
+                "hamming": pd.Series(ham[neq], dtype="int64"),
+            }
+        )
+
+    from ray.data.aggregate import Min
 
     from .dedup_text import keep_multi_member_buckets
 
@@ -381,6 +405,8 @@ def phash_near_dup_pairs(
     pairs = band_rows.groupby(["band", "band_key"]).map_groups(
         _pairs, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a pair can surface from several bands → distinct via aggregate
+    # (hamming is pair-determined, so Min is the identity)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )

@@ -55,14 +55,20 @@ def sessionize_range_partitioned(
     The scale path for keys whose event volume outgrows one reducer
     (SURVEY.md §2.5 groupbyTime row): rows hash on (key, coarse time
     bucket), each partition sessionizes its own sorted range, and
-    bucket-edge sessions are stitched by a driver pass over the
-    per-bucket summaries (first/last timestamp + local session count —
-    one tiny row per (key, bucket)). A session spanning buckets b, b+1
-    merges when the cross-boundary gap ≤ ``gap_us``; merged offsets
-    cascade so final ids equal the single-partition result exactly.
+    bucket-edge sessions are stitched from per-bucket summaries
+    (first/last timestamp + local session count — one tiny row per
+    (key, bucket), produced by a distributed Min/Max aggregate). The
+    stitch itself is a vectorized per-key exclusive prefix-sum over the
+    sorted summaries (groupby-cumsum of session counts minus cumsum of
+    boundary merges — no Python loop), broadcast as an indexed table
+    and probed per batch with one ``MultiIndex.get_indexer`` hash probe.
+    A session spanning buckets b, b+1 merges when the cross-boundary
+    gap ≤ ``gap_us``; merged offsets cascade so final ids equal the
+    single-partition result exactly.
     """
     import pyarrow as pa
     import ray
+    from ray.data.aggregate import Max, Min
 
     def _bucket(batch: "pa.Table") -> "pa.Table":
         us = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -74,55 +80,59 @@ def sessionize_range_partitioned(
         df = sessionize_group(df, ts_col, gap_us).rename(
             columns={"session_id": "_local_sid"}
         )
-        return df
+        us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return df.assign(_us=us)
 
     local = bucketed.groupby([key_col, "_bucket"]).map_groups(_local, batch_format="pandas")
 
-    # per-(key, bucket) summaries — tiny, driver-merged
-    def _summary(df: pd.DataFrame) -> pd.DataFrame:
-        us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        return pd.DataFrame(
-            {
-                key_col: [df[key_col].iloc[0]],
-                "_bucket": [df["_bucket"].iloc[0]],
-                "first_us": [int(us.min())],
-                "last_us": [int(us.max())],
-                "n_sessions": [int(df["_local_sid"].max()) + 1],
-            }
-        )
-
+    # per-(key, bucket) summaries: distributed C++ aggregate, tiny result
     summaries = (
-        local.groupby([key_col, "_bucket"]).map_groups(_summary, batch_format="pandas").to_pandas()
+        local.groupby([key_col, "_bucket"])
+        .aggregate(
+            Min("_us", alias_name="first_us"),
+            Max("_us", alias_name="last_us"),
+            Max("_local_sid", alias_name="_max_sid"),
+        )
+        .to_pandas()
+        .sort_values([key_col, "_bucket"], kind="mergesort")
+        .reset_index(drop=True)
     )
-    summaries = summaries.sort_values([key_col, "_bucket"], kind="mergesort")
-    offsets: dict[tuple, int] = {}
-    for key, grp in summaries.groupby(key_col):
-        running = 0
-        prev_last = None
-        for _, row in grp.iterrows():  # summaries are tiny (one row per bucket)
-            merged = prev_last is not None and (row["first_us"] - prev_last) <= gap_us
-            if merged:
-                running -= 1  # first local session continues the previous one
-            offsets[(key, row["_bucket"])] = running
-            running += int(row["n_sessions"])
-            prev_last = row["last_us"]
-    ref = ray.put(offsets)
+    n_sessions = summaries["_max_sid"].to_numpy().astype(np.int64) + 1
+    same_key = summaries[key_col].eq(summaries[key_col].shift()).to_numpy()
+    gap_prev = summaries["first_us"].to_numpy() - summaries["last_us"].shift().to_numpy()
+    merged = same_key & (gap_prev <= gap_us)
+    # offset_i = Σ_{j<i, same key} n_sessions_j − (#merged boundaries ≤ i)
+    cum_sessions = (
+        pd.Series(n_sessions).groupby(summaries[key_col], sort=False).cumsum().to_numpy()
+        - n_sessions
+    )
+    cum_merged = (
+        pd.Series(merged.astype(np.int64))
+        .groupby(summaries[key_col], sort=False)
+        .cumsum()
+        .to_numpy()
+    )
+    stitch = summaries[[key_col, "_bucket"]].copy()
+    stitch["_offset"] = cum_sessions - cum_merged
+    ref = ray.put(stitch)
 
     class _Adjust:
         def __init__(self):
-            self.offsets = ray.get(ref)
+            s = ray.get(ref)
+            self.index = pd.MultiIndex.from_frame(s[[key_col, "_bucket"]])
+            self.offset = s["_offset"].to_numpy()
 
         def __call__(self, batch: "pa.Table") -> "pa.Table":
-            keys = batch[key_col].to_numpy()
-            buckets = batch["_bucket"].to_numpy()
-            local_sid = batch["_local_sid"].to_numpy()
-            off = np.fromiter(
-                (self.offsets[(k, b)] for k, b in zip(keys.tolist(), buckets.tolist())),
-                dtype=np.int64,
-                count=len(keys),
+            probe = pd.MultiIndex.from_arrays(
+                [batch[key_col].to_pandas(), batch["_bucket"].to_pandas()]
             )
-            out = batch.append_column("session_id", pa.array(local_sid + off))
-            return out.drop_columns(["_bucket", "_local_sid"])
+            pos = self.index.get_indexer(probe)
+            assert (pos >= 0).all(), "(key, bucket) missing from stitch table"
+            local_sid = batch["_local_sid"].to_numpy()
+            out = batch.append_column(
+                "session_id", pa.array(local_sid + self.offset[pos])
+            )
+            return out.drop_columns(["_bucket", "_local_sid", "_us"])
 
     return local.map_batches(_Adjust, batch_format="pyarrow", concurrency=(1, 4))
 

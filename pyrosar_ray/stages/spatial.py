@@ -27,7 +27,7 @@ import ray
 from ray.data import Dataset
 
 from ..functions.cells import cell_cover_bbox, cell_of_points
-from ..functions.geometry import bbox_ring, convex_intersects, wkb_to_ring
+from ..functions.geometry import boxes_intersect_convex, wkb_to_ring
 
 
 def add_point_cells(points: Dataset, res: int = 0) -> Dataset:
@@ -237,7 +237,14 @@ def materialize_small_side(ds: Dataset, columns: list[str]) -> pa.Table:
     round-trip; block refs are fetched zero-copy and concatenated)."""
     refs = ds.select_columns(columns).to_arrow_refs()
     tables = ray.get(refs)
-    return pa.concat_tables([t for t in tables if len(t) > 0]).combine_chunks()
+    nonempty = [t for t in tables if len(t) > 0]
+    if not nonempty:
+        # fully-empty input (e.g. an empty catalog): keep the schema from
+        # any block, or synthesize one so downstream joins see 0 rows
+        if tables:
+            return tables[0].combine_chunks()
+        return pa.table({c: pa.array([], type=pa.null()) for c in columns})
+    return pa.concat_tables(nonempty).combine_chunks()
 
 
 def broadcast_spatial_join(
@@ -305,13 +312,13 @@ def broadcast_polygon_filter(
                 & (ymin <= self.qymax)
                 & (ymax >= self.qymin)
             )
-            if exact:
-                # exact separating-axis test, bbox-prefiltered candidates only
+            if exact and keep.any():
+                # exact separating-axis refine, vectorized across all
+                # bbox-prefiltered candidates (no per-row Python)
                 idx = np.flatnonzero(keep)
-                for i in idx:
-                    box = bbox_ring(xmin[i], ymin[i], xmax[i], ymax[i])
-                    if not convex_intersects(box, self.ring):
-                        keep[i] = False
+                keep[idx] = boxes_intersect_convex(
+                    self.ring, xmin[idx], ymin[idx], xmax[idx], ymax[idx]
+                )
             return batch.filter(pa.array(keep))
 
     return scenes.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 2))
