@@ -620,6 +620,110 @@ def q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(corpus, qids, qmat, k=10)
 
 
+def q_identify_scenes(sf_dir: str):
+    """Real-grammar ingest loop: encode SAFE / CEOS_PSR / TSX blobs per
+    sampled order key, parse them back through identify_many (full
+    16-attribute contract, validated), then derive the catalog columns
+    (outname_base + corners). Reference: drivers.py:220-231 identify →
+    config.py:20-25 contract → archive insert projection."""
+    import ray.data
+
+    from pyrosar_ray.derive import scene_blobs
+    from pyrosar_ray.sources.drivers import derive_catalog_columns, identify_many
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def _blobs(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        return scene_blobs(keys[keys % 20 == 0])
+
+    blobs = orders.map_batches(_blobs, batch_format="pyarrow")
+    recs = identify_many(blobs, keep_cols=("scene_key", "fmt"))
+    cat = derive_catalog_columns(recs)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        i64 = lambda c: pc.cast(batch[c], pa.int64())  # noqa: E731
+        return pa.table(
+            {
+                "scene_key": batch["scene_key"],
+                "fmt": batch["fmt"],
+                "sensor": batch["sensor"],
+                "acquisition_mode": batch["acquisition_mode"],
+                "orbit": batch["orbit"],
+                "start": batch["start"],
+                "stop": batch["stop"],
+                "product": batch["product"],
+                "samples": i64("samples"),
+                "lines": i64("lines"),
+                "orbitNumber_abs": i64("orbitNumber_abs"),
+                "orbitNumber_rel": i64("orbitNumber_rel"),
+                "cycleNumber": i64("cycleNumber"),
+                "frameNumber": i64("frameNumber"),
+                "n_pol": pc.cast(
+                    pc.list_value_length(batch["polarizations"].combine_chunks()),
+                    pa.int64(),
+                ),
+                "sp_rg": pc.struct_field(batch["spacing"], "rg"),
+                "sp_az": pc.struct_field(batch["spacing"], "az"),
+                "outname_base": batch["outname_base"],
+                "xmin": batch["xmin"],
+                "ymin": batch["ymin"],
+                "xmax": batch["xmax"],
+                "ymax": batch["ymax"],
+            }
+        )
+
+    return cat.map_batches(_project, batch_format="pyarrow")
+
+
+IDENTIFY_SQL = """
+    WITH m AS (
+        SELECT o_orderkey AS k,
+            ['SAFE','CEOS_PSR','TSX'][(o_orderkey % 3 + 1)::INT] AS fmt,
+            ['S1A','PSR2','TSX1'][(o_orderkey % 3 + 1)::INT] AS sensor,
+            ['IW','FBD','SM'][(o_orderkey % 3 + 1)::INT] AS acquisition_mode,
+            CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'D' END AS orbit,
+            strftime(TIMESTAMP '2015-01-01' + to_seconds(o_orderkey * 524287 % 31536000),
+                     '%Y%m%dT%H%M%S') AS start,
+            strftime(TIMESTAMP '2015-01-01' + to_seconds(o_orderkey * 524287 % 31536000 + 25),
+                     '%Y%m%dT%H%M%S') AS stop,
+            ['GRD','1.5','MGD'][(o_orderkey % 3 + 1)::INT] AS product,
+            (o_orderkey * 37 % 9000 + 1000) * 2 AS lines,
+            (o_orderkey * 53 % 9000 + 1200) * 2 AS samples,
+            o_orderkey % 99000 + 1 AS onum,
+            CASE WHEN o_orderkey % 3 = 1 THEN 207 ELSE 175 END AS per_cycle,
+            o_orderkey % 9999 + 1 AS frameNumber,
+            CAST(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 2 END AS BIGINT) AS n_pol,
+            (o_orderkey % 40) / 4.0 + 1.25 AS sp_rg,
+            (o_orderkey % 25) / 5.0 + 0.5 AS sp_az,
+            (o_orderkey * 9973 % 33000) / 100.0 - 170.0 AS x0,
+            (o_orderkey * 7919 % 13000) / 100.0 - 70.0 AS y0,
+            (o_orderkey * 9973 % 33000) / 100.0 - 170.0
+                + (100 + o_orderkey % 7 * 50) / 100.0 AS x1,
+            (o_orderkey * 7919 % 13000) / 100.0 - 70.0
+                + (100 + o_orderkey % 5 * 50) / 100.0 AS y1
+        FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT k AS scene_key, fmt, sensor, acquisition_mode, orbit, start, stop,
+        product, samples, lines,
+        onum AS orbitNumber_abs,
+        onum % per_cycle AS orbitNumber_rel,
+        onum // per_cycle + 1 AS cycleNumber,
+        frameNumber, n_pol, sp_rg, sp_az,
+        rpad(sensor, 4, '_') || '_' || rpad(acquisition_mode, 4, '_') || '_'
+            || orbit || '_' || start AS outname_base,
+        CASE WHEN fmt = 'CEOS_PSR' THEN round(x0, 7)
+             WHEN fmt = 'TSX' AND x0 < 0 THEN (x0 + 360) - 360
+             ELSE x0 END AS xmin,
+        CASE WHEN fmt = 'CEOS_PSR' THEN round(y0, 7) ELSE y0 END AS ymin,
+        CASE WHEN fmt = 'CEOS_PSR' THEN round(x1, 7)
+             WHEN fmt = 'TSX' AND x1 < 0 THEN (x1 + 360) - 360
+             ELSE x1 END AS xmax,
+        CASE WHEN fmt = 'CEOS_PSR' THEN round(y1, 7) ELSE y1 END AS ymax
+    FROM m
+"""
+
+
 # ---------------------------------------------------------------- driver
 
 
@@ -687,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "image_neardup": q_image_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "identify_scenes": q_identify_scenes,
     }
 
 
@@ -1014,4 +1119,5 @@ def oracle_sql() -> dict[str, str]:
                 FROM q, e WHERE e.vec_id <> q.query_id
             ) WHERE rank <= 10
         """,
+        "identify_scenes": IDENTIFY_SQL,
     }

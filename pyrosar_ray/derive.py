@@ -110,6 +110,87 @@ def scenes_from_orders(keys: np.ndarray) -> pa.Table:
     )
 
 
+# --------------------------------------------------- real-format blobs
+
+#: key % 3 → (format, sensor, mode, product, polarizations)
+BLOB_FORMATS = (
+    ("SAFE", "S1A", "IW", "GRD", ("VV", "VH")),
+    ("CEOS_PSR", "PSR2", "FBD", "1.5", ("HH", "HV")),
+    ("TSX", "TSX1", "SM", "MGD", ("HH",)),
+)
+
+
+def scene_blob_metas(keys: np.ndarray) -> list[tuple[str, dict]]:
+    """(format, full-16-attribute meta) per key, for the real-grammar
+    blob builders (sources.formats). Every field is reproduced by the
+    IDENTIFY_SQL twin in __ray_entry__ — integer arithmetic first, IEEE
+    double ops second, so the parse→derive round-trip hash-matches.
+
+    Formulas (k = o_orderkey):
+      fmt      = k % 3 → SAFE / CEOS_PSR / TSX
+      orbit    = 'A' if k % 2 == 0 else 'D'
+      start    = 2015-01-01 + (k * 524287 % 31536000) s; stop = +25 s
+      lines    = (k * 37 % 9000 + 1000) * 2   (even: CEOS stores halves)
+      samples  = (k * 53 % 9000 + 1200) * 2
+      abs      = k % 99000 + 1; per-cycle 207 (PSR2) else 175
+      frame    = k % 9999 + 1
+      spacing  = ((k % 40) / 4.0 + 1.25, (k % 25) / 5.0 + 0.5)
+      bbox     = the scenes_from_orders corner formulas (no dup folding)
+    """
+    from .sources.formats.common import WKT4326
+
+    ks = np.asarray(keys, dtype=np.int64)
+    starts = scene_start_stamps(ks)
+    stops = np.datetime_as_string(
+        (_EPOCH + (ks * 524287 % 31536000 + 25).astype("timedelta64[s]")), unit="s"
+    )
+    out = []
+    for i, k in enumerate(ks.tolist()):
+        fmt, sensor, mode, product, pols = BLOB_FORMATS[k % 3]
+        xmin = (k * 9973 % 33000) / 100.0 - 170.0
+        ymin = (k * 7919 % 13000) / 100.0 - 70.0
+        xmax = xmin + (100 + k % 7 * 50) / 100.0
+        ymax = ymin + (100 + k % 5 * 50) / 100.0
+        onum = k % 99000 + 1
+        per_cycle = 207 if fmt == "CEOS_PSR" else 175
+        meta = {
+            "sensor": sensor,
+            "acquisition_mode": mode,
+            "orbit": "A" if k % 2 == 0 else "D",
+            "start": starts[i].replace("-", "").replace(":", ""),
+            "stop": str(stops[i]).replace("-", "").replace(":", ""),
+            "product": product,
+            "lines": (k * 37 % 9000 + 1000) * 2,
+            "samples": (k * 53 % 9000 + 1200) * 2,
+            "orbitNumber_abs": onum,
+            "orbitNumber_rel": onum % per_cycle,
+            "cycleNumber": onum // per_cycle + 1,
+            "frameNumber": k % 9999 + 1,
+            "polarizations": list(pols),
+            "spacing": ((k % 40) / 4.0 + 1.25, (k % 25) / 5.0 + 0.5),
+            "coordinates": [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)],
+            "projection": WKT4326,
+        }
+        out.append((fmt, meta))
+    return out
+
+
+def scene_blobs(keys: np.ndarray) -> pa.Table:
+    """Encode one real-grammar blob per key: (scene_key, fmt, blob)."""
+    from .sources.formats import build_ceos_psr_blob, build_safe_blob, build_tsx_blob
+
+    builders = {"SAFE": build_safe_blob, "CEOS_PSR": build_ceos_psr_blob, "TSX": build_tsx_blob}
+    metas = scene_blob_metas(keys)
+    blobs = [builders[fmt](meta) for fmt, meta in metas]
+    return pa.table(
+        {
+            "scene_key": pa.array(np.asarray(keys, dtype=np.int64)),
+            "fmt": pa.array([fmt for fmt, _ in metas], type=pa.string()),
+            "blob": pa.array(blobs, type=pa.binary()),
+        }
+    )
+
+
 # ------------------------------------------------------------- points
 
 

@@ -17,24 +17,36 @@ from pyrosar_ray.sources.drivers import (
 from pyrosar_ray.sources.images import images_from_documents
 from pyrosar_ray.stages.images import mosaic_tiles, remove_border_noise
 
+from pyrosar_ray.sources.formats import WKT4326
+
 META = {
     "sensor": "S1A",
     "acquisition_mode": "IW",
     "orbit": "A",
     "start": "20150222T170750",
+    "stop": "20150222T170815",
+    "product": "GRD",
     "lines": 16685,
     "samples": 25368,
+    "orbitNumber_abs": 4703,
+    "orbitNumber_rel": 131,
+    "cycleNumber": 29,
+    "frameNumber": 159,
+    "polarizations": ["VV", "VH"],
+    "spacing": (10.0, 9.998647),
+    "coordinates": [(-62.900521, -11.423305), (-62.1, -11.4), (-62.2, -10.7), (-62.9, -10.8)],
+    "projection": WKT4326,
 }
 
 
 def test_identify_dispatch_all_formats():
-    for enc in (encode_xmlish, encode_kvish):
+    for enc in (encode_xmlish, encode_kvish, encode_ceosish):
         rec = identify(enc(META))
         assert rec["sensor"] == "S1A" and rec["lines"] == 16685
-
-    rec = identify(encode_ceosish(META, lon_udeg=-62_900_521, lat_udeg=-11_423_305))
-    assert rec["sensor"] == "S1A"
-    assert rec["lon"] == -62.900521 and rec["lat"] == -11.423305  # µdeg ÷ 1e6
+        assert rec["polarizations"] == ["VV", "VH"]
+        assert rec["spacing"] == (10.0, 9.998647)
+        # µdeg ÷ 1e6 round-trip for the binary format
+        assert rec["coordinates"][0] == (-62.900521, -11.423305)
 
 
 def test_identify_swallows_garbage():
@@ -43,7 +55,9 @@ def test_identify_swallows_garbage():
 
 
 def test_register_driver_extension():
-    register_driver("magic9", lambda b: b.startswith(b"M9"), lambda b: dict(META, sensor="X9"))
+    register_driver(
+        "magic9", lambda b, m=None: b.startswith(b"M9"), lambda b: dict(META, sensor="X9")
+    )
     try:
         assert identify(b"M9whatever")["sensor"] == "X9"
     finally:

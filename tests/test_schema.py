@@ -70,15 +70,28 @@ def test_s1_golden_derived_values():
 def test_psr2_golden_corners():
     """PSR2 golden corners (tests/test_drivers.py:43) via the µdeg path."""
     from pyrosar_ray.sources.drivers import encode_ceosish, parse_ceosish
+    from pyrosar_ray.sources.formats import WKT4326
 
     meta = {
         "sensor": "PSR2",
         "acquisition_mode": "FBD",
         "orbit": "A",
         "start": "20140909T043342",
-        "lines": 100,
-        "samples": 100,
+        "stop": "20140909T043352",
+        "product": "1.5",
+        "lines": 13160,
+        "samples": 12870,
+        "orbitNumber_abs": 4521,
+        "orbitNumber_rel": 4521 % 207,
+        "cycleNumber": 4521 // 207 + 1,
+        "frameNumber": 5100,
+        "polarizations": ["HH", "HV"],
+        "spacing": (6.25, 6.25),
+        "coordinates": [(-62.900521, -11.423305), (-62.162974, -11.3), (-62.2, -10.67834), (-62.8, -10.8)],
+        "projection": WKT4326,
     }
-    rec = parse_ceosish(encode_ceosish(meta, lon_udeg=-62_900_521, lat_udeg=-11_423_305))
-    assert rec["lon"] == -62.900521  # matches xmin -62.9005207 at µdeg precision
-    assert rec["lat"] == -11.423305
+    rec = parse_ceosish(encode_ceosish(meta))
+    assert rec["coordinates"][0] == (-62.900521, -11.423305)  # µdeg precision
+    assert rec["spacing"] == (6.25, 6.25)
+    assert rec["polarizations"] == ["HH", "HV"]
+    validate_record(rec)
