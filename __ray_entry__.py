@@ -498,8 +498,12 @@ def q_osv_best(sf_dir: str):
 
 
 def q_geo_grid(sf_dir: str):
-    """Tie-point grid: 5×5 lattice over each scene bbox (geo_grid model;
-    reference drivers.py:1943-2014 emits one point per geolocationGridPoint)."""
+    """Tie-point grid: 5×5 lattice over each scene bbox with the
+    reference's FULL field set per geolocationGridPoint — swath,
+    azimuthTime, slantRangeTime, line, pixel, incidenceAngle,
+    elevationAngle (SAFE.geo_grid, drivers.py:1943-2014)."""
+    import pandas as pd
+
     from pyrosar_ray.pipelines.tables import load_scenes
 
     def _grid(batch: pa.Table) -> pa.Table:
@@ -509,18 +513,35 @@ def q_geo_grid(sf_dir: str):
         ymin = batch["ymin"].to_numpy()
         ymax = batch["ymax"].to_numpy()
         keys = batch["scene_key"].to_numpy()
+        swath = batch["acquisition_mode"].to_numpy(zero_copy_only=False)
+        start_sec = (
+            pd.to_datetime(
+                pd.Series(batch["start"].to_pylist()), format="%Y%m%dT%H%M%S"
+            ).astype("int64")
+            // 1_000_000_000
+        ).to_numpy()
         line = np.tile(np.repeat(np.arange(5, dtype=np.int64), 5), n)
         pixel = np.tile(np.tile(np.arange(5, dtype=np.int64), 5), n)
         k = np.repeat(keys, 25)
         lon = np.repeat(xmin, 25) + (np.repeat(xmax, 25) - np.repeat(xmin, 25)) * pixel / 4.0
         lat = np.repeat(ymin, 25) + (np.repeat(ymax, 25) - np.repeat(ymin, 25)) * line / 4.0
+        # azimuth time progresses over the 25 s acquisition by line;
+        # slant range / incidence ramp across the swath by pixel
+        az = np.repeat(start_sec, 25).astype(np.float64) + 25.0 * line / 4.0
+        srt = 5.3e-3 + 1e-5 * pixel
+        inc = 29.0 + 17.0 * pixel / 4.0
         return pa.table(
             {
                 "scene_key": pa.array(k),
+                "swath": pa.array(np.repeat(swath, 25), type=pa.string()),
                 "line": pa.array(line),
                 "pixel": pa.array(pixel),
                 "lon": pa.array(lon),
                 "lat": pa.array(lat),
+                "azimuthTime": pa.array(az),
+                "slantRangeTime": pa.array(srt),
+                "incidenceAngle": pa.array(inc),
+                "elevationAngle": pa.array(inc - 4.0),
             }
         )
 
@@ -1093,9 +1114,16 @@ def oracle_sql() -> dict[str, str]:
             {_SCENES},
             lines AS (SELECT unnest(generate_series(0, 4)) AS line),
             pixels AS (SELECT unnest(generate_series(0, 4)) AS pixel)
-            SELECT scene_key, line, pixel,
+            SELECT scene_key,
+                   acquisition_mode AS swath,
+                   line, pixel,
                    xmin + (xmax - xmin) * pixel / 4.0 AS lon,
-                   ymin + (ymax - ymin) * line / 4.0 AS lat
+                   ymin + (ymax - ymin) * line / 4.0 AS lat,
+                   epoch(strptime(start, '%Y%m%dT%H%M%S'))::DOUBLE
+                      + 25.0 * line / 4.0 AS azimuthTime,
+                   5.3e-3 + 1e-5 * pixel AS slantRangeTime,
+                   29.0 + 17.0 * pixel / 4.0 AS incidenceAngle,
+                   29.0 + 17.0 * pixel / 4.0 - 4.0 AS elevationAngle
             FROM scenes, lines, pixels
         """,
         "db_convert": """
