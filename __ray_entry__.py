@@ -623,6 +623,19 @@ def q_image_features(sf_dir: str):
     return feats.select_columns(["image_id", "caption", "mean_px", "std_px", "phash"])
 
 
+def q_image_meta(sf_dir: str):
+    """Image-table invariants (oracle-checkable slice of the synthetic
+    image+caption table): image_id / w / h / fmt / caption are closed-form
+    in doc_id, so DuckDB can recompute them — hash-checking the Ray-side
+    image source plumbing end-to-end (pixel stats stay rows-only since the
+    pixels are PRNG output)."""
+    from pyrosar_ray.sources.images import images_from_documents
+
+    return images_from_documents(sf_dir).select_columns(
+        ["image_id", "w", "h", "fmt", "caption"]
+    )
+
+
 def q_image_neardup(sf_dir: str):
     from pyrosar_ray.sources.images import images_from_documents
     from pyrosar_ray.stages.images import phash_near_dup_pairs
@@ -810,10 +823,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_langid": q_doc_langid,
         "image_features": q_image_features,
+        "image_meta": q_image_meta,
         "image_neardup": q_image_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "identify_scenes": q_identify_scenes,
     }
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of ``stages.dedup_text.simhash``: FNV-1a over the first
+    16 zero-padded token bytes (16 unrolled xor/multiply steps mod 2^64 in
+    HUGEINT), per-doc majority bit votes, then ``>> 1`` to keep the sign
+    bit clear — bit-identical to the vectorized numpy kernel."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(16):
+        b = (
+            f"(CASE WHEN length(tok) > {j} "
+            f"THEN CAST(ascii(tok[{j + 1}]) AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        h = f"((xor({h}, {b}) * 1099511628211) % {m64})"
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (th // CAST({1 << k} AS HUGEINT)) % 2 = 1 THEN 1 ELSE 0 END) AS v{k}"
+        for k in range(64)
+    )
+    sig = "\n                 + ".join(
+        f"(CASE WHEN 2*v{k} > n_tok THEN CAST({1 << (k - 1)} AS BIGINT) ELSE 0 END)"
+        for k in range(1, 64)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, len(str_split(text, ' ')) AS n_tok,
+                     unnest(str_split(text, ' ')) AS tok
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id, n_tok, {h} AS th FROM toks
+            ), agg AS (
+              SELECT doc_id, any_value(n_tok) AS n_tok,
+                   {votes}
+              FROM hashed GROUP BY doc_id
+            )
+            SELECT doc_id, {sig} AS simhash FROM agg
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1043,6 +1095,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CAST(list_reduce(
+                     list_prepend(CAST(0 AS HUGEINT),
+                       [CAST(ascii(c) AS HUGEINT) FOR c IN str_split(text, '')]),
+                     (acc, b) -> (acc * 1000003 + b)
+                                 % CAST(2305843009213693951 AS HUGEINT)
+                   ) AS BIGINT) AS fingerprint
+            FROM documents
+        """,
+        "doc_simhash": _simhash_sql(),
+        "image_meta": """
+            SELECT 'img-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
+                   CAST(CASE (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                              ELSE doc_id END) % 3
+                        WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END
+                        AS INTEGER) AS w,
+                   CAST(CASE ((CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                               ELSE doc_id END) // 3) % 3
+                        WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END
+                        AS INTEGER) AS h,
+                   'raw' AS fmt,
+                   text AS caption
+            FROM documents
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n
