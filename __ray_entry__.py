@@ -623,6 +623,24 @@ def q_image_features(sf_dir: str):
     return feats.select_columns(["image_id", "caption", "mean_px", "std_px", "phash"])
 
 
+def q_common_extent(sf_dir: str):
+    """Intersection extent of all scene footprints + 0.1° buffer
+    (DEMHandler.__commonextent, reference auxdata.py:606-632)."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.extent import common_extent_table
+
+    return common_extent_table(load_scenes(sf_dir), buffer=0.1)
+
+
+def q_hgt_union(sf_dir: str):
+    """Buffered 1° HGT tile-name union over all scenes (gamma hgt(),
+    reference gamma/dem.py:525-573)."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.extent import hgt_union
+
+    return hgt_union(load_scenes(sf_dir))
+
+
 def q_image_meta(sf_dir: str):
     """Image-table invariants (oracle-checkable slice of the synthetic
     image+caption table): image_id / w / h / fmt / caption are closed-form
@@ -824,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q_doc_langid,
         "image_features": q_image_features,
         "image_meta": q_image_meta,
+        "common_extent": q_common_extent,
+        "hgt_union": q_hgt_union,
         "image_neardup": q_image_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "identify_scenes": q_identify_scenes,
@@ -1095,6 +1115,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "common_extent": f"""
+            {_SCENES}
+            SELECT max(xmin) - 0.1 AS xmin, max(ymin) - 0.1 AS ymin,
+                   min(xmax) + 0.1 AS xmax, min(ymax) + 0.1 AS ymax
+            FROM scenes
+        """,
+        "hgt_union": f"""
+            {_SCENES},
+            ext AS (
+              SELECT CAST(floor(min(ymin)) AS INTEGER) AS lat_lo,
+                     CAST(floor(max(ymax)) AS INTEGER) AS lat_hi,
+                     CAST(floor(min(xmin)) AS INTEGER) AS lon_lo,
+                     CAST(floor(max(xmax)) AS INTEGER) AS lon_hi
+              FROM scenes
+            ),
+            lats AS (SELECT unnest(generate_series((SELECT lat_lo FROM ext),
+                                                   (SELECT lat_hi FROM ext))) AS lat),
+            lons AS (SELECT unnest(generate_series((SELECT lon_lo FROM ext),
+                                                   (SELECT lon_hi FROM ext))) AS lon)
+            SELECT (CASE WHEN lat < 0 THEN 'S' ELSE 'N' END)
+                   || lpad(abs(lat)::VARCHAR, 2, '0')
+                   || (CASE WHEN lon < 0 THEN 'W' ELSE 'E' END)
+                   || lpad(abs(lon)::VARCHAR, 3, '0')
+                   || '.hgt' AS tile
+            FROM lats, lons
         """,
         "doc_fingerprint": """
             SELECT doc_id,
