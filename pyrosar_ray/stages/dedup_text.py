@@ -190,27 +190,48 @@ def minhash_band_rows(
     return docs.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pyarrow")
 
 
+# Above this many input rows the per-batch partial-count tables are no
+# longer provably driver-safe (distinct keys <= input rows), so the
+# bucket-size combine moves to the distributed groupby-Sum.
+DRIVER_COMBINE_MAX_ROWS = 2_000_000
+
+
 def keep_multi_member_buckets(
-    ds: Dataset, key_cols: tuple[str, ...], combine: str = "shuffle"
+    ds: Dataset, key_cols: tuple[str, ...], combine: str = "auto"
 ) -> Dataset:
     """Drop rows whose bucket has a single member (vectorized prefilter).
 
     LSH buckets are overwhelmingly singletons; per-group functions must
     only ever see REAL candidate buckets. Bucket sizes come from
-    per-batch partial counts followed by a distributed groupby-Sum
-    (``combine='shuffle'``, the default — band-hash key space is 63-bit,
-    unbounded, so the full count table must never land on the driver);
-    ``combine='driver'`` merges partials driver-side and is only valid
-    for provably-bounded key domains. Either way, ONLY the multi-member
-    key set (proportional to actual near-dups, small) is collected and
-    broadcast; batches are filtered with a vectorized hash semi-join
-    (pandas MultiIndex.isin — C hash probe, no per-row Python).
+    per-batch partial counts followed by a combine:
+
+    - ``combine='shuffle'`` — distributed groupby-Sum; the only valid
+      plan when the key domain is unbounded (band hashes are 63-bit)
+      and the input is large: the full count table never lands on the
+      driver.
+    - ``combine='driver'`` — merge partials driver-side; valid only
+      when the distinct-key count is provably bounded.
+    - ``combine='auto'`` (default) — cost-based: distinct keys are
+      bounded by input rows, so when ``ds.count()`` (cheap — callers
+      pass a materialized Dataset) is at most
+      :data:`DRIVER_COMBINE_MAX_ROWS` the driver combine is provably
+      safe and skips a whole shuffle; anything larger takes the
+      shuffle path. At the 100 TB target the count is always over the
+      bound, so auto degrades to exactly the scale-safe plan.
+
+    Either way, ONLY the multi-member key set (proportional to actual
+    near-dups, small) is collected and broadcast; batches are filtered
+    with a vectorized hash semi-join (pandas MultiIndex.isin — C hash
+    probe, no per-row Python).
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = batch.select(list(key_cols)).to_pandas()
         part = df.groupby(list(key_cols), as_index=False).size()
         return pa.Table.from_pandas(part, preserve_index=False)
+
+    if combine == "auto":
+        combine = "driver" if ds.count() <= DRIVER_COMBINE_MAX_ROWS else "shuffle"
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     if combine == "shuffle":
@@ -247,17 +268,20 @@ def keep_multi_member_buckets(
     return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
 
 
-def minhash_candidate_pairs(
-    docs: Dataset, combine: str = "shuffle", **kwargs
-) -> Dataset:
+def minhash_candidate_pairs(docs: Dataset, combine: str = "auto", **kwargs) -> Dataset:
     """Near-dup candidate pairs (a < b) from LSH band buckets, deduplicated.
 
-    ``combine`` is forwarded to :func:`keep_multi_member_buckets` (default
-    distributed groupby-Sum; 'driver' only for bounded key domains).
+    The band-row Dataset is materialized ONCE in the object store
+    (distributed, spill-backed — ~20 bytes x bands per doc, far smaller
+    than the text input) so the count pass and the filter pass don't
+    each recompute the MinHash signatures. ``combine`` is forwarded to
+    :func:`keep_multi_member_buckets` (default cost-based auto).
     """
     id_col = kwargs.get("id_col", "doc_id")
     band_rows = keep_multi_member_buckets(
-        minhash_band_rows(docs, **kwargs), ("band", "band_hash"), combine=combine
+        minhash_band_rows(docs, **kwargs).materialize(),
+        ("band", "band_hash"),
+        combine=combine,
     )
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:

@@ -400,7 +400,7 @@ def phash_near_dup_pairs(
     from .dedup_text import keep_multi_member_buckets
 
     band_rows = keep_multi_member_buckets(
-        phash_bands(ds, bands=bands, id_col=id_col), ("band", "band_key")
+        phash_bands(ds, bands=bands, id_col=id_col).materialize(), ("band", "band_key")
     )
     pairs = band_rows.groupby(["band", "band_key"]).map_groups(
         _pairs, batch_format="pandas"

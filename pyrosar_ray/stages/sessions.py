@@ -68,7 +68,6 @@ def sessionize_range_partitioned(
     """
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Max, Min
 
     def _bucket(batch: "pa.Table") -> "pa.Table":
         us = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -83,17 +82,41 @@ def sessionize_range_partitioned(
         us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         return df.assign(_us=us)
 
-    local = bucketed.groupby([key_col, "_bucket"]).map_groups(_local, batch_format="pandas")
+    # ONE shuffle: the (key, bucket) groupby. Materialized so the
+    # summary pass and the final adjust pass both read the shuffled
+    # blocks instead of re-executing the exchange (object-store resident,
+    # spill-backed — the standard inter-phase checkpoint).
+    local = (
+        bucketed.groupby([key_col, "_bucket"])
+        .map_groups(_local, batch_format="pandas")
+        .materialize()
+    )
 
-    # per-(key, bucket) summaries: distributed C++ aggregate, tiny result
-    summaries = (
-        local.groupby([key_col, "_bucket"])
-        .aggregate(
-            Min("_us", alias_name="first_us"),
-            Max("_us", alias_name="last_us"),
-            Max("_local_sid", alias_name="_max_sid"),
+    # per-(key, bucket) summaries WITHOUT a second shuffle: map_groups
+    # emits whole groups per block, so a per-batch groupby-agg is already
+    # exact (partial == total); only the tiny summary rows leave the
+    # workers.
+    def _summarize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key_col, "_bucket"], as_index=False).agg(
+            first_us=("_us", "min"),
+            last_us=("_us", "max"),
+            _max_sid=("_local_sid", "max"),
         )
+        return g
+
+    # dynamic block splitting may split one task's output mid-group, so
+    # a (key, bucket) can surface as a couple of partial rows — the
+    # driver-side re-combine below (over the tiny summary table) makes
+    # the result exact either way.
+    summaries = (
+        local.map_batches(_summarize, batch_format="pandas")
         .to_pandas()
+        .groupby([key_col, "_bucket"], as_index=False)
+        .agg(
+            first_us=("first_us", "min"),
+            last_us=("last_us", "max"),
+            _max_sid=("_max_sid", "max"),
+        )
         .sort_values([key_col, "_bucket"], kind="mergesort")
         .reset_index(drop=True)
     )
