@@ -94,18 +94,142 @@ def spatial_join_points(
         return broadcast_spatial_join(
             scenes, points, res=res, scene_cols=scene_cols, point_cols=point_cols
         )
+    return partitioned_spatial_join(
+        scenes,
+        points,
+        num_partitions=num_partitions,
+        res=res,
+        scene_cols=scene_cols,
+        point_cols=point_cols,
+    )
+
+
+_PART_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci-hash multiplier
+
+
+def _cell_partition(cells: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Salted partition id for a cell array (uniform even when cell ids
+    are spatially clustered — the multiply-shift mixes all bits)."""
+    mixed = cells.astype(np.uint64) * _PART_MIX
+    return ((mixed >> np.uint64(32)) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _local_cell_join(
+    tab: pa.Table,
+    scene_cols: tuple[str, ...],
+    point_cols: tuple[str, ...],
+) -> pa.Table:
+    """Exact join of one co-partition: index the scene rows by cell
+    (sort + searchsorted), probe the point rows, refine on the bbox.
+    Pure array arithmetic — the same kernel as the broadcast probe, but
+    over partition-local sides."""
+    side = tab["_side"].to_numpy()
+    stab = tab.filter(pa.array(side == 0))
+    ptab = tab.filter(pa.array(side == 1))
+    out_cols = [*scene_cols, *point_cols]
+    if len(stab) == 0 or len(ptab) == 0:
+        return tab.select(out_cols).slice(0, 0)
+    scell = stab["_cell"].to_numpy()
+    order = np.argsort(scell, kind="stable")
+    scell_sorted = scell[order]
+    pcell = ptab["_cell"].to_numpy()
+    lo = np.searchsorted(scell_sorted, pcell, side="left")
+    hi = np.searchsorted(scell_sorted, pcell, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return tab.select(out_cols).slice(0, 0)
+    point_rep = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    run_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    j = np.arange(total, dtype=np.int64) - np.repeat(run_off, counts)
+    scene_row = order[np.repeat(lo, counts) + j]
+    pl = ptab["lon"].to_numpy()[point_rep]
+    pt = ptab["lat"].to_numpy()[point_rep]
+    keep = (
+        (pl >= stab["xmin"].to_numpy()[scene_row])
+        & (pl < stab["xmax"].to_numpy()[scene_row])
+        & (pt >= stab["ymin"].to_numpy()[scene_row])
+        & (pt < stab["ymax"].to_numpy()[scene_row])
+    )
+    staken = stab.select(list(scene_cols)).take(pa.array(scene_row[keep]))
+    ptaken = ptab.select(list(point_cols)).take(pa.array(point_rep[keep]))
+    cols = {c: staken[c] for c in scene_cols}
+    cols.update({c: ptaken[c] for c in point_cols})
+    return pa.table(cols)
+
+
+def partitioned_spatial_join(
+    scenes: Dataset,
+    points: Dataset,
+    num_partitions: int = 64,
+    res: int = 0,
+    scene_cols: tuple[str, ...] = ("scene_key",),
+    point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
+) -> Dataset:
+    """Large-large spatial join: co-partition both sides on the grid
+    cell, then join each partition locally.
+
+    The plan is ONE sort-shuffle: both sides are tagged with a salted
+    partition id over the cell, unioned (schema-aligned with typed
+    nulls), grouped by partition, and each group runs the vectorized
+    local cell join (:func:`_local_cell_join`). This deliberately avoids
+    Ray's hash-shuffle join operator, which spikes per-worker memory on
+    wide build sides (observed OOM worker deaths in this environment);
+    the sort-based exchange spills gracefully instead.
+
+    Memory bound: one co-partition ≈ (|expanded scenes| + |points|) /
+    ``num_partitions`` — size ``num_partitions`` so a partition fits a
+    worker heap. A point lands in exactly one cell, so output pairs are
+    exact with no dedup pass. Hot cells are spread by the multiplicative
+    hash only across partitions; a single ultra-hot CELL still lands in
+    one group — bump ``res`` to split it spatially (cover and point
+    cells stay consistent because both sides share ``res``).
+    """
     with_bbox = tuple(dict.fromkeys((*scene_cols, "xmin", "ymin", "xmax", "ymax")))
     s = expand_scene_cells(scenes.select_columns(list(with_bbox)), res)
     p = add_point_cells(points.select_columns(list(point_cols)), res)
-    joined = s.join(
-        p,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("cell",),
+
+    # null-padding types come from the BASE inputs (a fully-empty side
+    # can leave the expanded dataset's schema unknown)
+    s_schema = scenes.schema()
+    p_schema = points.schema()
+
+    def _types(schema) -> dict:
+        if schema is None:
+            return {}
+        return {n: t for n, t in zip(schema.names, schema.types)}
+
+    point_types = _types(p_schema)
+    scene_types = _types(s_schema)
+
+    ordered = list(with_bbox) + [c for c in point_cols if c not in with_bbox]
+
+    def _tag(batch: pa.Table, side: int) -> pa.Table:
+        cells = batch["cell"].to_numpy()
+        n = len(batch)
+        all_types = {**point_types, **scene_types}
+        cols = {
+            c: (batch[c] if c in batch.column_names else pa.nulls(n, type=all_types[c]))
+            for c in ordered
+        }
+        cols["_cell"] = pa.array(cells, type=pa.int64())
+        cols["_part"] = pa.array(_cell_partition(cells, num_partitions))
+        cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+        return pa.table(cols)
+
+    def _tag_scene(batch: pa.Table) -> pa.Table:
+        return _tag(batch, 0)
+
+    def _tag_point(batch: pa.Table) -> pa.Table:
+        return _tag(batch, 1)
+
+    tagged = s.map_batches(_tag_scene, batch_format="pyarrow").union(
+        p.map_batches(_tag_point, batch_format="pyarrow")
     )
-    refined = joined.map_batches(refine_bbox, batch_format="pyarrow")
-    drop = ["cell"] + [c for c in with_bbox if c not in scene_cols]
-    return refined.drop_columns(drop)
+    return tagged.groupby("_part").map_groups(
+        lambda g: _local_cell_join(g, tuple(scene_cols), tuple(point_cols)),
+        batch_format="pyarrow",
+    )
 
 
 def build_scene_index(tab: pa.Table, res: int, emit_cols) -> dict:

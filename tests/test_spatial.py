@@ -49,6 +49,29 @@ def test_spatial_join_matches_bruteforce(scenes_tbl, points_tbl):
     assert len(got) > 0
 
 
+def test_partitioned_join_matches_broadcast(scenes_tbl, points_tbl):
+    scenes = rd.from_arrow(scenes_tbl)
+    points = rd.from_arrow(points_tbl)
+    got = sorted(
+        (r["scene_key"], r["point_id"])
+        for r in spatial_join_points(
+            scenes, points, strategy="partitioned", num_partitions=8
+        )
+        .select_columns(["scene_key", "point_id"])
+        .take_all()
+    )
+    assert got == brute_force_pairs(scenes_tbl, points_tbl)
+
+
+def test_partitioned_join_empty_sides(scenes_tbl, points_tbl):
+    empty_scenes = rd.from_arrow(scenes_tbl.slice(0, 0))
+    points = rd.from_arrow(points_tbl)
+    out = spatial_join_points(
+        empty_scenes, points, strategy="partitioned", num_partitions=4
+    )
+    assert out.count() == 0
+
+
 def test_tile_assign_matches_scalar(scenes_tbl):
     from pyrosar_ray.functions.tiles import hgt_tiles
 
