@@ -641,6 +641,28 @@ def q_hgt_union(sf_dir: str):
     return hgt_union(load_scenes(sf_dir))
 
 
+def q_dem_prepare(sf_dir: str):
+    """DEMHandler.load extent preparation per DEM type: tile-size snap
+    (crop=False) + point-anchor half-pixel shift (reference
+    auxdata.py:1300-1319), over the catalog's common extent."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.dem_load import prepare_extent
+    from pyrosar_ray.stages.extent import common_extent
+
+    ext = common_extent(load_scenes(sf_dir))
+    types = [
+        "AW3D30",
+        "Copernicus 30m Global DEM",
+        "GETASSE30",
+        "SRTM 1Sec HGT",
+        "SRTM 3Sec",
+    ]
+    rows = [
+        {"dem_type": t, **prepare_extent(ext, t, crop=False)} for t in types
+    ]
+    return pa.Table.from_pylist(rows)
+
+
 def q_image_meta(sf_dir: str):
     """Image-table invariants (oracle-checkable slice of the synthetic
     image+caption table): image_id / w / h / fmt / caption are closed-form
@@ -843,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "image_meta": q_image_meta,
         "common_extent": q_common_extent,
+        "dem_prepare": q_dem_prepare,
         "hgt_union": q_hgt_union,
         "image_neardup": q_image_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1121,6 +1144,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT max(xmin) - 0.1 AS xmin, max(ymin) - 0.1 AS ymin,
                    min(xmax) + 0.1 AS xmax, min(ymax) + 0.1 AS ymax
             FROM scenes
+        """,
+        "dem_prepare": f"""
+            {_SCENES},
+            ext AS (
+              SELECT max(xmin) AS x0, max(ymin) AS y0,
+                     min(xmax) AS x1, min(ymax) AS y1
+              FROM scenes
+            ),
+            shifts AS (
+              -- point-anchored types shift by half the latitude-band
+              -- resolution; area-anchored types shift by zero
+              SELECT 'AW3D30' AS dem_type, 1 AS f,
+                     0.0 AS sx, 0.0 AS sy FROM ext
+              UNION ALL
+              SELECT 'Copernicus 30m Global DEM', 1,
+                     (CASE WHEN abs(y0) <= 50 THEN 1.0/3600
+                           WHEN abs(y0) <= 60 THEN 1.5/3600
+                           WHEN abs(y0) <= 70 THEN 2.0/3600
+                           WHEN abs(y0) <= 80 THEN 3.0/3600
+                           WHEN abs(y0) <= 85 THEN 5.0/3600
+                           ELSE 10.0/3600 END) / 2,
+                     (1.0/3600) / 2
+              FROM ext
+              UNION ALL
+              SELECT 'GETASSE30', 15, 0.0, 0.0 FROM ext
+              UNION ALL
+              SELECT 'SRTM 1Sec HGT', 1, (1.0/3600)/2, (1.0/3600)/2 FROM ext
+              UNION ALL
+              SELECT 'SRTM 3Sec', 5, 0.0, 0.0 FROM ext
+            )
+            SELECT dem_type,
+                   floor(x0 / f) * f - sx AS xmin,
+                   floor(y0 / f) * f + sy AS ymin,
+                   ceil(x1 / f) * f - sx AS xmax,
+                   ceil(y1 / f) * f + sy AS ymax
+            FROM shifts, ext
         """,
         "hgt_union": f"""
             {_SCENES},

@@ -1,0 +1,144 @@
+"""GDAL-free affine raster resampling (engine twin of ``dem_create``).
+
+The reference's ``dem_create`` (``/root/reference/pyroSAR/auxdata.py:274``)
+is a ``gdal.Warp`` wrapper with three defaults that matter for parity:
+``resampleAlg='bilinear'``, ``targetAlignedPixels=True`` and nodata
+propagation from the source. GDAL is absent in this environment, so the
+same semantics are implemented as numpy kernels over in-memory grids:
+
+- :func:`aligned_bounds` — the TAP snap: output bounds become multiples
+  of the target resolution (gdalwarp ``-tap``).
+- :func:`warp_affine` — regrid a single-band array from its
+  geotransform onto a target grid, ``near`` or ``bilinear``, with
+  nodata-aware masking (a bilinear neighborhood touching nodata yields
+  nodata, matching gdalwarp's UNIFIED_SRC_NODATA behavior for DEMs).
+
+Reprojection between CRSs is out of scope (the reference's DEM path is
+EPSG:4326 → EPSG:4326 unless a UTM target is requested, which needs
+PROJ); callers asking for ``t_srs`` get a documented error.
+
+Kernels are fully vectorized: one ``meshgrid``-free index computation
+per output grid, no per-pixel Python.
+"""
+
+from __future__ import annotations
+
+from math import ceil, floor
+
+import numpy as np
+
+
+def aligned_bounds(
+    xmin: float, ymin: float, xmax: float, ymax: float, xres: float, yres: float
+) -> tuple[float, float, float, float]:
+    """Snap bounds outward to multiples of the resolution (gdalwarp -tap)."""
+    return (
+        floor(xmin / xres) * xres,
+        floor(ymin / yres) * yres,
+        ceil(xmax / xres) * xres,
+        ceil(ymax / yres) * yres,
+    )
+
+
+def grid_shape(
+    xmin: float, ymin: float, xmax: float, ymax: float, xres: float, yres: float
+) -> tuple[int, int]:
+    """(rows, cols) of the target grid (bounds assumed res-aligned)."""
+    return int(round((ymax - ymin) / yres)), int(round((xmax - xmin) / xres))
+
+
+def warp_affine(
+    data: np.ndarray,
+    geotransform: tuple[float, float, float, float, float, float],
+    dst_bounds: tuple[float, float, float, float],
+    tr: tuple[float, float],
+    nodata: float | None = None,
+    resample: str = "bilinear",
+    tap: bool = True,
+    dtype=None,
+) -> tuple[np.ndarray, tuple[float, float, float, float, float, float]]:
+    """Resample one band onto a new grid; returns (array, geotransform).
+
+    ``geotransform`` is the GDAL 6-tuple (ulx, xres, 0, uly, 0, -yres);
+    rotation terms must be zero (the DEM path never rotates). Output
+    pixel centers are sampled in the source's pixel space; ``bilinear``
+    blends the 4 neighbors with nodata masking, ``near`` picks the
+    closest. Pixels outside the source, or whose bilinear support
+    includes nodata, are set to ``nodata`` (or NaN when none given).
+    """
+    if geotransform[2] != 0 or geotransform[4] != 0:
+        raise ValueError("rotated geotransforms are not supported")
+    ulx, sxres, _, uly, _, syres_neg = (float(v) for v in geotransform)
+    syres = -syres_neg
+    if syres <= 0 or sxres <= 0:
+        raise ValueError("source must be north-up with positive resolution")
+    xres, yres = float(tr[0]), float(tr[1])
+    xmin, ymin, xmax, ymax = (float(v) for v in dst_bounds)
+    if tap:
+        xmin, ymin, xmax, ymax = aligned_bounds(xmin, ymin, xmax, ymax, xres, yres)
+    rows, cols = grid_shape(xmin, ymin, xmax, ymax, xres, yres)
+    src = np.asarray(data, dtype=np.float64)
+    h, w = src.shape
+    fill = np.nan if nodata is None else float(nodata)
+
+    # output pixel centers → fractional source pixel coordinates
+    xs = xmin + (np.arange(cols, dtype=np.float64) + 0.5) * xres
+    ys = ymax - (np.arange(rows, dtype=np.float64) + 0.5) * yres
+    fx = (xs - ulx) / sxres - 0.5  # source col coordinate of dst centers
+    fy = (uly - ys) / syres - 0.5
+
+    valid_src = ~np.isnan(src)
+    if nodata is not None:
+        valid_src &= src != float(nodata)
+
+    if resample == "near":
+        ci = np.round(fx).astype(np.int64)
+        ri = np.round(fy).astype(np.int64)
+        inside = (ci >= 0) & (ci < w)
+        inside_r = (ri >= 0) & (ri < h)
+        ci_c = np.clip(ci, 0, w - 1)
+        ri_c = np.clip(ri, 0, h - 1)
+        out = src[np.ix_(ri_c, ci_c)]
+        ok = valid_src[np.ix_(ri_c, ci_c)] & inside_r[:, None] & inside[None, :]
+        out = np.where(ok, out, fill)
+    elif resample == "bilinear":
+        c0 = np.floor(fx).astype(np.int64)
+        r0 = np.floor(fy).astype(np.int64)
+        wx = fx - c0
+        wy = fy - r0
+        c0c = np.clip(c0, 0, w - 1)
+        c1c = np.clip(c0 + 1, 0, w - 1)
+        r0c = np.clip(r0, 0, h - 1)
+        r1c = np.clip(r0 + 1, 0, h - 1)
+        v00 = src[np.ix_(r0c, c0c)]
+        v01 = src[np.ix_(r0c, c1c)]
+        v10 = src[np.ix_(r1c, c0c)]
+        v11 = src[np.ix_(r1c, c1c)]
+        wxg = wx[None, :]
+        wyg = wy[:, None]
+        out = (
+            v00 * (1 - wxg) * (1 - wyg)
+            + v01 * wxg * (1 - wyg)
+            + v10 * (1 - wxg) * wyg
+            + v11 * wxg * wyg
+        )
+        ok = (
+            valid_src[np.ix_(r0c, c0c)]
+            & valid_src[np.ix_(r0c, c1c)]
+            & valid_src[np.ix_(r1c, c0c)]
+            & valid_src[np.ix_(r1c, c1c)]
+        )
+        inside = (fx >= -0.5) & (fx <= w - 0.5)
+        inside_r = (fy >= -0.5) & (fy <= h - 0.5)
+        ok &= inside_r[:, None] & inside[None, :]
+        out = np.where(ok, out, fill)
+    else:
+        raise ValueError(f"unsupported resampleAlg: {resample!r}")
+
+    if dtype is not None:
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            out = np.round(out)
+            out = np.where(np.isnan(out), fill if not np.isnan(fill) else 0, out)
+        out = out.astype(dtype)
+    out_gt = (xmin, xres, 0.0, ymax, 0.0, -yres)
+    return out, out_gt

@@ -1,0 +1,275 @@
+"""DEMHandler.load as a Ray Data pipeline (engine twin, GDAL-free).
+
+Mirrors the reference's ``DEMHandler.load``
+(``/root/reference/pyroSAR/auxdata.py:1133-1358``) over a Dataset of
+in-memory tile rasters instead of files + a VRT:
+
+1. per-type config — nodata / latitude-banded resolution / tile size /
+   pixel anchoring (:data:`DEM_CONFIG`, values from the reference's
+   ``DEMHandler.config``, ``auxdata.py:904-1133``);
+2. the target extent = the catalog's common extent (distributed Min/Max
+   aggregate), optionally snapped outward to tile-size multiples when
+   ``crop=False`` (``auxdata.py:1305-1310``) and half-pixel-shifted for
+   ``area_or_point='point'`` DEMs (``auxdata.py:1312-1319``);
+3. candidate tile ids from the SAME grid grammars as the remote index
+   (:func:`~pyrosar_ray.functions.tiles.dem_tile_ids`);
+4. a broadcast semi-join keeps only the wanted tiles from the tile
+   Dataset — the big side streams, the id set ships once;
+5. an ocean fallback: when no tile matched, the result is the 1-px
+   zero dummy DEM stretched over the extent (``auxdata.py:1322-1337``);
+6. optionally, each kept tile is regridded to the latitude-dependent
+   target resolution with the :mod:`~pyrosar_ray.functions.warp`
+   bilinear kernel (the ``dem_create`` step) as an actor-pool stage.
+
+The tile Dataset schema is ``tile: string, data: binary (float32 grid),
+rows: int, cols: int, ulx/uly: double, xres/yres: double,
+nodata: double`` — the in-memory stand-in for the reference's GeoTIFF
+files (no GDAL in this environment; the grid payload and geotransform
+carry the same information).
+"""
+
+from __future__ import annotations
+
+from math import ceil, floor
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from ..functions.tiles import dem_tile_ids
+from ..functions.warp import warp_affine
+from .extent import common_extent
+
+# Per-type facts from the reference DEMHandler.config (auxdata.py:904-1133):
+# nodata of the 'dem' product, (xres, yres) per |latitude| band, tile size
+# in degrees, and whether pixel coordinates anchor the cell area's corner
+# ('area') or its center ('point').
+DEM_CONFIG: dict[str, dict] = {
+    "AW3D30": {
+        "nodata": -9999.0,
+        "resolution": {(0, 90): (1 / 3600, 1 / 3600)},
+        "tilesize": 1,
+        "area_or_point": "area",
+        "datatype": "int16",
+    },
+    "Copernicus 30m Global DEM": {
+        "nodata": -32767.0,
+        "resolution": {
+            (0, 50): (1 / 3600, 1 / 3600),
+            (50, 60): (1.5 / 3600, 1 / 3600),
+            (60, 70): (2 / 3600, 1 / 3600),
+            (70, 80): (3 / 3600, 1 / 3600),
+            (80, 85): (5 / 3600, 1 / 3600),
+            (85, 90): (10 / 3600, 1 / 3600),
+        },
+        "tilesize": 1,
+        "area_or_point": "point",
+        "datatype": "float32",
+    },
+    "Copernicus 90m Global DEM": {
+        "nodata": -32767.0,
+        "resolution": {
+            (0, 50): (1 / 1200, 1 / 1200),
+            (50, 60): (1.5 / 1200, 1 / 1200),
+            (60, 70): (2 / 1200, 1 / 1200),
+            (70, 80): (3 / 1200, 1 / 1200),
+            (80, 85): (5 / 1200, 1 / 1200),
+            (85, 90): (10 / 1200, 1 / 1200),
+        },
+        "tilesize": 1,
+        "area_or_point": "point",
+        "datatype": "float32",
+    },
+    "GETASSE30": {
+        "nodata": None,
+        "resolution": {(0, 90): (15 / 1800, 15 / 1800)},
+        "tilesize": 15,
+        "area_or_point": "area",
+        "datatype": "int16",
+    },
+    "SRTM 1Sec HGT": {
+        "nodata": -32768.0,
+        "resolution": {(0, 90): (1 / 3600, 1 / 3600)},
+        "tilesize": 1,
+        "area_or_point": "point",
+        "datatype": "int16",
+    },
+    "SRTM 3Sec": {
+        "nodata": -32768.0,
+        "resolution": {(0, 90): (5 / 6000, 5 / 6000)},
+        "tilesize": 5,
+        "area_or_point": "area",
+        "datatype": "int16",
+    },
+}
+
+
+def get_resolution(dem_type: str, y: float) -> tuple[float, float]:
+    """(xres, yres) for a DEM type at latitude ``y`` (auxdata.py:693-715).
+
+    Bands are keyed on ``|y|``; the reference's inclusive-both-ends
+    string ranges are reproduced (a boundary latitude takes the lower
+    band, matching dict iteration order there).
+    """
+    cfg = DEM_CONFIG[dem_type]
+    for (lo, hi), res in cfg["resolution"].items():
+        if lo <= abs(y) <= hi:
+            return res
+    raise RuntimeError(
+        f"could not get resolution for DEM type '{dem_type}' and latitude '{y}'."
+    )
+
+
+def prepare_extent(extent: dict, dem_type: str, crop: bool = True) -> dict:
+    """Tile-size snap (``crop=False``) + point-anchor half-pixel shift.
+
+    Reference: auxdata.py:1300-1319 — the extent is first expanded to
+    multiples of the tile size when the full tiles are wanted, then, for
+    'point'-anchored DEMs, every coordinate moves from the cell's upper-
+    left corner to its center: ``x -= xres/2``, ``y += yres/2``.
+    """
+    cfg = DEM_CONFIG[dem_type]
+    ext = {k: float(extent[k]) for k in ("xmin", "ymin", "xmax", "ymax")}
+    res = get_resolution(dem_type, ext["ymin"])
+    if not crop:
+        f = cfg["tilesize"]
+        ext["xmin"] = floor(ext["xmin"] / f) * f
+        ext["ymin"] = floor(ext["ymin"] / f) * f
+        ext["xmax"] = ceil(ext["xmax"] / f) * f
+        ext["ymax"] = ceil(ext["ymax"] / f) * f
+    if cfg["area_or_point"] == "point":
+        ext["xmin"] -= res[0] / 2
+        ext["ymin"] += res[1] / 2
+        ext["xmax"] -= res[0] / 2
+        ext["ymax"] += res[1] / 2
+    return ext
+
+
+def dummy_dem_table(extent: dict, dem_type: str) -> pa.Table:
+    """The 1-px ocean dummy as a tile row (auxdata.py:634-661 + 1322-1337).
+
+    One zero-valued pixel stretched over the whole extent; the source
+    value 0 doubles as src_nodata so real tiles would override it."""
+    arr = np.zeros((1, 1), dtype=np.float32)
+    return pa.table(
+        {
+            "tile": pa.array(["__dummy__"], type=pa.string()),
+            "data": pa.array([arr.tobytes()], type=pa.binary()),
+            "rows": pa.array([1], type=pa.int64()),
+            "cols": pa.array([1], type=pa.int64()),
+            "ulx": pa.array([extent["xmin"]], type=pa.float64()),
+            "uly": pa.array([extent["ymax"]], type=pa.float64()),
+            "xres": pa.array([extent["xmax"] - extent["xmin"]], type=pa.float64()),
+            "yres": pa.array([extent["ymax"] - extent["ymin"]], type=pa.float64()),
+            "nodata": pa.array([255.0], type=pa.float64()),
+        }
+    )
+
+
+class _Regrid:
+    """Actor-pool ``dem_create`` stage: warp each tile to the target
+    grid resolution (bilinear, TAP), one numpy kernel per row — the
+    payloads are full rasters, so work is MB-scale per row and the
+    per-row loop is not the hot path."""
+
+    def __init__(self, tr, nodata, resample: str, dtype: str):
+        self.tr = tr
+        self.nodata = nodata
+        self.resample = resample
+        self.dtype = dtype
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for i in range(len(batch)):
+            r = int(batch["rows"][i].as_py())
+            c = int(batch["cols"][i].as_py())
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=np.float32).reshape(r, c)
+            gt = (
+                batch["ulx"][i].as_py(),
+                batch["xres"][i].as_py(),
+                0.0,
+                batch["uly"][i].as_py(),
+                0.0,
+                -batch["yres"][i].as_py(),
+            )
+            nod = batch["nodata"][i].as_py() if self.nodata is None else self.nodata
+            bounds = (
+                gt[0],
+                gt[3] + gt[5] * r,
+                gt[0] + gt[1] * c,
+                gt[3],
+            )
+            out, ogt = warp_affine(
+                arr,
+                gt,
+                bounds,
+                self.tr,
+                nodata=nod,
+                resample=self.resample,
+                tap=True,
+                dtype=np.float32,
+            )
+            out_rows.append(
+                {
+                    "tile": batch["tile"][i].as_py(),
+                    "data": out.tobytes(),
+                    "rows": out.shape[0],
+                    "cols": out.shape[1],
+                    "ulx": ogt[0],
+                    "uly": ogt[3],
+                    "xres": ogt[1],
+                    "yres": -ogt[5],
+                    "nodata": float(nod) if nod is not None else float("nan"),
+                }
+            )
+        return pa.Table.from_pylist(out_rows, schema=batch.schema)
+
+
+def dem_load(
+    scenes: Dataset,
+    tiles: Dataset,
+    dem_type: str = "SRTM 1Sec HGT",
+    buffer: float | None = None,
+    crop: bool = True,
+    regrid: bool = False,
+    resample: str = "bilinear",
+    concurrency=(1, 4),
+) -> tuple[Dataset | pa.Table, dict]:
+    """The full load: extent prep → tile semi-join → ocean fallback →
+    optional regrid. Returns ``(tile rows, prepared extent)``.
+
+    The scene side collapses to four scalars (tree aggregate); the tile
+    id set for the extent is bounded (grid grammar over the extent) and
+    ships to the filter tasks via closure broadcast — the tile Dataset
+    itself streams and never materializes. Only the empty-result check
+    (``count()`` of the filtered, typically tiny, selection) executes
+    eagerly, mirroring the reference's ``len(locals) == 0`` branch.
+    """
+    if dem_type not in DEM_CONFIG:
+        options = ", ".join(DEM_CONFIG)
+        raise RuntimeError(
+            f"DEM type '{dem_type}' is not supported.\n  possible options: '{options}'"
+        )
+    ext = common_extent(scenes, buffer=buffer)
+    wanted = set(dem_tile_ids(ext, dem_type))
+    prepared = prepare_extent(ext, dem_type, crop=crop)
+    wanted_arr = pa.array(sorted(wanted), type=pa.string())
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["tile"], value_set=wanted_arr))
+
+    kept = tiles.map_batches(_keep, batch_format="pyarrow").materialize()
+    if kept.count() == 0:
+        return dummy_dem_table(prepared, dem_type), prepared
+    if regrid:
+        tr = get_resolution(dem_type, prepared["ymin"])
+        kept = kept.map_batches(
+            _Regrid,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=16,
+            fn_constructor_args=(tr, DEM_CONFIG[dem_type]["nodata"], resample, "float32"),
+        )
+    return kept, prepared
