@@ -280,6 +280,44 @@ def q_parse_names(sf_dir: str):
     return load_scenes(sf_dir).map_batches(_parse, batch_format="pyarrow")
 
 
+def q_find_datasets(sf_dir: str):
+    """find_datasets over a derived product-file listing: grammar parse +
+    attribute predicates (sensor tuple, start/stop window, exact ordered
+    proc_steps), reference ancillary.py:282-329."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.datasets import find_datasets
+
+    def _names(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        base = pd.Series(batch["outname_base"].to_pylist(), dtype="string")
+        pol = pd.Series(
+            np.where(batch["vv"].to_numpy() == 1, "VV", "HH"), dtype="string"
+        )
+        keys = batch["scene_key"].to_numpy()
+        steps = pd.Series(
+            np.where(keys % 2 == 0, "grd_mli_db", "grd_mli"), dtype="string"
+        )
+        fname = base + "_" + pol + "_" + steps + ".tif"
+        return pa.table({"filename": pa.array(fname.tolist(), type=pa.string())})
+
+    files = load_scenes(sf_dir).map_batches(_names, batch_format="pyarrow")
+    out = find_datasets(
+        files,
+        sensor=("S1A", "TSX1"),
+        start="20150301T000000",
+        stop="20151001T000000",
+        proc_steps=["grd", "mli", "db"],
+    )
+
+    def _project(df) -> "pa.Table":
+        cols = ["filename", "sensor", "acquisition_mode", "orbit", "start",
+                "polarization", "proc_steps"]
+        return pa.table({c: pa.array(df[c].tolist(), type=pa.string()) for c in cols})
+
+    return out.map_batches(_project, batch_format="pandas")
+
+
 def q_asof_osv(sf_dir: str):
     from pyrosar_ray.derive import osv_from_supplier
     from pyrosar_ray.pipelines.tables import load_scenes
@@ -841,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_duplicates": q_dedup_duplicates,
         "scene_seconds": q_scene_seconds,
         "parse_names": q_parse_names,
+        "find_datasets": q_find_datasets,
         "asof_osv": q_asof_osv,
         "sessionize": q_sessionize,
         "sessionize_ranged": q_sessionize_ranged,
@@ -1075,6 +1114,27 @@ def oracle_sql() -> dict[str, str]:
                    sensor, acquisition_mode, orbit, start,
                    'VV' AS polarization
             FROM scenes
+        """,
+        "find_datasets": f"""
+            {_SCENES},
+            files AS (
+                SELECT outname_base || '_'
+                       || (CASE WHEN vv = 1 THEN 'VV' ELSE 'HH' END) || '_'
+                       || (CASE WHEN scene_key % 2 = 0 THEN 'grd_mli_db'
+                                ELSE 'grd_mli' END) || '.tif' AS filename,
+                       sensor, acquisition_mode, orbit, start,
+                       CASE WHEN vv = 1 THEN 'VV' ELSE 'HH' END AS polarization,
+                       CASE WHEN scene_key % 2 = 0 THEN 'grd_mli_db'
+                            ELSE 'grd_mli' END AS proc_steps
+                FROM scenes
+            )
+            SELECT filename, sensor, acquisition_mode, orbit, start,
+                   polarization, proc_steps
+            FROM files
+            WHERE sensor IN ('S1A', 'TSX1')
+              AND start >= '20150301T000000'
+              AND start <= '20151001T000000'
+              AND proc_steps = 'grd_mli_db'
         """,
         "asof_osv": f"""
             {_SCENES}, osv AS ({OSV_SQL}),

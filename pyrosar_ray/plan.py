@@ -57,12 +57,35 @@ CO_LOCATE = ("ThermalNoiseRemoval", "Warp")
 _PASSTHROUGH = ("Read", "Write", "BandSelect")
 
 
+def value2str(value) -> str | None:
+    """Coerce a plan parameter value to its workflow string form.
+
+    Reference semantics (snap/auxil.py:1433-1455): booleans lowercase,
+    lists comma-join their ``str`` items, ``None`` passes through, and
+    everything else is ``str()``-ed. ``bool`` is checked before ``int``
+    since Python bools are ints.
+    """
+    if isinstance(value, bool):
+        return str(value).lower()
+    if isinstance(value, (list, tuple)):
+        return ",".join(map(str, value))
+    if value is None:
+        return None
+    return str(value)
+
+
 @dataclass
 class Node:
     id: str
     operator: str
     parameters: dict = field(default_factory=dict)
     sources: list[str] = field(default_factory=list)
+
+    def parameters_str(self) -> dict:
+        """Parameters coerced to their serialized string forms
+        (:func:`value2str` per value) — what the reference writes into
+        workflow XML nodes."""
+        return {k: value2str(v) for k, v in self.parameters.items()}
 
 
 class Plan:

@@ -98,3 +98,34 @@ def test_session_ids():
     ids = session_ids(ts, 60.0)
     assert ids.tolist() == [0, 0, 1, 1, 2]
     assert session_ids(np.array([]), 60.0).tolist() == []
+
+
+def test_find_datasets_predicates(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyrosar_ray.stages.datasets import find_datasets
+
+    names = [
+        "/d/S1A__IW___A_20150523T122350_VV_grd_mli_db.tif",
+        "/d/S1A__IW___A_20140101T000000_VV_grd_mli.tif",
+        "/d/TSX1_SM___D_20150601T010203_HH_grd_mli_db.tif",
+        "/d/PSR2_FBD__A_20150701T050607_HH_grd_mli_db.tif",
+        "not_a_product.txt",
+    ]
+    files = rd.from_arrow(pa.table({"filename": pa.array(names)}))
+    # sensor tuple + start window + ordered proc_steps
+    got = find_datasets(
+        files,
+        sensor=("S1A", "TSX1"),
+        start="20150101T000000",
+        proc_steps=["grd", "mli", "db"],
+    ).take_all()
+    assert sorted(r["filename"] for r in got) == sorted([names[0], names[2]])
+    # stop keeps start <= value; exact polarization match
+    got2 = find_datasets(files, stop="20141231T000000").take_all()
+    assert [r["filename"] for r in got2] == [names[1]]
+    got3 = find_datasets(files, polarization="HH").take_all()
+    assert sorted(r["sensor"] for r in got3) == ["PSR2", "TSX1"]
+    # grammar misses are always dropped
+    assert len(find_datasets(files).take_all()) == 4

@@ -45,3 +45,23 @@ def test_split_links_intermediates():
 def test_inconsistent_plan_detected():
     p = Plan([Node("A", "OpA", {}, ["missing"])])
     assert not p.is_consistent()
+
+
+def test_value2str_coercions():
+    from pyrosar_ray.plan import Node, value2str
+
+    # reference snap/auxil.py:1433-1455 semantics
+    assert value2str(True) == "true"
+    assert value2str(False) == "false"
+    assert value2str([1, 2, 3]) == "1,2,3"
+    assert value2str(["VV", "VH"]) == "VV,VH"
+    assert value2str(None) is None
+    assert value2str(20.5) == "20.5"
+    assert value2str(7) == "7"
+    node = Node("tc", "Terrain-Correction",
+                parameters={"demName": None, "nodataValueAtSea": False,
+                            "sourceBands": ["Gamma0_VV"], "pixelSpacingInMeter": 20.0})
+    assert node.parameters_str() == {
+        "demName": None, "nodataValueAtSea": "false",
+        "sourceBands": "Gamma0_VV", "pixelSpacingInMeter": "20.0",
+    }
