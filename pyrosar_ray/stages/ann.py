@@ -137,37 +137,67 @@ def lsh_topk(
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, qbuckets))
 
     class _Partial:
+        """Bucketed partial top-k; per-bucket block matmuls.
+
+        Queries are pre-sorted by bucket ONCE per actor; each batch
+        sorts its rows by bucket and intersects the two bucket sets, so
+        the only Python loop runs over SHARED buckets (≤ 2^nbits) and
+        every iteration is pure vectorized numpy — matmul, one
+        argpartition, array appends concatenated once at the end.
+        """
+
         def __init__(self):
-            self.qids, self.qmat, self.qbuckets = ray.get(qref)
+            self.qids, self.qmat, qbuckets = ray.get(qref)
             self.lsh = HyperplaneLSH(self.qmat.shape[1], nbits)
+            qorder = np.argsort(qbuckets, kind="stable")
+            self.qorder = qorder
+            qb_sorted = qbuckets[qorder]
+            self.qb_unique, self.qb_starts = np.unique(qb_sorted, return_index=True)
+            self.qb_ends = np.append(self.qb_starts[1:], len(qb_sorted))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             emb = _normalize(_stack_embeddings(batch, emb_col))
             ids = batch[id_col].to_numpy()
             cbuckets = self.lsh.buckets(emb)
-            out_q, out_n, out_s = [], [], []
-            for b in np.unique(cbuckets):
-                qm = self.qbuckets == b
-                cm = cbuckets == b
-                if not qm.any() or not cm.any():
-                    continue
-                sims = emb[cm] @ self.qmat[qm].T
-                sub_ids = ids[cm]
-                sub_q = self.qids[qm]
+            corder = np.argsort(cbuckets, kind="stable")
+            cb_sorted = cbuckets[corder]
+            cb_unique, cb_starts = np.unique(cb_sorted, return_index=True)
+            cb_ends = np.append(cb_starts[1:], len(cb_sorted))
+            shared, qpos, cpos = np.intersect1d(
+                self.qb_unique, cb_unique, assume_unique=True, return_indices=True
+            )
+            chunks_q, chunks_n, chunks_s = [], [], []
+            for qi, ci in zip(qpos, cpos):
+                qsel = self.qorder[self.qb_starts[qi] : self.qb_ends[qi]]
+                csel = corder[cb_starts[ci] : cb_ends[ci]]
+                sub_q = self.qids[qsel]
+                sub_ids = ids[csel]
+                sims = emb[csel] @ self.qmat[qsel].T  # (nc, nq)
                 sims[sub_ids[:, None] == sub_q[None, :]] = -np.inf
                 kk = min(k, sims.shape[0])
-                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-                for qi in range(sims.shape[1]):
-                    sel = part[:, qi]
-                    out_q.extend([sub_q[qi]] * len(sel))
-                    out_n.extend(sub_ids[sel].tolist())
-                    out_s.extend(sims[sel, qi].tolist())
+                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+                nq = sims.shape[1]
+                flat = part.T.reshape(-1)  # query-major
+                chunks_q.append(np.repeat(sub_q, kk))
+                chunks_n.append(sub_ids[flat])
+                chunks_s.append(sims[flat, np.repeat(np.arange(nq), kk)])
+            if not chunks_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            out_q = np.concatenate(chunks_q)
+            out_n = np.concatenate(chunks_n)
+            out_s = np.concatenate(chunks_s)
             keep = np.isfinite(out_s)
             return pa.table(
                 {
-                    "query_id": pa.array(np.asarray(out_q, dtype=np.int64)[keep]),
-                    "neighbor_id": pa.array(np.asarray(out_n, dtype=np.int64)[keep]),
-                    "score": pa.array(np.asarray(out_s, dtype=np.float64)[keep]),
+                    "query_id": pa.array(out_q[keep]),
+                    "neighbor_id": pa.array(out_n[keep]),
+                    "score": pa.array(out_s[keep]),
                 }
             )
 

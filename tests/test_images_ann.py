@@ -98,3 +98,39 @@ def test_lsh_topk_schema_and_recall():
     assert list(out.columns) == ["query_id", "neighbor_id", "rank"]
     assert 0 < len(out) <= 5
     assert 3 not in out["neighbor_id"].tolist()
+
+
+def test_lsh_topk_matches_bucket_oracle():
+    """New vectorized kernel vs a scalar per-bucket oracle: exact match."""
+    from pyrosar_ray.stages.ann import HyperplaneLSH, _normalize
+
+    rng = np.random.RandomState(7)
+    n, dim, nbits, k = 200, 16, 4, 5
+    mat = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.table({"vec_id": ids, "embedding": pa.array(mat.tolist(),
+                    type=pa.list_(pa.float64()))})
+    qids = np.array([0, 17, 63, 140], dtype=np.int64)
+    got = (
+        lsh_topk(ray.data.from_arrow(tab), qids, mat[qids], k=k, nbits=nbits)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    lsh = HyperplaneLSH(dim, nbits)
+    norm = _normalize(mat)
+    buckets = lsh.buckets(norm)
+    rows = []
+    for q in qids:
+        cand = ids[(buckets == buckets[q]) & (ids != q)]
+        sims = norm[cand] @ norm[q]
+        order = sorted(zip(-sims, cand))[:k]
+        for rank, (_, nid) in enumerate(order, 1):
+            rows.append((q, nid, rank))
+    import pandas as pd
+
+    expect = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]], expect, check_dtype=False
+    )
