@@ -51,22 +51,33 @@ class VWSimplifier:
         if n <= 2:
             self.thresholds = thresholds
             return
-        # doubly-linked list over active vertices
+        # doubly-linked list over active vertices + lazy-deletion min-heap:
+        # O(n log n) vs the naive per-removal argmin's O(n^2). Heap
+        # entries are (area, index, version); stale versions are skipped
+        # on pop, and the (area, index) ordering reproduces argmin's
+        # smallest-index tie-break exactly.
+        import heapq
+
         prev = np.arange(-1, n - 1)
         nxt = np.arange(1, n + 1)
         areas = _triangle_areas(pts)
         active = np.ones(n, dtype=bool)
+        version = np.zeros(n, dtype=np.int64)
+        heap = [(areas[i], i, 0) for i in range(1, n - 1)]
+        heapq.heapify(heap)
         max_area_so_far = 0.0
-        for _ in range(n - 2):
-            # argmin over active interior vertices
-            masked = np.where(active, areas, np.inf)
-            i = int(np.argmin(masked))
-            if not np.isfinite(masked[i]):
+        removed = 0
+        while heap and removed < n - 2:
+            area_i, i, ver = heapq.heappop(heap)
+            if not active[i] or ver != version[i]:
+                continue
+            if not np.isfinite(area_i):
                 break
-            area = max(masked[i], max_area_so_far)  # monotonic clamp
+            area = max(area_i, max_area_so_far)  # monotonic clamp
             max_area_so_far = area
             thresholds[i] = area
             active[i] = False
+            removed += 1
             p, q = prev[i], nxt[i]
             nxt[p], prev[q] = q, p
             # recompute neighbor areas against new adjacency
@@ -75,6 +86,8 @@ class VWSimplifier:
                     a, b, c = pts[prev[j]], pts[j], pts[nxt[j]]
                     cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
                     areas[j] = 0.5 * abs(cross)
+                    version[j] += 1
+                    heapq.heappush(heap, (areas[j], j, int(version[j])))
         self.thresholds = thresholds
 
     def from_threshold(self, threshold: float) -> np.ndarray:
