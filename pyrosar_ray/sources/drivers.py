@@ -230,11 +230,17 @@ def get_member(blob: bytes, name: str) -> bytes:
 
 def _register_defaults() -> dict:
     from .formats import (
+        parse_ceos_ers,
         parse_ceos_psr,
+        parse_dimap,
+        parse_eorc_psr,
         parse_esa,
         parse_safe,
         parse_tsx,
+        sniff_ceos_ers,
         sniff_ceos_psr,
+        sniff_dimap,
+        sniff_eorc_psr,
         sniff_esa,
         sniff_safe,
         sniff_tsx,
@@ -246,6 +252,9 @@ def _register_defaults() -> dict:
         "CEOS_PSR": (sniff_ceos_psr, parse_ceos_psr),
         "TSX": (sniff_tsx, parse_tsx),
         "ESA": (sniff_esa, parse_esa),
+        "BEAM_DIMAP": (sniff_dimap, parse_dimap),
+        "CEOS_ERS": (sniff_ceos_ers, parse_ceos_ers),
+        "EORC_PSR": (sniff_eorc_psr, parse_eorc_psr),
         # compact synthetic formats (same 16-attr contract)
         "xmlish": (lambda b, m=None: b.startswith(b"<scene>"), parse_xmlish),
         "ceosish": (lambda b, m=None: b.startswith(_CEOS_MAGIC), parse_ceosish),
