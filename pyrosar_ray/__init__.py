@@ -43,22 +43,10 @@ def _tune_allocator() -> None:
 _tune_allocator()
 
 
-def _tune_shuffle() -> None:
-    """Default to Ray's push-based shuffle for sort/groupby exchanges.
-
-    Measured here: a small groupby-Sum drops ~2x (4.4s -> 2.4s at 32
-    CPUs) and the win grows with block count, because the push-based
-    path pipelines map outputs into merge tasks instead of scheduling
-    one reduce wave per output block. Set on the current DataContext at
-    import so every driver that uses this package (bench, queries,
-    tests) gets the same plan; callers can still override per-session.
-    """
-    try:
-        from ray.data import DataContext
-
-        DataContext.get_current().use_push_based_shuffle = True
-    except Exception:  # pragma: no cover - future Ray API drift
-        pass
-
-
-_tune_shuffle()
+# Note on shuffle strategy: push-based shuffle was evaluated as the
+# package default (it halves an ISOLATED small groupby-Sum at 32 CPUs)
+# but measured consistently SLOWER inside full pipelines here —
+# spatial_join 8.5s vs 7.8s, doc_minhash_pairs 7.3s vs 5.8s at sf0.1 —
+# because the extra merge-task wave competes with the pipeline's own
+# map stages for cores. The Ray default (sort-based) stays; callers can
+# opt in per-session via DataContext.use_push_based_shuffle.

@@ -23,6 +23,12 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+
+def _ray_from_arrow(tab: pa.Table) -> Dataset:
+    import ray.data as rd
+
+    return rd.from_arrow(tab)
+
 # ------------------------------------------------------------ exact dedup
 
 
@@ -224,23 +230,25 @@ def keep_multi_member_buckets(
     with a vectorized hash semi-join (pandas MultiIndex.isin — C hash
     probe, no per-row Python).
     """
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(list(key_cols)).to_pandas()
-        part = df.groupby(list(key_cols), as_index=False).size()
-        return pa.Table.from_pandas(part, preserve_index=False)
+    import ray
 
     if combine == "auto":
         combine = "driver" if ds.count() <= DRIVER_COMBINE_MAX_ROWS else "shuffle"
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow")
     if combine == "shuffle":
         from ray.data.aggregate import Sum
 
         from .spatial import materialize_small_side
 
-        counts_ds = partials.groupby(list(key_cols)).aggregate(
-            Sum("size", alias_name="size")
+        def _partial(batch: pa.Table) -> pa.Table:
+            df = batch.select(list(key_cols)).to_pandas()
+            part = df.groupby(list(key_cols), as_index=False).size()
+            return pa.Table.from_pandas(part, preserve_index=False)
+
+        counts_ds = (
+            ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(list(key_cols))
+            .aggregate(Sum("size", alias_name="size"))
         )
         # drop singletons BEFORE collecting — only near-dup volume ships
         multi_ds = counts_ds.map_batches(
@@ -249,23 +257,30 @@ def keep_multi_member_buckets(
         )
         multi = materialize_small_side(multi_ds, list(key_cols)).to_pandas()
     else:
-        counts = partials.to_pandas().groupby(list(key_cols), as_index=False)["size"].sum()
-        multi = counts[counts["size"] > 1][list(key_cols)]
-
-    import ray
+        # driver combine: the caller passes a MATERIALIZED Dataset with a
+        # provably-bounded row count, so the key columns are fetched
+        # straight from the cached block refs (<= 16 B x bound) and
+        # counted in one pandas pass — no extra Ray execution at all
+        refs = ds.select_columns(list(key_cols)).to_arrow_refs()
+        blocks = [t for t in ray.get(refs) if len(t)]
+        if blocks:
+            keys = pa.concat_tables(blocks).to_pandas()
+            counts = keys.groupby(list(key_cols), as_index=False).size()
+            multi = counts[counts["size"] > 1][list(key_cols)]
+        else:
+            multi = pd.DataFrame({c: pd.Series([], dtype="int64") for c in key_cols})
 
     ref = ray.put(multi)
 
-    class _Filter:
-        def __init__(self):
-            self.index = pd.MultiIndex.from_frame(ray.get(ref))
+    def _filter(batch: pa.Table) -> pa.Table:
+        multi_keys = pd.MultiIndex.from_frame(ray.get(ref))
+        df = batch.select(list(key_cols)).to_pandas()
+        mask = pd.MultiIndex.from_frame(df).isin(multi_keys)
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.select(list(key_cols)).to_pandas()
-            mask = pd.MultiIndex.from_frame(df).isin(self.index)
-            return batch.filter(pa.array(mask))
-
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
+    # plain task pool: the broadcast key set is fetched zero-copy per
+    # task (shared-memory ray.get), and no actor-pool spin-up is paid
+    return ds.map_batches(_filter, batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(docs: Dataset, combine: str = "auto", **kwargs) -> Dataset:
@@ -278,10 +293,54 @@ def minhash_candidate_pairs(docs: Dataset, combine: str = "auto", **kwargs) -> D
     :func:`keep_multi_member_buckets` (default cost-based auto).
     """
     id_col = kwargs.get("id_col", "doc_id")
+    all_band_rows = minhash_band_rows(docs, **kwargs).materialize()
+
+    if combine == "auto":
+        combine = (
+            "driver"
+            if all_band_rows.count() <= DRIVER_COMBINE_MAX_ROWS
+            else "shuffle"
+        )
+    if combine == "driver":
+        # bounded input: the (id, band, band_hash) triples fit the same
+        # driver budget as the bucket counts, so the whole bucket →
+        # pairs → distinct chain collapses into one pandas pass with no
+        # further Ray executions (two shuffles saved); 'shuffle' below
+        # remains the fully-distributed plan for unbounded inputs
+        import ray
+
+        refs = all_band_rows.select_columns(
+            [id_col, "band", "band_hash"]
+        ).to_arrow_refs()
+        blocks = [t for t in ray.get(refs) if len(t)]
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+            }
+        )
+        if not blocks:
+            return _ray_from_arrow(empty)
+        df = pa.concat_tables(blocks).to_pandas()
+        grp = df.groupby(["band", "band_hash"])[id_col]
+        out_a, out_b = [], []
+        for _, ids in grp:
+            if len(ids) < 2:
+                continue
+            for a, b in combinations(sorted(ids.tolist()), 2):
+                out_a.append(a)
+                out_b.append(b)
+        pairs_df = (
+            pd.DataFrame({"id_a": out_a, "id_b": out_b}, dtype="int64")
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+        if pairs_df.empty:
+            return _ray_from_arrow(empty)
+        return _ray_from_arrow(pa.Table.from_pandas(pairs_df, preserve_index=False))
+
     band_rows = keep_multi_member_buckets(
-        minhash_band_rows(docs, **kwargs).materialize(),
-        ("band", "band_hash"),
-        combine=combine,
+        all_band_rows, ("band", "band_hash"), combine=combine
     )
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
