@@ -397,11 +397,52 @@ def phash_near_dup_pairs(
 
     from ray.data.aggregate import Min
 
-    from .dedup_text import keep_multi_member_buckets
+    from .dedup_text import DRIVER_COMBINE_MAX_ROWS, keep_multi_member_buckets
 
-    band_rows = keep_multi_member_buckets(
-        phash_bands(ds, bands=bands, id_col=id_col).materialize(), ("band", "band_key")
-    )
+    all_band_rows = phash_bands(ds, bands=bands, id_col=id_col).materialize()
+
+    if all_band_rows.count() <= DRIVER_COMBINE_MAX_ROWS:
+        # bounded input: the (id, phash, band, band_key) rows fit the
+        # driver-combine budget, so the bucket → verify → distinct chain
+        # collapses to one pandas pass (two shuffles saved) — the same
+        # cost policy as minhash_candidate_pairs' driver fast-path
+        import ray
+        import ray.data as rd
+
+        refs = all_band_rows.to_arrow_refs()
+        blocks = [t for t in ray.get(refs) if len(t)]
+        if not blocks:
+            df = pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="string"),
+                    "id_b": pd.Series([], dtype="string"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+            return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        full = pa.concat_tables(blocks).to_pandas()
+        sizes = full.groupby(["band", "band_key"])[id_col].transform("size")
+        kept = full[sizes > 1]
+        parts = [
+            _pairs(g) for _, g in kept.groupby(["band", "band_key"], sort=False)
+        ]
+        if parts:
+            out = (
+                pd.concat(parts, ignore_index=True)
+                .groupby(["id_a", "id_b"], as_index=False)["hamming"]
+                .min()
+            )
+        else:
+            out = pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="string"),
+                    "id_b": pd.Series([], dtype="string"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+    band_rows = keep_multi_member_buckets(all_band_rows, ("band", "band_key"))
     pairs = band_rows.groupby(["band", "band_key"]).map_groups(
         _pairs, batch_format="pandas"
     )
