@@ -280,6 +280,51 @@ def q_parse_names(sf_dir: str):
     return load_scenes(sf_dir).map_batches(_parse, batch_format="pyarrow")
 
 
+def q_osv_files(sf_dir: str):
+    """EOF filename grammar round-trip over the derived OSV inventory:
+    format → parse → storage-subdir layout (reference S1/auxil.py
+    _parse/date/_subdir, lines 125-692)."""
+    import ray.data as rd
+
+    from pyrosar_ray.derive import osv_from_supplier
+    from pyrosar_ray.functions.osv import (
+        format_osv_name,
+        osv_subdir_batch,
+        parse_osv_batch,
+    )
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+
+    def _names(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        inv = osv_from_supplier(batch["s_suppkey"].to_numpy()).to_pandas()
+        epoch = pd.Timestamp("2015-01-01")
+        stamp = lambda col: (  # noqa: E731
+            (epoch + pd.to_timedelta(inv[col], unit="s")).dt.strftime("%Y%m%dT%H%M%S")
+        )
+        names = format_osv_name(
+            inv["sensor"], inv["osv_type"], stamp("publish_sec"),
+            stamp("start_sec"), stamp("stop_sec"),
+        )
+        parsed = parse_osv_batch(names)
+        return pa.table(
+            {
+                "filename": pa.array(parsed["filename"].tolist(), type=pa.string()),
+                "sensor": pa.array(parsed["sensor"].tolist(), type=pa.string()),
+                "osv_type": pa.array(
+                    parsed["type"].str.slice(0, 3).tolist(), type=pa.string()
+                ),
+                "publish": pa.array(parsed["publish"].tolist(), type=pa.string()),
+                "start": pa.array(parsed["start"].tolist(), type=pa.string()),
+                "stop": pa.array(parsed["stop"].tolist(), type=pa.string()),
+                "subdir": pa.array(osv_subdir_batch(names).tolist(), type=pa.string()),
+            }
+        )
+
+    return sup.map_batches(_names, batch_format="pyarrow")
+
+
 def q_find_datasets(sf_dir: str):
     """find_datasets over a derived product-file listing: grammar parse +
     attribute predicates (sensor tuple, start/stop window, exact ordered
@@ -880,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_seconds": q_scene_seconds,
         "parse_names": q_parse_names,
         "find_datasets": q_find_datasets,
+        "osv_files": q_osv_files,
         "asof_osv": q_asof_osv,
         "sessionize": q_sessionize,
         "sessionize_ranged": q_sessionize_ranged,
@@ -1114,6 +1160,25 @@ def oracle_sql() -> dict[str, str]:
                    sensor, acquisition_mode, orbit, start,
                    'VV' AS polarization
             FROM scenes
+        """,
+        "osv_files": f"""
+            WITH osv AS ({OSV_SQL}),
+            named AS (
+                SELECT sensor, osv_type,
+                       strftime(TIMESTAMP '2015-01-01' + to_seconds(publish_sec),
+                                '%Y%m%dT%H%M%S') AS publish,
+                       strftime(TIMESTAMP '2015-01-01' + to_seconds(start_sec),
+                                '%Y%m%dT%H%M%S') AS start,
+                       strftime(TIMESTAMP '2015-01-01' + to_seconds(stop_sec),
+                                '%Y%m%dT%H%M%S') AS stop
+                FROM osv
+            )
+            SELECT sensor || '_OPER_AUX_' || osv_type || 'ORB_OPOD_' || publish
+                   || '_V' || start || '_' || stop || '.EOF' AS filename,
+                   sensor, osv_type, publish, start, stop,
+                   osv_type || 'ORB/' || sensor || '/' || substr(start, 1, 4)
+                   || '/' || substr(start, 5, 2) AS subdir
+            FROM named
         """,
         "find_datasets": f"""
             {_SCENES},

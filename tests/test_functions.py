@@ -129,3 +129,41 @@ def test_find_datasets_predicates(ray_session):
     assert sorted(r["sensor"] for r in got3) == ["PSR2", "TSX1"]
     # grammar misses are always dropped
     assert len(find_datasets(files).take_all()) == 4
+
+
+def test_osv_filename_grammar():
+    import numpy as np
+
+    from pyrosar_ray.functions.osv import (
+        OSV_PATTERN,
+        format_osv_name,
+        osv_date,
+        osv_subdir_batch,
+        parse_osv_batch,
+        sort_by_date,
+    )
+    import re
+
+    names = format_osv_name(
+        ["S1A", "S1B"], ["POE", "RES"],
+        ["20150527T122852", "20150528T000000"],
+        ["20150505T225944", "20150401T120000"],
+        ["20150507T005944", "20150402T120000"],
+    )
+    assert names[0] == (
+        "S1A_OPER_AUX_POEORB_OPOD_20150527T122852_"
+        "V20150505T225944_20150507T005944.EOF"
+    )
+    for n in names:
+        assert re.fullmatch(OSV_PATTERN, n)
+    df = parse_osv_batch(names)
+    assert df["sensor"].tolist() == ["S1A", "S1B"]
+    assert df["type"].tolist() == ["POEORB", "RESORB"]
+    assert osv_date(names, "stop")[1] == "20150402T120000"
+    assert osv_subdir_batch(names).tolist() == [
+        "POEORB/S1A/2015/05", "RESORB/S1B/2015/04",
+    ]
+    assert sort_by_date(names, "start").tolist() == [names[1], names[0]]
+    # malformed name -> null row, no exception
+    bad = parse_osv_batch(np.array(["not_an_eof.txt"], dtype=object))
+    assert bad["sensor"].isna().all()
