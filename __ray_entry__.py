@@ -516,6 +516,30 @@ def q_embed_topk(sf_dir: str):
     return brute_force_topk(corpus, qids, qmat, k=10)
 
 
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos >= 0.2) between the probe
+    set and the whole corpus — the dedup dual of embed_topk; pair
+    volume leaves the workers, the corpus never moves."""
+    import ray.data
+
+    from pyrosar_ray.stages.ann import cosine_threshold_pairs
+
+    qids, qmat = _load_queries_matrix(sf_dir)
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = cosine_threshold_pairs(corpus, qids, qmat, threshold=0.2)
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("cos"),
+            "cos",
+            pc.round(batch["cos"], ndigits=6),
+        )
+
+    return pairs.map_batches(_round, batch_format="pyarrow")
+
+
 def q_spatial_knn(sf_dir: str):
     """5 nearest scene centroids per sampled point (expanding-ring kNN)."""
     from pyrosar_ray.pipelines.tables import load_points, load_scenes
@@ -937,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
+        "embed_neardup": q_embed_neardup,
         "spatial_knn": q_spatial_knn,
         "unique_dirs": q_unique_dirs,
         "osv_best": q_osv_best,
@@ -1453,6 +1478,19 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM q, e WHERE e.vec_id <> q.query_id
             ) WHERE rank <= 10
+        """,
+        "embed_neardup": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id % 50 = 0
+            ), e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+            )
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qe, e.ee), 6) AS cos
+            FROM q, e
+            WHERE e.vec_id <> q.query_id
+              AND list_cosine_similarity(q.qe, e.ee) >= 0.2
         """,
         "identify_scenes": IDENTIFY_SQL,
     }

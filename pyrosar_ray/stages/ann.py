@@ -100,6 +100,58 @@ def brute_force_topk(
     return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
 
 
+def cosine_threshold_pairs(
+    corpus: Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Embedding-cosine near-dup pairs: every (query, corpus) pair with
+    cosine ≥ ``threshold``, streamed over the corpus.
+
+    The dual of :func:`brute_force_topk` for DEDUP rather than search:
+    the query matrix broadcasts once (``ray.put``), each batch does one
+    matmul and emits only the over-threshold pairs — no shuffle at all
+    (pair volume is the actual near-dup volume, corpus never moves).
+    """
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), _normalize(query_matrix)))
+
+    class _Pairs:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "cos": pa.array([], type=pa.float64()),
+                    }
+                )
+            emb = _normalize(_stack_embeddings(batch, emb_col))
+            ids = batch[id_col].to_numpy()
+            sims = emb @ self.qmat.T  # (batch, nq)
+            keep = sims >= threshold
+            if exclude_self:
+                keep &= ids[:, None] != self.qids[None, :]
+            ci, qi = np.nonzero(keep)
+            return pa.table(
+                {
+                    "query_id": pa.array(self.qids[qi]),
+                    "neighbor_id": pa.array(ids[ci]),
+                    "cos": pa.array(sims[ci, qi]),
+                }
+            )
+
+    return corpus.select_columns([id_col, emb_col]).map_batches(
+        _Pairs, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 # ----------------------------------------------------------- LSH variant
 
 

@@ -134,3 +134,34 @@ def test_lsh_topk_matches_bucket_oracle():
     pd.testing.assert_frame_equal(
         got[["query_id", "neighbor_id", "rank"]], expect, check_dtype=False
     )
+
+
+def test_cosine_threshold_pairs_matches_bruteforce():
+    from pyrosar_ray.stages.ann import _normalize, cosine_threshold_pairs
+
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((60, 8))
+    ids = np.arange(60, dtype=np.int64)
+    tab = pa.table({"vec_id": ids, "embedding": pa.array(mat.tolist(),
+                    type=pa.list_(pa.float64()))})
+    qids = np.array([0, 7], dtype=np.int64)
+    got = (
+        cosine_threshold_pairs(ray.data.from_arrow(tab), qids, mat[qids], threshold=0.3)
+        .to_pandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    norm = _normalize(mat)
+    sims = norm @ norm[qids].T
+    expect = [
+        (int(q), int(i), sims[i, k])
+        for k, q in enumerate(qids)
+        for i in ids
+        if i != q and sims[i, k] >= 0.3
+    ]
+    assert list(map(tuple, got[["query_id", "neighbor_id"]].to_numpy())) == [
+        (q, i) for q, i, _ in sorted(expect)
+    ]
+    np.testing.assert_allclose(
+        got["cos"].to_numpy(), [s for _, _, s in sorted(expect)]
+    )
