@@ -147,6 +147,14 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_images = n_docs * mult
+
+    def _busy_ticks() -> int:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        # user+nice+system+irq+softirq (whole host: includes Ray workers)
+        return sum(int(f[i]) for i in (1, 2, 3, 6, 7))
+
+    busy0 = _busy_ticks()
     t0 = time.time()
     stab = materialize_small_side(
         load_scenes(sf_dir), ["scene_key", "xmin", "ymin", "xmax", "ymax"]
@@ -213,11 +221,18 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     totals = df.groupby("tile_idx")["n"].sum()
     n_tiles = int(len(totals))
     elapsed = time.time() - t0
+    cpu_sec = (_busy_ticks() - busy0) / os.sysconf("SC_CLK_TCK")
     return {
         "elapsed_sec": elapsed,
         "rows_in": n_images,
         "tiles_out": n_tiles,
         "rows_per_sec": n_images / elapsed,
+        # work conservation: CPU-seconds consumed per row. Flat across
+        # parallelism levels = the plan adds no coordination/serial
+        # overhead as workers are added; any wall-clock efficiency loss
+        # is host-FP saturation, not plan shape (see BASELINE.md).
+        "cpu_sec": round(cpu_sec, 1),
+        "cpu_sec_per_krow": round(cpu_sec / n_images * 1000, 3),
     }
 
 
@@ -270,9 +285,13 @@ def main() -> None:
 
         lo, hi = args.pair
         runs = {lo: [], hi: []}
+        cpu_rows = {lo: [], hi: []}
         for _ in range(args.repeat):
             for n in (lo, hi):
-                runs[n].append(one_run(n)["rows_per_sec"])
+                r = one_run(n)
+                runs[n].append(r["rows_per_sec"])
+                if "cpu_sec_per_krow" in r:
+                    cpu_rows[n].append(r["cpu_sec_per_krow"])
         med8 = statistics.median(runs[lo])
         med32 = statistics.median(runs[hi])
         print(
@@ -289,6 +308,10 @@ def main() -> None:
                     "all_runs_rows_per_sec": {
                         str(lo): [round(x, 1) for x in runs[lo]],
                         str(hi): [round(x, 1) for x in runs[hi]],
+                    },
+                    "cpu_sec_per_krow": {
+                        str(lo): cpu_rows[lo],
+                        str(hi): cpu_rows[hi],
                     },
                     "repeat": args.repeat,
                     "sf_dir": args.sf_dir,
