@@ -357,12 +357,20 @@ class RayArchive:
         return cls.ingest(rd.read_csv(path))
 
     def export(self, path: str, fmt: str = "parquet") -> None:
-        """Dump the catalog (Archive.export2shp analogue; archive.py:668-715
-        writes a Shapefile — the engine writes parquet/csv, the formats a
-        Ray-native consumer reads)."""
+        """Dump the catalog (Archive.export2shp analogue; archive.py:668-715).
+
+        ``fmt='shp'`` writes a real ESRI Shapefile (pure-Python writer,
+        :mod:`.shapefile` — same name-laundering as the reference's
+        VectorTranslate path); parquet/csv are the Ray-native formats.
+        The shapefile export is a driver-side small-side dump, exactly
+        like the reference's (the catalog is metadata, not imagery)."""
         if fmt == "parquet":
             self.data.write_parquet(path)
         elif fmt == "csv":
             self.data.write_csv(path)
+        elif fmt == "shp":
+            from .shapefile import write_shapefile
+
+            write_shapefile(self.data.to_pandas(), path)
         else:
             raise ValueError(f"unsupported export format: {fmt}")
