@@ -356,6 +356,51 @@ class RayArchive:
 
         return cls.ingest(rd.read_csv(path))
 
+    def move(
+        self, scenelist: list[str], directory: str
+    ) -> tuple["RayArchive", list[str]]:
+        """Rewrite the catalog paths of moved scenes (Archive.move,
+        archive.py:839-894).
+
+        The reference moves the files AND updates the data/duplicates
+        rows; the engine owns only the catalog side — the caller does
+        the I/O. Returns ``(updated archive, double)`` where ``double``
+        lists scenes whose target basename collides with another moved
+        scene (the reference skips those, leaving them in place).
+        Path rewriting is a vectorized per-batch replacement against a
+        broadcast map — both tables stream, no shuffle.
+        """
+        import os
+
+        targets: dict[str, str] = {}
+        double: list[str] = []
+        seen: set[str] = set()
+        for scene in scenelist:
+            new = os.path.join(directory, os.path.basename(scene))
+            if new in seen:
+                double.append(scene)
+                continue
+            seen.add(new)
+            targets[scene] = new
+
+        def _rewrite(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            scenes = batch["scene"].to_pandas()
+            mapped = scenes.map(targets).fillna(scenes)
+            idx = batch.schema.get_field_index("scene")
+            return batch.set_column(idx, "scene", pa.array(mapped, type=pa.string()))
+
+        data = self.data.map_batches(_rewrite, batch_format="pyarrow")
+        dups = (
+            self.duplicates.map_batches(_rewrite, batch_format="pyarrow")
+            if self.duplicates is not None
+            else None
+        )
+        out = RayArchive(data, dups)
+        out.colnames = self.colnames
+        return out, double
+
     def export(self, path: str, fmt: str = "parquet") -> None:
         """Dump the catalog (Archive.export2shp analogue; archive.py:668-715).
 

@@ -180,3 +180,66 @@ def asof_match(
             return batch.append_column(out_col, pa.array(ids, type=pa.int64()))
 
     return probes.map_batches(_Match, batch_format="pyarrow", concurrency=concurrency)
+
+
+# ------------------------------------------------- inventory maintenance
+
+
+def osv_extreme_date(
+    files: Dataset,
+    osvtype: str = "POE",
+    datetype: str = "stop",
+    extreme: str = "max",
+    name_col: str = "filename",
+) -> str | None:
+    """Latest/earliest stamp among EOF files of one orbit type.
+
+    Engine twin of ``OSV.maxdate``/``mindate`` (S1/auxil.py:507-544)
+    over a filename Dataset instead of a directory walk: parse the
+    grammar per batch, reduce to one stamp per block, min/max the
+    block partials — a tree aggregate; stamps compare lexicographically.
+    Returns None when no file of the type exists.
+    """
+    import pandas as pd
+
+    from ..functions.osv import parse_osv_batch
+
+    if extreme not in ("max", "min"):
+        raise ValueError("extreme must be 'max' or 'min'")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = parse_osv_batch(batch[name_col].to_pandas())
+        sel = df[df["type"] == f"{osvtype}ORB"][datetype].dropna()
+        if sel.empty:
+            return pa.table({"stamp": pa.array([], type=pa.string())})
+        agg = sel.max() if extreme == "max" else sel.min()
+        return pa.table({"stamp": pa.array([agg], type=pa.string())})
+
+    partials = files.map_batches(_partial, batch_format="pyarrow").take_all()
+    stamps = [r["stamp"] for r in partials]
+    if not stamps:
+        return None
+    return max(stamps) if extreme == "max" else min(stamps)
+
+
+def clean_res(files: Dataset, name_col: str = "filename") -> Dataset:
+    """Drop RES files superseded by POE coverage.
+
+    Reference ``OSV.clean_res`` (S1/auxil.py:480-489): delete every RES
+    file whose stop stamp is before the latest POE stop. The engine
+    returns the retained Dataset (the caller owns deletion); the POE
+    max is ONE broadcast scalar, the filter is a vectorized per-batch
+    mask — no shuffle.
+    """
+    from ..functions.osv import parse_osv_batch
+
+    maxdate_poe = osv_extreme_date(files, "POE", "stop", "max", name_col)
+    if maxdate_poe is None:
+        return files
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        df = parse_osv_batch(batch[name_col].to_pandas())
+        drop = (df["type"] == "RESORB") & (df["stop"] < maxdate_poe)
+        return batch.filter(pa.array((~drop).fillna(True).to_numpy(dtype=bool)))
+
+    return files.map_batches(_keep, batch_format="pyarrow")

@@ -90,3 +90,62 @@ def test_scene_catalog_protocol():
     assert isinstance(cat, SceneCatalog)
     with cat as c:
         assert c.select(sensor="S1A").count() == 1
+
+
+def test_archive_move_rewrites_paths(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyrosar_ray.catalog.archive import RayArchive
+
+    data = rd.from_arrow(
+        pa.table(
+            {
+                "scene": ["/old/a.zip", "/old/b.zip", "/other/c.zip"],
+                "outname_base": ["A", "B", "C"],
+                "product": ["GRD", "GRD", "GRD"],
+            }
+        )
+    )
+    dups = rd.from_arrow(
+        pa.table(
+            {
+                "scene": ["/old/a.zip"],
+                "outname_base": ["A2"],
+                "product": ["GRD"],
+            }
+        )
+    )
+    arch = RayArchive(data, dups)
+    moved, double = arch.move(["/old/a.zip", "/old/b.zip", "/dupe/b.zip"], "/new")
+    # same-basename collision is reported and left in place
+    assert double == ["/dupe/b.zip"]
+    got = sorted(r["scene"] for r in moved.data.take_all())
+    assert got == ["/new/a.zip", "/new/b.zip", "/other/c.zip"]
+    # duplicates table rewritten too
+    assert moved.duplicates.take_all()[0]["scene"] == "/new/a.zip"
+
+
+def test_osv_maintenance_ops(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyrosar_ray.stages.asof import clean_res, osv_extreme_date
+
+    names = [
+        "S1A_OPER_AUX_POEORB_OPOD_20150527T122852_V20150505T225944_20150507T005944.EOF",
+        "S1A_OPER_AUX_POEORB_OPOD_20150528T122852_V20150506T225944_20150508T005944.EOF",
+        "S1A_OPER_AUX_RESORB_OPOD_20150507T000000_V20150506T225944_20150507T003000.EOF",
+        "S1A_OPER_AUX_RESORB_OPOD_20150509T000000_V20150508T225944_20150509T003000.EOF",
+    ]
+    files = rd.from_arrow(pa.table({"filename": pa.array(names)}))
+    assert osv_extreme_date(files, "POE", "stop", "max") == "20150508T005944"
+    assert osv_extreme_date(files, "RES", "start", "min") == "20150506T225944"
+    assert osv_extreme_date(files, "POE", "stop", "max", name_col="filename") is not None
+    # RES file stopping before the POE max is dropped; the later one kept
+    kept = sorted(r["filename"] for r in clean_res(files).take_all())
+    assert names[2] not in kept
+    assert names[3] in kept and names[0] in kept
+    # empty type -> None; clean_res then no-op
+    poe_only = rd.from_arrow(pa.table({"filename": pa.array(names[:2])}))
+    assert osv_extreme_date(poe_only, "RES", "stop", "max") is None
