@@ -273,3 +273,33 @@ def dem_load(
             fn_constructor_args=(tr, DEM_CONFIG[dem_type]["nodata"], resample, "float32"),
         )
     return kept, prepared
+
+
+def dem_autoload(
+    scenes: Dataset,
+    demType: str,
+    tiles: Dataset,
+    buffer: float | None = None,
+    product: str = "dem",
+    crop: bool = True,
+    regrid: bool = False,
+):
+    """Reference-named facade over :func:`dem_load` (``dem_autoload``,
+    auxdata.py:67-273): obtain all DEM tiles relevant to the scene
+    geometries, with the reference's argument spelling.
+
+    Differences dictated by the environment (documented, not silent):
+    ``geometries`` is the scene Dataset (footprint bboxes), the tile
+    inventory is an in-memory raster Dataset rather than a remote
+    FTP/HTTPS mirror (no network), and the VRT mosaic step is the
+    regrid/mosaic stage rather than a GDAL VRT file. ``product`` other
+    than 'dem' is not modeled by the synthetic tile payloads.
+    """
+    if product != "dem":
+        raise RuntimeError(
+            f"Product '{product}' is not available for DEM type '{demType}'"
+            " in this engine (payloads model the 'dem' product)."
+        )
+    return dem_load(
+        scenes, tiles, dem_type=demType, buffer=buffer, crop=crop, regrid=regrid
+    )

@@ -179,3 +179,16 @@ def test_dem_config_covers_reference_types():
               "Copernicus 30m Global DEM", "Copernicus 90m Global DEM"]:
         assert t in DEM_CONFIG
         assert DEM_CONFIG[t]["area_or_point"] in ("area", "point")
+
+
+def test_dem_autoload_facade(ray_session):
+    from pyrosar_ray.stages.dem_load import dem_autoload
+
+    scenes = _scene_ds(11.2, 51.3, 11.8, 51.9)
+    tiles = rd.from_arrow(
+        pa.Table.from_pylist([make_tile("N51E011.SRTMGL1.hgt.zip", 11.0, 52.0)])
+    )
+    kept, prepared = dem_autoload(scenes, "SRTM 1Sec HGT", tiles)
+    assert kept.count() == 1
+    with pytest.raises(RuntimeError, match="not available"):
+        dem_autoload(scenes, "SRTM 1Sec HGT", tiles, product="wbm")
