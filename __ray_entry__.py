@@ -1372,7 +1372,7 @@ def oracle_sql() -> dict[str, str]:
                                ELSE doc_id END) // 3) % 3
                         WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END
                         AS INTEGER) AS h,
-                   'raw' AS fmt,
+                   CASE WHEN doc_id % 7 = 0 THEN 'png' ELSE 'raw' END AS fmt,
                    text AS caption
             FROM documents
         """,

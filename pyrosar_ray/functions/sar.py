@@ -129,6 +129,54 @@ def rgba_quicklook(rgb: np.ndarray) -> np.ndarray:
     return np.dstack([rgb, alpha])
 
 
+_KML_TEMPLATE = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+  <GroundOverlay>
+    <name>{name}</name>
+    <Icon><href>quick-look.png</href></Icon>
+    <LatLonBox>
+      <north>{north}</north><south>{south}</south>
+      <east>{east}</east><west>{west}</west>
+    </LatLonBox>
+  </GroundOverlay>
+</kml>
+"""
+
+
+def export_kmz(
+    rgb: np.ndarray,
+    outname: str,
+    *,
+    name: str,
+    bbox: dict,
+    na_transparent: bool = True,
+) -> None:
+    """Write a real KMZ quicklook: doc.kml + quick-look.png in a zip.
+
+    Engine twin of ``ID.quicklook`` (pyroSAR/drivers.py:2083-2132): the
+    reference repackages the scene's bundled overlay KML and PNG,
+    rewriting black pixels transparent via PIL; here the KML is built
+    from the scene's bbox and the PNG is encoded by the pure-Python
+    codec (functions/png.py) — no imaging library needed.
+    ``name`` plays the reference's outname_base title substitution.
+    """
+    import zipfile
+
+    from .png import encode_png
+
+    arr = rgba_quicklook(rgb) if na_transparent else np.asarray(rgb, dtype=np.uint8)
+    kml = _KML_TEMPLATE.format(
+        name=name,
+        north=bbox["ymax"],
+        south=bbox["ymin"],
+        east=bbox["xmax"],
+        west=bbox["xmin"],
+    )
+    with zipfile.ZipFile(outname, "w") as out:
+        out.writestr("doc.kml", kml)
+        out.writestr("quick-look.png", encode_png(arr))
+
+
 def create_dummy_dem(extent: dict, res: float = 0.001) -> dict:
     """Zero-elevation raster descriptor spanning an extent (ocean fallback).
 

@@ -11,10 +11,10 @@ Near-dup structure for the dedup stages: ids ending in 9 reuse the
 previous id's seed → identical pixels → identical phash (mirrors the
 ~10% identity-collision rate of the derived scene catalog).
 
-``fmt`` is ``raw`` (uncompressed RGB bytes) in-sandbox; the png/jpeg
-decode slot is a clearly-marked stub (no imaging libs in this
-container) — the Ray-side plumbing (binary column, batch sizing, actor
-signature, output layout) is real and tested either way.
+``fmt`` mixes ``raw`` (uncompressed RGB bytes) with ``png`` (every
+7th id, encoded by the pure-Python codec in functions/png.py) so the
+compressed-decode path runs for real end-to-end; jpeg remains a
+clearly-marked stub (no codec lib in this container).
 """
 
 from __future__ import annotations
@@ -110,10 +110,16 @@ def images_from_documents(sf_dir: str) -> Dataset:
         for i, t in zip(ids.tolist(), texts):
             seed = i - 1 if i % 10 == 9 else i  # near-dup pairs
             arr, w, h = synth_image(seed)
-            blobs.append(arr.tobytes())
+            if i % 7 == 0:  # deterministic slice of real compressed rows
+                from ..functions.png import encode_png
+
+                blobs.append(encode_png(arr))
+                fmts.append("png")
+            else:
+                blobs.append(arr.tobytes())
+                fmts.append("raw")
             ws.append(w)
             hs.append(h)
-            fmts.append("raw")
             phashes.append(average_phash(arr))
             image_ids.append(f"img-{i:012d}")
         return pa.table(

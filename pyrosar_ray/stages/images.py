@@ -7,9 +7,9 @@ S1/auxil.py:695-858, snap/auxil.py:1457-1587) expressed as actor-pool
 MB-scale rows: small ``batch_size`` (payload × batch × concurrency must
 fit the worker heap), zero-copy Arrow in, plain numpy per row inside.
 
-Compressed-format decode (png/jpeg) is stubbed behind a try-import —
-no imaging library ships in this container; ``fmt='raw'`` rows decode
-via ``np.frombuffer`` for real.
+``fmt='raw'`` rows decode via ``np.frombuffer``; ``fmt='png'`` rows
+decode through the pure-Python codec in functions/png.py. Only jpeg
+remains stubbed behind a try-import (no codec lib in this container).
 """
 
 from __future__ import annotations
@@ -23,9 +23,16 @@ from ..sources.images import average_phash
 
 
 def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """bytes → (h, w, 3) uint8. Raw decodes natively; png/jpeg need PIL."""
+    """bytes → (h, w, 3) uint8. raw and png decode natively; jpeg needs PIL."""
     if fmt == "raw":
         return np.frombuffer(blob, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        from ..functions.png import decode_png
+
+        arr = decode_png(blob)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        return arr[:, :, :3]
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -35,7 +42,7 @@ def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     except ImportError as err:  # pragma: no cover
         raise NotImplementedError(
             f"decode of fmt={fmt!r} requires an imaging library (PIL/opencv); "
-            "only fmt='raw' decodes in this sandbox"
+            "raw and png decode natively in this sandbox"
         ) from err
 
 

@@ -26,9 +26,16 @@ def test_decode_raw_roundtrip():
     assert np.array_equal(decode_image(arr.tobytes(), w, h, "raw"), arr)
 
 
-def test_decode_compressed_is_stubbed():
+def test_decode_png_via_codec():
+    from pyrosar_ray.functions.png import encode_png
+
+    arr, w, h = synth_image(5)
+    assert np.array_equal(decode_image(encode_png(arr), w, h, "png"), arr)
+
+
+def test_decode_jpeg_is_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG", 4, 4, "png")
+        decode_image(b"\xff\xd8\xff", 4, 4, "jpeg")
 
 
 def test_block_mean_resize_constant():
