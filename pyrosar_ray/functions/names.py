@@ -77,3 +77,43 @@ def parse_datasetname_batch(names) -> pd.DataFrame:
     df["outname_base"] = df["outname_base"].str.rstrip("_")
     df["filename"] = s
     return df
+
+
+# ----------------------------------------------------- snap.writer grammar
+
+_REFAREA_RE = re.compile(r"(?P<refarea>(?:Sig|Gam)ma0)_(?P<pol>[HV]{2})")
+
+
+def writer_band_name(basename: str, *, rtc: bool = False,
+                     sigma0_rtc: bool = False, db: bool = False) -> str:
+    """The reference's product-band rename grammar
+    (snap/auxil.py:497-525): backscatter bands become
+    ``<pol>_<refarea>-<correction>[_db]``; auxiliary layers are
+    laundered (elevation→DEM, per-pol scatteringArea/gammaSigmaRatio
+    collapsed, NE[BGS]Z pol-prefixed, layover_shadow_mask→
+    layoverShadowMask)."""
+    match = _REFAREA_RE.search(basename)
+    if match:
+        refarea, pol = match.groups()
+        correction = "elp"
+        if rtc and (refarea == "Gamma0" or (refarea == "Sigma0" and sigma0_rtc)):
+            correction = "rtc"
+        suffix = f"{refarea.lower()}-{correction}" + ("_db" if db else "")
+        return f"{pol}_{suffix}"
+    base = basename.replace("elevation", "DEM")
+    base = re.sub(r"scatteringArea_[HV]{2}", "scatteringArea", base)
+    base = re.sub(r"gammaSigmaRatio_[HV]{2}", "gammaSigmaRatio", base)
+    base = re.sub(r"(NE[BGS]Z)_([HV]{2})", r"\g<2>_\g<1>", base)
+    base = re.sub(r"layover_shadow_mask(_[HV]{2})?", "layoverShadowMask", base)
+    return base
+
+
+def writer_nodata(basename: str, dem_nodata: float | None = -32768.0) -> float | None:
+    """Per-layer nodata policy (snap/auxil.py:526-533): elevation →
+    the DEM's nodata (SRTM 1Sec HGT = -32768), layover-shadow mask →
+    255, everything else → 0."""
+    if re.search("elevation|DEM", basename):
+        return dem_nodata
+    if re.search("layoverShadowMask|layover_shadow_mask", basename):
+        return 255.0
+    return 0.0

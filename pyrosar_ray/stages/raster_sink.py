@@ -1,11 +1,11 @@
-"""Raster sinks: ENVI / GAMMA flat-binary writers as Dataset stages.
+"""Raster sinks: ENVI / GAMMA / tiled-GeoTIFF writers as Dataset stages.
 
 Engine twin of the reference's writer endpoints — ``snap.writer``'s
-ENVI/GeoTIFF product export (the GeoTIFF encode needs GDAL, absent
-here; ENVI raw + header is the GDAL-free on-disk format the reference
-itself uses for GETASSE30 via ``getasse30_hdr``, auxdata.py:1552-1596)
-and the GAMMA side's image + text-parameter-file pairs
-(``gamma/dem.py`` writes ``<name>`` + ``<name>.par``).
+tiled-GeoTIFF product export (snap/auxil.py:439-551; encoded here by
+the pure-Python writer in functions/tiff.py, no GDAL), the ENVI raw +
+header format the reference uses for GETASSE30 (``getasse30_hdr``,
+auxdata.py:1552-1596), and the GAMMA side's image + text-parameter-file
+pairs (``gamma/dem.py`` writes ``<name>`` + ``<name>.par``).
 
 Ray-side design: a raster Dataset (``tile, data, rows, cols, ulx, uly,
 xres, yres, nodata`` — the schema produced by
@@ -72,7 +72,7 @@ def write_rasters(
     sidecar marks the raster complete and the row is skipped, so a
     failed run resumes where it stopped.
     """
-    if fmt not in ("envi", "gamma"):
+    if fmt not in ("envi", "gamma", "gtiff"):
         raise ValueError(f"unsupported raster sink format: {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
     code = _ENVI_DTYPE[dtype]
@@ -86,6 +86,9 @@ def write_rasters(
             if fmt == "envi":
                 data_path = os.path.join(out_dir, f"{name}.img")
                 side_path = os.path.join(out_dir, f"{name}.hdr")
+            elif fmt == "gtiff":
+                # self-describing single file: the tif is its own sidecar
+                data_path = side_path = os.path.join(out_dir, f"{name}.tif")
             else:
                 data_path = os.path.join(out_dir, name)
                 side_path = os.path.join(out_dir, f"{name}.par")
@@ -105,17 +108,37 @@ def write_rasters(
             uly = float(batch["uly"][i].as_py())
             xres = float(batch["xres"][i].as_py())
             yres = float(batch["yres"][i].as_py())
-            if fmt == "envi":
-                sidecar = envi_hdr(cols, rows, ulx, uly, xres, dtype=code)
+            if fmt == "gtiff":
+                from ..functions.tiff import encode_geotiff
+
+                nodata = None
+                if "nodata" in batch.column_names:
+                    nodata = batch["nodata"][i].as_py()
+                raw = encode_geotiff(
+                    payload.reshape(rows, cols),
+                    ulx=ulx,
+                    uly=uly,
+                    xres=xres,
+                    yres=yres,
+                    nodata=nodata,
+                    band_names=[name],
+                )
+                tmp = data_path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(raw)
+                os.rename(tmp, data_path)
             else:
-                sidecar = gamma_par(name, rows, cols, ulx, uly, xres, yres, dtype)
-            tmp = data_path + ".tmp"
-            with open(tmp, "wb") as fh:
-                fh.write(raw)
-            os.rename(tmp, data_path)
-            with open(side_path + ".tmp", "w") as fh:
-                fh.write(sidecar)
-            os.rename(side_path + ".tmp", side_path)
+                if fmt == "envi":
+                    sidecar = envi_hdr(cols, rows, ulx, uly, xres, dtype=code)
+                else:
+                    sidecar = gamma_par(name, rows, cols, ulx, uly, xres, yres, dtype)
+                tmp = data_path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(raw)
+                os.rename(tmp, data_path)
+                with open(side_path + ".tmp", "w") as fh:
+                    fh.write(sidecar)
+                os.rename(side_path + ".tmp", side_path)
             out["skipped"].append(False)
             out["name"].append(name)
             out["path"].append(data_path)
@@ -134,3 +157,77 @@ def write_rasters(
         )
 
     return rasters.map_batches(_write, batch_format="pyarrow")
+
+
+def write_products(
+    bands: Dataset,
+    out_dir: str,
+    *,
+    suffix: str,
+    rtc: bool = False,
+    sigma0_rtc: bool = False,
+    dem_nodata: float | None = -32768.0,
+    tile: int = 256,
+) -> Dataset:
+    """snap.writer parity: per-band GeoTIFF export with the reference's
+    rename grammar and nodata policy (snap/auxil.py:439-551).
+
+    Input rows: ``src_base`` (the workflow product basename containing
+    ``suffix``), ``band`` (the .img basename, e.g. ``Gamma0_VV`` or
+    ``elevation``), ``data`` (float32 bytes), ``rows/cols/ulx/uly/
+    xres/yres``. Each band becomes one tiled GeoTIFF named by the
+    writer grammar (``<base>_<pol>_<refarea>-<correction>[_db].tif``
+    for backscatter; laundered layer names otherwise) with the
+    per-layer nodata (DEM → ``dem_nodata``, mask → 255, else 0).
+    Atomic + idempotent like :func:`write_rasters`; returns the
+    manifest Dataset.
+    """
+    from ..functions.names import writer_band_name, writer_nodata
+
+    os.makedirs(out_dir, exist_ok=True)
+    db = "dB" in suffix
+
+    def _write(batch: pa.Table) -> pa.Table:
+        from ..functions.tiff import encode_geotiff
+
+        out = {"band": [], "path": [], "nodata": [], "skipped": []}
+        for i in range(len(batch)):
+            src_base = str(batch["src_base"][i].as_py())
+            band = str(batch["band"][i].as_py())
+            token = writer_band_name(band, rtc=rtc, sigma0_rtc=sigma0_rtc, db=db)
+            nodata = writer_nodata(token, dem_nodata)
+            name_new = src_base.replace(suffix, token) + ".tif"
+            path = os.path.join(out_dir, name_new)
+            out["band"].append(band)
+            out["path"].append(path)
+            out["nodata"].append(nodata)
+            if os.path.exists(path):
+                out["skipped"].append(True)
+                continue
+            rows = int(batch["rows"][i].as_py())
+            cols = int(batch["cols"][i].as_py())
+            data = np.frombuffer(batch["data"][i].as_py(), dtype=np.float32)
+            blob = encode_geotiff(
+                data.reshape(rows, cols),
+                ulx=float(batch["ulx"][i].as_py()),
+                uly=float(batch["uly"][i].as_py()),
+                xres=float(batch["xres"][i].as_py()),
+                yres=float(batch["yres"][i].as_py()),
+                nodata=nodata,
+                band_names=[token],
+                tile=tile,
+            )
+            with open(path + ".tmp", "wb") as fh:
+                fh.write(blob)
+            os.rename(path + ".tmp", path)
+            out["skipped"].append(False)
+        return pa.table(
+            {
+                "band": pa.array(out["band"], type=pa.string()),
+                "path": pa.array(out["path"], type=pa.string()),
+                "nodata": pa.array(out["nodata"], type=pa.float64()),
+                "skipped": pa.array(out["skipped"], type=pa.bool_()),
+            }
+        )
+
+    return bands.map_batches(_write, batch_format="pyarrow")
