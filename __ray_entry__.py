@@ -791,6 +791,33 @@ def q_image_neardup(sf_dir: str):
     return phash_near_dup_pairs(images)
 
 
+def q_doc_neardup_fp(sf_dir: str):
+    """Banded-hamming near-dup over the SQL-expressible document
+    fingerprint — the hash-checked twin of the phash near-dup kernel
+    (the image phash itself hashes PRNG pixels, which SQL cannot
+    recompute; the kernel under test is identical either way)."""
+    import pandas as pd
+    import ray.data
+
+    from pyrosar_ray.stages.images import phash_near_dup_pairs
+    from pyrosar_ray.stages.text import fingerprints
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc": "doc-" + batch["doc_id"].astype(str).str.zfill(12),
+                "phash": batch["fingerprint"],
+            }
+        )
+
+    prepped = fingerprints(docs).map_batches(_prep, batch_format="pandas")
+    return phash_near_dup_pairs(prepped, max_hamming=32, id_col="doc")
+
+
 def q_ann_lsh_topk(sf_dir: str):
     import ray.data
 
@@ -978,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_prepare": q_dem_prepare,
         "hgt_union": q_hgt_union,
         "image_neardup": q_image_neardup,
+        "doc_neardup_fp": q_doc_neardup_fp,
         "ann_lsh_topk": q_ann_lsh_topk,
         "identify_scenes": q_identify_scenes,
     }
@@ -1362,6 +1390,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_simhash": _simhash_sql(),
+        "doc_neardup_fp": """
+            WITH fp AS (
+              SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS doc,
+                     CAST(list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT),
+                         [CAST(ascii(c) AS HUGEINT) FOR c IN str_split(text, '')]),
+                       (acc, b) -> (acc * 1000003 + b)
+                                   % CAST(2305843009213693951 AS HUGEINT)
+                     ) AS BIGINT) AS ph
+              FROM documents
+            )
+            SELECT a.doc AS id_a, b.doc AS id_b,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc < b.doc
+            WHERE bit_count(xor(a.ph, b.ph)) <= 32
+              AND ( ((a.ph >>  0) & 65535) = ((b.ph >>  0) & 65535)
+                 OR ((a.ph >> 16) & 65535) = ((b.ph >> 16) & 65535)
+                 OR ((a.ph >> 32) & 65535) = ((b.ph >> 32) & 65535)
+                 OR ((a.ph >> 48) & 65535) = ((b.ph >> 48) & 65535))
+        """,
         "image_meta": """
             SELECT 'img-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
                    CAST(CASE (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
