@@ -70,10 +70,60 @@ def refine_bbox(batch: pa.Table) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
+def estimate_input_bytes(ds: Dataset) -> int | None:
+    """On-disk bytes of a Dataset's source files, from read metadata only.
+
+    ``input_files()`` resolves from the datasource without executing the
+    plan (unlike ``size_bytes()`` on a lazy dataset, which would run
+    it). Returns None when the lineage has no file-backed source —
+    callers fall back to a static partition count.
+    """
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os
+
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            return None
+    return total
+
+
+#: decompressed-Arrow inflation over on-disk parquet, conservative
+_INFLATION = 4
+
+
+def auto_num_partitions(
+    scenes: Dataset,
+    points: Dataset,
+    target_partition_bytes: int = 64 << 20,
+    default: int = 64,
+) -> int:
+    """Derive the co-partition count from input size so one partition
+    (~both sides' slice) fits a worker heap at any input scale.
+
+    Static counts either under-split 100 TB (OOM) or over-split 100 MB
+    (per-group overhead); sizing from the read metadata keeps the
+    partition byte-size roughly constant across scales. Unknown size →
+    ``default``.
+    """
+    sizes = [estimate_input_bytes(scenes), estimate_input_bytes(points)]
+    if any(s is None for s in sizes):
+        return default
+    want = (_INFLATION * sum(sizes)) / target_partition_bytes
+    return int(min(4096, max(8, np.ceil(want))))
+
+
 def spatial_join_points(
     scenes: Dataset,
     points: Dataset,
-    num_partitions: int = 32,
+    num_partitions: int | None = 32,
     res: int = 0,
     scene_cols: tuple[str, ...] = ("scene_key",),
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
@@ -88,12 +138,15 @@ def spatial_join_points(
     and the point stream never shuffles — the plan that scales to the
     north-star input. ``strategy='partitioned'``: both sides
     hash-shuffle on the grid cell (for large-large joins where no side
-    fits in memory).
+    fits in memory); ``num_partitions=None`` sizes the exchange from
+    the inputs' read metadata (:func:`auto_num_partitions`).
     """
     if strategy == "broadcast":
         return broadcast_spatial_join(
             scenes, points, res=res, scene_cols=scene_cols, point_cols=point_cols
         )
+    if num_partitions is None:
+        num_partitions = auto_num_partitions(scenes, points)
     return partitioned_spatial_join(
         scenes,
         points,

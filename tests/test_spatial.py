@@ -146,3 +146,21 @@ def test_salted_group_apply_hot_key():
     out = salted_group_apply(rd.from_pandas(df), "tile", combine).to_pandas()
     got = dict(zip(out["tile"], out["n"]))
     assert got["HOT"] == 900 and got["c0"] == 1 and len(got) == 101
+
+
+def test_auto_num_partitions(ray_session, sf_dir):
+    import ray.data
+
+    from pyrosar_ray.stages.spatial import auto_num_partitions, estimate_input_bytes
+
+    scenes = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    points = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    sz = estimate_input_bytes(points)
+    assert sz is not None and sz > 0
+    n = auto_num_partitions(scenes, points)
+    assert 8 <= n <= 4096
+    # small inputs clamp to the floor; a huge target drives it there too
+    assert auto_num_partitions(scenes, points, target_partition_bytes=1 << 40) == 8
+    # non-file-backed lineage falls back to the caller default
+    synth = ray.data.range(10)
+    assert auto_num_partitions(synth, points, default=33) == 33
