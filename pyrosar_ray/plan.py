@@ -249,3 +249,208 @@ def geocode_plan(spacing: float = 20.0, t_srs: str = "EPSG:4326") -> Plan:
     p.add(Node("LinearToFromdB", "LinearToFromdB", {}, ["Terrain-Correction"]))
     p.add(Node("Write", "Write", {"file": "out"}, ["LinearToFromdB"]))
     return p
+
+
+# --------------------------------------------------- validated geocode build
+
+#: Terrain-Correction ancillary layers (snap/util.py:430-434)
+TC_EXPORT_OPTIONS = (
+    "incidenceAngleFromEllipsoid",
+    "localIncidenceAngle",
+    "projectedLocalIncidenceAngle",
+    "DEM",
+    "layoverShadowMask",
+)
+#: additional export_extra ids handled outside Terrain-Correction
+EXTRA_EXPORT_OPTIONS = ("scatteringArea", "gammaSigmaRatio")
+
+#: Speckle-Filter options (snap/util.py:505-512)
+SPECKLE_FILTER_OPTIONS = (
+    "Boxcar",
+    "Median",
+    "Frost",
+    "Gamma Map",
+    "Refined Lee",
+    "Lee",
+    "Lee Sigma",
+)
+
+GEOCODING_TYPES = ("Range-Doppler", "SAR simulation cross correlation")
+
+
+def _parse_t_srs(t_srs) -> str:
+    """int EPSG or 'EPSG:n' string → 'EPSG:n'; anything else raises
+    (the reference delegates to spatialist.crsConvert and surfaces a
+    RuntimeError on unknown input, tests/test_snap.py:79-83)."""
+    if isinstance(t_srs, int):
+        return f"EPSG:{t_srs}"
+    if isinstance(t_srs, str):
+        match = __import__("re").fullmatch(r"(?:EPSG:)?(\d+)", t_srs.strip())
+        if match:
+            return f"EPSG:{match.group(1)}"
+    raise RuntimeError(f"cannot parse t_srs: {t_srs!r}")
+
+
+def build_geocode(
+    record: dict,
+    spacing: float = 20.0,
+    t_srs=4326,
+    polarizations="all",
+    scaling: str = "dB",
+    geocoding_type: str = "Range-Doppler",
+    shapefile: dict | None = None,
+    export_extra: list | None = None,
+    external_dem: str | None = None,
+    terrain_flattening: bool = True,
+    refarea="gamma0",
+    speckle_filter: str | bool = False,
+    remove_border_noise: bool = True,
+) -> Plan:
+    """Build the geocode plan with the reference's full parameter
+    validation matrix (snap/util.py:28-703; matrix anchored by
+    tests/test_snap.py:48-136).
+
+    ``record`` is a scene-contract dict (sensor, product,
+    acquisition_mode, polarizations, and bbox corners xmin/xmax/
+    ymin/ymax when ``shapefile`` is given). Raises exactly where the
+    reference does: RuntimeError for bad polarizations / geocoding_type
+    / t_srs / scaling / non-overlapping shapefile / unknown
+    export_extra / missing external DEM / unsupported sensor;
+    ValueError for bad speckleFilter / refarea; TypeError for a bad
+    record type.
+    """
+    if not isinstance(record, dict):
+        raise TypeError("'record' must be a scene-contract dict")
+    sensor = record.get("sensor", "")
+    import re as _re
+
+    if sensor in ("ASAR", "ERS1", "ERS2"):
+        pass
+    elif _re.search("S1[A-Z]", sensor):
+        pass
+    else:
+        raise RuntimeError("sensor not supported (yet)")
+
+    # polarizations (snap/util.py:283-295)
+    have = list(record.get("polarizations", []))
+    if isinstance(polarizations, str):
+        if polarizations == "all":
+            pols = have
+        elif polarizations in have:
+            pols = [polarizations]
+        else:
+            raise RuntimeError(
+                f"polarization {polarizations} does not exists in the source product"
+            )
+    elif isinstance(polarizations, list):
+        pols = [x for x in have if x in polarizations]
+    else:
+        raise RuntimeError("polarizations must be of type str or list")
+
+    if geocoding_type not in GEOCODING_TYPES:
+        raise RuntimeError(f"geocoding_type not recognized: {geocoding_type}")
+    crs = _parse_t_srs(t_srs)
+    if scaling not in ("dB", "db", "linear"):
+        raise RuntimeError('scaling must be  a string of either "dB", "db" or "linear"')
+
+    refs = [refarea] if isinstance(refarea, str) else list(refarea)
+    for item in refs:
+        if item not in ("sigma0", "gamma0"):
+            raise ValueError(f"unsupported value for refarea: {item}")
+
+    if speckle_filter and speckle_filter not in SPECKLE_FILTER_OPTIONS:
+        raise ValueError(
+            "unsupported value for speckleFilter; options:\n- "
+            + "\n- ".join(SPECKLE_FILTER_OPTIONS)
+        )
+
+    if export_extra is not None:
+        for item in export_extra:
+            if item not in TC_EXPORT_OPTIONS + EXTRA_EXPORT_OPTIONS:
+                raise RuntimeError(f"ID '{item}' not valid for argument 'export_extra'")
+        if "scatteringArea" in export_extra and not terrain_flattening:
+            raise RuntimeError(
+                "scatteringArea can only be created if terrain flattening is performed"
+            )
+        if "gammaSigmaRatio" in export_extra:
+            if not terrain_flattening:
+                raise RuntimeError(
+                    "gammaSigmaRatio can only be created if terrain flattening is performed"
+                )
+            if sorted(refs) != ["gamma0", "sigma0"]:
+                raise ValueError(
+                    "For export_extra layer 'gammaSigmaRatio' 'refarea' "
+                    "must contain both sigma0 and gamma0"
+                )
+
+    if external_dem is not None:
+        import os
+
+        if not os.path.isfile(external_dem):
+            raise RuntimeError("specified external DEM file does not exist")
+
+    # shapefile subset guard (+0.01° buffer, snap/auxil.py:1760-1768)
+    if shapefile is not None:
+        buffered = {
+            "xmin": shapefile["xmin"] - 0.01,
+            "xmax": shapefile["xmax"] + 0.01,
+            "ymin": shapefile["ymin"] - 0.01,
+            "ymax": shapefile["ymax"] + 0.01,
+        }
+        overlaps = (
+            buffered["xmin"] < record["xmax"]
+            and buffered["xmax"] > record["xmin"]
+            and buffered["ymin"] < record["ymax"]
+            and buffered["ymax"] > record["ymin"]
+        )
+        if not overlaps:
+            raise RuntimeError("no bounding box intersection between shapefile and scene")
+
+    # ---- assemble the node chain (conditional, snap/util.py:325-549)
+    p = Plan()
+    p.add(Node("Read", "Read", {}, []))
+    last = "Read"
+    is_s1 = bool(_re.search("S1[A-Z]", sensor))
+    if is_s1 and record.get("product") == "GRD" and remove_border_noise:
+        p.add(Node("Remove-GRD-Border-Noise", "Remove-GRD-Border-Noise",
+                   {"selectedPolarisations": pols}, [last]))
+        last = "Remove-GRD-Border-Noise"
+    p.add(Node("Calibration", "Calibration", {"selectedPolarisations": pols}, [last]))
+    last = "Calibration"
+    if is_s1:
+        p.add(Node("ThermalNoiseRemoval", "ThermalNoiseRemoval", {}, [last]))
+        last = "ThermalNoiseRemoval"
+    if is_s1 and record.get("product") == "SLC":
+        mode = record.get("acquisition_mode", "")
+        if mode in ("IW", "EW"):
+            p.add(Node("TOPSAR-Deburst", "TOPSAR-Deburst", {}, [last]))
+            last = "TOPSAR-Deburst"
+        elif not _re.fullmatch("S[1-6]", mode):
+            raise RuntimeError(f"acquisition mode {mode} not supported")
+    p.add(Node("Apply-Orbit-File", "Apply-Orbit-File", {}, [last]))
+    last = "Apply-Orbit-File"
+    if shapefile is not None:
+        p.add(Node("Subset", "Subset", {"extent": dict(shapefile)}, [last]))
+        last = "Subset"
+    p.add(Node("Multilook", "Multilook", {"spacing": spacing}, [last]))
+    last = "Multilook"
+    if terrain_flattening:
+        p.add(Node("Terrain-Flattening", "Terrain-Flattening",
+                   {"outputSigma0": "sigma0" in refs}, [last]))
+        last = "Terrain-Flattening"
+    if speckle_filter:
+        p.add(Node("Speckle-Filter", "Speckle-Filter", {"filter": speckle_filter}, [last]))
+        last = "Speckle-Filter"
+    tc_extra = [x for x in (export_extra or []) if x in TC_EXPORT_OPTIONS] or None
+    tc_params = {"crs": crs, "method": geocoding_type}
+    if tc_extra:
+        tc_params["auxiliary"] = tc_extra
+    if external_dem is not None:
+        tc_params["externalDEMFile"] = external_dem
+    p.add(Node("Terrain-Correction", "Terrain-Correction", tc_params, [last]))
+    last = "Terrain-Correction"
+    if scaling in ("dB", "db"):
+        p.add(Node("LinearToFromdB", "LinearToFromdB", {}, [last]))
+        last = "LinearToFromdB"
+    p.add(Node("Write", "Write", {"file": "out"}, [last]))
+    return p
