@@ -85,3 +85,53 @@ def sort_by_date(names, datetype: str = "start") -> np.ndarray:
     stamps = pd.Series(osv_date(names, datetype), dtype="string")
     order = np.argsort(stamps.to_numpy(dtype=object), kind="stable")
     return np.asarray(names, dtype=object)[order]
+
+
+# ------------------------------------------------------ remote URL grammar
+
+
+def aux_sentinel_urls(start, stop, osv_type: str = "POE") -> list[str]:
+    """Daily listing URLs of the ESA aux archive for a validity window.
+
+    Reference skeleton (S1/auxil.py:204-233):
+    ``http://aux.sentinel1.eo.esa.int/{type}ORB/{Y}/{m:02d}/{d:02d}/``,
+    walked one day at a time from ``start``. The network walk stops when
+    a day's listing has no file or only files past ``stop``; the
+    deterministic equivalent is every day of [start, stop] inclusive.
+    """
+    if osv_type not in ("POE", "RES"):
+        raise IOError('type must be either "POE" or "RES"')
+    days = np.arange(
+        np.datetime64(pd.Timestamp(start).date(), "D"),
+        np.datetime64(pd.Timestamp(stop).date(), "D") + np.timedelta64(1, "D"),
+    )
+    stamps = pd.DatetimeIndex(days)
+    return [
+        f"http://aux.sentinel1.eo.esa.int/{osv_type}ORB/"
+        f"{t.year}/{t.month:02d}/{t.day:02d}/"
+        for t in stamps
+    ]
+
+
+def step_auxdata_urls(sensors, start, stop, osv_type: str = "POE") -> list[str]:
+    """Monthly listing URLs of the STEP auxdata mirror.
+
+    Reference skeleton (S1/auxil.py:245-263): ``https://step.esa.int/
+    auxdata/orbits/Sentinel-1/{type}ORB/{sensor}/{Y}/{m:02d}/``, walked
+    per sensor from one month BEFORE ``start``'s month (an OSV covering
+    the window may be filed under the previous month) through ``stop``'s
+    month. File hrefs append ``/{filename}.zip``.
+    """
+    if osv_type not in ("POE", "RES"):
+        raise RuntimeError("osvtype must be either 'POE' or 'RES'")
+    if isinstance(sensors, str):
+        sensors = [sensors]
+    first = pd.Timestamp(start).to_period("M") - 1
+    last = pd.Timestamp(stop).to_period("M")
+    months = pd.period_range(first, last, freq="M")
+    return [
+        f"https://step.esa.int/auxdata/orbits/Sentinel-1/{osv_type}ORB/"
+        f"{sens}/{m.year}/{m.month:02d}/"
+        for sens in sensors
+        for m in months
+    ]

@@ -87,3 +87,40 @@ def test_dummy_dem_and_envi_hdr():
     assert dem["geotransform"] == (10.0, 2.0, 0.0, 53.0, 0.0, -3.0)
     hdr = envi_hdr(3600, 3600, 11.0, 52.0, 1 / 3600)
     assert "samples = 3600" in hdr and "ENVI" in hdr.splitlines()[0]
+
+
+def test_aux_sentinel_urls_golden():
+    import pytest
+
+    from pyrosar_ray.functions.osv import aux_sentinel_urls
+
+    urls = aux_sentinel_urls("2021-01-30T10:00:00", "2021-02-02T05:00:00")
+    assert urls == [
+        "http://aux.sentinel1.eo.esa.int/POEORB/2021/01/30/",
+        "http://aux.sentinel1.eo.esa.int/POEORB/2021/01/31/",
+        "http://aux.sentinel1.eo.esa.int/POEORB/2021/02/01/",
+        "http://aux.sentinel1.eo.esa.int/POEORB/2021/02/02/",
+    ]
+    assert aux_sentinel_urls("2021-01-30", "2021-01-30", "RES")[0].startswith(
+        "http://aux.sentinel1.eo.esa.int/RESORB/"
+    )
+    with pytest.raises(IOError):
+        aux_sentinel_urls("2021-01-30", "2021-01-31", "FOO")
+
+
+def test_step_auxdata_urls_golden():
+    import pytest
+
+    from pyrosar_ray.functions.osv import step_auxdata_urls
+
+    urls = step_auxdata_urls("S1A", "2021-01-15", "2021-02-10")
+    # one month before the start month through the stop month
+    assert urls == [
+        "https://step.esa.int/auxdata/orbits/Sentinel-1/POEORB/S1A/2020/12/",
+        "https://step.esa.int/auxdata/orbits/Sentinel-1/POEORB/S1A/2021/01/",
+        "https://step.esa.int/auxdata/orbits/Sentinel-1/POEORB/S1A/2021/02/",
+    ]
+    both = step_auxdata_urls(["S1A", "S1B"], "2021-01-15", "2021-01-20", "RES")
+    assert len(both) == 4 and both[2].endswith("RESORB/S1B/2020/12/")
+    with pytest.raises(RuntimeError):
+        step_auxdata_urls("S1A", "2021-01-15", "2021-02-10", "FOO")
