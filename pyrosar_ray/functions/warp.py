@@ -13,9 +13,9 @@ same semantics are implemented as numpy kernels over in-memory grids:
   nodata-aware masking (a bilinear neighborhood touching nodata yields
   nodata, matching gdalwarp's UNIFIED_SRC_NODATA behavior for DEMs).
 
-Reprojection between CRSs is out of scope (the reference's DEM path is
-EPSG:4326 → EPSG:4326 unless a UTM target is requested, which needs
-PROJ); callers asking for ``t_srs`` get a documented error.
+- :func:`warp_reproject` — the ``-t_srs`` path: EPSG:4326 ↔ UTM
+  reprojection through the pure-numpy Krüger transforms in
+  functions/crs.py (no PROJ), same resampling/nodata semantics.
 
 Kernels are fully vectorized: one ``meshgrid``-free index computation
 per output grid, no per-pixel Python.
@@ -142,3 +142,101 @@ def warp_affine(
         out = out.astype(dtype)
     out_gt = (xmin, xres, 0.0, ymax, 0.0, -yres)
     return out, out_gt
+
+
+def warp_reproject(
+    data: np.ndarray,
+    geotransform: tuple[float, float, float, float, float, float],
+    s_srs,
+    t_srs,
+    tr: tuple[float, float],
+    dst_bounds: tuple[float, float, float, float] | None = None,
+    nodata: float | None = None,
+    resample: str = "bilinear",
+    tap: bool = True,
+    dtype=None,
+) -> tuple[np.ndarray, tuple[float, float, float, float, float, float]]:
+    """Reprojecting warp between EPSG:4326 and UTM zones (pure numpy).
+
+    The ``gdalwarp -t_srs`` twin the plain affine kernel could not
+    cover: destination pixel centers are inverse-transformed to the
+    source CRS (functions/crs.py Krüger series) and sampled with the
+    same nodata-aware near/bilinear gather as :func:`warp_affine`.
+    ``dst_bounds`` (in the TARGET CRS) default to the transformed
+    source corners' envelope, densified along the edges so curved
+    zone boundaries are covered.
+    """
+    from .crs import transform_points
+
+    if geotransform[2] != 0 or geotransform[4] != 0:
+        raise ValueError("rotated geotransforms are not supported")
+    ulx, sxres, _, uly, _, syres_neg = (float(v) for v in geotransform)
+    syres = -syres_neg
+    src = np.asarray(data, dtype=np.float64)
+    h, w = src.shape
+    xres, yres = float(tr[0]), float(tr[1])
+
+    if dst_bounds is None:
+        # densified source boundary → target envelope
+        edge = np.linspace(0.0, 1.0, 65)
+        bx = np.concatenate([edge, np.ones_like(edge), edge[::-1], np.zeros_like(edge)])
+        by = np.concatenate([np.zeros_like(edge), edge, np.ones_like(edge), edge[::-1]])
+        sx = ulx + bx * (w * sxres)
+        sy = uly - by * (h * syres)
+        tx, ty = transform_points(sx, sy, s_srs, t_srs)
+        dst_bounds = (tx.min(), ty.min(), tx.max(), ty.max())
+    xmin, ymin, xmax, ymax = (float(v) for v in dst_bounds)
+    if tap:
+        xmin, ymin, xmax, ymax = aligned_bounds(xmin, ymin, xmax, ymax, xres, yres)
+    rows, cols = grid_shape(xmin, ymin, xmax, ymax, xres, yres)
+    fill = np.nan if nodata is None else float(nodata)
+
+    # dst pixel centers → source CRS → fractional source pixels
+    xs = xmin + (np.arange(cols, dtype=np.float64) + 0.5) * xres
+    ys = ymax - (np.arange(rows, dtype=np.float64) + 0.5) * yres
+    gx, gy = np.meshgrid(xs, ys)
+    sxx, syy = transform_points(gx.ravel(), gy.ravel(), t_srs, s_srs)
+    fx = ((sxx - ulx) / sxres - 0.5).reshape(rows, cols)
+    fy = ((uly - syy) / syres - 0.5).reshape(rows, cols)
+
+    valid_src = ~np.isnan(src)
+    if nodata is not None:
+        valid_src &= src != float(nodata)
+
+    if resample == "near":
+        ci = np.clip(np.round(fx).astype(np.int64), 0, w - 1)
+        ri = np.clip(np.round(fy).astype(np.int64), 0, h - 1)
+        out = src[ri, ci]
+        ok = valid_src[ri, ci]
+        ok &= (fx >= -0.5) & (fx <= w - 0.5) & (fy >= -0.5) & (fy <= h - 0.5)
+        out = np.where(ok, out, fill)
+    elif resample == "bilinear":
+        c0 = np.floor(fx).astype(np.int64)
+        r0 = np.floor(fy).astype(np.int64)
+        wx = fx - c0
+        wy = fy - r0
+        c0c = np.clip(c0, 0, w - 1)
+        c1c = np.clip(c0 + 1, 0, w - 1)
+        r0c = np.clip(r0, 0, h - 1)
+        r1c = np.clip(r0 + 1, 0, h - 1)
+        out = (
+            src[r0c, c0c] * (1 - wx) * (1 - wy)
+            + src[r0c, c1c] * wx * (1 - wy)
+            + src[r1c, c0c] * (1 - wx) * wy
+            + src[r1c, c1c] * wx * wy
+        )
+        ok = (
+            valid_src[r0c, c0c] & valid_src[r0c, c1c]
+            & valid_src[r1c, c0c] & valid_src[r1c, c1c]
+        )
+        ok &= (fx >= -0.5) & (fx <= w - 0.5) & (fy >= -0.5) & (fy <= h - 0.5)
+        out = np.where(ok, out, fill)
+    else:
+        raise ValueError(f"unsupported resampleAlg: {resample!r}")
+
+    if dtype is not None:
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            out = np.round(out)
+            out = np.where(np.isnan(out), fill if not np.isnan(fill) else 0, out)
+        out = out.astype(dtype)
+    return out, (xmin, xres, 0.0, ymax, 0.0, -yres)
