@@ -240,3 +240,136 @@ def warp_reproject(
             out = np.where(np.isnan(out), fill if not np.isnan(fill) else 0, out)
         out = out.astype(dtype)
     return out, (xmin, xres, 0.0, ymax, 0.0, -yres)
+
+
+# --------------------------------------------------------- dem_create twin
+
+# GDAL dtype spellings (spatialist.raster.Dtype accepts both GDAL and
+# numpy notations; reference auxdata.py:334-336)
+_GDAL_DTYPES = {
+    "Byte": np.uint8,
+    "Int8": np.int8,
+    "Int16": np.int16,
+    "UInt16": np.uint16,
+    "Int32": np.int32,
+    "UInt32": np.uint32,
+    "Int64": np.int64,
+    "UInt64": np.uint64,
+    "Float32": np.float32,
+    "Float64": np.float64,
+}
+
+
+def parse_dtype(dtype):
+    """GDAL ('Float32') or numpy ('int8') dtype spelling → numpy dtype.
+
+    Twin of ``spatialist.raster.Dtype`` as used by the reference's
+    ``dem_create`` (auxdata.py:351-352).
+    """
+    if dtype is None:
+        return None
+    if isinstance(dtype, str) and dtype in _GDAL_DTYPES:
+        return np.dtype(_GDAL_DTYPES[dtype])
+    try:
+        return np.dtype(dtype)
+    except TypeError:
+        raise ValueError(f"unsupported dtype: {dtype!r}")
+
+
+def _validate_threads(threads) -> bool:
+    """The reference's ``threads`` → ``multithread`` validation with its
+    exact error surfaces (auxdata.py:369-386)."""
+    if isinstance(threads, str):
+        if threads != "ALL_CPUS":
+            raise ValueError(f"unsupported value for 'threads': '{threads}'")
+        return True
+    if isinstance(threads, bool):
+        raise TypeError(f"'threads' must be of type int, str or None. Is: {type(threads)}")
+    if isinstance(threads, int):
+        if threads < 1:
+            raise ValueError("if 'threads' is of type int, it must be >= 1")
+        return threads > 1
+    if threads is None:
+        return True
+    raise TypeError(f"'threads' must be of type int, str or None. Is: {type(threads)}")
+
+
+_DEM_CREATE_LOCKED = (
+    "xRes", "yRes", "srcSRS", "dstSRS", "srcNodata",
+    "dstNodata", "outputType", "multithread",
+)
+
+_GEOID_EPSG = {"EGM96": 5773, "EGM2008": 3855}
+
+
+def dem_create(
+    data: np.ndarray,
+    geotransform: tuple[float, float, float, float, float, float],
+    s_srs="EPSG:4326",
+    t_srs=None,
+    tr: tuple[float, float] | None = None,
+    threads=None,
+    geoid_convert: bool = False,
+    geoid: str = "EGM96",
+    nodata: float | None = None,
+    resampleAlg: str = "bilinear",
+    dtype=None,
+    **kwargs,
+):
+    """Engine twin of the reference's ``dem_create`` over in-memory
+    grids (auxdata.py:274-462): same defaults (bilinear, TAP, nodata
+    propagation), same argument validation and error surfaces, GDAL
+    replaced by the numpy warp kernels.
+
+    Returns ``(array, geotransform, epsg_out)`` instead of writing a
+    GeoTIFF — the raster sink (stages/raster_sink.py) owns files.
+
+    ``geoid_convert`` requires an EGM geoid grid, which (like PROJ's
+    ``egm96_15.gtx``) is not shipped in this environment; the argument
+    is validated exactly like the reference and then raises the same
+    ``RuntimeError`` path the reference hits when ``get_egm_lookup``
+    cannot retrieve the grid (auxdata.py:432-436).
+    """
+    from .crs import parse_epsg
+
+    for key in kwargs:
+        if key in _DEM_CREATE_LOCKED:
+            raise RuntimeError(
+                f"argument '{key}' cannot be set via kwargs as it is set internally."
+            )
+    _validate_threads(threads)
+
+    epsg_in = parse_epsg(s_srs)
+    epsg_out = epsg_in if t_srs is None else parse_epsg(t_srs)
+
+    if geoid_convert:
+        if geoid not in _GEOID_EPSG:
+            raise RuntimeError("geoid model not yet supported")
+        raise RuntimeError(
+            f"geoid conversion ({geoid}, EPSG:{_GEOID_EPSG[geoid]}) needs the "
+            "EGM lookup grid, which is not available in this environment"
+        )
+
+    src = np.asarray(data)
+    if tr is None:
+        tr = (abs(float(geotransform[1])), abs(float(geotransform[5])))
+    np_dtype = parse_dtype(dtype)
+
+    if epsg_out == epsg_in:
+        h, w = src.shape
+        bounds = (
+            geotransform[0],
+            geotransform[3] + geotransform[5] * h,
+            geotransform[0] + geotransform[1] * w,
+            geotransform[3],
+        )
+        out, out_gt = warp_affine(
+            src, geotransform, bounds, tr,
+            nodata=nodata, resample=resampleAlg, tap=True, dtype=np_dtype,
+        )
+    else:
+        out, out_gt = warp_reproject(
+            src, geotransform, f"EPSG:{epsg_in}", f"EPSG:{epsg_out}", tr,
+            nodata=nodata, resample=resampleAlg, tap=True, dtype=np_dtype,
+        )
+    return out, out_gt, epsg_out

@@ -39,7 +39,7 @@ import ray
 from ray.data import Dataset
 
 from ..functions.tiles import dem_tile_ids
-from ..functions.warp import warp_affine
+from ..functions.warp import warp_affine, warp_reproject
 from .extent import common_extent
 
 # Per-type facts from the reference DEMHandler.config (auxdata.py:904-1133):
@@ -174,11 +174,20 @@ class _Regrid:
     payloads are full rasters, so work is MB-scale per row and the
     per-row loop is not the hot path."""
 
-    def __init__(self, tr, nodata, resample: str, dtype: str):
+    def __init__(self, tr, nodata, resample: str, dtype: str, t_srs=None):
         self.tr = tr
         self.nodata = nodata
         self.resample = resample
         self.dtype = dtype
+        # UTM target (reference dem_create t_srs, auxdata.py:304-307):
+        # parse ONCE per actor; None keeps the tiles' own EPSG:4326 grid
+        self.epsg_out = None
+        if t_srs is not None:
+            from ..functions.crs import parse_epsg
+
+            self.epsg_out = parse_epsg(t_srs)
+            if self.epsg_out == 4326:
+                self.epsg_out = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
@@ -201,16 +210,29 @@ class _Regrid:
                 gt[0] + gt[1] * c,
                 gt[3],
             )
-            out, ogt = warp_affine(
-                arr,
-                gt,
-                bounds,
-                self.tr,
-                nodata=nod,
-                resample=self.resample,
-                tap=True,
-                dtype=np.float32,
-            )
+            if self.epsg_out is None:
+                out, ogt = warp_affine(
+                    arr,
+                    gt,
+                    bounds,
+                    self.tr,
+                    nodata=nod,
+                    resample=self.resample,
+                    tap=True,
+                    dtype=np.float32,
+                )
+            else:
+                out, ogt = warp_reproject(
+                    arr,
+                    gt,
+                    "EPSG:4326",
+                    f"EPSG:{self.epsg_out}",
+                    self.tr,
+                    nodata=nod,
+                    resample=self.resample,
+                    tap=True,
+                    dtype=np.float32,
+                )
             out_rows.append(
                 {
                     "tile": batch["tile"][i].as_py(),
@@ -235,6 +257,8 @@ def dem_load(
     crop: bool = True,
     regrid: bool = False,
     resample: str = "bilinear",
+    t_srs=None,
+    tr: tuple[float, float] | None = None,
     concurrency=(1, 4),
 ) -> tuple[Dataset | pa.Table, dict]:
     """The full load: extent prep → tile semi-join → ocean fallback →
@@ -264,13 +288,27 @@ def dem_load(
     if kept.count() == 0:
         return dummy_dem_table(prepared, dem_type), prepared
     if regrid:
-        tr = get_resolution(dem_type, prepared["ymin"])
+        if t_srs is not None:
+            from ..functions.crs import parse_epsg
+
+            if parse_epsg(t_srs) != 4326 and tr is None:
+                # the per-type config resolutions are degrees; a metre-
+                # based UTM grid needs an explicit target resolution in
+                # TARGET-CRS units (same contract as gdalwarp -tr)
+                raise RuntimeError(
+                    "t_srs other than EPSG:4326 requires an explicit tr "
+                    "(target resolution in target-CRS units)"
+                )
+        if tr is None:
+            tr = get_resolution(dem_type, prepared["ymin"])
         kept = kept.map_batches(
             _Regrid,
             batch_format="pyarrow",
             concurrency=concurrency,
             batch_size=16,
-            fn_constructor_args=(tr, DEM_CONFIG[dem_type]["nodata"], resample, "float32"),
+            fn_constructor_args=(
+                tr, DEM_CONFIG[dem_type]["nodata"], resample, "float32", t_srs
+            ),
         )
     return kept, prepared
 

@@ -192,3 +192,85 @@ def test_dem_autoload_facade(ray_session):
     assert kept.count() == 1
     with pytest.raises(RuntimeError, match="not available"):
         dem_autoload(scenes, "SRTM 1Sec HGT", tiles, product="wbm")
+
+
+# ------------------------------------------------- dem_create facade (t_srs)
+
+
+def test_dem_create_same_crs_matches_warp_affine():
+    from pyrosar_ray.functions.warp import dem_create
+
+    rng = np.random.RandomState(3)
+    arr = rng.rand(40, 40).astype(np.float32)
+    gt = (11.0, 0.01, 0.0, 52.0, 0.0, -0.01)
+    out, ogt, epsg = dem_create(arr, gt, tr=(0.02, 0.02))
+    ref, rgt = warp_affine(
+        arr, gt, (11.0, 51.6, 11.4, 52.0), (0.02, 0.02), tap=True
+    )
+    assert epsg == 4326
+    assert ogt == rgt
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_dem_create_utm_target_matches_warp_reproject():
+    from pyrosar_ray.functions.warp import dem_create, warp_reproject
+
+    arr = np.arange(50 * 50, dtype=np.float64).reshape(50, 50)
+    gt = (11.0, 0.01, 0.0, 52.0, 0.0, -0.01)
+    out, ogt, epsg = dem_create(
+        arr, gt, t_srs="EPSG:32632", tr=(500.0, 500.0), nodata=-1.0
+    )
+    ref, rgt = warp_reproject(
+        arr, gt, "EPSG:4326", "EPSG:32632", (500.0, 500.0), nodata=-1.0
+    )
+    assert epsg == 32632
+    assert ogt == rgt
+    np.testing.assert_array_equal(out, ref)
+    # UTM zone 32 eastings live around the 500 km false easting
+    assert 100000.0 < ogt[0] < 900000.0
+
+
+def test_dem_create_validation_surfaces():
+    from pyrosar_ray.functions.warp import dem_create, parse_dtype
+
+    arr = np.zeros((4, 4))
+    gt = (0.0, 1.0, 0.0, 4.0, 0.0, -1.0)
+    with pytest.raises(ValueError, match="unsupported value for 'threads'"):
+        dem_create(arr, gt, threads="SOME_CPUS")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        dem_create(arr, gt, threads=0)
+    with pytest.raises(TypeError, match="must be of type int, str or None"):
+        dem_create(arr, gt, threads=2.5)
+    with pytest.raises(RuntimeError, match="cannot be set via kwargs"):
+        dem_create(arr, gt, xRes=5)
+    with pytest.raises(RuntimeError, match="geoid model not yet supported"):
+        dem_create(arr, gt, geoid_convert=True, geoid="EGM2020")
+    with pytest.raises(RuntimeError, match="EGM lookup grid"):
+        dem_create(arr, gt, geoid_convert=True, geoid="EGM96")
+    # both dtype spellings (spatialist Dtype parity)
+    assert parse_dtype("Float32") == np.float32
+    assert parse_dtype("int8") == np.int8
+    assert parse_dtype("Byte") == np.uint8
+    assert parse_dtype(None) is None
+    # threads happy paths do not raise
+    dem_create(arr, gt, threads="ALL_CPUS")
+    dem_create(arr, gt, threads=4)
+
+
+def test_dem_load_regrid_utm(ray_session):
+    scenes = _scene_ds(11.2, 51.3, 11.8, 51.9)
+    tiles = rd.from_arrow(
+        pa.Table.from_pylist([make_tile("N51E011.SRTMGL1.hgt.zip", 11.0, 52.0)])
+    )
+    # a UTM target without an explicit metre resolution must refuse
+    # (the config resolutions are degrees)
+    with pytest.raises(RuntimeError, match="requires an explicit tr"):
+        dem_load(scenes, tiles, "SRTM 1Sec HGT", regrid=True, t_srs=32632)
+    kept, prepared = dem_load(
+        scenes, tiles, "SRTM 1Sec HGT", regrid=True, t_srs=32632, tr=(90.0, 90.0)
+    )
+    row = kept.take_all()[0]
+    # a UTM grid: metre-scale geotransform around the zone-32 false easting
+    assert row["xres"] == pytest.approx(90.0)
+    assert 100000.0 < row["ulx"] < 900000.0
+    assert row["uly"] > 5000000.0  # northing of ~52N
