@@ -29,23 +29,23 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-#: operator → filename-suffix abbreviation (reference: the snap.suffix
-#: section of pyroSAR's config; empty string = contributes no suffix)
+from .state.config import SNAP_SUFFICES
+
+#: operator → filename-suffix abbreviation: the authoritative
+#: snap.suffices table (state/config.py twin of the reference's
+#: ``snap/data/snap.suffices.properties``) plus engine extensions for
+#: the ops the engine runs outside SNAP workflows (the reference
+#: handles GRD border-noise removal in Python and names its temp dir
+#: 'bnr', snap/auxil.py:380; Subset/BandMerge/BandMaths keep short
+#: tags so split() product names stay distinct). Operators in neither
+#: table contribute no suffix, like the reference's
+#: ``filter(None, get_suffix(...))`` (snap/auxil.py:1137).
 SUFFIX_LOOKUP = {
+    **SNAP_SUFFICES,
     "Read": "",
     "Write": "",
     "BandSelect": "",
-    "Apply-Orbit-File": "Orb",
-    "Calibration": "Cal",
     "Remove-GRD-Border-Noise": "bnr",
-    "ThermalNoiseRemoval": "NR",
-    "TOPSAR-Deburst": "Deb",
-    "SliceAssembly": "SA",
-    "Multilook": "ML",
-    "Terrain-Flattening": "TF",
-    "Speckle-Filter": "SF",
-    "Terrain-Correction": "TC",
-    "LinearToFromdB": "dB",
     "Subset": "Sub",
     "BandMerge": "BM",
     "BandMaths": "BMa",
@@ -127,7 +127,7 @@ class Plan:
                 seen.append(n.operator)
             if n.id == stop:
                 break
-        return "_".join(filter(None, (SUFFIX_LOOKUP.get(op, op[:3]) for op in seen)))
+        return "_".join(filter(None, (SUFFIX_LOOKUP.get(op) for op in seen)))
 
 
 def group_by_workers(plan: Plan, n: int = 2) -> list[list[str]]:
