@@ -215,3 +215,59 @@ def envi_hdr(samples: int, lines: int, ulx: float, uly: float, step: float,
             "UNIT[\"degree\",0.0174532925199433]]}",
         ]
     )
+
+
+_ENVI_NP_DTYPES = {
+    1: "u1", 2: "i2", 3: "i4", 4: "f4", 5: "f8",
+    12: "u2", 13: "u4", 14: "i8", 15: "u8",
+}
+
+
+def parse_envi_hdr(text: str) -> dict:
+    """ENVI header grammar → dict (the reader for :func:`envi_hdr` and
+    for SNAP's tie-point-grid sidecars): ``key = value`` lines, braces
+    for multi-valued entries, keys lower-cased."""
+    out: dict = {}
+    key, buf = None, None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line == "ENVI":
+            continue
+        if buf is not None:
+            buf += " " + line
+            if line.endswith("}"):
+                out[key] = buf.strip("{} ")
+                key, buf = None, None
+            continue
+        if "=" not in line:
+            continue
+        key, _, val = (x.strip() for x in line.partition("="))
+        key = key.lower()
+        if val.startswith("{") and not val.endswith("}"):
+            buf = val
+        else:
+            out[key] = val.strip("{} ")
+            key = None
+    return out
+
+
+def read_envi(img: bytes, hdr_text: str) -> "np.ndarray":
+    """Decode a single-band ENVI raster from its raw bytes + header.
+
+    The GDAL-free read the reference's BEAM_DIMAP incidence fallback
+    needs (drivers.py:912-918 opens ``incident_angle.img`` with GDAL):
+    dtype/shape/byte-order from the header, one ``np.frombuffer``.
+    """
+    h = parse_envi_hdr(hdr_text)
+    samples, lines = int(h["samples"]), int(h["lines"])
+    bands = int(h.get("bands", 1))
+    if bands != 1:
+        raise ValueError(f"only single-band ENVI rasters are supported (bands={bands})")
+    code = int(h.get("data type", 4))
+    if code not in _ENVI_NP_DTYPES:
+        raise ValueError(f"unsupported ENVI data type code {code}")
+    endian = ">" if int(h.get("byte order", 0)) == 1 else "<"
+    dt = np.dtype(endian + _ENVI_NP_DTYPES[code])
+    offset = int(h.get("header offset", 0))
+    arr = np.frombuffer(img, dtype=dt, count=samples * lines, offset=offset)
+    return arr.reshape(lines, samples)

@@ -18,10 +18,11 @@ Parser parity targets (reference ``BEAM_DIMAP.scanMetadata``,
 - start/stop parsed from ``PRODUCT_SCENE_RASTER_*_TIME`` in
   ``%d-%b-%Y %H:%M:%S.%f`` form
 - incidence: mean of ``incidence_near``/``incidence_far`` when present,
-  else the mean of all ``incidenceAngleMidSwath`` attributes (the
-  reference's third fallback — reading the tie-point-grid ``.img``
-  raster with GDAL — needs the sidecar ``.data`` directory, which a
-  standalone ``.dim`` blob does not carry; documented gap)
+  else the mean of all ``incidenceAngleMidSwath`` attributes, else the
+  nonzero mean of the ``.data/tie_point_grids/incident_angle.img``
+  sidecar raster (drivers.py:912-918) — the sidecar travels inside a
+  zipped SNAP product blob and is decoded with the GDAL-free ENVI
+  reader (functions/sar.read_envi)
 - projection from the ``WKT`` element (left-stripped), else EPSG:4326
 - the corner quad is assembled from the eight
   ``{first,last}_{far,near}_{lat,long}`` attributes in near→far order
@@ -169,7 +170,10 @@ def build_dimap_blob(meta: dict, omit: tuple[str, ...] = ()) -> bytes:
 
 
 def sniff_dimap(blob: bytes, members=None) -> bool:
-    return members is None and b"<Dimap_Document" in blob[:512]
+    if members is None:
+        return b"<Dimap_Document" in blob[:512]
+    # zipped SNAP product: the .dim header plus its .data sidecar dir
+    return any(m.endswith(".dim") for m in members)
 
 
 class _Missing(RuntimeError):
@@ -193,8 +197,34 @@ def _get_by_name(root, attr, section: str = "Abstracted_Metadata") -> str:
     return out.text
 
 
+def _split_product_zip(blob: bytes) -> tuple[bytes, dict[str, bytes]]:
+    """A zipped SNAP product → (the .dim header, sidecar members keyed
+    by path inside the ``.data`` directory)."""
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        names = zf.namelist()
+        dim_name = next(n for n in sorted(names) if n.endswith(".dim"))
+        sidecar = {
+            n: zf.read(n)
+            for n in names
+            if ".data/" in n and not n.endswith("/")
+        }
+        return zf.read(dim_name), sidecar
+
+
 def parse_dimap(blob: bytes) -> dict:
-    """Full 16-attribute record + extras from a ``.dim`` header."""
+    """Full 16-attribute record + extras from a ``.dim`` header.
+
+    Accepts either the bare ``.dim`` XML or a zipped SNAP product
+    (``.dim`` + ``.data`` sidecar directory); in the latter case the
+    tie-point-grid incidence raster is available as the reference's
+    third incidence fallback (drivers.py:912-918).
+    """
+    sidecar: dict[str, bytes] = {}
+    if blob[:2] == b"PK":
+        blob, sidecar = _split_product_zip(blob)
     root = ET.fromstring(blob.decode("iso-8859-1"))
     get = lambda attr: _get_by_name(root, attr)  # noqa: E731
 
@@ -240,7 +270,8 @@ def parse_dimap(blob: bytes) -> dict:
     )
     meta["stop"] = parse_date(root.find(".//PRODUCT_SCENE_RASTER_STOP_TIME").text)
 
-    # incidence fallback chain (drivers.py:901-921, sans the GDAL raster)
+    # incidence fallback chain (drivers.py:901-921): near/far attrs →
+    # mid-swath attrs → the tie-point-grid sidecar raster (nonzero mean)
     try:
         inc_near = float(get("incidence_near"))
         inc_far = float(get("incidence_far"))
@@ -250,7 +281,7 @@ def parse_dimap(blob: bytes) -> dict:
         if inc_elements:
             meta["incidence"] = mean(float(x.text) for x in inc_elements)
         else:
-            raise ValueError("cannot read the incident angle") from None
+            meta["incidence"] = _tie_point_incidence(sidecar)
 
     wkt = root.find(".//WKT")
     meta["projection"] = wkt.text.lstrip() if wkt is not None else WKT4326
@@ -271,3 +302,62 @@ def parse_dimap(blob: bytes) -> dict:
         (coords["first_far_long"], coords["first_far_lat"]),
     ]
     return meta
+
+
+def _tie_point_incidence(sidecar: dict[str, bytes]) -> float:
+    """Mean of the nonzero tie-point-grid incidence pixels
+    (drivers.py:912-918, GDAL replaced by the ENVI reader)."""
+    import numpy as np
+
+    from ...functions.sar import read_envi
+
+    img_name = next(
+        (
+            n
+            for n in sorted(sidecar)
+            if n.endswith("tie_point_grids/incident_angle.img")
+        ),
+        None,
+    )
+    if img_name is None:
+        raise ValueError("cannot read the incident angle")
+    hdr_name = img_name[: -len(".img")] + ".hdr"
+    if hdr_name not in sidecar:
+        raise ValueError("cannot read the incident angle")
+    arr = read_envi(sidecar[img_name], sidecar[hdr_name].decode("ascii"))
+    return float(np.mean(arr[arr != 0]))
+
+
+def build_dimap_product_zip(
+    meta: dict,
+    omit: tuple[str, ...] = (),
+    incidence_grid=None,
+) -> bytes:
+    """Zip a ``.dim`` header with its ``.data`` sidecar directory —
+    the on-disk shape of a SNAP product, as one archivable blob.
+
+    ``incidence_grid`` (a float32 2-D array) lands as
+    ``<name>.data/tie_point_grids/incident_angle.img`` + ``.hdr``
+    (ENVI), feeding the parser's third incidence fallback.
+    """
+    import io
+    import zipfile
+
+    import numpy as np
+
+    from ...functions.sar import envi_hdr
+
+    name = meta.get("name", "product")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(f"{name}.dim", build_dimap_blob(meta, omit=omit))
+        if incidence_grid is not None:
+            arr = np.ascontiguousarray(incidence_grid, dtype=">f4")
+            base = f"{name}.data/tie_point_grids/incident_angle"
+            zf.writestr(f"{base}.img", arr.tobytes())
+            zf.writestr(
+                f"{base}.hdr",
+                envi_hdr(arr.shape[1], arr.shape[0], 0.0, 0.0, 1.0,
+                         dtype=4, byte_order=1),
+            )
+    return buf.getvalue()

@@ -110,3 +110,47 @@ def test_dimap_wkt_fallback():
     # explicit WKT is left-stripped
     rec2 = parse_dimap(build_dimap_blob(DIM_META))
     assert rec2["projection"] == WKT4326
+
+
+def test_tie_point_grid_incidence_fallback():
+    """The reference's THIRD incidence fallback (drivers.py:912-918):
+    no near/far attrs, no mid-swath attrs -> read the .data sidecar's
+    tie-point grid and average the nonzero pixels."""
+    import numpy as np
+
+    from pyrosar_ray.sources.formats.dimap import build_dimap_product_zip
+
+    grid = np.zeros((12, 9), dtype=np.float32)
+    grid[3:9, 2:7] = np.linspace(29.0, 46.0, 30).reshape(6, 5)
+    blob = build_dimap_product_zip(
+        dict(DIM_META), omit=("incidence_near", "incidence_far"), incidence_grid=grid
+    )
+    rec = parse_dimap(blob)
+    assert rec["incidence"] == pytest.approx(float(np.mean(grid[grid != 0])))
+    # the rest of the record parses identically through the zip path
+    assert rec["sensor"] == "S1A"
+    assert rec["samples"] == dict(DIM_META)["samples"]
+
+
+def test_tie_point_grid_missing_raises():
+    from pyrosar_ray.sources.formats.dimap import build_dimap_product_zip
+
+    blob = build_dimap_product_zip(
+        dict(DIM_META), omit=("incidence_near", "incidence_far")
+    )
+    with pytest.raises(ValueError, match="cannot read the incident angle"):
+        parse_dimap(blob)
+
+
+def test_zip_product_identify_routes_to_dimap():
+    import numpy as np
+
+    from pyrosar_ray.sources.drivers import identify
+    from pyrosar_ray.sources.formats.dimap import build_dimap_product_zip
+
+    grid = np.full((4, 4), 38.5, dtype=np.float32)
+    blob = build_dimap_product_zip(
+        dict(DIM_META), omit=("incidence_near", "incidence_far"), incidence_grid=grid
+    )
+    rec = identify(blob)
+    assert rec is not None and rec["sensor"] == "S1A"

@@ -124,3 +124,26 @@ def test_step_auxdata_urls_golden():
     assert len(both) == 4 and both[2].endswith("RESORB/S1B/2020/12/")
     with pytest.raises(RuntimeError):
         step_auxdata_urls("S1A", "2021-01-15", "2021-02-10", "FOO")
+
+
+def test_envi_reader_roundtrip():
+    import numpy as np
+
+    from pyrosar_ray.functions.sar import envi_hdr, parse_envi_hdr, read_envi
+
+    arr = np.arange(20, dtype=">i2").reshape(4, 5)
+    hdr = envi_hdr(5, 4, 10.0, 50.0, 0.1)
+    h = parse_envi_hdr(hdr)
+    assert h["samples"] == "5" and h["lines"] == "4"
+    assert h["map info"].startswith("Geographic Lat/Lon")
+    out = read_envi(arr.tobytes(), hdr)
+    assert (out == arr.astype("i2")).all()
+    # little-endian float path
+    f = np.linspace(0, 1, 6, dtype="<f4").reshape(2, 3)
+    hdr_f = envi_hdr(3, 2, 0.0, 0.0, 1.0, dtype=4, byte_order=0)
+    assert np.allclose(read_envi(f.tobytes(), hdr_f), f)
+    # multi-band refused
+    import pytest
+
+    with pytest.raises(ValueError, match="single-band"):
+        read_envi(b"", hdr_f.replace("bands = 1", "bands = 2"))
