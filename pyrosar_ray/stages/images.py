@@ -426,7 +426,10 @@ def phash_near_dup_pairs(
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
-            return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            return rd.from_arrow(
+                pa.Table.from_pandas(df, preserve_index=False)
+                .replace_schema_metadata(None)
+            )
         full = pa.concat_tables(blocks).to_pandas()
         sizes = full.groupby(["band", "band_key"])[id_col].transform("size")
         kept = full[sizes > 1]
@@ -447,14 +450,24 @@ def phash_near_dup_pairs(
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
-        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+        # strip the pandas-dtype metadata so downstream to_pandas yields
+        # plain object string columns (StringDtype is an internal detail)
+        return rd.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False)
+            .replace_schema_metadata(None)
+        )
 
     band_rows = keep_multi_member_buckets(all_band_rows, ("band", "band_key"))
     pairs = band_rows.groupby(["band", "band_key"]).map_groups(
         _pairs, batch_format="pandas"
     )
     # a pair can surface from several bands → distinct via aggregate
-    # (hamming is pair-determined, so Min is the identity)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
+    # (hamming is pair-determined, so Min is the identity); normalize the
+    # blocks to Arrow so consumers see plain string columns, not the
+    # pandas StringDtype the per-group frames use for schema stability
+    deduped = pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
+    )
+    return deduped.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
