@@ -818,6 +818,22 @@ def q_doc_neardup_fp(sf_dir: str):
     return phash_near_dup_pairs(prepped, max_hamming=32, id_col="doc")
 
 
+def q_embed_ivf_topk(sf_dir: str):
+    """IVF-partitioned inner-product top-k (the ANN scale path), ranked
+    by EXACT integer dot products of 1e-6-quantized embeddings so the
+    DuckDB twin reproduces every rank bit-for-bit (see
+    stages/ann.quantize_embeddings)."""
+    import ray.data
+
+    from pyrosar_ray.stages.ann import ivf_topk
+
+    qids, qmat = _load_queries_matrix(sf_dir)
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivf_topk(corpus, qids, qmat, k=10, ncells=16, nprobe=4)
+
+
 def q_ann_lsh_topk(sf_dir: str):
     import ray.data
 
@@ -1006,9 +1022,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hgt_union": q_hgt_union,
         "image_neardup": q_image_neardup,
         "doc_neardup_fp": q_doc_neardup_fp,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "identify_scenes": q_identify_scenes,
     }
+
+
+def _ivf_sql(ncells: int = 16, nprobe: int = 4, k: int = 10, modulus: int = 50) -> str:
+    """DuckDB twin of ``stages.ann.ivf_topk``: the integer centroid
+    matrix is embedded as literals; quantization/assignment/probing/
+    ranking all use exact integer-valued DOUBLE arithmetic (< 2^53),
+    so every ROW_NUMBER matches the numpy plan bit-for-bit."""
+    from pyrosar_ray.stages.ann import ivf_centroids
+
+    cents = ivf_centroids(ncells, 64, seed=7)
+    rows = ",\n".join(
+        f"({cell}, [{', '.join(str(v) for v in cv)}]::DOUBLE[])"
+        for cell, cv in enumerate(cents)
+    )
+    return f"""
+        WITH cent(cell, cv) AS (VALUES {rows}),
+        emb AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * 1000000 + 0.5)) AS qe
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.qe, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM emb e, cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, qe FROM emb WHERE vec_id % {modulus} = 0
+        ),
+        probe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qe, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM q, cent c
+            ) WHERE rn <= {nprobe}
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qe, e.qe) DESC, e.vec_id
+                   ) AS rank
+            FROM q
+            JOIN probe p ON p.query_id = q.query_id
+            JOIN cells cl ON cl.cell = p.cell
+            JOIN emb e ON e.vec_id = cl.vec_id
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rank <= {k}
+    """
 
 
 def _simhash_sql() -> str:
@@ -1540,5 +1615,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> q.query_id
               AND list_cosine_similarity(q.qe, e.ee) >= 0.2
         """,
+        "embed_ivf_topk": _ivf_sql(),
         "identify_scenes": IDENTIFY_SQL,
     }

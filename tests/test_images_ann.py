@@ -172,3 +172,47 @@ def test_cosine_threshold_pairs_matches_bruteforce():
     np.testing.assert_allclose(
         got["cos"].to_numpy(), [s for _, _, s in sorted(expect)]
     )
+
+
+def test_ivf_topk_exact_vs_scalar(ray_session):
+    """ivf_topk == a scalar reference implementing the same contract
+    (integer quantization, argmax-cell assignment, nprobe probing,
+    integer-dot ranking)."""
+    import numpy as np
+    import ray.data as rd
+
+    from pyrosar_ray.stages.ann import ivf_centroids, ivf_topk, quantize_embeddings
+
+    rng = np.random.RandomState(5)
+    n, dim, ncells, nprobe, k = 400, 16, 8, 3, 5
+    emb = rng.randn(n, dim).astype(np.float32) * 0.3
+    ids = np.arange(n, dtype=np.int64) * 3  # non-contiguous ids
+    corpus = rd.from_items(
+        [{"vec_id": int(i), "embedding": e.tolist()} for i, e in zip(ids, emb)]
+    ).repartition(7)
+    qsel = ids % 30 == 0
+    out = ivf_topk(
+        corpus, ids[qsel], emb[qsel], k=k, ncells=ncells, nprobe=nprobe
+    ).to_pandas()
+
+    cents = ivf_centroids(ncells, dim)
+    q = quantize_embeddings(emb.astype(np.float64))
+    cells = np.argmax(q @ cents.T, axis=1)
+    expect = {}
+    for qi in np.flatnonzero(qsel):
+        cd = q[qi] @ cents.T
+        probed = sorted(range(ncells), key=lambda c: (-cd[c], c))[:nprobe]
+        cand = [
+            j
+            for j in range(n)
+            if cells[j] in probed and ids[j] != ids[qi]
+        ]
+        ranked = sorted(cand, key=lambda j: (-(q[qi] @ q[j]), ids[j]))[:k]
+        expect[int(ids[qi])] = [int(ids[j]) for j in ranked]
+    got = {
+        int(g): df.sort_values("rank")["neighbor_id"].tolist()
+        for g, df in out.groupby("query_id")
+    }
+    assert got == expect
+    assert (out.groupby("query_id")["rank"].apply(lambda r: sorted(r.tolist()))
+            .apply(lambda r: r == list(range(1, len(r) + 1))).all())
