@@ -468,6 +468,58 @@ def q_events_props(sf_dir: str):
     )
 
 
+#: tumbling window width (1 h) and hopping hop (15 min), integer µs
+_WINDOW_US = 3_600_000_000
+_HOP_US = 900_000_000
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-h window rollup (partial combine → small groupby)."""
+    import ray.data
+
+    from pyrosar_ray.stages.windows import tumbling_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return tumbling_window(events, width_us=_WINDOW_US)
+
+
+def q_events_window_hop(sf_dir: str):
+    """Hopping 1-h/15-min window counts (4× in-batch expansion)."""
+    import ray.data
+
+    from pyrosar_ray.stages.windows import hopping_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return hopping_window(events, width_us=_WINDOW_US, hop_us=_HOP_US)
+
+
+def q_doc_term_topk(sf_dir: str):
+    """Corpus-wide top-50 tokens (vocabulary-sized sort, never the corpus)."""
+    import ray.data
+
+    from pyrosar_ray.stages.text import term_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return term_topk(docs, k=50)
+
+
+_QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_doc_token_quantiles(sf_dir: str):
+    """Exact token-count quantiles from a bounded distributed histogram."""
+    import ray.data
+
+    from pyrosar_ray.stages.text import token_count_quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_count_quantiles(docs, qs=list(_QUANTILES))
+
+
 def q_doc_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -999,6 +1051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_counts": q_session_counts,
         "events_stats": q_events_stats,
         "events_props": q_events_props,
+        "events_window": q_events_window,
+        "events_window_hop": q_events_window_hop,
+        "doc_term_topk": q_doc_term_topk,
+        "doc_token_quantiles": q_doc_token_quantiles,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1391,6 +1447,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "events_window": f"""
+            -- per-row cent quantization before the SUM keeps the result
+            -- independent of distributed combine order (exact integers)
+            SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS window_start,
+                   event_type, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+            FROM events GROUP BY window_start, event_type
+        """,
+        "events_window_hop": f"""
+            SELECT window_start, event_type, COUNT(*)::BIGINT AS n
+            FROM (
+                SELECT (epoch_us(ts) // {_HOP_US} - t.j) * {_HOP_US} AS window_start,
+                       event_type
+                FROM events, range({_WINDOW_US // _HOP_US}) AS t(j)
+            ) GROUP BY window_start, event_type
+        """,
+        "doc_term_topk": """
+            SELECT token, n FROM (
+                SELECT token, COUNT(*)::BIGINT AS n
+                FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+                GROUP BY token
+            ) ORDER BY n DESC, token LIMIT 50
+        """,
+        "doc_token_quantiles": f"""
+            WITH t AS (SELECT len(str_split(text, ' ')) AS v FROM documents),
+            h AS (SELECT v, COUNT(*) AS c FROM t GROUP BY v),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v)::BIGINT AS cumc FROM h),
+            tot AS (SELECT COUNT(*)::BIGINT AS total FROM t),
+            qs AS (SELECT unnest({list(_QUANTILES)}::DOUBLE[]) AS q)
+            SELECT q, MIN(v)::BIGINT AS v
+            FROM qs, cum, tot
+            WHERE cumc >= GREATEST(1, CAST(ceil(q * total) AS BIGINT))
+            GROUP BY q
         """,
         "common_extent": f"""
             {_SCENES}

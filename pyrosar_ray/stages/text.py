@@ -182,3 +182,84 @@ def fingerprints(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") 
         return pa.table({id_col: batch[id_col], "fingerprint": pa.array(fp)})
 
     return docs.map_batches(_fp, batch_format="pyarrow")
+
+
+# ----------------------------------------------- corpus-wide aggregates
+
+
+def term_topk(docs: Dataset, k: int, text_col: str = "text") -> Dataset:
+    """Corpus-wide top-``k`` most frequent whitespace tokens.
+
+    The canonical pre-aggregated wide plan: each batch explodes its texts
+    and emits per-batch ``(token, n)`` partials (one row per DISTINCT
+    token per block, not per occurrence), the global
+    ``groupby(token).Sum`` merges them, and the final distributed
+    ``sort((n desc, token asc)).limit(k)`` runs over the vocabulary-sized
+    table — never the corpus.  Tokenization matches DuckDB's
+    ``str_split(text, ' ')`` (empty elements kept), and the (count desc,
+    token asc) total order makes the cut deterministic under ties.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        counts = s.str.split(" ").explode().value_counts(sort=False)
+        return pa.table(
+            {
+                "token": pa.array(counts.index.to_numpy(), type=pa.string()),
+                "n": pa.array(counts.to_numpy().astype(np.int64)),
+            }
+        )
+
+    totals = docs.map_batches(_partial, batch_format="pyarrow")
+    merged = totals.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return merged.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def token_count_quantiles(
+    docs: Dataset, qs: "list[float]", text_col: str = "text"
+) -> pa.Table:
+    """Exact quantiles of the per-doc whitespace-token count.
+
+    Distributed exact quantiles over an integer-valued metric via a
+    bounded histogram: each batch emits ``(n_tokens, count)`` partials, a
+    small ``groupby.Sum`` merges them, and the driver inverts the
+    cumulative histogram — justified driver combine because the key
+    space is bounded by the longest document's token count (≤ a few
+    thousand distinct values at any corpus size).  Quantile definition
+    (shared verbatim with the SQL twin): the smallest value whose
+    cumulative count reaches ``ceil(q·N)``.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        n_tok = (s.str.count(" ") + 1).astype("int64")
+        counts = n_tok.value_counts(sort=False)
+        return pa.table(
+            {
+                "v": pa.array(counts.index.to_numpy().astype(np.int64)),
+                "c": pa.array(counts.to_numpy().astype(np.int64)),
+            }
+        )
+
+    hist = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .sort("v")
+        .to_pandas()
+    )
+    values = hist["v"].to_numpy()
+    cum = hist["c"].to_numpy().cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, math.ceil(q * total))
+        out_q.append(float(q))
+        out_v.append(int(values[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {"q": pa.array(out_q, type=pa.float64()), "v": pa.array(out_v, type=pa.int64())}
+    )

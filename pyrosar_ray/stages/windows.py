@@ -1,0 +1,128 @@
+"""Tumbling / hopping time-window aggregates over an event stream.
+
+The reference has no windowed aggregate (SURVEY.md §2.10: ``groupbyTime``
+is its only order-sensitive grouping), but a large-scale training-data
+pipeline needs fixed-window rollups (events/sec dashboards, per-window
+quality counters, rate limits).  Both operators here are expressed
+Ray-Data-first as a *partial combine* followed by a small ``groupby``:
+
+1. ``map_batches`` assigns each row its window start(s) with integer-µs
+   arithmetic and pre-aggregates ``(window_start, key) → (n, sum)``
+   WITHIN the batch, so the shuffle carries one row per distinct
+   (window, key) per block — never the raw events;
+2. a global ``groupby(window_start, key).aggregate(Sum, Sum)`` merges the
+   partials.  The post-shuffle key space is ``time_range/width × keys``
+   (hours-in-a-year × event types ≈ 10⁴–10⁵ rows even at 100 TB of
+   events), so the wide stage is trivially small.
+
+Hopping (sliding) windows of width ``W`` and hop ``H`` with ``W % H == 0``
+expand each event into exactly ``W/H`` member windows via a vectorized
+repeat — the expansion happens on the already-combined partials' inputs
+inside the batch, before the partial groupby, so the blow-up never
+crosses the wire either.
+
+Window assignment uses integer microseconds end-to-end
+(``window_start = ts_us // width * width``), bit-equal to the DuckDB
+twin ``(epoch_us(ts) // W) * W``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp column → int64 epoch microseconds."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    elif not pa.types.is_integer(col.type):
+        raise TypeError(f"expected timestamp or integer ts column, got {col.type}")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.cast(pa.int64()))
+
+
+def tumbling_window(
+    events: Dataset,
+    width_us: int,
+    ts_col: str = "ts",
+    key_col: str | None = "event_type",
+    value_col: str | None = "value",
+) -> Dataset:
+    """Per-(window, key) count + sum over fixed non-overlapping windows.
+
+    Output columns: ``window_start`` (int64 epoch µs), ``key_col`` (if
+    given), ``n`` (int64) and ``sum_cents`` (int64 of per-row
+    ``floor(value·100 + 0.5)``, only if ``value_col``).
+    """
+    if width_us <= 0:
+        raise ValueError("width_us must be positive")
+    group_cols = ["window_start"] + ([key_col] if key_col else [])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch[ts_col])
+        frame = {"window_start": us // width_us * width_us, "n": np.int64(1)}
+        if key_col:
+            frame[key_col] = batch[key_col].to_pandas()
+        if value_col:
+            # quantize per row BEFORE summing (floor(v*100 + 0.5) on the
+            # row's double is deterministic IEEE on any engine); the
+            # integer sum is then independent of combine order — float
+            # sums of distributed partials are not reproducible
+            v = batch[value_col].to_pandas().to_numpy()
+            frame["sum_cents"] = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(frame)
+        agg = {"n": "sum"} | ({"sum_cents": "sum"} if value_col else {})
+        part = df.groupby(group_cols, sort=False, as_index=False).agg(agg)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = events.map_batches(_partial, batch_format="pyarrow")
+    aggs = [Sum("n", alias_name="n")]
+    if value_col:
+        aggs.append(Sum("sum_cents", alias_name="sum_cents"))
+    return partials.groupby(group_cols).aggregate(*aggs)
+
+
+def hopping_window(
+    events: Dataset,
+    width_us: int,
+    hop_us: int,
+    ts_col: str = "ts",
+    key_col: str | None = "event_type",
+) -> Dataset:
+    """Per-(window, key) counts for overlapping windows (width, hop).
+
+    A window starts at every multiple of ``hop_us`` and spans
+    ``width_us``; an event at ``t`` is a member of the ``width/hop``
+    windows starting at ``(t // hop - j) * hop`` for
+    ``j ∈ [0, width/hop)``.  Requires ``width_us % hop_us == 0``.
+
+    Output columns: ``window_start`` (int64 epoch µs), ``key_col`` (if
+    given), ``n`` (int64).
+    """
+    if hop_us <= 0 or width_us <= 0:
+        raise ValueError("width_us and hop_us must be positive")
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    fanout = width_us // hop_us
+    group_cols = ["window_start"] + ([key_col] if key_col else [])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch[ts_col])
+        base = us // hop_us * hop_us  # newest member window per event
+        offsets = np.arange(fanout, dtype=np.int64) * hop_us
+        starts = (base[:, None] - offsets[None, :]).ravel()
+        frame = {"window_start": starts, "n": np.int64(1)}
+        if key_col:
+            frame[key_col] = np.repeat(
+                batch[key_col].to_pandas().to_numpy(), fanout
+            )
+        df = pd.DataFrame(frame)
+        part = df.groupby(group_cols, sort=False, as_index=False).agg({"n": "sum"})
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = events.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby(group_cols).aggregate(Sum("n", alias_name="n"))

@@ -117,3 +117,40 @@ def test_langid_roundtrip():
 
     out = lang_id(ds, profiles, concurrency=1).to_pandas().sort_values("doc_id")
     assert out["lang_pred"].tolist() == langs
+
+
+def test_term_topk():
+    from pyrosar_ray.stages.text import term_topk
+
+    docs = pd.DataFrame(
+        {"text": ["b a a", "a b c", "c c b  d"]}  # note the double space → empty token
+    )
+    out = term_topk(ray.data.from_pandas(docs).repartition(3), k=3).to_pandas()
+    # counts: a=3 b=3 c=3 d=1 ''=1 (double space keeps the empty token)
+    assert out[["token", "n"]].values.tolist() == [["a", 3], ["b", 3], ["c", 3]]
+
+
+def test_term_topk_tie_break_is_lexicographic():
+    from pyrosar_ray.stages.text import term_topk
+
+    docs = pd.DataFrame({"text": ["x y", "y x", "z z"]})
+    out = term_topk(ray.data.from_pandas(docs), k=2).to_pandas()
+    assert out["token"].tolist() == ["x", "y"]  # 2,2,2 tie → lexicographic
+
+
+def test_token_count_quantiles():
+    import math
+
+    from pyrosar_ray.stages.text import token_count_quantiles
+
+    rng = np.random.default_rng(11)
+    n_tok = rng.integers(1, 40, 1000)
+    texts = [" ".join(["w"] * k) for k in n_tok]
+    qs = [0.1, 0.5, 0.9, 1.0]
+    out = token_count_quantiles(
+        ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(6), qs=qs
+    ).to_pandas()
+    srt = np.sort(n_tok)
+    for q, v in zip(out["q"], out["v"]):
+        rank = max(1, math.ceil(q * len(srt)))
+        assert v == srt[rank - 1]

@@ -1,0 +1,133 @@
+"""Tumbling / hopping window aggregates (stages/windows.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _events(n=500, seed=3):
+    rng = np.random.default_rng(seed)
+    ts = np.datetime64("2024-01-01T00:00:00", "us") + rng.integers(
+        0, 86_400_000_000, n
+    ).astype("timedelta64[us]")
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.normal(10.0, 4.0, n).round(4),
+        }
+    )
+
+
+WIDTH = 3_600_000_000
+HOP = 900_000_000
+
+
+def _expected_tumbling(df):
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    g = df.assign(
+        window_start=us // WIDTH * WIDTH,
+        cents=np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+    )
+    out = g.groupby(["window_start", "event_type"], as_index=False).agg(
+        n=("cents", "size"), sum_cents=("cents", "sum")
+    )
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+def test_tumbling_matches_pandas():
+    from pyrosar_ray.stages.windows import tumbling_window
+
+    df = _events()
+    ds = ray.data.from_pandas(df).repartition(7)  # force many batches
+    got = (
+        tumbling_window(ds, width_us=WIDTH)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["window_start", "event_type", "n", "sum_cents"]],
+        _expected_tumbling(df),
+        check_dtype=False,
+    )
+
+
+def test_tumbling_boundary_rows_land_in_their_own_window():
+    from pyrosar_ray.stages.windows import tumbling_window
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            # one row exactly on the boundary, one 1 µs before
+            "ts": [base, base + np.timedelta64(WIDTH - 1, "us"),
+                   base + np.timedelta64(WIDTH, "us")],
+            "k": ["x", "x", "x"],
+            "value": [1.0, 1.0, 1.0],
+        }
+    )
+    out = tumbling_window(
+        ray.data.from_pandas(df), width_us=WIDTH, key_col="k"
+    ).to_pandas().sort_values("window_start")
+    assert out["n"].tolist() == [2, 1]
+
+
+def test_hopping_fanout_and_counts():
+    from pyrosar_ray.stages.windows import hopping_window
+
+    df = _events(300, seed=5)
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = hopping_window(ds, width_us=WIDTH, hop_us=HOP).to_pandas()
+    # every event contributes to exactly width/hop windows
+    assert got["n"].sum() == len(df) * (WIDTH // HOP)
+    # reference: explicit membership expansion
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    base = us // HOP * HOP
+    starts = (base[:, None] - np.arange(4) * HOP).ravel()
+    exp = (
+        pd.DataFrame(
+            {"window_start": starts, "event_type": np.repeat(df["event_type"].to_numpy(), 4)}
+        )
+        .groupby(["window_start", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    merged = got.merge(exp, on=["window_start", "event_type"], suffixes=("_g", "_e"))
+    assert len(merged) == len(got) == len(exp)
+    assert (merged["n_g"] == merged["n_e"]).all()
+
+
+def test_hopping_window_membership_invariant():
+    """Each event is inside [start, start+width) of every window it's counted in."""
+    from pyrosar_ray.stages.windows import hopping_window
+
+    base = np.datetime64("2024-03-05T10:17:23.000001", "us")
+    df = pd.DataFrame({"ts": [base], "event_type": ["z"]})
+    out = hopping_window(
+        ray.data.from_pandas(df), width_us=WIDTH, hop_us=HOP
+    ).to_pandas()
+    t = base.astype("datetime64[us]").astype(np.int64)
+    assert len(out) == WIDTH // HOP
+    assert ((out["window_start"] <= t) & (t < out["window_start"] + WIDTH)).all()
+
+
+def test_window_validation():
+    from pyrosar_ray.stages.windows import hopping_window, tumbling_window
+
+    ds = ray.data.from_pandas(_events(10))
+    with pytest.raises(ValueError):
+        tumbling_window(ds, width_us=0)
+    with pytest.raises(ValueError):
+        hopping_window(ds, width_us=WIDTH, hop_us=7)  # not a divisor
+
+
+def test_tumbling_integer_ts_and_no_key():
+    from pyrosar_ray.stages.windows import tumbling_window
+
+    tbl = pa.table({"t": pa.array([0, 10, 3_600_000_000], type=pa.int64())})
+    out = tumbling_window(
+        ray.data.from_arrow(tbl), width_us=WIDTH, ts_col="t", key_col=None, value_col=None
+    ).to_pandas().sort_values("window_start")
+    assert out["n"].tolist() == [2, 1]
