@@ -1142,6 +1142,80 @@ def _ivf_sql(ncells: int = 16, nprobe: int = 4, k: int = 10, modulus: int = 50) 
     """
 
 
+def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3) -> str:
+    """DuckDB twin of ``stages.dedup_text.minhash_candidate_pairs``:
+    FNV-1a token hashes (first 16 zero-padded bytes), rolling k-shingle
+    mix, multiply-shift permutation minima (the RandomState(7) a/b
+    constants embedded as literals), FNV band fold, then same-bucket
+    pairs — every step mod-2^64 HUGEINT arithmetic, bit-identical to the
+    vectorized numpy kernel."""
+    from pyrosar_ray.stages.dedup_text import MinHasher
+
+    hasher = MinHasher(num_perm)
+    a_const = [int(x) for x in hasher.a]
+    b_const = [int(x) for x in hasher.b]
+    rows_per_band = num_perm // bands
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    # FNV-1a over the token's first 16 bytes, zero-padded (numpy S16)
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(16):
+        byte = (
+            f"(CASE WHEN length(tok) > {j} "
+            f"THEN CAST(ascii(tok[{j + 1}]) AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        h = f"((xor({h}, {byte}) * 1099511628211) % {m64})"
+    # rolling mix of k consecutive token hashes (Horner with MIX=1000003)
+    mix = "a.th"
+    for step in range(1, k):
+        mix = f"(({mix} * 1000003 + t{step}.th) % {m64})"
+    shingle_joins = "\n              ".join(
+        f"JOIN hashed t{step} ON t{step}.doc_id = a.doc_id AND t{step}.i = a.i + {step}"
+        for step in range(1, k)
+    )
+    mins = ",\n                   ".join(
+        f"MIN((sh * {a_const[p]} + {b_const[p]}) % {m64}) // 2 AS m{p}"
+        for p in range(num_perm)
+    )
+    band_arms = []
+    for band in range(bands):
+        fold = "CAST(14695981039346656037 AS HUGEINT)"
+        for r in range(rows_per_band):
+            fold = f"((xor({fold}, m{band * rows_per_band + r}) * 1099511628211) % {m64})"
+        band_arms.append(
+            f"SELECT doc_id, {band} AS band, ({fold}) // 2 AS band_hash FROM sigs"
+        )
+    band_union = "\n              UNION ALL\n              ".join(band_arms)
+    return f"""
+            WITH tl AS (
+              SELECT doc_id, str_split(text, ' ') AS l FROM documents
+            ), toks AS (
+              SELECT doc_id, len(l) AS n_tok,
+                     unnest(range(len(l)))::BIGINT AS i, unnest(l) AS tok
+              FROM tl
+            ), hashed AS (
+              SELECT doc_id, n_tok, i, {h} AS th FROM toks
+            ), sh AS (
+              SELECT a.doc_id, {mix} AS sh
+              FROM hashed a
+              {shingle_joins}
+              WHERE a.n_tok >= {k}
+              UNION ALL
+              SELECT doc_id, th AS sh FROM hashed WHERE n_tok < {k}
+            ), sigs AS (
+              SELECT doc_id,
+                   {mins}
+              FROM sh GROUP BY doc_id
+            ), bandrows AS (
+              {band_union}
+            )
+            SELECT DISTINCT x.doc_id::BIGINT AS id_a, y.doc_id::BIGINT AS id_b
+            FROM bandrows x
+            JOIN bandrows y ON x.band = y.band AND x.band_hash = y.band_hash
+                           AND x.doc_id < y.doc_id
+        """
+
+
 def _simhash_sql() -> str:
     """DuckDB twin of ``stages.dedup_text.simhash``: FNV-1a over the first
     16 zero-padded token bytes (16 unrolled xor/multiply steps mod 2^64 in
@@ -1555,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_simhash": _simhash_sql(),
+        "doc_minhash_pairs": _minhash_sql(),
         "doc_neardup_fp": """
             WITH fp AS (
               SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS doc,
