@@ -471,3 +471,48 @@ def phash_near_dup_pairs(
     return deduped.map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
+
+
+def raster_info_columns(
+    rasters: Dataset,
+    blob_col: str = "blob",
+    id_col: str = "image_id",
+) -> Dataset:
+    """Probe each raster blob's container header → metadata columns.
+
+    The distributed twin of the reference's per-scene ``ID.gdalinfo``
+    (pyroSAR/drivers.py:429-477): a stateless ``map_batches`` that reads
+    ONLY the container header (TIFF IFD walk / PNG IHDR / ENVI header)
+    per row — tile payloads are never decoded, so the stage streams at
+    metadata cost regardless of raster size.  Output columns: driver,
+    samples, lines, bands, dtype, projection, ulx/uly/xres/yres (NaN for
+    ungeoreferenced containers) and nodata.
+    """
+    from pyrosar_ray.functions.raster_info import raster_info
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        blobs = batch[blob_col].to_pylist()
+        infos = [raster_info(b) for b in blobs]
+        gts = [i["geotransform"] or (np.nan,) * 6 for i in infos]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "driver": pa.array([i["driver"] for i in infos], type=pa.string()),
+                "samples": pa.array([i["samples"] for i in infos], type=pa.int64()),
+                "lines": pa.array([i["lines"] for i in infos], type=pa.int64()),
+                "bands": pa.array([i["bands"] for i in infos], type=pa.int64()),
+                "dtype": pa.array([i["dtype"] for i in infos], type=pa.string()),
+                "projection": pa.array(
+                    [i["projection"] for i in infos], type=pa.string()
+                ),
+                "ulx": pa.array([g[0] for g in gts], type=pa.float64()),
+                "uly": pa.array([g[3] for g in gts], type=pa.float64()),
+                "xres": pa.array([g[1] for g in gts], type=pa.float64()),
+                "yres": pa.array([-g[5] for g in gts], type=pa.float64()),
+                "nodata": pa.array(
+                    [i["nodata"] for i in infos], type=pa.float64()
+                ),
+            }
+        )
+
+    return rasters.map_batches(_probe, batch_format="pyarrow")
