@@ -520,6 +520,30 @@ def q_doc_token_quantiles(sf_dir: str):
     return token_count_quantiles(docs, qs=list(_QUANTILES))
 
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic 10% hash sample (stateless filter, zero exchange)."""
+    import ray.data
+
+    from pyrosar_ray.stages.sampling import hash_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return hash_sample(docs, rate_pct=10)
+
+
+def q_doc_domain_cap(sf_dir: str):
+    """Per-source quota: 10 lowest doc_ids per source (pre-pruned shuffle)."""
+    import ray.data
+
+    from pyrosar_ray.stages.sampling import group_cap
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return group_cap(docs, cap=10)
+
+
 def q_doc_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -1055,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_hop": q_events_window_hop,
         "doc_term_topk": q_doc_term_topk,
         "doc_token_quantiles": q_doc_token_quantiles,
+        "doc_sample": q_doc_sample,
+        "doc_domain_cap": q_doc_domain_cap,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1630,6 +1656,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
+        "doc_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761)
+                  % 4294967296 % 100 < 10
+        """,
+        "doc_domain_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
         "doc_neardup_fp": """
             WITH fp AS (
               SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS doc,

@@ -1,0 +1,81 @@
+"""Deterministic sampling and per-group quota ops for corpus curation.
+
+The reference has no sampling operators (SURVEY.md §2.6), but a
+training-data pipeline needs reproducible subsetting: hash-based rate
+sampling (the same rows are kept on every run, on any cluster shape,
+with no RNG state to coordinate) and per-domain quota caps (bound any
+single source's contribution to the corpus).
+
+Both are shuffle-light by construction:
+
+- ``hash_sample`` is a stateless per-batch filter — zero exchange;
+- ``group_cap`` pre-prunes every batch to at most ``cap`` rows per key
+  BEFORE the shuffle, so the exchange carries ≤ cap × keys rows per
+  block no matter how large the input is, then finishes with a per-key
+  top-``cap`` in ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+#: Knuth multiplicative constant, applied to ids reduced mod 2^32 so the
+#: engine's uint64 math and the SQL twin's HUGEINT math never wrap
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+
+
+def hash_bucket(ids: np.ndarray, buckets: int = 100) -> np.ndarray:
+    """Deterministic bucket in [0, buckets) per integer id.
+
+    ``((id mod 2^32) * 2654435761 mod 2^32) mod buckets`` — identical in
+    any engine with 64-bit integers (the product of two 32-bit values
+    never overflows), shared verbatim with the DuckDB twin.
+    """
+    reduced = ids.astype(np.uint64) % _M32
+    return ((reduced * _KNUTH) % _M32 % np.uint64(buckets)).astype(np.int64)
+
+
+def hash_sample(
+    ds: Dataset, rate_pct: int, id_col: str = "doc_id"
+) -> Dataset:
+    """Keep rows whose id hashes into the first ``rate_pct`` of 100 buckets."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct must be within [0, 100]")
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        return batch.filter(pa.array(hash_bucket(ids) < rate_pct))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def group_cap(
+    ds: Dataset, cap: int, key_col: str = "source", order_col: str = "doc_id"
+) -> Dataset:
+    """Per-``key_col`` quota: keep the ``cap`` smallest ``order_col`` rows.
+
+    The deterministic total order (``order_col`` unique) makes the kept
+    set identical across cluster sizes — the same property the scene
+    catalog's first-wins dedup relies on (reference archive.py:563-577).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        kept = (
+            df.sort_values(order_col, kind="mergesort")
+            .groupby(key_col, sort=False)
+            .head(cap)
+        )
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").head(cap)
+
+    pruned = ds.map_batches(_prune, batch_format="pyarrow")
+    return pruned.groupby(key_col).map_groups(_final, batch_format="pandas")

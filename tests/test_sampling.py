@@ -1,0 +1,63 @@
+"""Deterministic sampling / quota ops (stages/sampling.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from pyrosar_ray.stages.sampling import group_cap, hash_bucket, hash_sample
+
+
+def test_hash_bucket_deterministic_and_spread():
+    ids = np.arange(10_000, dtype=np.int64)
+    b = hash_bucket(ids)
+    assert (b == hash_bucket(ids)).all()
+    assert b.min() >= 0 and b.max() < 100
+    # multiplicative hash spreads consecutive ids roughly uniformly
+    counts = np.bincount(b, minlength=100)
+    assert counts.min() > 50 and counts.max() < 200
+
+
+def test_hash_bucket_is_32bit_safe():
+    """ids beyond 2^32 reduce mod 2^32 first — no engine-dependent wrap."""
+    small = np.array([5], dtype=np.int64)
+    big = np.array([5 + (1 << 32)], dtype=np.int64)
+    assert hash_bucket(small) == hash_bucket(big)
+
+
+def test_hash_sample_rate_and_stability():
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64), "v": 1.0})
+    out = hash_sample(ray.data.from_pandas(df).repartition(4), 10).to_pandas()
+    # same kept set as a driver-side recompute
+    kept = set(df["doc_id"][hash_bucket(df["doc_id"].to_numpy()) < 10])
+    assert set(out["doc_id"]) == kept
+    assert 100 < len(out) < 300  # ~10%
+    with pytest.raises(ValueError):
+        hash_sample(ray.data.from_pandas(df), 101)
+
+
+def test_group_cap_keeps_smallest_ids():
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(300).astype(np.int64),
+            "source": np.repeat(["a", "b", "c"], 100),
+        }
+    )
+    out = group_cap(
+        ray.data.from_pandas(df).repartition(5), cap=7
+    ).to_pandas()
+    exp = (
+        df.sort_values("doc_id").groupby("source").head(7)
+    )
+    assert len(out) == 21
+    for src in "abc":
+        got = sorted(out[out.source == src]["doc_id"])
+        want = sorted(exp[exp.source == src]["doc_id"])
+        assert got == want
+
+
+def test_group_cap_small_groups_pass_through():
+    df = pd.DataFrame({"doc_id": [3, 1], "source": ["x", "x"]})
+    out = group_cap(ray.data.from_pandas(df), cap=10).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
