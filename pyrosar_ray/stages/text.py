@@ -89,15 +89,29 @@ class LangID:
 
     @staticmethod
     def trigram_counts(texts: "pd.Series") -> np.ndarray:
-        """(n_docs, BUCKETS) float32 L2-normalized trigram histograms."""
-        out = np.zeros((len(texts), LangID.BUCKETS), dtype=np.float32)
-        for i, t in enumerate(texts):
-            b = t.encode("utf-8", "ignore")
-            if len(b) < 3:
-                continue
-            a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        """(n_docs, BUCKETS) float32 L2-normalized trigram histograms.
+
+        One batched scatter for the whole input: all docs' bytes are
+        concatenated, trigram hashes computed in one vectorized pass,
+        and window positions that straddle a document boundary are
+        masked out — no per-document Python loop.
+        """
+        n = len(texts)
+        out = np.zeros((n, LangID.BUCKETS), dtype=np.float32)
+        encoded = [t.encode("utf-8", "ignore") for t in texts]
+        lens = np.array([len(b) for b in encoded], dtype=np.int64)
+        total = int(lens.sum())
+        if total >= 3:
+            a = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
             tri = (a[:-2] * 1_000_003 + a[1:-1] * 10_007 + a[2:]) % LangID.BUCKETS
-            np.add.at(out[i], tri, 1.0)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            # window at global position p belongs to doc i iff it fits
+            # entirely inside [starts[i], ends[i])
+            pos = np.arange(total - 2)
+            doc = np.searchsorted(ends, pos, side="right")
+            valid = pos + 3 <= ends[doc]
+            np.add.at(out, (doc[valid], tri[valid]), 1.0)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return out / norms
