@@ -520,6 +520,75 @@ def q_doc_token_quantiles(sf_dir: str):
     return token_count_quantiles(docs, qs=list(_QUANTILES))
 
 
+def q_geocode_grd(sf_dir: str):
+    """Validated geocode Plan executed as one fused actor stage over the
+    synthetic image table (SURVEY §3.3 engine shape). No SQL twin: the
+    chain is float raster math (calibration, boxcar, bilinear warp)
+    over RNG-payload images — rows-only check by design."""
+    import numpy as np
+
+    from pyrosar_ray.pipelines.geocode import geocode_images
+    from pyrosar_ray.plan import build_geocode
+    from pyrosar_ray.sources.images import images_from_documents
+    from pyrosar_ray.stages.images import decode_image
+
+    record = {
+        "sensor": "S1A",
+        "product": "GRD",
+        "acquisition_mode": "IW",
+        "polarizations": ["VV"],
+    }
+    plan = build_geocode(record, spacing=60.0, speckle_filter="Boxcar")
+
+    def _to_dn(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs, ws, hs = [], [], []
+        for blob, w, h, fmt in zip(
+            batch["bytes"].to_pylist(),
+            batch["w"].to_pylist(),
+            batch["h"].to_pylist(),
+            batch["fmt"].to_pylist(),
+        ):
+            luma = decode_image(blob, w, h, fmt).mean(axis=2)
+            dn = (luma * 16.0 + 100.0).astype(np.float32)  # DN-scale floats
+            blobs.append(dn.tobytes())
+            hs.append(dn.shape[0])
+            ws.append(dn.shape[1])
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.string()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "w": pa.array(ws, type=pa.int32()),
+                "h": pa.array(hs, type=pa.int32()),
+            }
+        )
+
+    dn_rows = images_from_documents(sf_dir).map_batches(
+        _to_dn, batch_format="pyarrow", batch_size=64
+    )
+    out = geocode_images(dn_rows, plan, spacing=60.0)
+
+    def _summarize(batch: pa.Table) -> pa.Table:
+        means = []
+        for blob, w, h in zip(
+            batch["bytes"].to_pylist(), batch["w"].to_pylist(), batch["h"].to_pylist()
+        ):
+            arr = np.frombuffer(blob, dtype=np.float32).reshape(h, w)
+            valid = (arr != 0.0) & (arr != -99.0)
+            means.append(round(float(arr[valid].mean()), 2) if valid.any() else None)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "outname": batch["outname"],
+                "w": batch["w"],
+                "h": batch["h"],
+                "mean_db": pa.array(means, type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(_summarize, batch_format="pyarrow")
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 10% hash sample (stateless filter, zero exchange)."""
     import ray.data
@@ -1081,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_sample": q_doc_sample,
         "doc_domain_cap": q_doc_domain_cap,
+        "geocode_grd": q_geocode_grd,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,

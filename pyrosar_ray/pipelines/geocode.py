@@ -1,0 +1,203 @@
+"""Plan-driven geocode execution over image rows — SURVEY.md §3.3 realized.
+
+The reference materializes the validated SNAP plan as XML, chunks it with
+``groupbyWorkers``/``split`` and runs every sub-workflow as a ``gpt``
+subprocess over BEAM-DIMAP intermediates on shared disk
+(snap/auxil.py:193-306, 586-767). The engine executes the SAME
+:class:`~pyrosar_ray.plan.Plan` as ONE fused actor-pool ``map_batches``
+stage: each SNAP operator maps to a vectorized numpy kernel applied in
+sequence inside the actor's ``__call__``, so intermediates live in worker
+memory and never touch disk or the object store — Ray's stage fusion is
+the engine twin of the reference's worker grouping.
+
+Kernel fidelity per operator (σ⁰ convention, single-band GRD rows):
+
+- ``Remove-GRD-Border-Noise`` — denoise mask from the calibration-scaled
+  noise LUT (reference S1/auxil.py:782-802 via
+  ``functions.raster.border_noise_mask``); IPF ≥ 2.9 rows are a no-op
+  exactly like the reference's version gate (S1/auxil.py:737-743).
+- ``Calibration`` — σ⁰ = DN²/A² with the per-product calibration
+  constant ``A`` (the reference delegates to SNAP's Calibration; the
+  radiometric formula is the published S1 one).
+- ``ThermalNoiseRemoval`` — subtract the thermal floor, clamp at 0.
+- ``Apply-Orbit-File`` / ``TOPSAR-Deburst`` — geolocation-metadata
+  operators; pixel values are untouched (GRD rows carry no bursts).
+- ``Multilook`` — block-mean via ``functions.raster.multilook``.
+- ``Terrain-Flattening`` — γ⁰ = σ⁰ · tan(θ_loc)⁻¹·tan(θ_ell) reduces to
+  σ⁰/cos(θ) under the flat-ellipsoid model the engine can evaluate
+  without a DEM; θ ramps linearly across range between the scene's
+  near/far incidence (the reference's DEM-driven TF needs SNAP).
+- ``Speckle-Filter`` — Boxcar mean via an integral image (edge-clipped
+  window, the SNAP Boxcar default 3×3).
+- ``Terrain-Correction`` — regrid onto the target-aligned output grid at
+  the requested spacing via ``functions.warp.warp_affine`` (bilinear,
+  TAP — the engine's ``gdalwarp`` twin).
+- ``LinearToFromdB`` — 10·log10 via ``functions.raster.linear_to_db``.
+- ``Write`` — rows keep float32 bytes + the plan's suffix-derived
+  ``outname`` (``{image_id}_{suffix}``), ready for
+  ``stages.raster_sink.write_rasters`` or the GeoTIFF encoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.raster import border_noise_mask, linear_to_db, multilook
+from ..functions.warp import warp_affine
+from ..plan import Plan
+
+#: operators whose kernel leaves pixel values untouched (metadata-only
+#: in the engine's model; the reference runs them for geolocation)
+_METADATA_OPS = frozenset(
+    {"Read", "Write", "Apply-Orbit-File", "TOPSAR-Deburst", "Subset", "BandSelect"}
+)
+
+#: default radiometric constants for rows that don't carry their own
+_DEFAULT_CAL_A = 1000.0
+_DEFAULT_NOISE = 25.0
+_DEFAULT_INCIDENCE = (30.0, 46.0)  # S1 IW near/far, degrees
+
+
+def boxcar(arr: np.ndarray, size: int = 3) -> np.ndarray:
+    """Edge-clipped boxcar mean via an integral image (SNAP Boxcar twin)."""
+    if size < 1 or size % 2 == 0:
+        raise ValueError("boxcar size must be a positive odd number")
+    h, w = arr.shape
+    r = size // 2
+    cum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    cum[1:, 1:] = arr.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    y0 = np.clip(np.arange(h) - r, 0, None)
+    y1 = np.clip(np.arange(h) + r + 1, None, h)
+    x0 = np.clip(np.arange(w) - r, 0, None)
+    x1 = np.clip(np.arange(w) + r + 1, None, w)
+    sums = cum[y1[:, None], x1[None, :]] - cum[y0[:, None], x1[None, :]] \
+        - cum[y1[:, None], x0[None, :]] + cum[y0[:, None], x0[None, :]]
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (sums / areas).astype(arr.dtype)
+
+
+class PlanExecutor:
+    """Actor-pool stage running a linear geocode Plan per image row.
+
+    The plan is validated and linearized once per actor in ``__init__``
+    (stateful setup); ``__call__`` applies the kernel chain per row.
+    Branched plans (BandMerge joins) are stage-fusion groups the engine
+    runs as separate stages — this executor covers the linear chains
+    ``build_geocode`` emits.
+    """
+
+    def __init__(self, plan: Plan, spacing: float = 20.0):
+        if not plan.is_consistent():
+            raise ValueError("plan has unresolved source links")
+        for node in plan:
+            if len(node.sources) > 1:
+                raise NotImplementedError(
+                    "PlanExecutor runs linear chains; split branched plans "
+                    "with plan.split() into per-group stages"
+                )
+        self.nodes = [n for n in plan.nodes]
+        self.suffix = plan.suffix()
+        self.spacing = float(spacing)
+
+    # ---- per-operator kernels -----------------------------------------
+    def _apply(self, op: str, params: dict, arr: np.ndarray, row: dict) -> np.ndarray:
+        if op in _METADATA_OPS:
+            return arr
+        if op == "Remove-GRD-Border-Noise":
+            if float(row.get("ipf", 2.9)) >= 2.9:
+                return arr  # reference version gate: nothing to remove
+            h, w = arr.shape
+            noise = np.full((h, w), float(row.get("noise", _DEFAULT_NOISE)))
+            keep = border_noise_mask(arr, noise, scale=1.0)
+            return np.where(keep, arr, 0.0).astype(arr.dtype)
+        if op == "Calibration":
+            a = float(row.get("cal_a", _DEFAULT_CAL_A))
+            return (arr.astype(np.float64) ** 2 / (a * a)).astype(np.float32)
+        if op == "ThermalNoiseRemoval":
+            floor = float(row.get("noise", _DEFAULT_NOISE))
+            sigma_floor = floor**2 / float(row.get("cal_a", _DEFAULT_CAL_A)) ** 2
+            return np.maximum(arr - sigma_floor, 0.0).astype(arr.dtype)
+        if op == "Multilook":
+            rg = int(params.get("rg", 2))
+            az = int(params.get("az", 2))
+            return multilook(arr, rg, az)
+        if op == "Terrain-Flattening":
+            near, far = (
+                float(row.get("inc_near", _DEFAULT_INCIDENCE[0])),
+                float(row.get("inc_far", _DEFAULT_INCIDENCE[1])),
+            )
+            theta = np.deg2rad(np.linspace(near, far, arr.shape[1]))
+            return (arr / np.cos(theta)[None, :]).astype(arr.dtype)
+        if op == "Speckle-Filter":
+            return boxcar(arr, int(params.get("size", 3)))
+        if op == "Terrain-Correction":
+            gt = (
+                float(row.get("ulx", 11.0)),
+                float(row.get("xres", 1e-4)),
+                0.0,
+                float(row.get("uly", 51.0)),
+                0.0,
+                -float(row.get("yres", 1e-4)),
+            )
+            h, w = arr.shape
+            bounds = (gt[0], gt[3] - h * abs(gt[5]), gt[0] + w * gt[1], gt[3])
+            # target resolution: the requested spacing in degrees-at-
+            # equator (the reference converts meters via the target CRS)
+            tr = self.spacing / 111_320.0
+            out, _ = warp_affine(arr, gt, bounds, (tr, tr), nodata=0.0)
+            return np.nan_to_num(out, nan=0.0).astype(np.float32)
+        if op == "LinearToFromdB":
+            return linear_to_db(arr).astype(np.float32)
+        raise NotImplementedError(f"no kernel for operator {op!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        extra_cols = [
+            c for c in ("ipf", "cal_a", "noise", "inc_near", "inc_far",
+                        "ulx", "uly", "xres", "yres")
+            if c in batch.column_names
+        ]
+        extras = {c: batch[c].to_pylist() for c in extra_cols}
+        out_blob, out_w, out_h, out_name = [], [], [], []
+        for i, (iid, blob, w, h) in enumerate(zip(ids, blobs, ws, hs)):
+            row = {c: extras[c][i] for c in extra_cols}
+            arr = np.frombuffer(blob, dtype=np.float32).reshape(h, w)
+            for node in self.nodes:
+                arr = self._apply(node.operator, node.parameters, arr, row)
+            out_blob.append(np.ascontiguousarray(arr, dtype=np.float32).tobytes())
+            out_h.append(arr.shape[0])
+            out_w.append(arr.shape[1])
+            out_name.append(f"{iid}_{self.suffix}" if self.suffix else iid)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.string()),
+                "outname": pa.array(out_name, type=pa.string()),
+                "bytes": pa.array(out_blob, type=pa.binary()),
+                "w": pa.array(out_w, type=pa.int32()),
+                "h": pa.array(out_h, type=pa.int32()),
+            }
+        )
+
+
+def geocode_images(
+    images: Dataset,
+    plan: Plan,
+    spacing: float = 20.0,
+    concurrency=(1, 4),
+    batch_size: int = 32,
+) -> Dataset:
+    """Run a validated geocode Plan over an image Dataset as one fused
+    actor stage (bounded ``batch_size`` keeps payload × concurrency in
+    the worker heap; see stages.images for the memory rule)."""
+    return images.map_batches(
+        PlanExecutor,
+        fn_constructor_args=(plan, spacing),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -1,0 +1,120 @@
+"""Plan-driven geocode execution (pipelines/geocode.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from pyrosar_ray.pipelines.geocode import PlanExecutor, boxcar, geocode_images
+from pyrosar_ray.plan import Node, Plan, geocode_plan
+from pyrosar_ray.plan import build_geocode
+
+
+S1_RECORD = {
+    "sensor": "S1A",
+    "product": "GRD",
+    "acquisition_mode": "IW",
+    "polarizations": ["VV", "VH"],
+}
+
+
+def _rows(n=4, w=40, h=30, const=None, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if const is not None:
+            arr = np.full((h, w), const, dtype=np.float32)
+        else:
+            arr = rng.uniform(100, 4000, (h, w)).astype(np.float32)
+        rows.append(
+            {
+                "image_id": f"img-{i}",
+                "bytes": arr.tobytes(),
+                "w": w,
+                "h": h,
+                "ipf": 3.1,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_boxcar_constant_preserved_and_window_mean():
+    arr = np.full((5, 5), 7.0, dtype=np.float32)
+    assert np.allclose(boxcar(arr), 7.0)
+    arr2 = np.zeros((3, 3), dtype=np.float64)
+    arr2[1, 1] = 9.0
+    assert boxcar(arr2)[1, 1] == 1.0  # 9 / (3x3 window)
+    with pytest.raises(ValueError):
+        boxcar(arr, size=2)
+
+
+def test_constant_image_closed_form():
+    """A constant DN image through Cal→TNR→ML→TF→dB has a closed form."""
+    plan = (
+        Plan()
+        .add(Node("Read", "Read", {}, []))
+        .add(Node("Calibration", "Calibration", {}, ["Read"]))
+        .add(Node("ThermalNoiseRemoval", "ThermalNoiseRemoval", {}, ["Calibration"]))
+        .add(Node("Multilook", "Multilook", {"rg": 2, "az": 2}, ["ThermalNoiseRemoval"]))
+        .add(Node("LinearToFromdB", "LinearToFromdB", {}, ["Multilook"]))
+        .add(Node("Write", "Write", {}, ["LinearToFromdB"]))
+    )
+    dn = 2000.0
+    ds = ray.data.from_pandas(_rows(n=2, const=dn))
+    out = geocode_images(ds, plan, concurrency=1).to_pandas()
+    sigma = (dn**2 - 25.0**2) / 1000.0**2
+    expect_db = 10 * np.log10(sigma)
+    row = out.iloc[0]
+    arr = np.frombuffer(row["bytes"], dtype=np.float32).reshape(row["h"], row["w"])
+    assert arr.shape == (15, 20)  # multilook 2x2 halves each axis
+    assert np.allclose(arr, expect_db, atol=1e-4)
+    assert row["outname"].endswith("_Cal_NR_ML_dB")
+
+
+def test_full_reference_chain_runs_and_names():
+    plan = geocode_plan()
+    ds = ray.data.from_pandas(_rows(n=3, w=64, h=48))
+    out = geocode_images(ds, plan, spacing=90.0, concurrency=1).to_pandas()
+    assert len(out) == 3
+    # suffix follows the authoritative snap.suffices order for the chain
+    assert out["outname"].iloc[0] == "img-0_bnr_Cal_NR_Orb_ML_TF_TC_dB"
+    arr = np.frombuffer(out.iloc[0]["bytes"], dtype=np.float32).reshape(
+        out.iloc[0]["h"], out.iloc[0]["w"]
+    )
+    # TC out-of-grid pixels (0.0) map to the -99 dB nodata downstream
+    valid = (arr != 0.0) & (arr != -99.0)
+    # dB output lands in a plausible backscatter range
+    assert valid.any() and (arr[valid] > -99.0).all() and (arr[valid] < 30.0).all()
+
+
+def test_build_geocode_plan_executes():
+    plan = build_geocode(S1_RECORD, spacing=60.0, speckle_filter="Boxcar")
+    ds = ray.data.from_pandas(_rows(n=2, w=50, h=40))
+    out = geocode_images(ds, plan, spacing=60.0, concurrency=1).to_pandas()
+    assert len(out) == 2 and (out["w"] > 0).all()
+
+
+def test_border_noise_gate_by_ipf():
+    plan = (
+        Plan()
+        .add(Node("Read", "Read", {}, []))
+        .add(Node("Remove-GRD-Border-Noise", "Remove-GRD-Border-Noise", {}, ["Read"]))
+        .add(Node("Write", "Write", {}, ["Remove-GRD-Border-Noise"]))
+    )
+    ex = PlanExecutor(plan)
+    low = np.full((4, 4), 20.0, dtype=np.float32)  # below raw threshold 30
+    out_old = ex._apply("Remove-GRD-Border-Noise", {}, low, {"ipf": 2.5})
+    out_new = ex._apply("Remove-GRD-Border-Noise", {}, low, {"ipf": 3.1})
+    assert (out_old == 0).all()  # masked under the old IPF
+    assert (out_new == 20.0).all()  # no-op at IPF >= 2.9
+
+
+def test_branched_plan_rejected():
+    plan = (
+        Plan()
+        .add(Node("Read", "Read", {}, []))
+        .add(Node("Read2", "Read", {}, []))
+        .add(Node("BandMerge", "BandMerge", {}, ["Read", "Read2"]))
+    )
+    with pytest.raises(NotImplementedError):
+        PlanExecutor(plan)
