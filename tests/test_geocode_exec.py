@@ -118,3 +118,44 @@ def test_branched_plan_rejected():
     )
     with pytest.raises(NotImplementedError):
         PlanExecutor(plan)
+
+
+def test_geocode_to_writer_roundtrip(tmp_path):
+    """Full chain: plan execution → snap.writer export → GeoTIFF decode."""
+    from pyrosar_ray.functions.tiff import decode_geotiff
+    from pyrosar_ray.stages.raster_sink import write_products
+
+    plan = build_geocode(S1_RECORD, spacing=60.0)
+    suffix = plan.suffix()
+    processed = geocode_images(
+        ray.data.from_pandas(_rows(n=2, w=48, h=36)), plan, spacing=60.0, concurrency=1
+    ).to_pandas()
+
+    bands = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src_base": processed["outname"],
+                "band": "Gamma0_VV",
+                "data": processed["bytes"],
+                "rows": processed["h"].astype("int64"),
+                "cols": processed["w"].astype("int64"),
+                "ulx": 11.0,
+                "uly": 51.0,
+                "xres": 6e-4,
+                "yres": 6e-4,
+            }
+        )
+    )
+    manifest = write_products(
+        bands, str(tmp_path), suffix=suffix, rtc=True
+    ).to_pandas()
+    assert len(manifest) == 2 and not manifest["skipped"].any()
+    # writer grammar: Gamma0_VV + rtc + dB chain → VV_gamma0-rtc_db
+    path = manifest["path"].iloc[0]
+    assert path.endswith("_VV_gamma0-rtc_db.tif") and suffix not in path
+    dec = decode_geotiff(open(path, "rb").read())
+    got = dec["data"][0]
+    src = processed.iloc[0]
+    want = np.frombuffer(src["bytes"], dtype=np.float32).reshape(src["h"], src["w"])
+    assert np.array_equal(got, want)
+    assert dec["nodata"] == 0.0
