@@ -651,6 +651,19 @@ def q_doc_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(docs, block_col="source", threshold=0.5)
 
 
+def q_doc_dup_clusters(sf_dir: str):
+    """Near-dup clusters: connected components over the Jaccard pair
+    graph, canonical label = min doc id per component."""
+    import ray.data
+
+    from pyrosar_ray.stages.dedup_text import dup_clusters
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return dup_clusters(docs)
+
+
 def q_embed_topk(sf_dir: str):
     import ray.data
 
@@ -1151,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "doc_domain_cap": q_doc_domain_cap,
         "geocode_grd": q_geocode_grd,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1726,6 +1740,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
+        "doc_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) a
+                JOIN (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                      (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.5
+            ),
+            und AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+                WHERE e.v <> r.u
+            )
+            SELECT u::BIGINT AS doc_id, LEAST(u, MIN(v))::BIGINT AS cluster_id
+            FROM reach GROUP BY u
+        """,
         "doc_sample": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761)

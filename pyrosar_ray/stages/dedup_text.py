@@ -485,3 +485,71 @@ def jaccard_pairs(
         .groupby(block_col)
         .map_groups(_pairs, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+
+def connected_components(pairs: "pd.DataFrame") -> "pd.DataFrame":
+    """(doc_id, cluster_id) for every node of an undirected pair graph.
+
+    Union-find with path compression; ``cluster_id`` is the component's
+    minimum node id (a deterministic canonical label). The edge set a
+    near-dup detector emits is proportional to actual duplicates —
+    orders of magnitude smaller than the corpus — so the driver-side
+    union-find is the right plan; a corpus-sized edge set would instead
+    take iterative min-label propagation over hash partitions.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"].tolist(), pairs["id_b"].tolist()):
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-root union → canonical label
+    nodes = sorted(parent)
+    labels = [find(n) for n in nodes]
+    return pd.DataFrame({"doc_id": nodes, "cluster_id": labels}).astype("int64")
+
+
+def dup_clusters(
+    docs: Dataset,
+    block_col: str = "source",
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Near-duplicate clusters: connected components of the Jaccard pair
+    graph, labeled by the component's minimum doc id.
+
+    The distributed part (pair detection) does all the heavy lifting;
+    the component labeling runs on the near-dup edge set only (bounded,
+    see :func:`connected_components`).
+    """
+    import ray
+
+    pairs_ds = jaccard_pairs(
+        docs, block_col=block_col, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    ).select_columns(["id_a", "id_b"])
+    blocks = [t for t in ray.get(pairs_ds.to_arrow_refs()) if len(t)]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.int64()),
+        }
+    )
+    if not blocks:
+        return _ray_from_arrow(empty)
+    out = connected_components(pa.concat_tables(blocks).to_pandas())
+    return _ray_from_arrow(pa.Table.from_pandas(out, preserve_index=False))

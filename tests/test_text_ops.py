@@ -154,3 +154,43 @@ def test_token_count_quantiles():
     for q, v in zip(out["q"], out["v"]):
         rank = max(1, math.ceil(q * len(srt)))
         assert v == srt[rank - 1]
+
+
+def test_connected_components_union_find():
+    from pyrosar_ray.stages.dedup_text import connected_components
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 10, 20, 5], "id_b": [2, 3, 11, 21, 1]}
+    )  # components {1,2,3,5}, {10,11}, {20,21}
+    out = connected_components(pairs)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_pipeline():
+    from pyrosar_ray.stages.dedup_text import dup_clusters
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c", "a b c", "a b x", "zz qq ww"],
+            "source": ["s", "s", "s", "s"],
+        }
+    )
+    out = dup_clusters(ray.data.from_pandas(docs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    # 1-2 exact, 2-3 jaccard 0.5 → one component {1,2,3}; 4 has no pair
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_dup_clusters_empty():
+    from pyrosar_ray.stages.dedup_text import dup_clusters
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["aa bb", "cc dd"], "source": ["s", "s"]}
+    )
+    out = dup_clusters(ray.data.from_pandas(docs))
+    # Ray's to_pandas drops columns on zero-row data; the Dataset-level
+    # schema is the contract
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "cluster_id"]
