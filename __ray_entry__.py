@@ -63,6 +63,22 @@ def q_spatial_join(sf_dir: str):
     return pairs.select_columns(["scene_key", "point_id"])
 
 
+def q_spatial_join_partitioned(sf_dir: str):
+    """The large-large co-partition plan (one sort exchange + local cell
+    joins) — must emit the exact same pair set as the broadcast plan,
+    so it shares spatial_join's oracle."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.spatial import spatial_join_points
+
+    pairs = spatial_join_points(
+        load_scenes(sf_dir),
+        load_points(sf_dir),
+        strategy="partitioned",
+        num_partitions=None,  # size the exchange from read metadata
+    )
+    return pairs.select_columns(["scene_key", "point_id"])
+
+
 def q_tile_assign(sf_dir: str):
     from pyrosar_ray.pipelines.tables import load_scenes
     from pyrosar_ray.stages.tiling import assign_tiles
@@ -1137,6 +1153,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "spatial_join": q_spatial_join,
+        "spatial_join_partitioned": q_spatial_join_partitioned,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
         "dem_srtm3": q_dem_srtm3,
@@ -1368,6 +1385,13 @@ def oracle_sql() -> dict[str, str]:
     stop_list = "['the','a','of','and','to','in']"
     return {
         "spatial_join": f"""
+            {_SCENES}, points AS ({POINTS_SQL})
+            SELECT s.scene_key, p.point_id
+            FROM scenes s JOIN points p
+              ON p.lon >= s.xmin AND p.lon < s.xmax
+             AND p.lat >= s.ymin AND p.lat < s.ymax
+        """,
+        "spatial_join_partitioned": f"""
             {_SCENES}, points AS ({POINTS_SQL})
             SELECT s.scene_key, p.point_id
             FROM scenes s JOIN points p
