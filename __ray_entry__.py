@@ -667,6 +667,16 @@ def q_doc_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(docs, block_col="source", threshold=0.5)
 
 
+def q_doc_normalize(sf_dir: str):
+    """Canonical normalization (lower → strip punct → collapse ws)."""
+    import ray.data
+
+    from pyrosar_ray.stages.text import normalize_text
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(docs)
+
+
 def q_doc_dup_clusters(sf_dir: str):
     """Near-dup clusters: connected components over the Jaccard pair
     graph, canonical label = min doc id per component."""
@@ -1182,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_cap": q_doc_domain_cap,
         "geocode_grd": q_geocode_grd,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_normalize": q_doc_normalize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1764,6 +1775,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+                   length(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\w\s]', '', 'g'), '\s+', ' ', 'g')))::BIGINT AS norm_chars
+            FROM documents
+        """,
         "doc_dup_clusters": """
             WITH RECURSIVE pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b

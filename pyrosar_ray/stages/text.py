@@ -277,3 +277,32 @@ def token_count_quantiles(
     return pa.table(
         {"q": pa.array(out_q, type=pa.float64()), "v": pa.array(out_v, type=pa.int64())}
     )
+
+
+def normalize_text(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Canonical text normalization before dedup/fingerprinting.
+
+    lowercase → strip punctuation (``[^\\w\\s]``) → collapse whitespace
+    runs → trim; emitted with the normalized length. Pure ``.str``
+    kernels, stateless ``map_batches``. Regex classes are ASCII-equal
+    between pandas and the DuckDB RE2 twin on this corpus; the shared
+    step order is the contract.
+    """
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        out = (
+            s.str.lower()
+            .str.replace(r"[^\w\s]", "", regex=True)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "norm_text": pa.array(out.to_numpy(), type=pa.string()),
+                "norm_chars": pa.array(out.str.len().to_numpy().astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(_norm, batch_format="pyarrow")

@@ -194,3 +194,17 @@ def test_dup_clusters_empty():
     # schema is the contract
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_normalize_text():
+    from pyrosar_ray.stages.text import normalize_text
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["Hello,  World!", "  a...b  c ", ""],
+        }
+    )
+    out = normalize_text(ray.data.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert out["norm_text"].tolist() == ["hello world", "ab c", ""]
+    assert out["norm_chars"].tolist() == [11, 4, 0]
