@@ -73,3 +73,72 @@ def test_session_ids_properties(ts, gap):
     # a break happens exactly where the gap exceeds the threshold
     breaks = np.diff(arr) > gap
     assert (np.diff(sid) == breaks.astype(int)).all()
+
+
+# ---------------------------------------------- late round-2 kernels
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=3_600_000_000),
+)
+def test_tumbling_window_partition_property(ts_us, width):
+    """Every event lands in exactly one window containing its timestamp."""
+    arr = np.array(ts_us, dtype=np.int64)
+    starts = arr // width * width
+    assert ((starts <= arr) & (arr < starts + width)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=500))
+def test_hash_bucket_bounds_and_determinism(ids):
+    from pyrosar_ray.stages.sampling import hash_bucket
+
+    arr = np.array(ids, dtype=np.int64)
+    b = hash_bucket(arr)
+    assert ((b >= 0) & (b < 100)).all()
+    assert (b == hash_bucket(arr)).all()
+    # only the low 32 bits matter (the SQL twin's contract)
+    assert (hash_bucket(arr % (1 << 32)) == b).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3, 5]),
+)
+def test_boxcar_mean_preserving_bounds(h, w, size):
+    from pyrosar_ray.pipelines.geocode import boxcar
+
+    rng = np.random.default_rng(h * 100 + w)
+    arr = rng.uniform(-5, 5, (h, w))
+    out = boxcar(arr, size)
+    assert out.shape == arr.shape
+    # window means stay within the global value range
+    assert out.min() >= arr.min() - 1e-9 and out.max() <= arr.max() + 1e-9
+    # size=1 is the identity
+    if size == 1:
+        assert np.allclose(out, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=300),
+    st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False), min_size=1, max_size=5
+    ),
+)
+def test_quantile_histogram_inversion(values, qs):
+    """The histogram inversion equals sorting + rank selection."""
+    import math
+
+    vals = np.array(values, dtype=np.int64)
+    uniq, counts = np.unique(vals, return_counts=True)
+    cum = counts.cumsum()
+    srt = np.sort(vals)
+    for q in qs:
+        rank = max(1, math.ceil(q * len(vals)))
+        got = uniq[np.searchsorted(cum, rank)]
+        assert got == srt[rank - 1]
