@@ -914,6 +914,26 @@ def q_image_features(sf_dir: str):
     return feats.select_columns(["image_id", "caption", "mean_px", "std_px", "phash"])
 
 
+def q_audio_meta(sf_dir: str):
+    """Audio metadata from the DECODED PCM (count/duration), which the
+    SQL twin recomputes arithmetically from the synthesis parameters —
+    a true decode-path check."""
+    from pyrosar_ray.sources.audio import audio_from_documents
+    from pyrosar_ray.stages.audio import audio_features
+
+    feats = audio_features(audio_from_documents(sf_dir))
+    return feats.select_columns(["audio_id", "n_samples", "duration_ms"])
+
+
+def q_audio_features(sf_dir: str):
+    """Full per-clip features (peak/RMS/zero-crossings). No SQL twin:
+    the waveform reductions are float libm math — rows-only by design."""
+    from pyrosar_ray.sources.audio import audio_from_documents
+    from pyrosar_ray.stages.audio import audio_features
+
+    return audio_features(audio_from_documents(sf_dir))
+
+
 def q_common_extent(sf_dir: str):
     """Intersection extent of all scene footprints + 0.1° buffer
     (DEMHandler.__commonextent, reference auxdata.py:606-632)."""
@@ -1193,6 +1213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_grd": q_geocode_grd,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_normalize": q_doc_normalize,
+        "audio_meta": q_audio_meta,
+        "audio_features": q_audio_features,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1775,6 +1797,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
+        "audio_meta": """
+            SELECT 'aud-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,
+                   (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,
+                   (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
+            FROM documents
+        """,
         "doc_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(lower(text),

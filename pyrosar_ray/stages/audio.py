@@ -1,0 +1,102 @@
+"""Audio compute stages: decode + per-clip feature extraction.
+
+Same actor-pool shape as the image stages (stages/images.py memory
+rule): MB-scale binary rows ride zero-copy Arrow into the actor, decode
+to numpy once, and every feature is a vectorized reduction over the
+sample array — no per-sample Python. Bounded ``batch_size`` keeps
+payload × concurrency inside the worker heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..sources.audio import decode_audio
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode → duration / peak / RMS / zero-crossings."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        rates = batch["rate"].to_pylist()
+        n_samples, duration_ms, peak, rms, zcr = [], [], [], [], []
+        for blob, fmt, rate in zip(blobs, fmts, rates):
+            pcm = decode_audio(blob, fmt).astype(np.float64)
+            n = len(pcm)
+            n_samples.append(n)
+            duration_ms.append(n * 1000.0 / rate)
+            peak.append(float(np.abs(pcm).max()) if n else 0.0)
+            rms.append(float(np.sqrt((pcm**2).mean())) if n else 0.0)
+            signs = np.signbit(pcm)
+            zcr.append(int((signs[1:] != signs[:-1]).sum()) if n > 1 else 0)
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "n_samples": pa.array(n_samples, type=pa.int64()),
+                "duration_ms": pa.array(duration_ms, type=pa.float64()),
+                "peak": pa.array(peak, type=pa.float64()),
+                "rms": pa.array([round(v, 4) for v in rms], type=pa.float64()),
+                "zcr": pa.array(zcr, type=pa.int64()),
+            }
+        )
+
+
+def audio_features(clips: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+    """Per-clip audio features over a binary PCM column."""
+    return clips.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def frame_energies(
+    clips: Dataset,
+    frame: int = 1024,
+    hop: int = 512,
+    concurrency=(1, 4),
+    batch_size: int = 32,
+) -> Dataset:
+    """Short-time frame energies: one output row per (clip, frame).
+
+    The audio twin of video frame sampling (stages/images.py
+    FrameSampler): a flat expansion whose fan-out is ``n/hop`` rows per
+    clip, computed with one strided-view power reduction per clip.
+    """
+
+    def _frames(batch: pa.Table) -> pa.Table:
+        ids, idxs, energies = [], [], []
+        for aid, blob, fmt in zip(
+            batch["audio_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+        ):
+            pcm = decode_audio(blob, fmt).astype(np.float64)
+            if len(pcm) < frame:
+                continue
+            n_frames = (len(pcm) - frame) // hop + 1
+            view = np.lib.stride_tricks.as_strided(
+                pcm,
+                shape=(n_frames, frame),
+                strides=(pcm.strides[0] * hop, pcm.strides[0]),
+            )
+            e = (view**2).mean(axis=1)
+            ids.extend([aid] * n_frames)
+            idxs.extend(range(n_frames))
+            energies.extend(np.round(e, 4).tolist())
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, type=pa.string()),
+                "frame_idx": pa.array(idxs, type=pa.int64()),
+                "energy": pa.array(energies, type=pa.float64()),
+            }
+        )
+
+    return clips.map_batches(
+        _frames, batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size
+    )
