@@ -914,6 +914,17 @@ def q_image_features(sf_dir: str):
     return feats.select_columns(["image_id", "caption", "mean_px", "std_px", "phash"])
 
 
+def q_doc_top_tfidf(sf_dir: str):
+    """Per-doc top-3 terms by (tf desc, df asc, token) — integer-exact
+    TF-IDF-style ranking with a broadcast document-frequency table."""
+    import ray.data
+
+    from pyrosar_ray.stages.text import top_tf_df_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return top_tf_df_terms(docs, k=3)
+
+
 def q_audio_meta(sf_dir: str):
     """Audio metadata from the DECODED PCM (count/duration), which the
     SQL twin recomputes arithmetically from the synthesis parameters —
@@ -1215,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": q_doc_normalize,
         "audio_meta": q_audio_meta,
         "audio_features": q_audio_features,
+        "doc_top_tfidf": q_doc_top_tfidf,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1797,6 +1809,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
+        "doc_top_tfidf": """
+            WITH toks AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+            ),
+            df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+            )
+            SELECT doc_id, token, tf, df, rank FROM (
+                SELECT t.doc_id, t.token, t.tf::BIGINT AS tf, d.df::BIGINT AS df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY t.tf DESC, d.df ASC, t.token
+                       ) AS rank
+                FROM tf t JOIN df d USING (token)
+            ) WHERE rank <= 3
+        """,
         "audio_meta": """
             SELECT 'aud-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,
                    (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,

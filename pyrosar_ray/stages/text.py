@@ -306,3 +306,70 @@ def normalize_text(docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
         )
 
     return docs.map_batches(_norm, batch_format="pyarrow")
+
+
+def top_tf_df_terms(docs: Dataset, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> Dataset:
+    """Per-doc top-``k`` terms ranked by (tf desc, df asc, token asc).
+
+    The classic TF-IDF retrieval shape kept integer-exact: rather than a
+    float tf·log(N/df) score (not bit-reproducible across engines), the
+    rank orders by raw term frequency with document frequency as the
+    tie-break — the same ordering TF-IDF induces when tf dominates.
+
+    Physical plan: document frequency comes from per-batch DISTINCT
+    (doc, token) partials (a doc lives entirely in one batch) merged by
+    a vocabulary-sized ``groupby.Sum``; the merged table is broadcast
+    once via ``ray.put`` and each batch joins + ranks its own docs
+    locally. Only vocabulary-sized data crosses the wire. (At corpora
+    where the vocabulary itself outgrows a broadcast, the join flips to
+    a hash-partition on token — same downstream ranking.)
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        exploded = s.str.split(" ").explode()
+        pairs = pd.DataFrame(
+            {"doc": exploded.index, "token": exploded.to_numpy()}
+        ).drop_duplicates()
+        counts = pairs.groupby("token", sort=False).size()
+        return pa.table(
+            {
+                "token": pa.array(counts.index.to_numpy(), type=pa.string()),
+                "df": pa.array(counts.to_numpy().astype(np.int64)),
+            }
+        )
+
+    df_table = (
+        docs.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(df_table.set_index("token")["df"])
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        df_map = ray.get(df_ref)
+        s = batch[text_col].to_pandas().astype("string")
+        ids = batch[id_col].to_pandas()
+        exploded = s.str.split(" ").explode()
+        frame = pd.DataFrame(
+            {id_col: ids.iloc[exploded.index].to_numpy(), "token": exploded.to_numpy()}
+        )
+        tf = frame.groupby([id_col, "token"], sort=False, as_index=False).size()
+        tf = tf.rename(columns={"size": "tf"})
+        tf["df"] = df_map.reindex(tf["token"]).to_numpy()
+        tf = tf.sort_values(
+            [id_col, "tf", "df", "token"], ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        top = tf.groupby(id_col, sort=False).head(k).copy()
+        top["rank"] = top.groupby(id_col, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(
+            top.astype({"tf": "int64", "df": "int64", "rank": "int64"}),
+            preserve_index=False,
+        )
+
+    return docs.map_batches(_rank, batch_format="pyarrow")

@@ -208,3 +208,26 @@ def test_normalize_text():
     out = normalize_text(ray.data.from_pandas(docs)).to_pandas().sort_values("doc_id")
     assert out["norm_text"].tolist() == ["hello world", "ab c", ""]
     assert out["norm_chars"].tolist() == [11, 4, 0]
+
+
+def test_top_tf_df_terms():
+    from pyrosar_ray.stages.text import top_tf_df_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b c", "a b b", "c c c a"],
+        }
+    )
+    out = top_tf_df_terms(
+        ray.data.from_pandas(docs).repartition(3), k=2
+    ).to_pandas()
+    # doc 1: a(tf2), then b/c tie tf1 → lower df first: b(df2) before c(df2)?
+    # df: a=3, b=2, c=2 → tie broken by token asc: 'b'
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    assert d1["token"].tolist() == ["a", "b"]
+    assert d1["tf"].tolist() == [2, 1]
+    assert d1["df"].tolist() == [3, 2]
+    d3 = out[out.doc_id == 3].sort_values("rank")
+    assert d3["token"].tolist() == ["c", "a"]
+    assert (out.groupby("doc_id")["rank"].max() == 2).all()
