@@ -513,6 +513,19 @@ def q_events_window_hop(sf_dir: str):
     return hopping_window(events, width_us=_WINDOW_US, hop_us=_HOP_US)
 
 
+def q_events_rolling(sf_dir: str):
+    """Per-user 3-row rolling sum ordered by (ts, event_id) — the
+    ordered-window analytic, integer-cent exact."""
+    import ray.data
+
+    from pyrosar_ray.stages.windows import rolling_sum
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return rolling_sum(events, frame_rows=3)
+
+
 def q_doc_term_topk(sf_dir: str):
     """Corpus-wide top-50 tokens (vocabulary-sized sort, never the corpus)."""
     import ray.data
@@ -1217,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": q_events_props,
         "events_window": q_events_window,
         "events_window_hop": q_events_window_hop,
+        "events_rolling": q_events_rolling,
         "doc_term_topk": q_doc_term_topk,
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_sample": q_doc_sample,
@@ -1716,6 +1730,14 @@ def oracle_sql() -> dict[str, str]:
                        event_type
                 FROM events, range({_WINDOW_US // _HOP_US}) AS t(j)
             ) GROUP BY window_start, event_type
+        """,
+        "events_rolling": """
+            SELECT user_id, event_id,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   )::BIGINT AS roll_cents
+            FROM events
         """,
         "doc_term_topk": """
             SELECT token, n FROM (

@@ -126,3 +126,41 @@ def hopping_window(
 
     partials = events.map_batches(_partial, batch_format="pyarrow")
     return partials.groupby(group_cols).aggregate(Sum("n", alias_name="n"))
+
+
+def rolling_sum(
+    events: Dataset,
+    frame_rows: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> Dataset:
+    """Per-key ordered rolling sum over the last ``frame_rows`` rows.
+
+    The ordered-window analytic (SQL ``SUM(...) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``)
+    as a hash-shuffle on the key plus one sorted cumsum-difference scan
+    per group — no per-row Python. Values are quantized to integer
+    cents per row BEFORE summation (``floor(v·100 + 0.5)``), so the
+    distributed result is bit-equal to any engine's window sum.
+    Per-key volume bounded as in sessionize; a hot key would take the
+    range-partitioned variant (stages/sessions.py) with frame overlap
+    at bucket edges.
+    """
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort")
+        cents = np.floor(df[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(len(cents)) + 1 - frame_rows, 0)
+        roll = cum[1:] - cum[lo]
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "roll_cents": roll,
+            }
+        )
+
+    return events.groupby(key_col).map_groups(_roll, batch_format="pandas")

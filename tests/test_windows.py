@@ -131,3 +131,38 @@ def test_tumbling_integer_ts_and_no_key():
         ray.data.from_arrow(tbl), width_us=WIDTH, ts_col="t", key_col=None, value_col=None
     ).to_pandas().sort_values("window_start")
     assert out["n"].tolist() == [2, 1]
+
+
+def test_rolling_sum_matches_pandas_window():
+    from pyrosar_ray.stages.windows import rolling_sum
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 5, n),
+            "ts": np.datetime64("2024-01-01", "us")
+            + rng.integers(0, 10**9, n).astype("timedelta64[us]"),
+            "value": rng.normal(10, 3, n).round(3),
+        }
+    )
+    got = (
+        rolling_sum(ray.data.from_pandas(df).repartition(4), frame_rows=3)
+        .to_pandas()
+        .set_index("event_id")["roll_cents"]
+    )
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    ref = (
+        df.assign(cents=cents)
+        .sort_values(["ts", "event_id"])
+        .groupby("user_id")["cents"]
+        .rolling(3, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+    )
+    ref = pd.Series(
+        ref.to_numpy().astype(np.int64), index=df.loc[ref.index, "event_id"].to_numpy()
+    )
+    for eid in df["event_id"]:
+        assert got.loc[eid] == ref.loc[eid]
