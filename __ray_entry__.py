@@ -618,6 +618,18 @@ def q_geocode_grd(sf_dir: str):
     return out.map_batches(_summarize, batch_format="pyarrow")
 
 
+def q_doc_quantiles_by_source(sf_dir: str):
+    """Per-source exact token-count quantiles (keyed bounded histogram)."""
+    import ray.data
+
+    from pyrosar_ray.stages.text import token_count_quantiles_by
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return token_count_quantiles_by(docs, qs=list(_QUANTILES))
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 10% hash sample (stateless filter, zero exchange)."""
     import ray.data
@@ -1235,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_sample": q_doc_sample,
         "doc_domain_cap": q_doc_domain_cap,
+        "doc_quantiles_by_source": q_doc_quantiles_by_source,
         "geocode_grd": q_geocode_grd,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_normalize": q_doc_normalize,
@@ -1891,6 +1904,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS doc_id, LEAST(u, MIN(v))::BIGINT AS cluster_id
             FROM reach GROUP BY u
+        """,
+        "doc_quantiles_by_source": f"""
+            WITH t AS (
+                SELECT source, len(str_split(text, ' ')) AS v FROM documents
+            ),
+            h AS (SELECT source, v, COUNT(*) AS c FROM t GROUP BY source, v),
+            cum AS (
+                SELECT source, v,
+                       SUM(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cumc
+                FROM h
+            ),
+            tot AS (SELECT source, COUNT(*)::BIGINT AS total FROM t GROUP BY source),
+            qs AS (SELECT unnest({list(_QUANTILES)}::DOUBLE[]) AS q)
+            SELECT cum.source, q, MIN(v)::BIGINT AS v
+            FROM qs, cum JOIN tot ON cum.source = tot.source
+            WHERE cumc >= GREATEST(1, CAST(ceil(q * total) AS BIGINT))
+            GROUP BY cum.source, q
         """,
         "doc_sample": """
             SELECT doc_id, source, n_chars FROM documents

@@ -373,3 +373,60 @@ def top_tf_df_terms(docs: Dataset, k: int = 3, text_col: str = "text",
         )
 
     return docs.map_batches(_rank, batch_format="pyarrow")
+
+
+def token_count_quantiles_by(
+    docs: Dataset,
+    qs: "list[float]",
+    key_col: str = "source",
+    text_col: str = "text",
+) -> pa.Table:
+    """Per-key exact token-count quantiles (the keyed variant of
+    :func:`token_count_quantiles`).
+
+    Same bounded-histogram plan with the key joined in: partials are
+    ``(key, n_tokens) → count``, merged by a small groupby, inverted
+    per key on the driver (bounded: keys × distinct counts). Quantile
+    definition shared with the SQL twin: smallest value whose
+    cumulative count reaches ``ceil(q·N_key)``.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pandas().to_numpy(),
+                "v": (s.str.count(" ") + 1).astype("int64").to_numpy(),
+            }
+        )
+        part = df.groupby([key_col, "v"], sort=False, as_index=False).size()
+        part = part.rename(columns={"size": "c"})
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    hist = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby([key_col, "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .sort([key_col, "v"])
+        .to_pandas()
+    )
+    out_k, out_q, out_v = [], [], []
+    for key, grp in hist.groupby(key_col, sort=True):
+        values = grp["v"].to_numpy()
+        cum = grp["c"].to_numpy().cumsum()
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * total))
+            out_k.append(key)
+            out_q.append(float(q))
+            out_v.append(int(values[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {
+            key_col: pa.array(out_k, type=pa.string()),
+            "q": pa.array(out_q, type=pa.float64()),
+            "v": pa.array(out_v, type=pa.int64()),
+        }
+    )

@@ -231,3 +231,26 @@ def test_top_tf_df_terms():
     d3 = out[out.doc_id == 3].sort_values("rank")
     assert d3["token"].tolist() == ["c", "a"]
     assert (out.groupby("doc_id")["rank"].max() == 2).all()
+
+
+def test_token_count_quantiles_by_key():
+    import math
+
+    from pyrosar_ray.stages.text import token_count_quantiles_by
+
+    rng = np.random.default_rng(4)
+    n_tok = rng.integers(1, 30, 600)
+    src = np.repeat(["a", "b", "c"], 200)
+    texts = [" ".join(["w"] * k) for k in n_tok]
+    qs = [0.25, 0.5, 0.95]
+    out = token_count_quantiles_by(
+        ray.data.from_pandas(pd.DataFrame({"source": src, "text": texts})).repartition(5),
+        qs=qs,
+    ).to_pandas()
+    assert len(out) == 9
+    for s in "abc":
+        vals = np.sort(n_tok[src == s])
+        for q in qs:
+            rank = max(1, math.ceil(q * len(vals)))
+            got = out[(out.source == s) & (out.q == q)]["v"].iloc[0]
+            assert got == vals[rank - 1]
