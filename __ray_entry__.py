@@ -56,6 +56,7 @@ def _load_queries_matrix(sf_dir: str, modulus: int = 50):
 
 
 def q_spatial_join(sf_dir: str):
+    """Broadcast-cell-index spatial join: points into scene bboxes."""
     from pyrosar_ray.pipelines.tables import load_points, load_scenes
     from pyrosar_ray.stages.spatial import spatial_join_points
 
@@ -80,6 +81,7 @@ def q_spatial_join_partitioned(sf_dir: str):
 
 
 def q_tile_assign(sf_dir: str):
+    """bbox → overlapping 1° HGT tile names per scene (getHGT)."""
     from pyrosar_ray.pipelines.tables import load_scenes
     from pyrosar_ray.stages.tiling import assign_tiles
 
@@ -87,6 +89,7 @@ def q_tile_assign(sf_dir: str):
 
 
 def q_tile_counts(sf_dir: str):
+    """Scenes per 1° tile via skew-safe partial-combine aggregation."""
     from pyrosar_ray.pipelines.tables import load_scenes
     from pyrosar_ray.stages.tiling import assign_tiles, tile_counts
 
@@ -208,6 +211,7 @@ def q_dem_getasse30(sf_dir: str):
 
 
 def q_archive_select(sf_dir: str):
+    """Archive.select attribute + strict-date predicates."""
     from pyrosar_ray.catalog.archive import RayArchive
     from pyrosar_ray.pipelines.tables import load_scenes
 
@@ -223,6 +227,7 @@ def q_archive_select(sf_dir: str):
 
 
 def q_archive_select_overlap(sf_dir: str):
+    """Archive.select with non-strict (overlap) date semantics."""
     from pyrosar_ray.catalog.archive import RayArchive
     from pyrosar_ray.pipelines.tables import load_scenes
 
@@ -249,6 +254,7 @@ def q_archive_select_spatial(sf_dir: str):
 
 
 def q_dedup_data(sf_dir: str):
+    """First-wins exact scene dedup: the data (winner) routing."""
     from pyrosar_ray.pipelines.tables import load_scenes
     from pyrosar_ray.stages.dedup_scenes import mark_duplicates, split_registered
 
@@ -257,6 +263,7 @@ def q_dedup_data(sf_dir: str):
 
 
 def q_dedup_duplicates(sf_dir: str):
+    """First-wins exact scene dedup: the duplicates routing."""
     from pyrosar_ray.pipelines.tables import load_scenes
     from pyrosar_ray.stages.dedup_scenes import mark_duplicates, split_registered
 
@@ -265,6 +272,7 @@ def q_dedup_duplicates(sf_dir: str):
 
 
 def q_scene_seconds(sf_dir: str):
+    """Filename → seconds since 1900-01-01 (ancillary.seconds)."""
     from pyrosar_ray.functions.dates import seconds_array
     from pyrosar_ray.pipelines.tables import load_scenes
 
@@ -276,6 +284,7 @@ def q_scene_seconds(sf_dir: str):
 
 
 def q_parse_names(sf_dir: str):
+    """parse_datasetname regex destructuring of product filenames."""
     from pyrosar_ray.functions.names import parse_datasetname_batch
     from pyrosar_ray.pipelines.tables import load_scenes
 
@@ -380,6 +389,7 @@ def q_find_datasets(sf_dir: str):
 
 
 def q_asof_osv(sf_dir: str):
+    """As-of/interval orbit match with POE-over-RES tiers (OSV.match)."""
     from pyrosar_ray.derive import osv_from_supplier
     from pyrosar_ray.pipelines.tables import load_scenes
     from pyrosar_ray.stages.asof import asof_match
@@ -398,6 +408,7 @@ def q_asof_osv(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
+    """Session-window ids per user (groupbyTime semantics)."""
     import ray.data
 
     from pyrosar_ray.stages.sessions import sessionize
@@ -426,6 +437,7 @@ def q_sessionize_ranged(sf_dir: str):
 
 
 def q_session_counts(sf_dir: str):
+    """Sessions per user via gap-count aggregation."""
     import ray.data
 
     from pyrosar_ray.stages.sessions import session_counts
@@ -435,6 +447,7 @@ def q_session_counts(sf_dir: str):
 
 
 def q_events_stats(sf_dir: str):
+    """Per-type count/min/max/sum rollup of the event stream."""
     import ray.data
     from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -655,6 +668,7 @@ def q_doc_domain_cap(sf_dir: str):
 
 
 def q_doc_exact_dedup(sf_dir: str):
+    """Exact text dedup: md5 digest groups, min-id keeper, copy count."""
     import ray.data
 
     from pyrosar_ray.stages.dedup_text import exact_dedup
@@ -664,6 +678,7 @@ def q_doc_exact_dedup(sf_dir: str):
 
 
 def q_doc_tokens(sf_dir: str):
+    """Per-doc whitespace and regex token counts."""
     import ray.data
 
     from pyrosar_ray.stages.text import token_stats
@@ -673,6 +688,7 @@ def q_doc_tokens(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
+    """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
 
     from pyrosar_ray.stages.text import quality_scores
@@ -682,6 +698,7 @@ def q_doc_quality(sf_dir: str):
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
+    """Exact word-set Jaccard pairs within source blocks (tiled matmul)."""
     import ray.data
 
     from pyrosar_ray.stages.dedup_text import jaccard_pairs
@@ -716,6 +733,7 @@ def q_doc_dup_clusters(sf_dir: str):
 
 
 def q_embed_topk(sf_dir: str):
+    """Brute-force cosine top-k over broadcast query vectors."""
     import ray.data
 
     from pyrosar_ray.stages.ann import brute_force_topk
@@ -886,6 +904,7 @@ def q_db_convert(sf_dir: str):
 
 
 def q_image_process(sf_dir: str):
+    """Multilook + erode image chain (actor pool). Rows-only: RNG-payload pixels."""
     from pyrosar_ray.sources.images import images_from_documents
     from pyrosar_ray.stages.images import process_images
 
@@ -894,6 +913,7 @@ def q_image_process(sf_dir: str):
 
 
 def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (banded buckets)."""
     import ray.data
 
     from pyrosar_ray.stages.dedup_text import minhash_candidate_pairs
@@ -903,6 +923,7 @@ def q_doc_minhash_pairs(sf_dir: str):
 
 
 def q_doc_simhash(sf_dir: str):
+    """64-bit SimHash per doc from token-hash bit votes."""
     import ray.data
 
     from pyrosar_ray.stages.dedup_text import simhash_column
@@ -912,6 +933,7 @@ def q_doc_simhash(sf_dir: str):
 
 
 def q_doc_fingerprint(sf_dir: str):
+    """Rolling polynomial fingerprint mod 2^61-1 per doc."""
     import ray.data
 
     from pyrosar_ray.stages.text import fingerprints
@@ -921,6 +943,7 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_doc_langid(sf_dir: str):
+    """Trigram-profile language ID (actor pool). Rows-only: float32 scoring."""
     import ray.data
 
     from pyrosar_ray.stages.text import LangID, lang_id
@@ -932,6 +955,7 @@ def q_doc_langid(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
+    """Decode + stats + thumbnail + phash per image (actor pool). Rows-only: RNG payloads."""
     from pyrosar_ray.sources.images import images_from_documents
     from pyrosar_ray.stages.images import image_features
 
@@ -1024,6 +1048,7 @@ def q_image_meta(sf_dir: str):
 
 
 def q_image_neardup(sf_dir: str):
+    """pHash banded near-dup pairs with popcount verify. Rows-only: RNG payloads."""
     from pyrosar_ray.sources.images import images_from_documents
     from pyrosar_ray.stages.images import phash_near_dup_pairs
 
@@ -1075,6 +1100,7 @@ def q_embed_ivf_topk(sf_dir: str):
 
 
 def q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate cosine top-k. Rows-only: float32 hyperplanes."""
     import ray.data
 
     from pyrosar_ray.stages.ann import lsh_topk
