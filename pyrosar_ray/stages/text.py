@@ -266,9 +266,13 @@ def token_count_quantiles(
         .sort("v")
         .to_pandas()
     )
+    if hist.empty:  # Ray's empty→pandas conversion also drops columns
+        return pa.table(
+            {"q": pa.array([], type=pa.float64()), "v": pa.array([], type=pa.int64())}
+        )
     values = hist["v"].to_numpy()
     cum = hist["c"].to_numpy().cumsum()
-    total = int(cum[-1]) if len(cum) else 0
+    total = int(cum[-1])
     out_q, out_v = [], []
     for q in qs:
         rank = max(1, math.ceil(q * total))
@@ -348,6 +352,10 @@ def top_tf_df_terms(docs: Dataset, k: int = 3, text_col: str = "text",
         .aggregate(Sum("df", alias_name="df"))
         .to_pandas()
     )
+    if df_table.empty:  # Ray's empty→pandas conversion drops columns
+        df_table = pd.DataFrame(
+            {"token": pd.Series([], dtype="string"), "df": pd.Series([], dtype="int64")}
+        )
     df_ref = ray.put(df_table.set_index("token")["df"])
 
     def _rank(batch: pa.Table) -> pa.Table:

@@ -254,3 +254,23 @@ def test_token_count_quantiles_by_key():
             rank = max(1, math.ceil(q * len(vals)))
             got = out[(out.source == s) & (out.q == q)]["v"].iloc[0]
             assert got == vals[rank - 1]
+
+
+def test_new_ops_tolerate_empty_input():
+    from pyrosar_ray.stages.sampling import group_cap, hash_sample
+    from pyrosar_ray.stages.text import (
+        term_topk,
+        token_count_quantiles,
+        top_tf_df_terms,
+    )
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype="string"),
+                      "source": pd.Series([], dtype="string")})
+    )
+    assert token_count_quantiles(empty, qs=[0.5]).num_rows == 0
+    assert term_topk(empty, k=5).count() == 0
+    assert hash_sample(empty, 10).count() == 0
+    assert group_cap(empty, cap=3).count() == 0
+    assert top_tf_df_terms(empty, k=3).count() == 0
