@@ -767,6 +767,20 @@ def q_embed_neardup(sf_dir: str):
     return pairs.map_batches(_round, batch_format="pyarrow")
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table (iterative
+    broadcast-update; no SQL twin — float centroid means)."""
+    import ray.data
+
+    from pyrosar_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = kmeans_fit(emb, k=8, iters=3)
+    return kmeans_assign(emb, cents)
+
+
 def q_spatial_knn(sf_dir: str):
     """5 nearest scene centroids per sampled point (expanding-ring kNN)."""
     from pyrosar_ray.pipelines.tables import load_points, load_scenes
@@ -1286,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_kmeans": q_embed_kmeans,
         "spatial_knn": q_spatial_knn,
         "unique_dirs": q_unique_dirs,
         "osv_best": q_osv_best,
