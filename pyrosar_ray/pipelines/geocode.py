@@ -201,3 +201,52 @@ def geocode_images(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def geocode(
+    images: Dataset,
+    record: dict,
+    outdir: str,
+    spacing: float = 20.0,
+    polarization: str = "VV",
+    ulx: float = 11.0,
+    uly: float = 51.0,
+    xres: float = 6e-4,
+    yres: float = 6e-4,
+    **build_kwargs,
+) -> Dataset:
+    """The reference-spelled entry point: validate + build the plan
+    (``plan.build_geocode``), execute it as one fused actor stage, and
+    export every product through the snap.writer grammar
+    (``stages.raster_sink.write_products``). Returns the write manifest
+    Dataset (band, path, nodata, skipped) — resumable like every
+    engine sink: already-written products are skipped.
+    """
+    import pyarrow as pa
+
+    from ..plan import build_geocode
+    from ..stages.raster_sink import write_products
+
+    plan = build_geocode(record, spacing=spacing, **build_kwargs)
+    suffix = plan.suffix()
+    processed = geocode_images(images, plan, spacing=spacing)
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "src_base": batch["outname"],
+                "band": pa.array([f"Gamma0_{polarization}"] * n, type=pa.string()),
+                "data": batch["bytes"],
+                "rows": batch["h"].cast(pa.int64()),
+                "cols": batch["w"].cast(pa.int64()),
+                "ulx": pa.array([ulx] * n, type=pa.float64()),
+                "uly": pa.array([uly] * n, type=pa.float64()),
+                "xres": pa.array([xres] * n, type=pa.float64()),
+                "yres": pa.array([yres] * n, type=pa.float64()),
+            }
+        )
+
+    bands = processed.map_batches(_bands, batch_format="pyarrow")
+    rtc = bool(build_kwargs.get("terrain_flattening", True))
+    return write_products(bands, outdir, suffix=suffix, rtc=rtc)

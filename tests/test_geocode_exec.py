@@ -159,3 +159,26 @@ def test_geocode_to_writer_roundtrip(tmp_path):
     want = np.frombuffer(src["bytes"], dtype=np.float32).reshape(src["h"], src["w"])
     assert np.array_equal(got, want)
     assert dec["nodata"] == 0.0
+
+
+def test_geocode_entry_point(tmp_path):
+    from pyrosar_ray.pipelines.geocode import geocode
+
+    manifest = geocode(
+        ray.data.from_pandas(_rows(n=2, w=40, h=30)),
+        S1_RECORD,
+        str(tmp_path),
+        spacing=90.0,
+        speckle_filter="Boxcar",
+    ).to_pandas()
+    assert len(manifest) == 2 and not manifest["skipped"].any()
+    assert all(p.endswith("_VV_gamma0-rtc_db.tif") for p in manifest["path"])
+    # second run is a resume: everything skipped
+    again = geocode(
+        ray.data.from_pandas(_rows(n=2, w=40, h=30)),
+        S1_RECORD,
+        str(tmp_path),
+        spacing=90.0,
+        speckle_filter="Boxcar",
+    ).to_pandas()
+    assert again["skipped"].all()
