@@ -988,6 +988,53 @@ def q_doc_top_tfidf(sf_dir: str):
     return top_tf_df_terms(docs, k=3)
 
 
+def q_raster_info(sf_dir: str):
+    """gdalinfo parity through real container bytes: encode one GeoTIFF
+    per order key with arithmetic-derived geometry, then probe ONLY the
+    header back out — the SQL twin recomputes the same metadata from the
+    key, so an encoder/probe disagreement breaks the hash."""
+    import ray.data
+
+    from pyrosar_ray.functions.tiff import encode_geotiff
+    from pyrosar_ray.stages.images import raster_info_columns
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).filter(lambda r: r["o_orderkey"] % 50 == 0)
+
+    def _blob(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for k in batch["o_orderkey"].to_pylist():
+            w = 8 + k % 13
+            h = 6 + k % 9
+            arr = np.full((1, h, w), float(k % 97), dtype=np.float32)
+            blobs.append(
+                encode_geotiff(
+                    arr,
+                    ulx=float(k % 360 - 180),
+                    uly=float(k % 120 - 60),
+                    xres=0.01,
+                    yres=0.02,
+                    nodata=-99.0,
+                    tile=8,
+                )
+            )
+            ids.append(k)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.int64()),
+                "blob": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    rasters = orders.map_batches(_blob, batch_format="pyarrow")
+    info = raster_info_columns(rasters)
+    return info.select_columns(
+        ["image_id", "driver", "samples", "lines", "bands", "dtype",
+         "projection", "ulx", "uly", "xres", "yres", "nodata"]
+    )
+
+
 def q_audio_meta(sf_dir: str):
     """Audio metadata from the DECODED PCM (count/duration), which the
     SQL twin recomputes arithmetically from the synthesis parameters —
@@ -1294,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_meta": q_audio_meta,
         "audio_features": q_audio_features,
         "doc_top_tfidf": q_doc_top_tfidf,
+        "raster_info": q_raster_info,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1903,6 +1951,20 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM tf t JOIN df d USING (token)
             ) WHERE rank <= 3
+        """,
+        "raster_info": """
+            SELECT o_orderkey AS image_id,
+                   'GTiff' AS driver,
+                   (8 + o_orderkey % 13)::BIGINT AS samples,
+                   (6 + o_orderkey % 9)::BIGINT AS lines,
+                   1::BIGINT AS bands,
+                   'float32' AS dtype,
+                   'EPSG:4326' AS projection,
+                   (o_orderkey % 360 - 180)::DOUBLE AS ulx,
+                   (o_orderkey % 120 - 60)::DOUBLE AS uly,
+                   0.01 AS xres, 0.02 AS yres,
+                   -99.0 AS nodata
+            FROM orders WHERE o_orderkey % 50 = 0
         """,
         "audio_meta": """
             SELECT 'aud-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,
