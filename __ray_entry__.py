@@ -998,13 +998,12 @@ def q_raster_info(sf_dir: str):
     from pyrosar_ray.functions.tiff import encode_geotiff
     from pyrosar_ray.stages.images import raster_info_columns
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
-    ).filter(lambda r: r["o_orderkey"] % 50 == 0)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
 
     def _blob(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["o_orderkey"].combine_chunks())
         ids, blobs = [], []
-        for k in batch["o_orderkey"].to_pylist():
+        for k in keys[keys % 50 == 0].tolist():
             w = 8 + k % 13
             h = 6 + k % 9
             arr = np.full((1, h, w), float(k % 97), dtype=np.float32)
