@@ -1034,6 +1034,63 @@ def q_raster_info(sf_dir: str):
     )
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame sampling through real byte slicing: rawvideo blobs
+    with arithmetic fill per frame, every 2nd frame kept, per-frame
+    byte checksum emitted — the SQL twin recomputes frames and
+    checksums from the id, so slicing/stride bugs break the hash."""
+    import ray.data
+
+    from pyrosar_ray.stages.images import sample_frames
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    W, H = 8, 6
+
+    def _make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [], "caption": []}
+        for i in ids:
+            n = 4 + i % 5
+            frames = [
+                np.full(W * H * 3, (i + f) % 251, dtype=np.uint8).tobytes()
+                for f in range(n)
+            ]
+            rows["image_id"].append(f"vid-{i:012d}")
+            rows["bytes"].append(b"".join(frames))
+            rows["w"].append(W)
+            rows["h"].append(H)
+            rows["fmt"].append("rawvideo")
+            rows["caption"].append("")
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "bytes": pa.array(rows["bytes"], type=pa.binary()),
+                "w": pa.array(rows["w"], type=pa.int32()),
+                "h": pa.array(rows["h"], type=pa.int32()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "caption": pa.array(rows["caption"], type=pa.string()),
+            }
+        )
+
+    vids = docs.map_batches(_make, batch_format="pyarrow", batch_size=64)
+    frames = sample_frames(vids, step=2)
+
+    def _checksum(batch: pa.Table) -> pa.Table:
+        sums = [
+            int(np.frombuffer(b, dtype=np.uint8).sum())
+            for b in batch["bytes"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "frame": batch["frame"],
+                "checksum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return frames.map_batches(_checksum, batch_format="pyarrow")
+
+
 def q_audio_meta(sf_dir: str):
     """Audio metadata from the DECODED PCM (count/duration), which the
     SQL twin recomputes arithmetically from the synthesis parameters —
@@ -1341,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "doc_top_tfidf": q_doc_top_tfidf,
         "raster_info": q_raster_info,
+        "video_frames": q_video_frames,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1950,6 +2008,13 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM tf t JOIN df d USING (token)
             ) WHERE rank <= 3
+        """,
+        "video_frames": """
+            SELECT 'vid-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
+                   f::INTEGER AS frame,
+                   (144 * ((doc_id + f) % 251))::BIGINT AS checksum
+            FROM documents, range(9) AS t(f)
+            WHERE f < (4 + doc_id % 5) AND f % 2 = 0
         """,
         "raster_info": """
             SELECT o_orderkey AS image_id,
