@@ -94,6 +94,10 @@ def kmeans_fit(
 
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
+    # fit makes (k-1) init passes + ``iters`` Lloyd passes over the
+    # data; materialize once so each pass reads object-store blocks
+    # (spill-backed) instead of re-executing the upstream read
+    embeddings = embeddings.materialize()
     n = embeddings.count()
     if n < k:
         raise ValueError(f"need at least k={k} vectors, got {n}")
