@@ -142,3 +142,41 @@ def test_quantile_histogram_inversion(values, qs):
         rank = max(1, math.ceil(q * len(vals)))
         got = uniq[np.searchsorted(cum, rank)]
         assert got == srt[rank - 1]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9))
+def test_synth_audio_metadata_arithmetic(doc_id):
+    """The decode path must reproduce the synthesis arithmetic exactly
+    (the audio_meta oracle contract)."""
+    from pyrosar_ray.sources.audio import SAMPLE_RATE, decode_audio, synth_audio
+
+    pcm = synth_audio(doc_id)
+    back = decode_audio(pcm.tobytes(), "pcm16")
+    assert len(back) == 8000 + (doc_id % 37) * 160
+    assert len(back) * 1000.0 / SAMPLE_RATE == len(back) / 16.0
+    assert np.array_equal(pcm, back)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)), min_size=1, max_size=60
+    )
+)
+def test_connected_components_properties(edges):
+    """Labels are component minima and consistent across edges."""
+    import pandas as pd
+
+    from pyrosar_ray.stages.dedup_text import connected_components
+
+    pairs = pd.DataFrame(
+        {"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]}
+    )
+    out = connected_components(pairs)
+    label = dict(zip(out["doc_id"], out["cluster_id"]))
+    for a, b in edges:
+        assert label[a] == label[b]  # edge endpoints share a component
+    for node, lab in label.items():
+        assert lab <= node  # canonical label is the component minimum
+        assert label[lab] == lab  # the minimum labels itself
