@@ -182,3 +182,19 @@ def test_geocode_entry_point(tmp_path):
         speckle_filter="Boxcar",
     ).to_pandas()
     assert again["skipped"].all()
+
+
+def test_xml_roundtrip_plan_executes():
+    """Workflow XML → Plan → fused execution: the serialized graph is
+    runnable, tying the SNAP XML grammar to the executor."""
+    from pyrosar_ray.plan_xml import plan_from_xml, plan_to_xml
+
+    plan = build_geocode(S1_RECORD, spacing=90.0)
+    blob = plan_to_xml(plan)
+    back = plan_from_xml(blob)
+    assert back.ids() == plan.ids()
+    out = geocode_images(
+        ray.data.from_pandas(_rows(n=1, w=40, h=30)), back, spacing=90.0, concurrency=1
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["outname"].iloc[0].endswith(plan.suffix())
