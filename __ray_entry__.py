@@ -526,6 +526,19 @@ def q_events_window_hop(sf_dir: str):
     return hopping_window(events, width_us=_WINDOW_US, hop_us=_HOP_US)
 
 
+def q_events_window_users(sf_dir: str):
+    """Exact distinct-user count per tumbling 1-h window (pair-dedup
+    shuffle + bounded count combine)."""
+    import ray.data
+
+    from pyrosar_ray.stages.windows import tumbling_distinct
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return tumbling_distinct(events, width_us=_WINDOW_US)
+
+
 def q_events_rolling(sf_dir: str):
     """Per-user 3-row rolling sum ordered by (ts, event_id) — the
     ordered-window analytic, integer-cent exact."""
@@ -695,6 +708,30 @@ def q_doc_quality(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return quality_scores(docs)
+
+
+def q_doc_quality_filter(sf_dir: str):
+    """Composed curation pipeline: quality scoring then threshold filter
+    (keep docs with ≥ 8 tokens, ≥ 60% unique, stop_ratio < 0.35) — the
+    standard pre-training quality gate, exact on both sides because the
+    ratios are single double divisions of integers."""
+    import ray.data
+
+    from pyrosar_ray.stages.text import quality_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = quality_scores(docs)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_tokens"].combine_chunks())
+        uniq = np.asarray(batch["n_uniq_tokens"].combine_chunks())
+        ratio = np.asarray(batch["stop_ratio"].combine_chunks())
+        mask = (n >= 8) & (uniq * 10 >= n * 6) & (ratio < 0.35)
+        return batch.filter(pa.array(mask))
+
+    return scored.map_batches(_keep, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "stop_ratio"]
+    )
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
@@ -1386,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_window_hop": q_events_window_hop,
         "events_rolling": q_events_rolling,
+        "events_window_users": q_events_window_users,
         "doc_term_topk": q_doc_term_topk,
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_sample": q_doc_sample,
@@ -1402,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
+        "doc_quality_filter": q_doc_quality_filter,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
@@ -1890,6 +1929,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events, range({_WINDOW_US // _HOP_US}) AS t(j)
             ) GROUP BY window_start, event_type
         """,
+        "events_window_users": f"""
+            SELECT (epoch_us(ts) // {_WINDOW_US}) * {_WINDOW_US} AS window_start,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY window_start
+        """,
         "events_rolling": """
             SELECT user_id, event_id,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
@@ -2156,6 +2200,24 @@ def oracle_sql() -> dict[str, str]:
                                        x -> list_contains({stop_list}, x)))::BIGINT AS n_stopwords
                 FROM documents
             )
+        """,
+        "doc_quality_filter": f"""
+            SELECT doc_id, n_tokens, stop_ratio FROM (
+                SELECT doc_id, n_tokens, n_uniq_tokens,
+                       n_stopwords / n_tokens::DOUBLE AS stop_ratio
+                FROM (
+                    SELECT doc_id,
+                           len(string_split(text, ' '))::BIGINT AS n_tokens,
+                           len(list_distinct(string_split(text, ' ')))::BIGINT
+                               AS n_uniq_tokens,
+                           len(list_filter(string_split(text, ' '),
+                                           x -> list_contains({stop_list}, x)))::BIGINT
+                               AS n_stopwords
+                    FROM documents
+                )
+            )
+            WHERE n_tokens >= 8 AND n_uniq_tokens * 10 >= n_tokens * 6
+              AND stop_ratio < 0.35
         """,
         "doc_jaccard_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -164,3 +164,56 @@ def rolling_sum(
         )
 
     return events.groupby(key_col).map_groups(_roll, batch_format="pandas")
+
+
+def tumbling_distinct(
+    events: Dataset,
+    width_us: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> Dataset:
+    """Exact distinct-``key_col`` count per tumbling window.
+
+    Distinct-count is inherently an exchange on the (window, key) pair:
+    batches emit their LOCAL distinct pairs (already deduplicated, so
+    the shuffle carries at most one row per pair per block), a groupby
+    on the pair collapses global duplicates, and a second bounded
+    groupby counts pairs per window. Output: ``window_start`` (int64
+    epoch µs), ``n_distinct`` (int64).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if width_us <= 0:
+        raise ValueError("width_us must be positive")
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch[ts_col])
+        df = pd.DataFrame(
+            {
+                "window_start": us // width_us * width_us,
+                key_col: batch[key_col].to_pandas().to_numpy(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = events.map_batches(_pairs, batch_format="pyarrow")
+    deduped = pairs.groupby(["window_start", key_col]).aggregate(
+        Count(alias_name="_c")
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["window_start"])
+            .to_pandas()
+            .groupby("window_start", as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n_distinct"}), preserve_index=False
+        )
+
+    return (
+        deduped.map_batches(_partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+    )

@@ -166,3 +166,33 @@ def test_rolling_sum_matches_pandas_window():
     )
     for eid in df["event_id"]:
         assert got.loc[eid] == ref.loc[eid]
+
+
+def test_tumbling_distinct_matches_pandas():
+    from pyrosar_ray.stages.windows import tumbling_distinct
+
+    rng = np.random.default_rng(13)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "ts": np.datetime64("2024-01-01", "us")
+            + rng.integers(0, 86_400_000_000, n).astype("timedelta64[us]"),
+            "user_id": rng.integers(0, 20, n),
+        }
+    )
+    got = (
+        tumbling_distinct(
+            ray.data.from_pandas(df).repartition(6), width_us=WIDTH
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    exp = (
+        df.assign(window_start=us // WIDTH * WIDTH)
+        .groupby("window_start")["user_id"]
+        .nunique()
+        .reset_index(name="n_distinct")
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
