@@ -644,6 +644,17 @@ def q_geocode_grd(sf_dir: str):
     return out.map_batches(_summarize, batch_format="pyarrow")
 
 
+def q_doc_sample_k(sf_dir: str):
+    """Fixed-size deterministic sample: 60 min-hash rows (pre-pruned
+    min-k exchange)."""
+    import ray.data
+
+    from pyrosar_ray.stages.sampling import hash_sample_k
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_sample_k(docs, k=60)
+
+
 def q_doc_quantiles_by_source(sf_dir: str):
     """Per-source exact token-count quantiles (keyed bounded histogram)."""
     import ray.data
@@ -1428,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_sample": q_doc_sample,
         "doc_domain_cap": q_doc_domain_cap,
+        "doc_sample_k": q_doc_sample_k,
         "doc_quantiles_by_source": q_doc_quantiles_by_source,
         "geocode_grd": q_geocode_grd,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -2115,6 +2127,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS doc_id, LEAST(u, MIN(v))::BIGINT AS cluster_id
             FROM reach GROUP BY u
+        """,
+        "doc_sample_k": """
+            SELECT doc_id,
+                   (((doc_id % 4294967296)::HUGEINT * 2654435761)
+                    % 4294967296)::BIGINT AS h
+            FROM documents ORDER BY h, doc_id LIMIT 60
         """,
         "doc_quantiles_by_source": f"""
             WITH t AS (

@@ -79,3 +79,28 @@ def group_cap(
 
     pruned = ds.map_batches(_prune, batch_format="pyarrow")
     return pruned.groupby(key_col).map_groups(_final, batch_format="pandas")
+
+
+def hash_sample_k(ds: Dataset, k: int, id_col: str = "doc_id") -> Dataset:
+    """Fixed-size deterministic sample: the ``k`` rows with the smallest
+    hash values (ties broken by id).
+
+    The distributed min-k pattern: every batch pre-prunes to its local
+    k smallest (so the final exchange sees ≤ k rows per block), then a
+    sort + limit picks the global k. Same rows on any cluster shape —
+    the fixed-size counterpart of :func:`hash_sample`'s rate filter.
+    Output columns: ``id_col`` and ``h`` (the 32-bit-safe hash).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        h = ((ids.astype(np.uint64) % _M32) * _KNUTH % _M32).astype(np.int64)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {id_col: pa.array(ids[order]), "h": pa.array(h[order])}
+        )
+
+    pruned = ds.map_batches(_prune, batch_format="pyarrow")
+    return pruned.sort(["h", id_col]).limit(k)

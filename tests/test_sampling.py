@@ -61,3 +61,20 @@ def test_group_cap_small_groups_pass_through():
     df = pd.DataFrame({"doc_id": [3, 1], "source": ["x", "x"]})
     out = group_cap(ray.data.from_pandas(df), cap=10).to_pandas()
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_hash_sample_k_deterministic_min_k():
+    from pyrosar_ray.stages.sampling import hash_bucket, hash_sample_k
+
+    ids = np.arange(500, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    out = hash_sample_k(ray.data.from_pandas(df).repartition(5), k=20).to_pandas()
+    # reference: full hash sort driver-side
+    h = ((ids.astype(np.uint64) % (1 << 32)) * np.uint64(2654435761) % (1 << 32)).astype(
+        np.int64
+    )
+    order = np.lexsort((ids, h))[:20]
+    assert out["doc_id"].tolist() == ids[order].tolist()
+    assert len(out) == 20
+    with pytest.raises(ValueError):
+        hash_sample_k(ray.data.from_pandas(df), k=0)
