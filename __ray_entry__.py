@@ -815,6 +815,35 @@ def q_embed_neardup(sf_dir: str):
     return pairs.map_batches(_round, batch_format="pyarrow")
 
 
+def q_doc_embed_join(sf_dir: str):
+    """Generic co-partition equi-join: documents ⋈ embeddings on
+    doc_id=vec_id, emitting the integer-quantized embedding sum so the
+    joined values hash-check exactly."""
+    import ray.data
+
+    from pyrosar_ray.stages.join import equi_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _q(batch: pa.Table) -> pa.Table:
+        flat = np.asarray(batch["embedding"].combine_chunks().flatten())
+        # promote to float64 BEFORE quantizing — the SQL twin's unnest
+        # promotes to DOUBLE, and float32 rounding flips ±1 ulp cases
+        mat = flat.reshape(len(batch), -1).astype(np.float64)
+        q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64).sum(axis=1)
+        return pa.table(
+            {"vec_id": batch["vec_id"], "emb_sum_q": pa.array(q)}
+        )
+
+    emb_q = emb.map_batches(_q, batch_format="pyarrow")
+    return equi_join(docs, emb_q, on="doc_id", right_on="vec_id")
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table (iterative
     broadcast-update; no SQL twin — float centroid means)."""
@@ -1456,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "doc_embed_join": q_doc_embed_join,
         "embed_kmeans": q_embed_kmeans,
         "spatial_knn": q_spatial_knn,
         "unique_dirs": q_unique_dirs,
@@ -2127,6 +2157,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS doc_id, LEAST(u, MIN(v))::BIGINT AS cluster_id
             FROM reach GROUP BY u
+        """,
+        "doc_embed_join": """
+            SELECT d.doc_id, d.n_chars,
+                   (SELECT SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+                    FROM unnest(e.embedding::DOUBLE[]) AS t(x))::BIGINT AS emb_sum_q
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         """,
         "doc_sample_k": """
             SELECT doc_id,

@@ -1,0 +1,46 @@
+"""Generic co-partition equi-join (stages/join.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from pyrosar_ray.stages.join import equi_join
+
+
+def test_equi_join_inner_semantics():
+    left = pd.DataFrame({"k": [1, 2, 3, 5], "a": ["w", "x", "y", "z"]})
+    right = pd.DataFrame({"rk": [2, 3, 4, 2], "b": [20.0, 30.0, 40.0, 21.0]})
+    out = (
+        equi_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(2),
+            on="k",
+            right_on="rk",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "a", "b"]]
+        .sort_values(["k", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "a", "b"]], exp)
+
+
+def test_equi_join_dtypes_survive():
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64), "n": np.array([7, 8], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64), "m": np.array([9, 10], dtype=np.int64)})
+    out = equi_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), on="k"
+    ).to_pandas()
+    assert out["n"].dtype == np.int64 and out["m"].dtype == np.int64
+
+
+def test_equi_join_column_collision_rejected():
+    df = pd.DataFrame({"k": [1], "v": [2]})
+    with pytest.raises(ValueError):
+        equi_join(ray.data.from_pandas(df), ray.data.from_pandas(df), on="k")
