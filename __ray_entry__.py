@@ -844,6 +844,26 @@ def q_doc_embed_join(sf_dir: str):
     return equi_join(docs, emb_q, on="doc_id", right_on="vec_id")
 
 
+def q_doc_embed_anti(sf_dir: str):
+    """Shuffle anti-join: documents with no embedding in the sampled
+    (vec_id % 3 == 0) slice."""
+    import ray.data
+
+    from pyrosar_ray.stages.join import equi_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def _slice(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].combine_chunks())
+        return batch.filter(pa.array(ids % 3 == 0))
+
+    sliced = emb.map_batches(_slice, batch_format="pyarrow")
+    return equi_join(docs, sliced, on="doc_id", right_on="vec_id", how="anti")
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table (iterative
     broadcast-update; no SQL twin — float centroid means)."""
@@ -1486,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
         "doc_embed_join": q_doc_embed_join,
+        "doc_embed_anti": q_doc_embed_anti,
         "embed_kmeans": q_embed_kmeans,
         "spatial_knn": q_spatial_knn,
         "unique_dirs": q_unique_dirs,
@@ -2163,6 +2184,13 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT))
                     FROM unnest(e.embedding::DOUBLE[]) AS t(x))::BIGINT AS emb_sum_q
             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        """,
+        "doc_embed_anti": """
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings e
+                WHERE e.vec_id = d.doc_id AND e.vec_id % 3 = 0
+            )
         """,
         "doc_sample_k": """
             SELECT doc_id,

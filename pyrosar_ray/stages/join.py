@@ -26,6 +26,7 @@ def equi_join(
     on: str,
     right_on: str | None = None,
     num_partitions: int = 64,
+    how: str = "inner",
 ) -> Dataset:
     """Inner join on one key column; output = key + both sides' columns.
 
@@ -36,7 +37,11 @@ def equi_join(
     partition memory ≈ (|left| + |right|) / num_partitions, and the
     number of merge calls is the partition count, not the key count.
     The key column must be integer-valued (the engine's id convention).
+    ``how='anti'`` keeps left rows with NO right match (the engine's
+    filter_scenelist shape, shuffle-sided for a large right side).
     """
+    if how not in ("inner", "anti"):
+        raise ValueError("how must be 'inner' or 'anti'")
     right_key = right_on or on
     l_schema = left.schema()
     r_schema = right.schema()
@@ -102,6 +107,9 @@ def equi_join(
     def _local(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group[_SIDE] == 0][l_cols]
         rhs = group[group[_SIDE] == 1][[on] + r_value_cols]
+        if how == "anti":
+            kept = lhs[~lhs[on].isin(rhs[on])]
+            return kept.astype({c: out_dtypes[c] for c in l_cols})
         return lhs.merge(rhs, on=on).astype(out_dtypes)
 
     return tagged.groupby(_PART).map_groups(_local, batch_format="pandas")

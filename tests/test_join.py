@@ -44,3 +44,23 @@ def test_equi_join_column_collision_rejected():
     df = pd.DataFrame({"k": [1], "v": [2]})
     with pytest.raises(ValueError):
         equi_join(ray.data.from_pandas(df), ray.data.from_pandas(df), on="k")
+
+
+def test_equi_join_anti():
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [2, 4]})
+    out = (
+        equi_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            how="anti",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["k"].tolist() == [1, 3]
+    assert out["a"].dtype == np.int64
+    with pytest.raises(ValueError):
+        equi_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", how="full")
