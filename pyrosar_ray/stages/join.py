@@ -38,10 +38,12 @@ def equi_join(
     number of merge calls is the partition count, not the key count.
     The key column must be integer-valued (the engine's id convention).
     ``how='anti'`` keeps left rows with NO right match (the engine's
-    filter_scenelist shape, shuffle-sided for a large right side).
+    filter_scenelist shape, shuffle-sided for a large right side);
+    ``how='left'`` keeps all left rows with NaN-filled right columns on
+    misses (numeric right columns become float64, pandas' null form).
     """
-    if how not in ("inner", "anti"):
-        raise ValueError("how must be 'inner' or 'anti'")
+    if how not in ("inner", "anti", "left"):
+        raise ValueError("how must be 'inner', 'anti' or 'left'")
     right_key = right_on or on
     l_schema = left.schema()
     r_schema = right.schema()
@@ -110,6 +112,12 @@ def equi_join(
         if how == "anti":
             kept = lhs[~lhs[on].isin(rhs[on])]
             return kept.astype({c: out_dtypes[c] for c in l_cols})
+        if how == "left":
+            # unmatched rows carry NaN in right columns → right numeric
+            # columns stay float64 (the same null representation the
+            # SQL twin's LEFT JOIN produces through a pandas fetch)
+            out = lhs.merge(rhs, on=on, how="left")
+            return out.astype({c: out_dtypes[c] for c in l_cols})
         return lhs.merge(rhs, on=on).astype(out_dtypes)
 
     return tagged.groupby(_PART).map_groups(_local, batch_format="pandas")

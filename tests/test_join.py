@@ -64,3 +64,23 @@ def test_equi_join_anti():
     assert out["a"].dtype == np.int64
     with pytest.raises(ValueError):
         equi_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", how="full")
+
+
+def test_equi_join_left():
+    left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2], "b": [200.0]})
+    out = (
+        equi_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            how="left",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["b"].isna().tolist() == [True, False, True]
+    assert out.loc[1, "b"] == 200.0
