@@ -895,6 +895,47 @@ def q_doc_embed_left(sf_dir: str):
     return equi_join(docs, emb_q, on="doc_id", right_on="vec_id", how="left")
 
 
+def q_doc_embed_outer(sf_dir: str):
+    """Full-outer join: even doc_ids against (vec_id % 3 == 0)
+    embeddings — misses on both sides carry nulls."""
+    import ray.data
+
+    from pyrosar_ray.stages.join import equi_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _even(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks())
+        return batch.filter(pa.array(ids % 2 == 0))
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _q(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].combine_chunks())
+        keep = ids % 3 == 0
+        flat = np.asarray(batch["embedding"].combine_chunks().flatten())
+        mat = flat.reshape(len(batch), -1).astype(np.float64)
+        q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "emb_sum_q": pa.array(q[keep].astype(np.float64)),
+            }
+        )
+
+    return equi_join(
+        docs.map_batches(_even, batch_format="pyarrow"),
+        emb.map_batches(_q, batch_format="pyarrow"),
+        on="doc_id",
+        right_on="vec_id",
+        how="outer",
+    )
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table (iterative
     broadcast-update; no SQL twin — float centroid means)."""
@@ -1539,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_join": q_doc_embed_join,
         "doc_embed_anti": q_doc_embed_anti,
         "doc_embed_left": q_doc_embed_left,
+        "doc_embed_outer": q_doc_embed_outer,
         "embed_kmeans": q_embed_kmeans,
         "spatial_knn": q_spatial_knn,
         "unique_dirs": q_unique_dirs,
@@ -2216,6 +2258,18 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT))
                     FROM unnest(e.embedding::DOUBLE[]) AS t(x))::BIGINT AS emb_sum_q
             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        """,
+        "doc_embed_outer": """
+            SELECT COALESCE(d.doc_id, s.vec_id)::BIGINT AS doc_id,
+                   d.n_chars::DOUBLE AS n_chars, s.emb_sum_q
+            FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0) d
+            FULL OUTER JOIN (
+                SELECT vec_id,
+                       (SELECT SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+                        FROM unnest(embedding::DOUBLE[]) AS t(x))::DOUBLE
+                           AS emb_sum_q
+                FROM embeddings WHERE vec_id % 3 = 0
+            ) s ON s.vec_id = d.doc_id
         """,
         "doc_embed_left": """
             SELECT d.doc_id, d.n_chars, s.emb_sum_q

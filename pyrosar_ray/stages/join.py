@@ -40,10 +40,11 @@ def equi_join(
     ``how='anti'`` keeps left rows with NO right match (the engine's
     filter_scenelist shape, shuffle-sided for a large right side);
     ``how='left'`` keeps all left rows with NaN-filled right columns on
-    misses (numeric right columns become float64, pandas' null form).
+    misses (numeric right columns become float64, pandas' null form);
+    ``how='outer'`` keeps both sides' unmatched rows the same way.
     """
-    if how not in ("inner", "anti", "left"):
-        raise ValueError("how must be 'inner', 'anti' or 'left'")
+    if how not in ("inner", "anti", "left", "outer"):
+        raise ValueError("how must be 'inner', 'anti', 'left' or 'outer'")
     right_key = right_on or on
     l_schema = left.schema()
     r_schema = right.schema()
@@ -118,6 +119,17 @@ def equi_join(
             # SQL twin's LEFT JOIN produces through a pandas fetch)
             out = lhs.merge(rhs, on=on, how="left")
             return out.astype({c: out_dtypes[c] for c in l_cols})
+        if how == "outer":
+            # misses on either side carry NaN; the key (present in every
+            # row) keeps its exact dtype, and non-key numerics cast to
+            # float64 UNCONDITIONALLY so partitions without misses emit
+            # the same block schema as partitions with them
+            out = lhs.merge(rhs, on=on, how="outer")
+            casts = {on: out_dtypes[on]}
+            for c in all_cols:
+                if c != on and np.issubdtype(np.dtype(out_dtypes[c]), np.number):
+                    casts[c] = np.float64
+            return out.astype(casts)
         return lhs.merge(rhs, on=on).astype(out_dtypes)
 
     return tagged.groupby(_PART).map_groups(_local, batch_format="pandas")

@@ -84,3 +84,23 @@ def test_equi_join_left():
     assert out["k"].tolist() == [1, 2, 3]
     assert out["b"].isna().tolist() == [True, False, True]
     assert out.loc[1, "b"] == 200.0
+
+
+def test_equi_join_outer():
+    left = pd.DataFrame({"k": [1, 2], "a": [10.0, 20.0]})
+    right = pd.DataFrame({"k": [2, 3], "b": [200.0, 300.0]})
+    out = (
+        equi_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            how="outer",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["a"].isna().tolist() == [False, False, True]
+    assert out["b"].isna().tolist() == [True, False, False]
