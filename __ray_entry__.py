@@ -1529,19 +1529,46 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Query registry, ordered by driver-verification value.
+
+    The driver's correctness gate evaluates the FIRST 50 entries only, so
+    the window is spent on hash-twin queries that have not yet received a
+    driver check (round-2 verdict finding #1): the 16 previously-unverified
+    twins lead, followed by the r2-proven core.  Near-redundant variants
+    that exercise the same physical plans (events_* rollups, doc_sample*
+    family) and the designed rows-only queries sit past position 50 —
+    their green r1/r2 CORRECTNESS rows and pytest goldens stand as
+    evidence.
+    """
     return {
+        # -- previously-unverified hash twins (r2 verdict: move in-window) --
+        "identify_scenes": q_identify_scenes,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash": q_doc_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_neardup_fp": q_doc_neardup_fp,
+        "image_meta": q_image_meta,
+        "common_extent": q_common_extent,
+        "dem_prepare": q_dem_prepare,
+        "hgt_union": q_hgt_union,
+        "doc_embed_outer": q_doc_embed_outer,
+        "spatial_knn": q_spatial_knn,
+        "geo_grid": q_geo_grid,
+        "osv_best": q_osv_best,
+        "unique_dirs": q_unique_dirs,
+        "db_convert": q_db_convert,
+        # -- r2-proven core (one representative per physical plan) --
         "spatial_join": q_spatial_join,
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
         "dem_srtm3": q_dem_srtm3,
         "dem_aw3d30": q_dem_aw3d30,
-        "dem_getasse30": q_dem_getasse30,
         "archive_select": q_archive_select,
         "archive_select_overlap": q_archive_select_overlap,
         "archive_select_spatial": q_archive_select_spatial,
         "dedup_data": q_dedup_data,
-        "dedup_duplicates": q_dedup_duplicates,
         "scene_seconds": q_scene_seconds,
         "parse_names": q_parse_names,
         "find_datasets": q_find_datasets,
@@ -1549,59 +1576,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_osv": q_asof_osv,
         "sessionize": q_sessionize,
         "sessionize_ranged": q_sessionize_ranged,
-        "session_counts": q_session_counts,
         "events_stats": q_events_stats,
         "events_props": q_events_props,
-        "events_window": q_events_window,
-        "events_window_hop": q_events_window_hop,
-        "events_rolling": q_events_rolling,
-        "events_window_users": q_events_window_users,
         "doc_term_topk": q_doc_term_topk,
         "doc_token_quantiles": q_doc_token_quantiles,
-        "doc_sample": q_doc_sample,
-        "doc_domain_cap": q_doc_domain_cap,
-        "doc_sample_k": q_doc_sample_k,
-        "doc_quantiles_by_source": q_doc_quantiles_by_source,
-        "geocode_grd": q_geocode_grd,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_normalize": q_doc_normalize,
         "audio_meta": q_audio_meta,
-        "audio_features": q_audio_features,
         "doc_top_tfidf": q_doc_top_tfidf,
         "raster_info": q_raster_info,
         "video_frames": q_video_frames,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
-        "doc_quality_filter": q_doc_quality_filter,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
         "doc_embed_join": q_doc_embed_join,
+        # ---- position 50 ends here: entries below are past the driver's
+        # ---- correctness window (proven in r1/r2 or rows-only by design)
         "doc_embed_anti": q_doc_embed_anti,
         "doc_embed_left": q_doc_embed_left,
-        "doc_embed_outer": q_doc_embed_outer,
+        "dem_getasse30": q_dem_getasse30,
+        "dedup_duplicates": q_dedup_duplicates,
+        "session_counts": q_session_counts,
+        "doc_quality_filter": q_doc_quality_filter,
+        "events_window": q_events_window,
+        "events_window_hop": q_events_window_hop,
+        "events_rolling": q_events_rolling,
+        "events_window_users": q_events_window_users,
+        "doc_sample": q_doc_sample,
+        "doc_domain_cap": q_doc_domain_cap,
+        "doc_sample_k": q_doc_sample_k,
+        "doc_quantiles_by_source": q_doc_quantiles_by_source,
+        "geocode_grd": q_geocode_grd,
+        "audio_features": q_audio_features,
         "embed_kmeans": q_embed_kmeans,
-        "spatial_knn": q_spatial_knn,
-        "unique_dirs": q_unique_dirs,
-        "osv_best": q_osv_best,
-        "geo_grid": q_geo_grid,
-        "db_convert": q_db_convert,
         "image_process": q_image_process,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_simhash": q_doc_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
         "doc_langid": q_doc_langid,
         "image_features": q_image_features,
-        "image_meta": q_image_meta,
-        "common_extent": q_common_extent,
-        "dem_prepare": q_dem_prepare,
-        "hgt_union": q_hgt_union,
         "image_neardup": q_image_neardup,
-        "doc_neardup_fp": q_doc_neardup_fp,
-        "embed_ivf_topk": q_embed_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "identify_scenes": q_identify_scenes,
     }
 
 
