@@ -493,33 +493,142 @@ def jaccard_pairs(
 def connected_components(pairs: "pd.DataFrame") -> "pd.DataFrame":
     """(doc_id, cluster_id) for every node of an undirected pair graph.
 
-    Union-find with path compression; ``cluster_id`` is the component's
-    minimum node id (a deterministic canonical label). The edge set a
-    near-dup detector emits is proportional to actual duplicates —
-    orders of magnitude smaller than the corpus — so the driver-side
-    union-find is the right plan; a corpus-sized edge set would instead
-    take iterative min-label propagation over hash partitions.
+    Vectorized min-label propagation with pointer jumping: scatter the
+    minimum label across every edge (``np.minimum.at``), compress the
+    label forest to its roots (``label = label[label]`` until stable),
+    repeat until every edge's endpoints agree. ``cluster_id`` is the
+    component's minimum node id (a deterministic canonical label). The
+    edge set a near-dup detector emits is proportional to actual
+    duplicates — orders of magnitude smaller than the corpus — so this
+    driver-side kernel is the right plan up to the edge bound;
+    :func:`cc_distributed` takes over past it.
     """
-    parent: dict[int, int] = {}
+    nodes = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
+    ia = np.searchsorted(nodes, pairs["id_a"].to_numpy())
+    ib = np.searchsorted(nodes, pairs["id_b"].to_numpy())
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ia], label[ib])
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        while True:  # pointer jumping: compress forest to roots
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label[ia], label[ib]):
+            break
+    return pd.DataFrame({"doc_id": nodes.astype("int64"), "cluster_id": nodes[label].astype("int64")})
 
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
 
-    for a, b in zip(pairs["id_a"].tolist(), pairs["id_b"].tolist()):
-        for n in (a, b):
-            if n not in parent:
-                parent[n] = n
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)  # min-root union → canonical label
-    nodes = sorted(parent)
-    labels = [find(n) for n in nodes]
-    return pd.DataFrame({"doc_id": nodes, "cluster_id": labels}).astype("int64")
+def _star_round(edges: Dataset, large: bool) -> Dataset:
+    """One large-star or small-star rewrite of a canonical (lo<hi) edge list.
+
+    Alternating the two operations converges an arbitrary edge list to a
+    star forest whose centers are the component minima in O(log n) rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Each round is ONE groupby shuffle of the
+    edge set; group work is a vectorized numpy min/compare over the
+    node's (deduplicated) neighbor array.
+    """
+
+    def _symmetrize(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([lo, hi])),
+                "v": pa.array(np.concatenate([hi, lo])),
+            }
+        )
+
+    def _star(group: pd.DataFrame) -> pd.DataFrame:
+        u = int(group["u"].iloc[0])
+        nbrs = np.unique(group["v"].to_numpy())
+        if large:
+            m = min(u, int(nbrs[0]))
+            out = nbrs[nbrs > u]
+            lo = np.full(len(out), m, dtype=np.int64)
+            return pd.DataFrame({"lo": lo, "hi": out.astype(np.int64)})
+        smaller = nbrs[nbrs < u]
+        if len(smaller) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype="int64"), "hi": pd.Series([], dtype="int64")})
+        m = int(smaller[0])
+        out = np.concatenate([smaller[1:], np.array([u], dtype=smaller.dtype)])
+        return pd.DataFrame(
+            {"lo": np.full(len(out), m, dtype=np.int64), "hi": out.astype(np.int64)}
+        )
+
+    return (
+        edges.map_batches(_symmetrize, batch_format="pyarrow")
+        .groupby("u")
+        .map_groups(_star, batch_format="pandas")
+    )
+
+
+def cc_distributed(pairs: Dataset, max_rounds: int = 40) -> Dataset:
+    """Distributed connected components over an (id_a, id_b) edge Dataset.
+
+    Alternates large-star/small-star rewrites (each one groupby shuffle
+    of the edge set, never a node- or corpus-sized driver structure)
+    until the deduplicated edge list is stable, i.e. a star forest with
+    component-minimum centers. Convergence is checked with two scalar
+    aggregates (distinct-edge count + a wrap-around hash sum); only
+    those scalars reach the driver. The final labeling maps every star
+    leaf to its center and each center to itself.
+    """
+
+    def _canon(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"lo": np.minimum(a, b), "hi": np.maximum(a, b)})
+
+    def _edge_hash(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (lo * np.uint64(0x9E3779B97F4A7C15) ^ hi) * _FNV_PRIME
+        # keep 32 bits so the Sum aggregate stays inside int64 even for
+        # multi-billion-edge sets (sum of 2^32-bounded values)
+        h32 = (h >> np.uint64(32)).astype(np.int64)
+        return pa.table({"lo": t["lo"], "hi": t["hi"], "h": pa.array(h32)})
+
+    edges = pairs.map_batches(_canon, batch_format="pyarrow")
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True)
+        edges = _star_round(edges, large=False)
+        # global distinct (groupby the pair key), then two scalar probes
+        edges = (
+            edges.groupby(["lo", "hi"])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+            .map_batches(_edge_hash, batch_format="pyarrow")
+            .materialize()
+        )
+        sig = (edges.count(), edges.sum("h") if edges.count() else 0)
+        edges = edges.drop_columns(["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def _labels(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([hi, lo]).astype(np.int64)),
+                "cluster_id": pa.array(np.concatenate([lo, lo]).astype(np.int64)),
+            }
+        )
+
+    return (
+        edges.map_batches(_labels, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+    )
 
 
 def dup_clusters(
@@ -528,28 +637,42 @@ def dup_clusters(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "auto",
+    driver_edge_bound: int = 2_000_000,
 ) -> Dataset:
     """Near-duplicate clusters: connected components of the Jaccard pair
     graph, labeled by the component's minimum doc id.
 
-    The distributed part (pair detection) does all the heavy lifting;
-    the component labeling runs on the near-dup edge set only (bounded,
-    see :func:`connected_components`).
+    Cost-based plan choice (same auto policy as
+    :func:`keep_multi_member_buckets`): when the detected edge set is
+    provably small (``<= driver_edge_bound``, known exactly after the
+    pair stage materializes) the vectorized driver kernel labels it in
+    one pass; past the bound — an adversarially dup-dense corpus — the
+    labeling stays distributed via large-star/small-star rounds
+    (:func:`cc_distributed`), which never materialize more than one
+    edge block per task. ``mode`` forces ``"driver"`` / ``"distributed"``.
     """
     import ray
 
-    pairs_ds = jaccard_pairs(
-        docs, block_col=block_col, threshold=threshold,
-        text_col=text_col, id_col=id_col,
-    ).select_columns(["id_a", "id_b"])
-    blocks = [t for t in ray.get(pairs_ds.to_arrow_refs()) if len(t)]
+    pairs_ds = (
+        jaccard_pairs(
+            docs, block_col=block_col, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        .select_columns(["id_a", "id_b"])
+        .materialize()
+    )
+    n_edges = pairs_ds.count()
     empty = pa.table(
         {
             "doc_id": pa.array([], type=pa.int64()),
             "cluster_id": pa.array([], type=pa.int64()),
         }
     )
-    if not blocks:
+    if n_edges == 0:
         return _ray_from_arrow(empty)
+    if mode == "distributed" or (mode == "auto" and n_edges > driver_edge_bound):
+        return cc_distributed(pairs_ds)
+    blocks = [t for t in ray.get(pairs_ds.to_arrow_refs()) if len(t)]
     out = connected_components(pa.concat_tables(blocks).to_pandas())
     return _ray_from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -183,6 +183,47 @@ def test_dup_clusters_pipeline():
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_cc_distributed_matches_driver_kernel():
+    from pyrosar_ray.stages.dedup_text import cc_distributed, connected_components
+
+    rng = np.random.RandomState(11)
+    # several chains + a dense blob + isolated pairs, shuffled edge order
+    edges = [(i, i + 1) for i in range(100, 140)]  # one long chain
+    edges += [(200 + a, 200 + b) for a in range(12) for b in range(a + 1, 12)]
+    edges += [(300, 301), (400, 401), (402, 400)]
+    edges += [(int(a), int(b)) for a, b in rng.randint(500, 560, size=(80, 2)) if a != b]
+    rng.shuffle(edges)
+    pairs = pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    want = connected_components(pairs).sort_values("doc_id", ignore_index=True)
+    got = (
+        cc_distributed(ray.data.from_pandas(pairs).repartition(7))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_dup_clusters_distributed_path_agrees():
+    from pyrosar_ray.stages.dedup_text import dup_clusters
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["a b c", "a b c", "a b x", "zz qq ww", "zz qq ww", "k l m"],
+            "source": ["s"] * 6,
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    want = dup_clusters(ds, mode="driver").to_pandas().sort_values("doc_id", ignore_index=True)
+    # driver_edge_bound=0 makes the auto policy take the distributed plan
+    got = (
+        dup_clusters(ds, driver_edge_bound=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
 def test_dup_clusters_empty():
     from pyrosar_ray.stages.dedup_text import dup_clusters
 
