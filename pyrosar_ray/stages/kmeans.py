@@ -8,11 +8,11 @@ data) into the next centroid matrix. The big side streams; only
 centroid-sized state ever reaches the driver — the same
 broadcast-small-side discipline as the spatial join.
 
-Determinism: init takes the k lowest-id vectors (a total order, not
-RNG); per-batch partial sums are fixed-order; the driver fold sorts
-partials by (iteration-stable) block index, so repeated runs on the
+Determinism: seeding is RNG-free — the first seed is the lowest-id
+vector, k-means‖ oversampling draws with a splitmix64 id hash, and
+farthest-point/argmax ties break on min id — so repeated runs on the
 same input produce identical centroids up to float associativity of
-the per-block partials — assignments are stable in practice and the
+the per-block partials; assignments are stable in practice and the
 tests assert convergence properties, not bit-equality.
 """
 
@@ -82,19 +82,177 @@ def _farthest_point_init(
     return np.stack(chosen)
 
 
+def _id_uniform(ids: np.ndarray) -> np.ndarray:
+    """Deterministic uniform [0,1) per id (splitmix64 finalizer).
+
+    Replaces RNG in the oversampling draw so repeated fits on the same
+    input are bit-identical across processes and cluster sizes.
+    """
+    h = ids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _weighted_local_kmeans(cand: np.ndarray, w: np.ndarray, k: int, iters: int = 25) -> np.ndarray:
+    """Reduce the candidate set to k centers: deterministic weighted
+    farthest-point init + weighted Lloyd, all driver-local numpy (the
+    candidate set is O(oversample · rounds), independent of data size)."""
+    chosen = [int(np.lexsort((np.arange(len(w)), -w))[0])]  # max weight, min index
+    d2 = ((cand - cand[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        score = w * d2
+        nxt = int(np.lexsort((np.arange(len(score)), -score))[0])
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    cents = cand[chosen].copy()
+    for _ in range(iters):
+        dist = ((cand[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        for c in range(k):
+            sel = assign == c
+            if w[sel].sum() > 0:
+                cents[c] = (cand[sel] * w[sel, None]).sum(axis=0) / w[sel].sum()
+    return cents
+
+
+def _parallel_init(
+    embeddings: Dataset,
+    first: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    rounds: int = 4,
+    oversample: int | None = None,
+) -> np.ndarray:
+    """k-means‖ seeding (Bahmani et al., VLDB'12 — public algorithm).
+
+    One cost pass + ``rounds`` sampling passes + one weighting pass over
+    the data — O(rounds) passes independent of k, replacing the k−1
+    sequential argmax passes of farthest-point init. Each sampling pass
+    broadcasts the current candidate matrix and the lagged total cost
+    φ, draws each point with probability min(1, ℓ·d²(x,C)/φ) using the
+    deterministic id hash, and emits only (cost partial, sampled rows).
+    The final candidate set (≈ ℓ·rounds rows) is weighted by cluster
+    population and reduced to k centers driver-locally.
+    """
+    import ray
+
+    ell = oversample if oversample is not None else 2 * k
+
+    def _sweep(cand_ref, phi: float | None):
+        """One pass: per-batch (cost partial, sampled candidate rows)."""
+
+        def _fn(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cand_ref)
+            vecs = _vectors(batch, vec_col)
+            d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+            ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+            if phi is None or phi <= 0:
+                take = np.zeros(len(ids), dtype=bool)
+            else:
+                take = _id_uniform(ids) < np.minimum(1.0, ell * d2 / phi)
+            return pa.table(
+                {
+                    "cost": pa.array([float(d2.sum())] + [0.0] * int(take.sum())),
+                    "cid": pa.array(
+                        np.concatenate([[-1], ids[take]]).astype(np.int64)
+                    ),
+                    "vec": pa.array(
+                        [np.zeros(vecs.shape[1]).tolist()]
+                        + [v.tolist() for v in vecs[take]],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                embeddings.map_batches(_fn, batch_format="pyarrow").to_arrow_refs()
+            )
+            if len(t)
+        ]
+        tab = pa.concat_tables(parts).to_pandas()
+        cost = float(tab["cost"].sum())
+        picked = tab[tab["cid"] >= 0].sort_values("cid")
+        return cost, picked
+
+    cand_ids: set[int] = set()
+    cand = [first]
+    phi: float | None = None  # round 0 only measures cost; sampling starts round 1
+    for _ in range(rounds + 1):
+        cost, picked = _sweep(ray.put(np.stack(cand)), phi)
+        for cid, vec in zip(picked["cid"], picked["vec"]):
+            if int(cid) not in cand_ids:
+                cand_ids.add(int(cid))
+                cand.append(np.asarray(vec, dtype=np.float64))
+        # lagged φ: cost measured against the candidate set at round
+        # start (≥ the true post-addition cost → never over-samples)
+        phi = cost
+
+    cand_mat = np.stack(cand)
+    if len(cand) < k:
+        # deficit top-up (rare: tiny inputs) — farthest-point the rest
+        extra = _farthest_point_init(
+            embeddings, first, k - len(cand) + 1, id_col, vec_col
+        )
+        cand_mat = np.concatenate([cand_mat, extra[1:]])
+        if len(cand_mat) < k:
+            raise ValueError(f"could not seed k={k} distinct centers")
+
+    # weighting pass: population of each candidate's Voronoi cell
+    ref = ray.put(cand_mat)
+
+    def _wfn(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        vecs = _vectors(batch, vec_col)
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        counts = np.bincount(d2.argmin(axis=1), minlength=len(cents))
+        return pa.table(
+            {
+                "cand": pa.array(np.arange(len(cents), dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            embeddings.map_batches(_wfn, batch_format="pyarrow").to_arrow_refs()
+        )
+        if len(t)
+    ]
+    wtab = pa.concat_tables(parts).to_pandas().groupby("cand")["n"].sum()
+    w = np.zeros(len(cand_mat), dtype=np.float64)
+    w[wtab.index.to_numpy()] = wtab.to_numpy().astype(np.float64)
+    return _weighted_local_kmeans(cand_mat, w, k)
+
+
 def kmeans_fit(
     embeddings: Dataset,
     k: int = 8,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "parallel",
 ) -> np.ndarray:
-    """Fit ``k`` centroids with ``iters`` Lloyd iterations; returns (k, d)."""
+    """Fit ``k`` centroids with ``iters`` Lloyd iterations; returns (k, d).
+
+    ``init="parallel"`` (default) seeds with k-means‖ — O(rounds) data
+    passes independent of k; ``init="farthest"`` keeps the greedy
+    max-min seeding (k−1 passes, exact, fine for small k).
+    """
     import ray
 
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
-    # fit makes (k-1) init passes + ``iters`` Lloyd passes over the
+    if init not in ("parallel", "farthest"):
+        raise ValueError(f"unknown init {init!r}")
+    # fit makes O(rounds) init passes + ``iters`` Lloyd passes over the
     # data; materialize once so each pass reads object-store blocks
     # (spill-backed) instead of re-executing the upstream read
     embeddings = embeddings.materialize()
@@ -103,7 +261,10 @@ def kmeans_fit(
         raise ValueError(f"need at least k={k} vectors, got {n}")
     seed_tab = embeddings.sort(id_col).limit(1).to_pandas()
     first = np.asarray(seed_tab[vec_col].iloc[0], dtype=np.float64)
-    centroids = _farthest_point_init(embeddings, first, k, id_col, vec_col)
+    if init == "parallel":
+        centroids = _parallel_init(embeddings, first, k, id_col, vec_col)
+    else:
+        centroids = _farthest_point_init(embeddings, first, k, id_col, vec_col)
 
     for _ in range(iters):
         ref = ray.put(centroids)

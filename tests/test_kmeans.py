@@ -57,6 +57,43 @@ def test_kmeans_centroids_near_true_means():
     assert (d.min(axis=1) < 1.0).all()
 
 
+def test_kmeans_parallel_init_matches_farthest_quality():
+    df, vecs, truth = _blobs(seed=3)
+    ds = ray.data.from_pandas(df).repartition(4)
+    cents = kmeans_fit(ds, k=3, iters=5, init="parallel")
+    true_means = np.stack([vecs[truth == b].mean(axis=0) for b in range(3)])
+    d = np.linalg.norm(true_means[:, None, :] - cents[None, :, :], axis=2)
+    assert (d.min(axis=1) < 1.0).all()
+    # deterministic: a second fit is bit-identical
+    cents2 = kmeans_fit(ds, k=3, iters=5, init="parallel")
+    np.testing.assert_array_equal(cents, cents2)
+
+
+def test_kmeans_parallel_init_pass_count_independent_of_k():
+    """k-means‖ makes O(rounds) data passes, not O(k)."""
+    from pyrosar_ray.stages import kmeans as km
+
+    df, _, _ = _blobs(n_per=40)
+    ds = ray.data.from_pandas(df).repartition(2)
+    calls = {"n": 0}
+    orig = km.Dataset.map_batches
+
+    def _counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    km.Dataset.map_batches = _counting
+    try:
+        kmeans_fit(ds, k=3, iters=1, init="parallel")
+        small_k = calls["n"]
+        calls["n"] = 0
+        kmeans_fit(ds, k=12, iters=1, init="parallel")
+        large_k = calls["n"]
+    finally:
+        km.Dataset.map_batches = orig
+    assert large_k == small_k  # rounds-bound, not k-bound
+
+
 def test_kmeans_validation():
     df, _, _ = _blobs(n_per=2)
     ds = ray.data.from_pandas(df)
