@@ -86,6 +86,40 @@ def test_equi_join_left():
     assert out.loc[1, "b"] == 200.0
 
 
+def test_equi_join_left_keeps_int_dtype():
+    """Arrow-native merge: misses are typed nulls, not a float64 upcast."""
+    left = pd.DataFrame({"k": [1, 2, 3], "a": np.array([10, 20, 30], dtype=np.int64)})
+    right = pd.DataFrame({"k": [2], "b": np.array([200], dtype=np.int64)})
+    out = equi_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", how="left"
+    )
+    schema = out.schema()
+    assert dict(zip(schema.names, schema.types))["b"] == __import__("pyarrow").int64()
+
+
+def test_equi_join_auto_partitions_default():
+    """num_partitions=None resolves via auto_num_partitions (no crash,
+    same rows as a pinned count)."""
+    left = pd.DataFrame({"k": [1, 2, 3, 5], "a": ["w", "x", "y", "z"]})
+    right = pd.DataFrame({"k": [2, 3, 4, 2], "b": [20.0, 30.0, 40.0, 21.0]})
+    auto = (
+        equi_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k")
+        .to_pandas()
+        .sort_values(["k", "b"], ignore_index=True)
+    )
+    pinned = (
+        equi_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(auto, pinned)
+
+
 def test_equi_join_outer():
     left = pd.DataFrame({"k": [1, 2], "a": [10.0, 20.0]})
     right = pd.DataFrame({"k": [2, 3], "b": [200.0, 300.0]})
