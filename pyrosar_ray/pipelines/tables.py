@@ -10,6 +10,8 @@ of storage).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data
 from ray.data import Dataset
@@ -18,6 +20,25 @@ from ..derive import points_from_lineitem, scenes_from_orders
 
 
 def load_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
+    """Read one driver table, Lance-first per BASELINE.json's input_hint.
+
+    A ``{name}.lance`` dataset directory takes precedence and is read
+    via ``ray.data.read_lance`` with column pushdown; otherwise the
+    ``{name}.parquet`` file with the identical schema is read. The
+    ``lance`` package is absent in this container, so the parquet path
+    is what tests exercise — the routing itself is covered by a stubbed
+    test (tests/test_tile_ingest.py).
+    """
+    lance_path = f"{sf_dir}/{name}.lance"
+    if os.path.isdir(lance_path):
+        try:
+            import lance  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env constraint
+            raise ImportError(
+                f"{lance_path} is a Lance dataset but the 'lance' package "
+                "is not installed; convert to parquet or install lance"
+            ) from exc
+        return ray.data.read_lance(lance_path, columns=columns)
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 

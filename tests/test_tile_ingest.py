@@ -40,6 +40,78 @@ def test_ingest_resume_roundtrip(tmp_path, sf_dir):
     assert set(tab["band"].to_pylist()) == {band}
 
 
+def test_load_table_routes_lance_directory(tmp_path, monkeypatch, sf_dir):
+    """A {name}.lance dataset dir routes through ray.data.read_lance
+    (stubbed — the lance package is absent in this container); plain
+    parquet dirs keep the parquet reader."""
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from pyrosar_ray.pipelines import tables
+
+    # parquet path: normal read works
+    ds = tables.load_table(sf_dir, "events", columns=["event_id"])
+    assert ds.schema().names == ["event_id"]
+
+    # lance path: fake dataset dir + stub module, capture the call
+    os.makedirs(tmp_path / "events.lance")
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    calls = {}
+
+    def _fake_read_lance(path, columns=None, **kw):
+        calls["path"], calls["columns"] = path, columns
+        return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+    monkeypatch.setattr(rd, "read_lance", _fake_read_lance, raising=False)
+    ds = tables.load_table(str(tmp_path), "events", columns=["event_id"])
+    assert calls["path"].endswith("events.lance") and calls["columns"] == ["event_id"]
+    assert ds.schema().names == ["event_id"]
+
+    # lance dir without the package → actionable error
+    monkeypatch.delitem(sys.modules, "lance")
+    monkeypatch.setattr(
+        "builtins.__import__",
+        _blocking_import("lance"),
+    )
+    try:
+        tables.load_table(str(tmp_path), "events")
+        assert False, "expected ImportError"
+    except ImportError as exc:
+        assert "lance" in str(exc)
+
+
+def _blocking_import(blocked: str):
+    real_import = __import__
+
+    def _imp(name, *a, **kw):
+        if name == blocked:
+            raise ImportError(f"No module named '{blocked}'")
+        return real_import(name, *a, **kw)
+
+    return _imp
+
+
+def test_image_table_roundtrip_parquet_fallback(tmp_path, sf_dir):
+    """write_image_table/read_image_table round-trip via the parquet
+    fallback with the input_hint schema intact."""
+    from pyrosar_ray.sources.images import (
+        images_from_documents,
+        read_image_table,
+        write_image_table,
+    )
+
+    out = str(tmp_path / "imgs")
+    ds = images_from_documents(sf_dir).limit(20)
+    write_image_table(ds, out)
+    back = read_image_table(out)
+    assert back.count() == 20
+    assert set(back.schema().names) == {
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    }
+
+
 def test_metrics_collector(sf_dir):
     import ray
 
