@@ -767,6 +767,81 @@ def q_doc_normalize(sf_dir: str):
     return normalize_text(docs)
 
 
+def q_geocode_slices(sf_dir: str):
+    """Multi-scene geocode with SliceAssembly: two adjacent synthetic
+    slices per document id run the per-slice radiometric chain, ONE
+    groupby assembly exchange concatenates them along azimuth, then the
+    per-product chain finishes (reference snap/util.py:392-396). No SQL
+    twin: float raster math — rows-only check by design."""
+    import ray.data
+
+    from pyrosar_ray.pipelines.geocode import geocode_images
+    from pyrosar_ray.plan import build_geocode
+
+    record = {
+        "sensor": "S1A",
+        "product": "GRD",
+        "acquisition_mode": "IW",
+        "polarizations": ["VV"],
+    }
+    plan = build_geocode(record, spacing=60.0, nscenes=2)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _slices(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        out: dict[str, list] = {
+            "image_id": [], "bytes": [], "w": [], "h": [],
+            "pass_id": [], "slice_idx": [],
+        }
+        w = 16
+        for i in ids.tolist():
+            base = float((i * 13) % 997) + 100.0
+            for s, h in ((0, 6 + i % 3), (1, 5)):
+                arr = np.full((h, w), base + 50.0 * s, dtype=np.float32)
+                out["image_id"].append(f"img-{i}-{s}")
+                out["bytes"].append(arr.tobytes())
+                out["w"].append(w)
+                out["h"].append(h)
+                out["pass_id"].append(f"pass-{i}")
+                out["slice_idx"].append(s)
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], type=pa.string()),
+                "bytes": pa.array(out["bytes"], type=pa.binary()),
+                "w": pa.array(out["w"], type=pa.int32()),
+                "h": pa.array(out["h"], type=pa.int32()),
+                "pass_id": pa.array(out["pass_id"], type=pa.string()),
+                "slice_idx": pa.array(out["slice_idx"], type=pa.int64()),
+            }
+        )
+
+    slices = docs.map_batches(_slices, batch_format="pyarrow", batch_size=128)
+    assembled = geocode_images(
+        slices, plan, spacing=60.0, group_col="pass_id", order_col="slice_idx"
+    )
+
+    def _summarize(batch: pa.Table) -> pa.Table:
+        means = []
+        for blob, w, h in zip(
+            batch["bytes"].to_pylist(), batch["w"].to_pylist(), batch["h"].to_pylist()
+        ):
+            arr = np.frombuffer(blob, dtype=np.float32).reshape(h, w)
+            valid = arr != 0.0
+            means.append(round(float(arr[valid].mean()), 2) if valid.any() else None)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "outname": batch["outname"],
+                "w": batch["w"],
+                "h": batch["h"],
+                "mean_db": pa.array(means, type=pa.float64()),
+            }
+        )
+
+    return assembled.map_batches(_summarize, batch_format="pyarrow")
+
+
 def q_doc_dup_clusters(sf_dir: str):
     """Near-dup clusters: connected components over the Jaccard pair
     graph, canonical label = min doc id per component."""
@@ -1610,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_k": q_doc_sample_k,
         "doc_quantiles_by_source": q_doc_quantiles_by_source,
         "geocode_grd": q_geocode_grd,
+        "geocode_slices": q_geocode_slices,
         "audio_features": q_audio_features,
         "embed_kmeans": q_embed_kmeans,
         "image_process": q_image_process,

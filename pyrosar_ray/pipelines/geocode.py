@@ -88,7 +88,13 @@ class PlanExecutor:
     ``build_geocode`` emits.
     """
 
-    def __init__(self, plan: Plan, spacing: float = 20.0):
+    def __init__(
+        self,
+        plan: Plan,
+        spacing: float = 20.0,
+        suffix_override: str | None = None,
+        passthrough: tuple[str, ...] = (),
+    ):
         if not plan.is_consistent():
             raise ValueError("plan has unresolved source links")
         for node in plan:
@@ -97,8 +103,15 @@ class PlanExecutor:
                     "PlanExecutor runs linear chains; split branched plans "
                     "with plan.split() into per-group stages"
                 )
+            if node.operator == "SliceAssembly":
+                raise NotImplementedError(
+                    "SliceAssembly is a grouping stage, not a per-row kernel;"
+                    " run the plan through geocode_images (it splits the "
+                    "chain around the assembly automatically)"
+                )
         self.nodes = [n for n in plan.nodes]
-        self.suffix = plan.suffix()
+        self.suffix = plan.suffix() if suffix_override is None else suffix_override
+        self.passthrough = tuple(passthrough)
         self.spacing = float(spacing)
 
     # ---- per-operator kernels -----------------------------------------
@@ -173,15 +186,94 @@ class PlanExecutor:
             out_h.append(arr.shape[0])
             out_w.append(arr.shape[1])
             out_name.append(f"{iid}_{self.suffix}" if self.suffix else iid)
-        return pa.table(
+        cols = {
+            "image_id": pa.array(ids, type=pa.string()),
+            "outname": pa.array(out_name, type=pa.string()),
+            "bytes": pa.array(out_blob, type=pa.binary()),
+            "w": pa.array(out_w, type=pa.int32()),
+            "h": pa.array(out_h, type=pa.int32()),
+        }
+        for c in self.passthrough:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+
+def _split_at_assembly(plan: Plan) -> tuple[Plan, Plan | None]:
+    """Split a plan around its SliceAssembly node.
+
+    Returns (pre, None) for plans without assembly; else (pre, post)
+    where ``pre`` is the per-slice chain (Read…ThermalNoiseRemoval) and
+    ``post`` the per-product chain after assembly, with the first post
+    node re-rooted (its source was the assembly node).
+    """
+    from ..plan import Node
+
+    ops = [n.operator for n in plan.nodes]
+    if "SliceAssembly" not in ops:
+        return plan, None
+    i = ops.index("SliceAssembly")
+    pre = Plan(list(plan.nodes[:i]))
+    post_nodes = []
+    for j, n in enumerate(plan.nodes[i + 1 :]):
+        post_nodes.append(
+            Node(n.id, n.operator, n.parameters, [] if j == 0 else list(n.sources))
+        )
+    return pre, Plan(post_nodes)
+
+
+def slice_assembly(
+    slices: Dataset,
+    group_col: str = "pass_id",
+    order_col: str = "slice_idx",
+    start_col: str | None = None,
+    stop_col: str | None = None,
+    tol: float = 1.0,
+) -> Dataset:
+    """Concatenate adjacent slices of one pass along azimuth.
+
+    The engine twin of SNAP's SliceAssembly (reference inserts it for
+    multi-scene inputs, snap/util.py:392-396): rows sharing
+    ``group_col`` are ordered by ``order_col`` and their float32 pixel
+    arrays stacked along the azimuth (row) axis; widths must agree.
+    When ``start_col``/``stop_col`` are given, temporal adjacency is
+    enforced — a gap larger than ``tol`` seconds between one slice's
+    stop and the next one's start raises (non-adjacent slices are not
+    one pass). One groupby shuffle; per-group memory is the assembled
+    product, the same bound the reference's SNAP process pays.
+    """
+    import pandas as pd
+
+    def _asm(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_col, kind="mergesort")
+        arrs = [
+            np.frombuffer(b, dtype=np.float32).reshape(h, w)
+            for b, h, w in zip(g["bytes"], g["h"], g["w"])
+        ]
+        widths = {a.shape[1] for a in arrs}
+        if len(widths) != 1:
+            raise ValueError(
+                f"slice widths differ ({sorted(widths)}); cannot assemble along azimuth"
+            )
+        if start_col and stop_col and len(g) > 1:
+            starts = g[start_col].to_numpy(dtype=np.float64)
+            stops = g[stop_col].to_numpy(dtype=np.float64)
+            gaps = starts[1:] - stops[:-1]
+            if (gaps > tol).any():
+                raise ValueError(
+                    f"non-adjacent slices in group {g[group_col].iloc[0]!r}: "
+                    f"max gap {gaps.max():.3f}s > tol {tol}s"
+                )
+        out = np.concatenate(arrs, axis=0)
+        return pd.DataFrame(
             {
-                "image_id": pa.array(ids, type=pa.string()),
-                "outname": pa.array(out_name, type=pa.string()),
-                "bytes": pa.array(out_blob, type=pa.binary()),
-                "w": pa.array(out_w, type=pa.int32()),
-                "h": pa.array(out_h, type=pa.int32()),
+                "image_id": [str(g[group_col].iloc[0])],
+                "bytes": [np.ascontiguousarray(out).tobytes()],
+                "w": [np.int32(out.shape[1])],
+                "h": [np.int32(out.shape[0])],
             }
         )
+
+    return slices.groupby(group_col).map_groups(_asm, batch_format="pandas")
 
 
 def geocode_images(
@@ -190,13 +282,45 @@ def geocode_images(
     spacing: float = 20.0,
     concurrency=(1, 4),
     batch_size: int = 32,
+    group_col: str = "pass_id",
+    order_col: str = "slice_idx",
 ) -> Dataset:
     """Run a validated geocode Plan over an image Dataset as one fused
     actor stage (bounded ``batch_size`` keeps payload × concurrency in
-    the worker heap; see stages.images for the memory rule)."""
-    return images.map_batches(
+    the worker heap; see stages.images for the memory rule).
+
+    Plans containing a SliceAssembly node (``build_geocode(nscenes>1)``)
+    execute as three stages: the per-slice chain (suffix-less, columns
+    ``group_col``/``order_col`` passed through), ONE groupby assembly
+    exchange, then the per-product chain carrying the full plan suffix —
+    so the assembled outname matches the single-scene spelling.
+    """
+    pre, post = _split_at_assembly(plan)
+    if post is None:
+        return images.map_batches(
+            PlanExecutor,
+            fn_constructor_args=(plan, spacing),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+    per_slice = images.map_batches(
         PlanExecutor,
-        fn_constructor_args=(plan, spacing),
+        fn_constructor_args=(pre, spacing),
+        fn_constructor_kwargs={
+            "suffix_override": "",
+            "passthrough": (group_col, order_col),
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    assembled = slice_assembly(per_slice, group_col=group_col, order_col=order_col)
+    full_suffix = plan.suffix()
+    return assembled.map_batches(
+        PlanExecutor,
+        fn_constructor_args=(post, spacing),
+        fn_constructor_kwargs={"suffix_override": full_suffix},
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

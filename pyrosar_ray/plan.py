@@ -305,6 +305,7 @@ def build_geocode(
     refarea="gamma0",
     speckle_filter: str | bool = False,
     remove_border_noise: bool = True,
+    nscenes: int = 1,
 ) -> Plan:
     """Build the geocode plan with the reference's full parameter
     validation matrix (snap/util.py:28-703; matrix anchored by
@@ -420,6 +421,16 @@ def build_geocode(
     if is_s1:
         p.add(Node("ThermalNoiseRemoval", "ThermalNoiseRemoval", {}, [last]))
         last = "ThermalNoiseRemoval"
+    if nscenes > 1:
+        # multi-slice input: assemble adjacent slices into one product
+        # after the per-slice radiometric chain, exactly where the
+        # reference inserts it (snap/util.py:392-396). The engine
+        # executes it as a groupby stage (pipelines/geocode.py); here it
+        # is one single-source node since the engine's plan is the
+        # per-row logical chain.
+        p.add(Node("SliceAssembly", "SliceAssembly",
+                   {"selectedPolarisations": pols}, [last]))
+        last = "SliceAssembly"
     if is_s1 and record.get("product") == "SLC":
         mode = record.get("acquisition_mode", "")
         if mode in ("IW", "EW"):

@@ -198,3 +198,116 @@ def test_xml_roundtrip_plan_executes():
     ).to_pandas()
     assert len(out) == 1
     assert out["outname"].iloc[0].endswith(plan.suffix())
+
+
+# ---------------------------------------------------------- SliceAssembly
+
+
+def _slice_rows():
+    """Two passes x two adjacent slices, constant-valued float32 arrays."""
+    rows = []
+    for p, (v1, v2) in enumerate([(2000.0, 3000.0), (1000.0, 4000.0)]):
+        for s, (v, h) in enumerate([(v1, 6), (v2, 4)]):
+            arr = np.full((h, 8), v, dtype=np.float32)
+            rows.append(
+                {
+                    "image_id": f"img-{p}-{s}",
+                    "bytes": arr.tobytes(),
+                    "w": 8,
+                    "h": h,
+                    "pass_id": f"pass-{p}",
+                    "slice_idx": s,
+                    "start_sec": 100.0 * p + 10.0 * s,
+                    "stop_sec": 100.0 * p + 10.0 * s + 10.0,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_slice_assembly_concatenates_along_azimuth():
+    from pyrosar_ray.pipelines.geocode import slice_assembly
+
+    out = (
+        slice_assembly(
+            ray.data.from_pandas(_slice_rows()),
+            group_col="pass_id",
+            order_col="slice_idx",
+            start_col="start_sec",
+            stop_col="stop_sec",
+        )
+        .to_pandas()
+        .sort_values("image_id", ignore_index=True)
+    )
+    assert out["image_id"].tolist() == ["pass-0", "pass-1"]
+    assert out["h"].tolist() == [10, 10] and out["w"].tolist() == [8, 8]
+    a0 = np.frombuffer(out["bytes"].iloc[0], dtype=np.float32).reshape(10, 8)
+    assert (a0[:6] == 2000.0).all() and (a0[6:] == 3000.0).all()
+
+
+def test_slice_assembly_rejects_gaps_and_width_mismatch():
+    from pyrosar_ray.pipelines.geocode import slice_assembly
+
+    rows = _slice_rows()
+    rows.loc[1, "start_sec"] = 999.0  # tear pass-0 apart
+    with pytest.raises(Exception):  # Ray wraps the ValueError
+        slice_assembly(
+            ray.data.from_pandas(rows),
+            group_col="pass_id",
+            order_col="slice_idx",
+            start_col="start_sec",
+            stop_col="stop_sec",
+        ).to_pandas()
+
+    rows = _slice_rows()
+    arr = np.full((4, 9), 1.0, dtype=np.float32)  # width 9 != 8
+    rows.loc[1, "bytes"] = arr.tobytes()
+    rows.loc[1, "w"] = 9
+    rows.loc[1, "h"] = 4
+    with pytest.raises(Exception):
+        slice_assembly(
+            ray.data.from_pandas(rows), group_col="pass_id", order_col="slice_idx"
+        ).to_pandas()
+
+
+def test_geocode_images_splits_around_assembly_golden():
+    """Closed-form two-slice pipeline: Cal then assembly then dB.
+    sigma0 = DN^2/A^2 with A=1000 -> dB = 10*log10(sigma0)."""
+    plan = (
+        Plan()
+        .add(Node("Read", "Read", {}, []))
+        .add(Node("Calibration", "Calibration", {}, ["Read"]))
+        .add(Node("SliceAssembly", "SliceAssembly", {}, ["Calibration"]))
+        .add(Node("LinearToFromdB", "LinearToFromdB", {}, ["SliceAssembly"]))
+        .add(Node("Write", "Write", {"file": "out"}, ["LinearToFromdB"]))
+    )
+    out = (
+        geocode_images(
+            ray.data.from_pandas(_slice_rows()),
+            plan,
+            concurrency=1,
+            group_col="pass_id",
+            order_col="slice_idx",
+        )
+        .to_pandas()
+        .sort_values("image_id", ignore_index=True)
+    )
+    assert out["image_id"].tolist() == ["pass-0", "pass-1"]
+    assert out["outname"].iloc[0] == "pass-0_" + plan.suffix()
+    a0 = np.frombuffer(out["bytes"].iloc[0], dtype=np.float32).reshape(10, 8)
+    want_top = 10.0 * np.log10((2000.0**2) / 1e6)
+    want_bot = 10.0 * np.log10((3000.0**2) / 1e6)
+    np.testing.assert_allclose(a0[:6], np.float32(want_top), rtol=1e-6)
+    np.testing.assert_allclose(a0[6:], np.float32(want_bot), rtol=1e-6)
+
+
+def test_build_geocode_nscenes_inserts_assembly():
+    plan = build_geocode(S1_RECORD, nscenes=2)
+    ops = [n.operator for n in plan.nodes]
+    i = ops.index("SliceAssembly")
+    assert ops[i - 1] == "ThermalNoiseRemoval"
+    assert "Asm" in plan.suffix()
+    # single-scene plans are unchanged
+    assert "SliceAssembly" not in [n.operator for n in build_geocode(S1_RECORD)]
+    # the per-row executor refuses assembly nodes (grouping stage)
+    with pytest.raises(NotImplementedError):
+        PlanExecutor(plan)
