@@ -2444,7 +2444,11 @@ def oracle_sql() -> dict[str, str]:
                                ELSE doc_id END) // 3) % 3
                         WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END
                         AS INTEGER) AS h,
-                   CASE WHEN doc_id % 7 = 0 THEN 'png' ELSE 'raw' END AS fmt,
+                   CASE WHEN (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                              ELSE doc_id END) % 7 = 0 THEN 'png'
+                        WHEN (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                              ELSE doc_id END) % 11 = 0 THEN 'jpeg'
+                        ELSE 'raw' END AS fmt,
                    text AS caption
             FROM documents
         """,

@@ -11,10 +11,12 @@ Near-dup structure for the dedup stages: ids ending in 9 reuse the
 previous id's seed → identical pixels → identical phash (mirrors the
 ~10% identity-collision rate of the derived scene catalog).
 
-``fmt`` mixes ``raw`` (uncompressed RGB bytes) with ``png`` (every
-7th id, encoded by the pure-Python codec in functions/png.py) so the
-compressed-decode path runs for real end-to-end; jpeg remains a
-clearly-marked stub (no codec lib in this container).
+``fmt`` mixes ``raw`` (uncompressed RGB bytes) with ``png`` (seed % 7
+== 0, the pure-Python codec in functions/png.py) and baseline ``jpeg``
+(seed % 11 == 0, the pure-numpy codec in functions/jpeg.py) so both
+the lossless and the lossy compressed-decode paths run for real
+end-to-end. Format slices key on the SEED (not the id) so near-dup
+partners share a format and stay byte-identical.
 """
 
 from __future__ import annotations
@@ -110,11 +112,23 @@ def images_from_documents(sf_dir: str) -> Dataset:
         for i, t in zip(ids.tolist(), texts):
             seed = i - 1 if i % 10 == 9 else i  # near-dup pairs
             arr, w, h = synth_image(seed)
-            if i % 7 == 0:  # deterministic slice of real compressed rows
+            # format slices are keyed on the SEED so near-dup partners
+            # share a format → byte-identical blobs → hamming-0 pairs
+            # survive lossy jpeg (png first, then jpeg, else raw)
+            if seed % 7 == 0:  # lossless compressed slice
                 from ..functions.png import encode_png
 
                 blobs.append(encode_png(arr))
                 fmts.append("png")
+            elif seed % 11 == 0:  # lossy compressed slice (baseline jpeg)
+                from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+                blob = encode_jpeg(arr, quality=98)
+                blobs.append(blob)
+                fmts.append("jpeg")
+                # phash describes the STORED image: recompute from the
+                # decoded pixels so decode→rehash is exact downstream
+                arr = decode_jpeg(blob)
             else:
                 blobs.append(arr.tobytes())
                 fmts.append("raw")

@@ -23,7 +23,7 @@ from ..sources.images import average_phash
 
 
 def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """bytes → (h, w, 3) uint8. raw and png decode natively; jpeg needs PIL."""
+    """bytes → (h, w, 3) uint8. raw, png and baseline jpeg decode natively."""
     if fmt == "raw":
         return np.frombuffer(blob, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "png":
@@ -33,6 +33,13 @@ def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         return arr[:, :, :3]
+    if fmt in ("jpeg", "jpg"):
+        from ..functions.jpeg import decode_jpeg
+
+        arr = decode_jpeg(blob)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        return arr
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -42,7 +49,7 @@ def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     except ImportError as err:  # pragma: no cover
         raise NotImplementedError(
             f"decode of fmt={fmt!r} requires an imaging library (PIL/opencv); "
-            "raw and png decode natively in this sandbox"
+            "raw, png and baseline jpeg decode natively in this sandbox"
         ) from err
 
 

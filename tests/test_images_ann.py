@@ -33,8 +33,13 @@ def test_decode_png_via_codec():
     assert np.array_equal(decode_image(encode_png(arr), w, h, "png"), arr)
 
 
-def test_decode_jpeg_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_jpeg_roundtrip_and_truncation():
+    from pyrosar_ray.functions.jpeg import encode_jpeg, psnr
+
+    arr, w, h = synth_image(5)
+    out = decode_image(encode_jpeg(arr, quality=98), w, h, "jpeg")
+    assert out.shape == arr.shape and psnr(arr, out) >= 40.0
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff", 4, 4, "jpeg")
 
 
