@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from pyrosar_ray.derive import OSV_DURATION, OSV_SQL, POINTS_SQL, SCENES_SQL
+from pyrosar_ray.pipelines.tables import read_parquet_clean as _read_parquet
 
 _SCENES = f"WITH scenes AS ({SCENES_SQL})"
 _GAP_US = 1_800_000_000  # 30-minute session gap
@@ -413,7 +414,7 @@ def q_sessionize(sf_dir: str):
 
     from pyrosar_ray.stages.sessions import sessionize
 
-    events = ray.data.read_parquet(
+    events = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return sessionize(events, gap_us=_GAP_US).select_columns(
@@ -428,7 +429,7 @@ def q_sessionize_ranged(sf_dir: str):
 
     from pyrosar_ray.stages.sessions import sessionize_range_partitioned
 
-    events = ray.data.read_parquet(
+    events = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     # 30-day buckets: far above the 30-min gap, few groups per key
@@ -442,7 +443,7 @@ def q_session_counts(sf_dir: str):
 
     from pyrosar_ray.stages.sessions import session_counts
 
-    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    events = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return session_counts(events, gap_us=_GAP_US)
 
 
@@ -451,7 +452,7 @@ def q_events_stats(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    events = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     agg = events.groupby("event_type").aggregate(
         Count(alias_name="n"),
         Min("value", alias_name="min_value"),
@@ -474,7 +475,7 @@ def q_events_props(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    events = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def _extract(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -508,7 +509,7 @@ def q_events_window(sf_dir: str):
 
     from pyrosar_ray.stages.windows import tumbling_window
 
-    events = ray.data.read_parquet(
+    events = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     return tumbling_window(events, width_us=_WINDOW_US)
@@ -520,7 +521,7 @@ def q_events_window_hop(sf_dir: str):
 
     from pyrosar_ray.stages.windows import hopping_window
 
-    events = ray.data.read_parquet(
+    events = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
     )
     return hopping_window(events, width_us=_WINDOW_US, hop_us=_HOP_US)
@@ -533,7 +534,7 @@ def q_events_window_users(sf_dir: str):
 
     from pyrosar_ray.stages.windows import tumbling_distinct
 
-    events = ray.data.read_parquet(
+    events = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
     return tumbling_distinct(events, width_us=_WINDOW_US)
@@ -546,7 +547,7 @@ def q_events_rolling(sf_dir: str):
 
     from pyrosar_ray.stages.windows import rolling_sum
 
-    events = ray.data.read_parquet(
+    events = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     return rolling_sum(events, frame_rows=3)
@@ -558,7 +559,7 @@ def q_doc_term_topk(sf_dir: str):
 
     from pyrosar_ray.stages.text import term_topk
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return term_topk(docs, k=50)
 
 
@@ -571,7 +572,7 @@ def q_doc_token_quantiles(sf_dir: str):
 
     from pyrosar_ray.stages.text import token_count_quantiles
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return token_count_quantiles(docs, qs=list(_QUANTILES))
 
 
@@ -651,7 +652,7 @@ def q_doc_sample_k(sf_dir: str):
 
     from pyrosar_ray.stages.sampling import hash_sample_k
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return hash_sample_k(docs, k=60)
 
 
@@ -661,7 +662,7 @@ def q_doc_quantiles_by_source(sf_dir: str):
 
     from pyrosar_ray.stages.text import token_count_quantiles_by
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
     return token_count_quantiles_by(docs, qs=list(_QUANTILES))
@@ -673,7 +674,7 @@ def q_doc_sample(sf_dir: str):
 
     from pyrosar_ray.stages.sampling import hash_sample
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
     return hash_sample(docs, rate_pct=10)
@@ -685,7 +686,7 @@ def q_doc_domain_cap(sf_dir: str):
 
     from pyrosar_ray.stages.sampling import group_cap
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
     return group_cap(docs, cap=10)
@@ -697,7 +698,7 @@ def q_doc_exact_dedup(sf_dir: str):
 
     from pyrosar_ray.stages.dedup_text import exact_dedup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup(docs)
 
 
@@ -707,7 +708,7 @@ def q_doc_tokens(sf_dir: str):
 
     from pyrosar_ray.stages.text import token_stats
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return token_stats(docs)
 
 
@@ -717,7 +718,7 @@ def q_doc_quality(sf_dir: str):
 
     from pyrosar_ray.stages.text import quality_scores
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return quality_scores(docs)
 
 
@@ -730,7 +731,7 @@ def q_doc_quality_filter(sf_dir: str):
 
     from pyrosar_ray.stages.text import quality_scores
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     scored = quality_scores(docs)
 
     def _keep(batch: pa.Table) -> pa.Table:
@@ -751,7 +752,7 @@ def q_doc_jaccard_pairs(sf_dir: str):
 
     from pyrosar_ray.stages.dedup_text import jaccard_pairs
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return jaccard_pairs(docs, block_col="source", threshold=0.5)
@@ -763,7 +764,7 @@ def q_doc_normalize(sf_dir: str):
 
     from pyrosar_ray.stages.text import normalize_text
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return normalize_text(docs)
 
 
@@ -786,7 +787,7 @@ def q_geocode_slices(sf_dir: str):
     }
     plan = build_geocode(record, spacing=60.0, nscenes=2)
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def _slices(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
@@ -849,7 +850,7 @@ def q_doc_dup_clusters(sf_dir: str):
 
     from pyrosar_ray.stages.dedup_text import dup_clusters
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return dup_clusters(docs)
@@ -862,7 +863,7 @@ def q_embed_topk(sf_dir: str):
     from pyrosar_ray.stages.ann import brute_force_topk
 
     qids, qmat = _load_queries_matrix(sf_dir)
-    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    corpus = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return brute_force_topk(corpus, qids, qmat, k=10)
 
 
@@ -875,7 +876,7 @@ def q_embed_neardup(sf_dir: str):
     from pyrosar_ray.stages.ann import cosine_threshold_pairs
 
     qids, qmat = _load_queries_matrix(sf_dir)
-    corpus = ray.data.read_parquet(
+    corpus = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     pairs = cosine_threshold_pairs(corpus, qids, qmat, threshold=0.2)
@@ -898,10 +899,10 @@ def q_doc_embed_join(sf_dir: str):
 
     from pyrosar_ray.stages.join import equi_join
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
-    emb = ray.data.read_parquet(
+    emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -926,10 +927,10 @@ def q_doc_embed_anti(sf_dir: str):
 
     from pyrosar_ray.stages.join import equi_join
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
 
     def _slice(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"].combine_chunks())
@@ -946,10 +947,10 @@ def q_doc_embed_left(sf_dir: str):
 
     from pyrosar_ray.stages.join import equi_join
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
-    emb = ray.data.read_parquet(
+    emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -977,7 +978,7 @@ def q_doc_embed_outer(sf_dir: str):
 
     from pyrosar_ray.stages.join import equi_join
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
 
@@ -985,7 +986,7 @@ def q_doc_embed_outer(sf_dir: str):
         ids = np.asarray(batch["doc_id"].combine_chunks())
         return batch.filter(pa.array(ids % 2 == 0))
 
-    emb = ray.data.read_parquet(
+    emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -1018,7 +1019,7 @@ def q_embed_kmeans(sf_dir: str):
 
     from pyrosar_ray.stages.kmeans import kmeans_assign, kmeans_fit
 
-    emb = ray.data.read_parquet(
+    emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     cents = kmeans_fit(emb, k=8, iters=3)
@@ -1144,7 +1145,7 @@ def q_db_convert(sf_dir: str):
     """Radiometric linear→dB map over lineitem prices (vectorized numpy)."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
     )
@@ -1176,7 +1177,7 @@ def q_doc_minhash_pairs(sf_dir: str):
 
     from pyrosar_ray.stages.dedup_text import minhash_candidate_pairs
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_candidate_pairs(docs)
 
 
@@ -1186,7 +1187,7 @@ def q_doc_simhash(sf_dir: str):
 
     from pyrosar_ray.stages.dedup_text import simhash_column
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_column(docs)
 
 
@@ -1196,7 +1197,7 @@ def q_doc_fingerprint(sf_dir: str):
 
     from pyrosar_ray.stages.text import fingerprints
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return fingerprints(docs)
 
 
@@ -1208,7 +1209,7 @@ def q_doc_langid(sf_dir: str):
 
     sample = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
     profiles = LangID.fit_profiles(sample["text"].to_pylist(), sample["lang"].to_pylist())
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return lang_id(docs, profiles)
 
 
@@ -1228,7 +1229,7 @@ def q_doc_top_tfidf(sf_dir: str):
 
     from pyrosar_ray.stages.text import top_tf_df_terms
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return top_tf_df_terms(docs, k=3)
 
 
@@ -1242,7 +1243,7 @@ def q_raster_info(sf_dir: str):
     from pyrosar_ray.functions.tiff import encode_geotiff
     from pyrosar_ray.stages.images import raster_info_columns
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    orders = _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
 
     def _blob(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch["o_orderkey"].combine_chunks())
@@ -1287,7 +1288,7 @@ def q_video_frames(sf_dir: str):
 
     from pyrosar_ray.stages.images import sample_frames
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     W, H = 8, 6
 
     def _make(batch: pa.Table) -> pa.Table:
@@ -1428,7 +1429,7 @@ def q_doc_neardup_fp(sf_dir: str):
     from pyrosar_ray.stages.images import phash_near_dup_pairs
     from pyrosar_ray.stages.text import fingerprints
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1454,7 +1455,7 @@ def q_embed_ivf_topk(sf_dir: str):
     from pyrosar_ray.stages.ann import ivf_topk
 
     qids, qmat = _load_queries_matrix(sf_dir)
-    corpus = ray.data.read_parquet(
+    corpus = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return ivf_topk(corpus, qids, qmat, k=10, ncells=16, nprobe=4)
@@ -1467,7 +1468,7 @@ def q_ann_lsh_topk(sf_dir: str):
     from pyrosar_ray.stages.ann import lsh_topk
 
     qids, qmat = _load_queries_matrix(sf_dir)
-    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    corpus = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return lsh_topk(corpus, qids, qmat, k=10)
 
 
@@ -1482,7 +1483,7 @@ def q_identify_scenes(sf_dir: str):
     from pyrosar_ray.derive import scene_blobs
     from pyrosar_ray.sources.drivers import derive_catalog_columns, identify_many
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    orders = _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
 
     def _blobs(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy()

@@ -45,6 +45,11 @@ def _init_ray(num_cpus: int) -> None:
     import ray
 
     if not ray.is_initialized():
+        # NOTE: worker_process_setup_hook was tried for the cosmetic-log
+        # filters and crashes workers in local mode; the filters install
+        # at pyrosar_ray import (driver + every UDF-bearing worker), and
+        # reads go through read_parquet_clean so the schema-hash warning
+        # never fires in pure-internal read tasks either.
         ray.init(
             address="local",
             num_cpus=num_cpus,
@@ -140,6 +145,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         materialize_small_side,
     )
     from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.pipelines.tables import read_parquet_clean as _read_parquet
 
     mult = int(os.environ.get("GRAFT_BENCH_MULT", "6"))
 
@@ -163,7 +169,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     # one small parquet file = ONE block by default, which would hand the
     # whole actor stage a single task (serializing the pipeline at any
     # parallelism); split so every worker has input at every level
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id"],
         override_num_blocks=max(num_cpus * 4, 16),

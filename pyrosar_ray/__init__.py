@@ -43,6 +43,50 @@ def _tune_allocator() -> None:
 _tune_allocator()
 
 
+def _install_log_filters() -> None:
+    """Drop two known-cosmetic Ray Data log lines.
+
+    1. ``Failed to hash the schemas (for deduplication)``: pyarrow's
+       ``Schema.__hash__`` raises ``unhashable type: 'dict'`` whenever a
+       schema carries key/value metadata (the testdata parquet files all
+       carry a ``pandas`` block); Ray's schema-dedup fast path catches
+       the error and warns. Purely an optimization miss.
+    2. ``Operator produced a RefBundle with a different schema`` when
+       the NEW schema is empty: a reduce partition that received no
+       rows emits a schema-less empty block. Only the empty-new-schema
+       form is dropped — a real schema drift (two non-empty schemas)
+       still warns.
+
+    Installed at import time (every Ray worker that deserializes one of
+    our UDFs imports the package); ``bench.py`` additionally registers
+    it as a ``worker_process_setup_hook`` so pure-internal tasks
+    (ReadParquet splits, empty reduces) are covered too.
+    """
+    import logging
+
+    class _DropCosmetic(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "Failed to hash the schemas (for deduplication)" in msg:
+                return False
+            if "different schema than the previous one" in msg and (
+                "new schema: ." in msg or "new schema: None." in msg
+            ):
+                return False
+            return True
+
+    for name in (
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+        "ray.data._internal.execution.streaming_executor_state",
+    ):
+        logger = logging.getLogger(name)
+        if not any(isinstance(f, _DropCosmetic) for f in logger.filters):
+            logger.addFilter(_DropCosmetic())
+
+
+_install_log_filters()
+
+
 # Note on shuffle strategy: push-based shuffle was evaluated as the
 # package default (it halves an ISOLATED small groupby-Sum at 32 CPUs)
 # but measured consistently SLOWER inside full pipelines here —

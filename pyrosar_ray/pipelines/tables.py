@@ -19,6 +19,32 @@ from ray.data import Dataset
 from ..derive import points_from_lineitem, scenes_from_orders
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kw) -> Dataset:
+    """``ray.data.read_parquet`` with key/value schema metadata stripped.
+
+    pyarrow's ``Schema.__hash__`` raises ``unhashable type: 'dict'`` on
+    any schema carrying metadata (the testdata files all carry a
+    ``pandas`` block), which defeats Ray's block-schema dedup fast path
+    and spams ``Failed to hash the schemas`` warnings from every read
+    task. Passing the file schema with metadata removed makes blocks
+    hash cleanly at the source. Engine-wide read entry point — use this
+    instead of ``ray.data.read_parquet`` for single-file reads.
+    """
+    if "schema" not in kw:
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path).remove_metadata()
+            if columns is not None:
+                # the read applies the schema to the PRUNED batches, so
+                # it must carry exactly the projected fields
+                schema = pa.schema([schema.field(c) for c in columns])
+            kw["schema"] = schema
+        except Exception:
+            pass  # directories / remote paths: let Ray infer
+    return ray.data.read_parquet(path, columns=columns, **kw)
+
+
 def load_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
     """Read one driver table, Lance-first per BASELINE.json's input_hint.
 
@@ -39,7 +65,7 @@ def load_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Data
                 "is not installed; convert to parquet or install lance"
             ) from exc
         return ray.data.read_lance(lance_path, columns=columns)
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def load_scenes(sf_dir: str) -> Dataset:

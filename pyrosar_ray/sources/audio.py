@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..pipelines.tables import read_parquet_clean as _read_parquet
+
 SAMPLE_RATE = 16_000
 
 
@@ -51,7 +53,7 @@ def audio_from_documents(sf_dir: str):
     n_declared, caption)."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _make(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()

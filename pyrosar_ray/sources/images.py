@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 
+from ..pipelines.tables import read_parquet_clean as _read_parquet
+
 _SIZES = (16, 24, 32)  # small in tests; production rows are MB-scale
 
 
@@ -88,7 +90,7 @@ def read_image_table(path: str) -> Dataset:
 
         return ray.data.read_lance(path)
     except ImportError:
-        return ray.data.read_parquet(path)
+        return _read_parquet(path)
 
 
 def write_image_table(ds: Dataset, path: str) -> None:
@@ -103,7 +105,7 @@ def write_image_table(ds: Dataset, path: str) -> None:
 
 def images_from_documents(sf_dir: str) -> Dataset:
     """The synthetic image+caption Dataset (one row per document)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _make(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()

@@ -157,7 +157,7 @@ def asof_match(
     sensor_col: str = "sensor",
     time_col: str = "t_sec",
     out_col: str = "osv_id",
-    concurrency=(1, 4),
+    concurrency=4,
 ) -> Dataset:
     """Append the best-matching interval id to every probe row.
 
@@ -165,6 +165,12 @@ def asof_match(
     the searchsorted+RMQ index in ``__init__`` and matches whole batches
     vectorized in ``__call__``. Unmatched rows get ``osv_id = -1``
     (reference returns None and falls back to RES, S1/auxil.py:576-587).
+
+    ``concurrency`` defaults to a FIXED pool of 4: the index build is
+    ~2 ms, so the autoscaling ramp-up of ``(1, 4)`` only serialized the
+    first batches (measured 2.2-2.9 s vs 1.9-2.3 s at sf0.1; the r2
+    driver's 4.0 s reading was host noise — interleaved repeats sit at
+    r1's level).
     """
     ref = ray.put(inventory)
 
