@@ -19,6 +19,11 @@ from ray.data import Dataset
 from ..derive import points_from_lineitem, scenes_from_orders
 
 
+def _strip_block_metadata(block: pa.Table) -> pa.Table:
+    """Zero-copy removal of key/value schema metadata from a read block."""
+    return block.replace_schema_metadata(None)
+
+
 def read_parquet_clean(path: str, columns: list[str] | None = None, **kw) -> Dataset:
     """``ray.data.read_parquet`` with key/value schema metadata stripped.
 
@@ -26,22 +31,16 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kw) -> Dat
     any schema carrying metadata (the testdata files all carry a
     ``pandas`` block), which defeats Ray's block-schema dedup fast path
     and spams ``Failed to hash the schemas`` warnings from every read
-    task. Passing the file schema with metadata removed makes blocks
-    hash cleanly at the source. Engine-wide read entry point — use this
-    instead of ``ray.data.read_parquet`` for single-file reads.
+    task. The strip runs as the read's block UDF: zero-copy (metadata
+    lives on the schema object, not the buffers — unlike passing
+    ``schema=``, which makes pyarrow cast every batch, measured ~20%
+    slower on the largest read), and, because the UDF lives in this
+    package, every read worker imports pyrosar_ray at task start and
+    gets the cosmetic-log filters before the first block materializes.
+    Engine-wide read entry point — use this instead of
+    ``ray.data.read_parquet``.
     """
-    if "schema" not in kw:
-        try:
-            import pyarrow.parquet as pq
-
-            schema = pq.read_schema(path).remove_metadata()
-            if columns is not None:
-                # the read applies the schema to the PRUNED batches, so
-                # it must carry exactly the projected fields
-                schema = pa.schema([schema.field(c) for c in columns])
-            kw["schema"] = schema
-        except Exception:
-            pass  # directories / remote paths: let Ray infer
+    kw.setdefault("_block_udf", _strip_block_metadata)
     return ray.data.read_parquet(path, columns=columns, **kw)
 
 
