@@ -1336,6 +1336,19 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(_checksum, batch_format="pyarrow")
 
 
+def q_video_mp4_meta(sf_dir: str):
+    """Real ISO-BMFF parse over synthetic MP4 containers: box-tree walk,
+    tkhd 16.16 dimensions, stts/stsc/stsz/stco sample-table resolution
+    (short last chunk → two-entry stsc), and a first-sample payload
+    checksum sliced at the resolved mdat offset. The SQL twin recomputes
+    every column arithmetically from the synthesis contract. Reference
+    surface: drivers.py getFileObj/gdalinfo (container probe)."""
+    from pyrosar_ray.sources.images import mp4_videos_from_documents
+    from pyrosar_ray.stages.images import mp4_meta
+
+    return mp4_meta(mp4_videos_from_documents(sf_dir))
+
+
 def q_audio_meta(sf_dir: str):
     """Audio metadata from the DECODED PCM (count/duration), which the
     SQL twin recomputes arithmetically from the synthesis parameters —
@@ -1345,6 +1358,20 @@ def q_audio_meta(sf_dir: str):
 
     feats = audio_features(audio_from_documents(sf_dir))
     return feats.select_columns(["audio_id", "n_samples", "duration_ms"])
+
+
+def q_audio_wav_meta(sf_dir: str):
+    """Real RIFF/WAVE container parse + G.711/PCM decode over an
+    id-keyed codec mix (pcm16/µ-law/A-law/pcm8, odd-size LIST chunks on
+    every 5th row). The SQL twin recomputes every column arithmetically
+    from the synthesis contract, so chunk-walk offsets, fact/fmt chunk
+    sizing, word-alignment padding and companding sample counts are all
+    hash-checked. Reference surface: drivers.py getFileObj/gdalinfo
+    (container probe without a full raster read)."""
+    from pyrosar_ray.sources.audio import wav_audio_from_documents
+    from pyrosar_ray.stages.audio import wav_meta
+
+    return wav_meta(wav_audio_from_documents(sf_dir))
 
 
 def q_audio_features(sf_dir: str):
@@ -1640,9 +1667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
         "dem_srtm3": q_dem_srtm3,
-        "dem_aw3d30": q_dem_aw3d30,
+        "audio_wav_meta": q_audio_wav_meta,
         "archive_select": q_archive_select,
-        "archive_select_overlap": q_archive_select_overlap,
+        "video_mp4_meta": q_video_mp4_meta,
         "archive_select_spatial": q_archive_select_spatial,
         "dedup_data": q_dedup_data,
         "scene_seconds": q_scene_seconds,
@@ -1671,6 +1698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_join": q_doc_embed_join,
         # ---- position 50 ends here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "dem_aw3d30": q_dem_aw3d30,
+        "archive_select_overlap": q_archive_select_overlap,
         "doc_embed_anti": q_doc_embed_anti,
         "doc_embed_left": q_doc_embed_left,
         "dem_getasse30": q_dem_getasse30,
@@ -2306,6 +2335,38 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta": """
             SELECT 'aud-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,
                    (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,
+                   (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
+            FROM documents
+        """,
+        "video_mp4_meta": """
+            SELECT 'mp4-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
+                   8::BIGINT AS w, 6::BIGINT AS h,
+                   'raw ' AS codec,
+                   (4 + doc_id % 7)::BIGINT AS n_frames,
+                   ((4 + doc_id % 7 + 2) // 3)::BIGINT AS n_chunks,
+                   (CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 25
+                         WHEN 2 THEN 15 ELSE 10 END)::BIGINT AS fps,
+                   ((4 + doc_id % 7) * 1000 //
+                    CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 25
+                         WHEN 2 THEN 15 ELSE 10 END)::DOUBLE AS duration_ms,
+                   (144 * ((doc_id * 31) % 251))::BIGINT AS frame0_sum
+            FROM documents
+        """,
+        "audio_wav_meta": """
+            SELECT 'wav-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'pcm16' WHEN 1 THEN 'ulaw'
+                        WHEN 2 THEN 'alaw' ELSE 'pcm8' END AS codec,
+                   (CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END)::BIGINT AS bits,
+                   (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,
+                   (8000 + (doc_id % 37) * 160)::BIGINT AS n_decoded,
+                   (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 3 END
+                    + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_chunks,
+                   (CASE WHEN doc_id % 4 = 0
+                         THEN 44 + 2 * (8000 + (doc_id % 37) * 160)
+                         ELSE 58 + (8000 + (doc_id % 37) * 160) END
+                    + CASE WHEN doc_id % 5 = 0 THEN 22 ELSE 0 END)::BIGINT
+                       AS container_bytes,
                    (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
             FROM documents
         """,

@@ -36,15 +36,33 @@ def synth_audio(doc_id: int) -> np.ndarray:
 
 
 def decode_audio(blob: bytes, fmt: str) -> np.ndarray:
-    """bytes → int16 PCM samples. pcm16 decodes natively; codecs need a lib."""
+    """bytes → int16 PCM samples.
+
+    Native decoders: raw ``pcm16``, raw G.711 ``ulaw``/``alaw`` byte
+    streams, and ``wav`` RIFF containers (PCM 8/16-bit, A-law, µ-law —
+    functions/wav.py). Perceptual codecs (mp3/flac/ogg) still require a
+    codec library absent from this container.
+    """
     if fmt == "pcm16":
         return np.frombuffer(blob, dtype="<i2")
+    if fmt == "ulaw":
+        from ..functions.wav import ulaw_expand
+
+        return ulaw_expand(np.frombuffer(blob, dtype=np.uint8))
+    if fmt == "alaw":
+        from ..functions.wav import alaw_expand
+
+        return alaw_expand(np.frombuffer(blob, dtype=np.uint8))
+    if fmt == "wav":
+        from ..functions.wav import decode_wav
+
+        return decode_wav(blob)[0]
     try:  # pragma: no cover - no audio codec libs in this container
         import soundfile  # noqa: F401
     except ImportError as err:  # pragma: no cover
         raise NotImplementedError(
             f"decode of fmt={fmt!r} requires an audio codec library "
-            "(soundfile/librosa); pcm16 decodes natively in this sandbox"
+            "(soundfile/librosa); pcm16/ulaw/alaw/wav decode natively"
         ) from err
 
 
@@ -64,6 +82,45 @@ def audio_from_documents(sf_dir: str):
                 "bytes": pa.array([p.tobytes() for p in pcm], type=pa.binary()),
                 "rate": pa.array([SAMPLE_RATE] * len(ids), type=pa.int32()),
                 "fmt": pa.array(["pcm16"] * len(ids), type=pa.string()),
+                "caption": batch["text"],
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
+
+
+def wav_codec_for(doc_id: int) -> str:
+    """Deterministic on-disk codec for a synthetic WAV row."""
+    return ("pcm16", "ulaw", "alaw", "pcm8")[doc_id % 4]
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic WAV container for an id: the synth_audio tone
+    wrapped in RIFF with an id-keyed codec; every 5th row carries an
+    odd-sized LIST chunk so readers must handle word-alignment padding."""
+    from ..functions.wav import encode_wav
+
+    extra = None
+    if doc_id % 5 == 0:
+        body = b"INFO" + b"IART" + (1).to_bytes(4, "little") + b"p"  # 13 bytes
+        extra = b"LIST" + (13).to_bytes(4, "little") + body + b"\x00"  # + pad
+    return encode_wav(synth_audio(doc_id), SAMPLE_RATE, wav_codec_for(doc_id), extra)
+
+
+def wav_audio_from_documents(sf_dir: str):
+    """One synthetic WAV-container row per document (audio_id, bytes,
+    fmt='wav', caption) — the real-container twin of
+    ``audio_from_documents``."""
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "audio_id": pa.array([f"wav-{i:012d}" for i in ids], type=pa.string()),
+                "bytes": pa.array([synth_wav(i) for i in ids], type=pa.binary()),
+                "rate": pa.array([SAMPLE_RATE] * len(ids), type=pa.int32()),
+                "fmt": pa.array(["wav"] * len(ids), type=pa.string()),
                 "caption": batch["text"],
             }
         )

@@ -151,3 +151,43 @@ def images_from_documents(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(_make, batch_format="pyarrow")
+
+
+VIDEO_W, VIDEO_H = 8, 6
+VIDEO_FPS = (30, 25, 15, 10)
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    """Deterministic MP4 container for an id: ``4 + id % 7`` raw RGB
+    frames (8×6), frame f filled with ``(id·31 + f) % 251``, fps keyed
+    ``id % 4``, 3 samples per chunk — so the last chunk is short
+    whenever ``n % 3 != 0``, forcing the two-entry stsc form."""
+    from ..functions.mp4 import encode_mp4
+
+    n = 4 + doc_id % 7
+    frames = [
+        np.full(VIDEO_W * VIDEO_H * 3, (doc_id * 31 + f) % 251, dtype=np.uint8).tobytes()
+        for f in range(n)
+    ]
+    return encode_mp4(frames, VIDEO_W, VIDEO_H, VIDEO_FPS[doc_id % 4])
+
+
+def mp4_videos_from_documents(sf_dir: str) -> Dataset:
+    """One synthetic MP4 row per document (image_id, bytes, fmt='mp4',
+    caption) — the real-container twin of the rawvideo rows."""
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "image_id": pa.array([f"mp4-{i:012d}" for i in ids], type=pa.string()),
+                "bytes": pa.array([synth_mp4(i) for i in ids], type=pa.binary()),
+                "w": pa.array([VIDEO_W] * len(ids), type=pa.int32()),
+                "h": pa.array([VIDEO_H] * len(ids), type=pa.int32()),
+                "fmt": pa.array(["mp4"] * len(ids), type=pa.string()),
+                "caption": batch["text"],
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=64)

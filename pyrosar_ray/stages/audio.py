@@ -55,6 +55,59 @@ def audio_features(clips: Dataset, concurrency=(1, 4), batch_size: int = 64) -> 
     )
 
 
+class WavMeta:
+    """Actor-pool stage: real RIFF/WAVE container parse + decode count.
+
+    Every column is derivable arithmetically from the id by the SQL twin
+    (``audio_wav_meta``), but the Ray side computes them the honest way:
+    ``parse_wav`` walks the chunk list (incl. odd-size LIST padding) and
+    ``decode_wav`` runs the full G.711/PCM expand, so a parser or
+    companding bug breaks the hash.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.wav import decode_wav, parse_wav
+
+        codec, bits, n_samples, n_decoded, n_chunks, nbytes, dur = (
+            [], [], [], [], [], [], []
+        )
+        for blob in batch["bytes"].to_pylist():
+            info = parse_wav(blob)
+            name = info["codec"]
+            if name == "pcm":
+                name = f"pcm{info['bits']}"
+            pcm, rate = decode_wav(blob)
+            codec.append(name)
+            bits.append(info["bits"])
+            n_samples.append(info["n_samples"])
+            n_decoded.append(len(pcm))
+            n_chunks.append(len(info["chunks"]))
+            nbytes.append(len(blob))
+            dur.append(info["n_samples"] * 1000.0 / rate)
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "codec": pa.array(codec, type=pa.string()),
+                "bits": pa.array(bits, type=pa.int64()),
+                "n_samples": pa.array(n_samples, type=pa.int64()),
+                "n_decoded": pa.array(n_decoded, type=pa.int64()),
+                "n_chunks": pa.array(n_chunks, type=pa.int64()),
+                "container_bytes": pa.array(nbytes, type=pa.int64()),
+                "duration_ms": pa.array(dur, type=pa.float64()),
+            }
+        )
+
+
+def wav_meta(clips: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+    """Container-level WAV metadata via the real RIFF parser."""
+    return clips.map_batches(
+        WavMeta,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 def frame_energies(
     clips: Dataset,
     frame: int = 1024,

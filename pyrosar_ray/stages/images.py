@@ -265,10 +265,27 @@ class FrameSampler:
             batch["fmt"].to_pylist(),
             batch["caption"].to_pylist(),
         ):
+            if fmt == "mp4":
+                from ..functions.mp4 import parse_mp4
+
+                info = parse_mp4(blob)
+                if info["codec"] != "raw ":
+                    raise NotImplementedError(
+                        f"mp4 sample entry {info['codec']!r} needs a video "
+                        "codec library; only 'raw ' frames decode here"
+                    )
+                off, sz = info["sample_offsets"], info["sample_sizes"]
+                for f in range(0, info["n_frames"], self.step):
+                    ids.append(vid)
+                    frames.append(f)
+                    blobs.append(blob[off[f] : off[f] + sz[f]])
+                    caps.append(cap)
+                continue
             if fmt != "rawvideo":
                 raise NotImplementedError(
                     f"frame sampling of fmt={fmt!r} requires a video codec; "
-                    "only fmt='rawvideo' decodes in this sandbox"
+                    "fmt='rawvideo' and fmt='mp4' (raw sample entries) "
+                    "decode in this sandbox"
                 )
             frame_bytes = int(w) * int(h) * 3
             n = len(blob) // frame_bytes
@@ -286,6 +303,60 @@ class FrameSampler:
                 "caption": pa.array(caps, type=pa.string()),
             }
         )
+
+
+class Mp4Meta:
+    """Actor-pool stage: real ISO-BMFF parse over an mp4 binary column.
+
+    Walks the box tree, resolves the stts/stsc/stsz/stco sample tables
+    and extracts + checksums the first sample payload — so box sizing,
+    chunk-run expansion and offset resolution are all hash-checkable
+    against an arithmetic SQL twin (functions/mp4.py).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mp4 import parse_mp4
+
+        cols = {k: [] for k in (
+            "w", "h", "codec", "n_frames", "n_chunks", "fps",
+            "duration_ms", "frame0_sum",
+        )}
+        for blob in batch["bytes"].to_pylist():
+            info = parse_mp4(blob)
+            cols["w"].append(info["w"])
+            cols["h"].append(info["h"])
+            cols["codec"].append(info["codec"])
+            cols["n_frames"].append(info["n_frames"])
+            cols["n_chunks"].append(info["n_chunks"])
+            cols["fps"].append(info["fps"])
+            cols["duration_ms"].append(info["duration_ms"])
+            o, s = info["sample_offsets"][0], info["sample_sizes"][0]
+            cols["frame0_sum"].append(
+                int(np.frombuffer(blob[o : o + s], dtype=np.uint8).sum())
+            )
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "w": pa.array(cols["w"], type=pa.int64()),
+                "h": pa.array(cols["h"], type=pa.int64()),
+                "codec": pa.array(cols["codec"], type=pa.string()),
+                "n_frames": pa.array(cols["n_frames"], type=pa.int64()),
+                "n_chunks": pa.array(cols["n_chunks"], type=pa.int64()),
+                "fps": pa.array(cols["fps"], type=pa.int64()),
+                "duration_ms": pa.array(cols["duration_ms"], type=pa.float64()),
+                "frame0_sum": pa.array(cols["frame0_sum"], type=pa.int64()),
+            }
+        )
+
+
+def mp4_meta(videos: Dataset, concurrency=(1, 4), batch_size: int = 32) -> Dataset:
+    """Container-level MP4 metadata via the real box-tree parser."""
+    return videos.map_batches(
+        Mp4Meta,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
 
 
 def sample_frames(videos: Dataset, step: int = 2, concurrency=(1, 4), batch_size: int = 16) -> Dataset:
