@@ -1374,6 +1374,17 @@ def q_audio_wav_meta(sf_dir: str):
     return wav_meta(wav_audio_from_documents(sf_dir))
 
 
+def q_audio_flac_meta(sf_dir: str):
+    """Full FLAC decode per clip (frame sync, CRC-8/16, rice residuals,
+    fixed-predictor restore, STREAMINFO MD5 verify = real `flac -t`).
+    The twin recomputes stream metadata arithmetically; md5_ok=TRUE only
+    survives when the decode is bit-lossless."""
+    from pyrosar_ray.sources.audio import flac_audio_from_documents
+    from pyrosar_ray.stages.audio import flac_meta
+
+    return flac_meta(flac_audio_from_documents(sf_dir))
+
+
 def q_audio_features(sf_dir: str):
     """Full per-clip features (peak/RMS/zero-crossings). No SQL twin:
     the waveform reductions are float libm math — rows-only by design."""
@@ -1681,7 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_ranged": q_sessionize_ranged,
         "events_stats": q_events_stats,
         "events_props": q_events_props,
-        "doc_term_topk": q_doc_term_topk,
+        "audio_flac_meta": q_audio_flac_meta,
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_normalize": q_doc_normalize,
@@ -1700,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- correctness window (proven in r1/r2 or rows-only by design)
         "dem_aw3d30": q_dem_aw3d30,
         "archive_select_overlap": q_archive_select_overlap,
+        "doc_term_topk": q_doc_term_topk,
         "doc_embed_anti": q_doc_embed_anti,
         "doc_embed_left": q_doc_embed_left,
         "dem_getasse30": q_dem_getasse30,
@@ -2337,6 +2349,18 @@ def oracle_sql() -> dict[str, str]:
                    (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,
                    (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
             FROM documents
+        """,
+        "audio_flac_meta": """
+            SELECT 'flc-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,
+                   16000::BIGINT AS rate,
+                   1::BIGINT AS channels,
+                   16::BIGINT AS bps,
+                   (1600 + (doc_id % 37) * 32)::BIGINT AS total_samples,
+                   ((1600 + (doc_id % 37) * 32 + 1023) // 1024)::BIGINT
+                       AS n_frames,
+                   (1600 + (doc_id % 37) * 32)::BIGINT AS decoded_n,
+                   TRUE AS md5_ok
+            FROM documents WHERE doc_id % 2 = 0
         """,
         "video_mp4_meta": """
             SELECT 'mp4-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,

@@ -57,12 +57,19 @@ def decode_audio(blob: bytes, fmt: str) -> np.ndarray:
         from ..functions.wav import decode_wav
 
         return decode_wav(blob)[0]
+    if fmt == "flac":
+        from ..functions.flac import decode_flac
+
+        pcm, _, info = decode_flac(blob)
+        if not info["md5_ok"]:
+            raise ValueError("flac: decoded PCM fails the STREAMINFO MD5")
+        return pcm.astype(np.int16)
     try:  # pragma: no cover - no audio codec libs in this container
         import soundfile  # noqa: F401
     except ImportError as err:  # pragma: no cover
         raise NotImplementedError(
             f"decode of fmt={fmt!r} requires an audio codec library "
-            "(soundfile/librosa); pcm16/ulaw/alaw/wav decode natively"
+            "(soundfile/librosa); pcm16/ulaw/alaw/wav/flac decode natively"
         ) from err
 
 
@@ -105,6 +112,42 @@ def synth_wav(doc_id: int) -> bytes:
         body = b"INFO" + b"IART" + (1).to_bytes(4, "little") + b"p"  # 13 bytes
         extra = b"LIST" + (13).to_bytes(4, "little") + body + b"\x00"  # + pad
     return encode_wav(synth_audio(doc_id), SAMPLE_RATE, wav_codec_for(doc_id), extra)
+
+
+FLAC_BLOCKSIZE = 1024
+
+
+def synth_flac(doc_id: int) -> bytes:
+    """Deterministic FLAC stream for an id: the synth tone truncated to
+    ``1600 + (id % 37)·32`` samples, encoded at blocksize 1024 so every
+    stream spans 2-3 frames (multi-frame decode exercised per row)."""
+    from ..functions.flac import encode_flac
+
+    n = 1600 + (doc_id % 37) * 32
+    return encode_flac(synth_audio(doc_id)[:n], SAMPLE_RATE, blocksize=FLAC_BLOCKSIZE)
+
+
+def flac_audio_from_documents(sf_dir: str):
+    """One FLAC row per EVEN document id (decode is ~ms-scale per clip;
+    the slice keeps the correctness gate snappy at sf0.01)."""
+    import pyarrow.compute as pc
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0))
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "audio_id": pa.array([f"flc-{i:012d}" for i in ids], type=pa.string()),
+                "bytes": pa.array([synth_flac(i) for i in ids], type=pa.binary()),
+                "rate": pa.array([SAMPLE_RATE] * len(ids), type=pa.int32()),
+                "fmt": pa.array(["flac"] * len(ids), type=pa.string()),
+                "caption": batch["text"],
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
 
 
 def wav_audio_from_documents(sf_dir: str):

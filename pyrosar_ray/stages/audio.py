@@ -108,6 +108,54 @@ def wav_meta(clips: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Datase
     )
 
 
+class FlacMeta:
+    """Actor-pool stage: full FLAC decode + STREAMINFO parse per clip.
+
+    ``md5_ok`` is the real ``flac -t`` check — decoded PCM hashed and
+    compared against the STREAMINFO MD5 — so any rice/predictor/CRC bug
+    flips a hash-checked column.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.flac import decode_flac
+
+        cols = {k: [] for k in (
+            "rate", "channels", "bps", "total_samples", "n_frames",
+            "decoded_n", "md5_ok",
+        )}
+        for blob in batch["bytes"].to_pylist():
+            pcm, rate, info = decode_flac(blob)
+            cols["rate"].append(rate)
+            cols["channels"].append(info["channels"])
+            cols["bps"].append(info["bps"])
+            cols["total_samples"].append(info["total_samples"])
+            cols["n_frames"].append(info["n_frames"])
+            cols["decoded_n"].append(len(pcm))
+            cols["md5_ok"].append(bool(info["md5_ok"]))
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "rate": pa.array(cols["rate"], type=pa.int64()),
+                "channels": pa.array(cols["channels"], type=pa.int64()),
+                "bps": pa.array(cols["bps"], type=pa.int64()),
+                "total_samples": pa.array(cols["total_samples"], type=pa.int64()),
+                "n_frames": pa.array(cols["n_frames"], type=pa.int64()),
+                "decoded_n": pa.array(cols["decoded_n"], type=pa.int64()),
+                "md5_ok": pa.array(cols["md5_ok"], type=pa.bool_()),
+            }
+        )
+
+
+def flac_meta(clips: Dataset, concurrency=(1, 8), batch_size: int = 64) -> Dataset:
+    """Per-clip FLAC stream verification + metadata."""
+    return clips.map_batches(
+        FlacMeta,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 def frame_energies(
     clips: Dataset,
     frame: int = 1024,
