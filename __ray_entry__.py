@@ -18,6 +18,7 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -700,6 +701,62 @@ def q_doc_exact_dedup(sf_dir: str):
 
     docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup(docs)
+
+
+def q_doc_pii_redact(sf_dir: str):
+    """PII scrubbing pass: deterministic synthetic PII (email/IPv4/
+    phone) is injected into every 3rd document, then redacted with the
+    shared ordered pattern list; the twin performs the identical
+    injection + nested regexp_replace, so pattern semantics and
+    application order are hash-checked."""
+    from pyrosar_ray.stages.text import redact_pii
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        s = batch["text"].to_pandas().astype("string")
+        pii = pd.Series(
+            [
+                f" contact user{i}@mail.example.com from 10.{i % 256}.0.{i % 100}"
+                f" call 555-{str(i % 10000).zfill(4)}"
+                if i % 3 == 0
+                else ""
+                for i in ids
+            ],
+            index=s.index,
+            dtype="string",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array((s + pii).to_numpy(dtype=object), type=pa.string()),
+            }
+        )
+
+    return redact_pii(docs.map_batches(_inject, batch_format="pyarrow"))
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (dup-word fraction, top-bigram
+    fraction) — columnar explode + groupby, hash-checked against a
+    window-function twin."""
+    from pyrosar_ray.stages.text import repetition_signals
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_signals(docs)
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the small side (first-8-token n-grams
+    of every 97th doc) is materialized once and broadcast via ray.put;
+    the corpus streams past it with zero shuffle. Twin = cross join on
+    contains()."""
+    from pyrosar_ray.stages.text import benchmark_ngrams, decontaminate
+
+    ngrams = benchmark_ngrams(sf_dir)
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decontaminate(docs, ngrams)
 
 
 def q_doc_tokens(sf_dir: str):
@@ -1691,17 +1748,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "sessionize_ranged": q_sessionize_ranged,
         "events_stats": q_events_stats,
-        "events_props": q_events_props,
+        "doc_pii_redact": q_doc_pii_redact,
         "audio_flac_meta": q_audio_flac_meta,
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_dup_clusters": q_doc_dup_clusters,
-        "doc_normalize": q_doc_normalize,
+        "doc_repetition": q_doc_repetition,
         "audio_meta": q_audio_meta,
         "doc_top_tfidf": q_doc_top_tfidf,
         "raster_info": q_raster_info,
         "video_frames": q_video_frames,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_tokens": q_doc_tokens,
+        "doc_decontaminate": q_doc_decontaminate,
         "doc_quality": q_doc_quality,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
@@ -1712,6 +1769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_aw3d30": q_dem_aw3d30,
         "archive_select_overlap": q_archive_select_overlap,
         "doc_term_topk": q_doc_term_topk,
+        "events_props": q_events_props,
+        "doc_normalize": q_doc_normalize,
+        "doc_tokens": q_doc_tokens,
         "doc_embed_anti": q_doc_embed_anti,
         "doc_embed_left": q_doc_embed_left,
         "dem_getasse30": q_dem_getasse30,
@@ -2349,6 +2409,85 @@ def oracle_sql() -> dict[str, str]:
                    (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,
                    (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
             FROM documents
+        """,
+        "doc_pii_redact": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 3 = 0 THEN
+                           ' contact user' || doc_id || '@mail.example.com'
+                           || ' from 10.' || (doc_id % 256) || '.0.'
+                           || (doc_id % 100)
+                           || ' call 555-' || lpad((doc_id % 10000)::VARCHAR,
+                                                   4, '0')
+                       ELSE '' END AS t0
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id, t0,
+                       len(regexp_extract_all(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS n_emails,
+                       regexp_replace(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t1
+                FROM injected
+            ), s2 AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                       regexp_replace(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '[IP]', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\b555-\d{4}\b', '[PHONE]', 'g')
+                       AS clean_text,
+                   n_emails::BIGINT AS n_emails,
+                   n_ips::BIGINT AS n_ips,
+                   len(regexp_extract_all(t2, '\b555-\d{4}\b'))::BIGINT
+                       AS n_phones
+            FROM s2
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       unnest(generate_series(
+                           1, len(string_split(text, ' ')))) AS pos
+                FROM documents
+            ), stats AS (
+                SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+                FROM toks GROUP BY doc_id
+            ), bi AS (
+                SELECT doc_id, tok,
+                       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                FROM toks
+            ), bc AS (
+                SELECT doc_id, tok, nxt, count(*) AS c
+                FROM bi WHERE nxt IS NOT NULL GROUP BY ALL
+            ), top AS (
+                SELECT doc_id, max(c) AS topc FROM bc GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n::BIGINT AS n_tokens,
+                   1.0 - s.d::DOUBLE / s.n AS dup_word_frac,
+                   CASE WHEN s.n > 1
+                        THEN COALESCE(t.topc, 0)::DOUBLE / (s.n - 1)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM stats s LEFT JOIN top t USING (doc_id)
+        """,
+        "doc_decontaminate": """
+            WITH bench AS (
+                SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS ng
+                FROM documents WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT d.doc_id, count(*) AS n
+                FROM documents d JOIN bench b ON contains(d.text, b.ng)
+                GROUP BY d.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) > 0 AS contaminated,
+                   COALESCE(h.n, 0)::BIGINT AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "audio_flac_meta": """
             SELECT 'flc-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,

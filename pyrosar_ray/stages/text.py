@@ -438,3 +438,156 @@ def token_count_quantiles_by(
             "v": pa.array(out_v, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / repetition signals / benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: redaction patterns shared verbatim with the SQL twin (RE2-compatible).
+#: Applied strictly in this order — an IP must be scrubbed before the
+#: phone rule could ever see its digits, and both twins agree on order.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b555-\d{4}\b", "[PHONE]"),
+)
+
+_PII_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS]
+
+
+def redact_pii(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Scrub emails / IPv4s / phone numbers, emitting per-kind counts.
+
+    The large-scale PII pass every training-data pipeline runs before
+    tokenization. Stateless, fully vectorized (pandas str.count /
+    str.replace run the compiled RE2-compatible patterns columnar).
+    """
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        counts = {}
+        for name, rx, repl in _PII_COMPILED:
+            counts[name] = s.str.count(rx.pattern).fillna(0).astype("int64")
+            s = s.str.replace(rx, repl, regex=True)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": pa.array(s.to_numpy(dtype=object), type=pa.string()),
+                "n_emails": pa.array(counts["email"].to_numpy()),
+                "n_ips": pa.array(counts["ip"].to_numpy()),
+                "n_phones": pa.array(counts["phone"].to_numpy()),
+            }
+        )
+
+    return docs.map_batches(_redact, batch_format="pyarrow")
+
+
+def repetition_signals(
+    docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Gopher-style repetition quality signals per document.
+
+    ``dup_word_frac`` = 1 − distinct/total whitespace tokens;
+    ``top_bigram_frac`` = occurrences of the most frequent adjacent
+    bigram ÷ total bigrams (ties don't matter — only the max count is
+    used). Batch-columnar via one explode + two groupbys; no per-doc
+    Python loop.
+    """
+
+    def _signals(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pandas()
+        s = batch[text_col].to_pandas().astype("string")
+        toks = s.str.split(" ")
+        df = pd.DataFrame({"i": np.arange(len(s)), "tok": toks}).explode("tok")
+        grp = df.groupby("i")["tok"]
+        total = grp.size()
+        distinct = grp.nunique()
+        dup_frac = (1.0 - distinct.to_numpy() / total.to_numpy()).astype(np.float64)
+
+        # positional assignment: the exploded frame's index is non-unique,
+        # so index-aligned Series assignment would mis-broadcast
+        df["nxt"] = grp.shift(-1).to_numpy()
+        big = df.dropna(subset=["nxt"])
+        big_counts = big.groupby(["i", "tok", "nxt"], sort=False).size()
+        top = big_counts.groupby(level=0).max().reindex(np.arange(len(s)))
+        n_big = (total - 1).clip(lower=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            top_frac = np.where(
+                n_big.to_numpy() > 0,
+                top.fillna(0).to_numpy() / n_big.to_numpy(),
+                0.0,
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(total.to_numpy().astype(np.int64)),
+                "dup_word_frac": pa.array(dup_frac),
+                "top_bigram_frac": pa.array(top_frac.astype(np.float64)),
+            }
+        )
+
+    return docs.map_batches(_signals, batch_format="pyarrow")
+
+
+def benchmark_ngrams(sf_dir: str, every: int = 97, n_tokens: int = 8) -> list[str]:
+    """The small decontamination side: first ``n_tokens`` whitespace
+    tokens of every ``every``-th document. Small by construction
+    (~N/97 strings), so materializing it driver-side IS the plan —
+    it then rides the object store once via ray.put, never shuffled."""
+    from ..pipelines.tables import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _first(batch: pa.Table) -> pa.Table:
+        mask = batch["doc_id"].to_numpy() % every == 0
+        batch = batch.filter(pa.array(mask))
+        s = batch["text"].to_pandas().astype("string")
+        ng = s.str.split(" ").str[:n_tokens].str.join(" ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ng": pa.array(ng.to_numpy(dtype=object), type=pa.string()),
+            }
+        )
+
+    small = docs.map_batches(_first, batch_format="pyarrow").to_pandas()
+    return small.sort_values("doc_id")["ng"].tolist()
+
+
+def decontaminate(
+    docs: Dataset,
+    ngrams: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Flag documents containing any benchmark n-gram (substring match).
+
+    Scale shape: the benchmark set is tiny (≤ thousands of strings) and
+    rides the object store once (``ray.put`` below); every batch scans
+    it columnar with one vectorized ``str.contains`` pass per pattern.
+    At corpus scale swap the inner loop for an Aho-Corasick automaton
+    built once per actor — the plan (broadcast small side, stream the
+    corpus, zero shuffle) is unchanged.
+    """
+    import ray
+
+    ref = ray.put(ngrams)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        pats = ray.get(ref)
+        s = batch[text_col].to_pandas().astype("string")
+        hits = np.zeros(len(s), dtype=np.int64)
+        for p in pats:
+            hits += s.str.contains(p, regex=False).fillna(False).to_numpy()
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "contaminated": pa.array(hits > 0),
+                "n_hits": pa.array(hits),
+            }
+        )
+
+    return docs.map_batches(_flag, batch_format="pyarrow")
