@@ -703,6 +703,17 @@ def q_doc_exact_dedup(sf_dir: str):
     return exact_dedup(docs)
 
 
+def q_doc_curate(sf_dir: str):
+    """Flagship corpus curation: quality gate → exact first-wins dedup
+    (digest groupby + co-partition keeper join) → benchmark
+    decontamination (broadcast n-grams) → PII injection + ordered
+    redaction — the full pre-training chain, hash-checked end-to-end
+    against one CTE twin."""
+    from pyrosar_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(sf_dir)
+
+
 def q_doc_pii_redact(sf_dir: str):
     """PII scrubbing pass: deterministic synthetic PII (email/IPv4/
     phone) is injected into every 3rd document, then redacted with the
@@ -1745,7 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_datasets": q_find_datasets,
         "osv_files": q_osv_files,
         "asof_osv": q_asof_osv,
-        "sessionize": q_sessionize,
+        "doc_curate": q_doc_curate,
         "sessionize_ranged": q_sessionize_ranged,
         "events_stats": q_events_stats,
         "doc_pii_redact": q_doc_pii_redact,
@@ -1769,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_aw3d30": q_dem_aw3d30,
         "archive_select_overlap": q_archive_select_overlap,
         "doc_term_topk": q_doc_term_topk,
+        "sessionize": q_sessionize,
         "events_props": q_events_props,
         "doc_normalize": q_doc_normalize,
         "doc_tokens": q_doc_tokens,
@@ -2409,6 +2421,71 @@ def oracle_sql() -> dict[str, str]:
                    (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,
                    (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
             FROM documents
+        """,
+        "doc_curate": rf"""
+            WITH scored AS (
+                SELECT doc_id, text, source,
+                       len(string_split(text, ' '))::BIGINT AS n_tokens,
+                       len(list_distinct(string_split(text, ' ')))::BIGINT
+                           AS n_uniq,
+                       len(list_filter(string_split(text, ' '),
+                           x -> list_contains({stop_list}, x)))::BIGINT AS n_stop
+                FROM documents
+            ), kept AS (
+                SELECT * FROM scored
+                WHERE n_tokens >= 8 AND n_uniq * 10 >= n_tokens * 6
+                  AND n_stop / n_tokens::DOUBLE < 0.35
+            ), sized AS (
+                SELECT doc_id, text, source, n_tokens,
+                       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM kept
+            ), dedup AS (
+                SELECT doc_id, text, source, n_tokens, n_copies
+                FROM sized WHERE rn = 1
+            ), bench AS (
+                SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS ng
+                FROM documents WHERE doc_id % 97 = 0
+            ), clean AS (
+                SELECT d.* FROM dedup d
+                WHERE NOT EXISTS (SELECT 1 FROM bench b
+                                  WHERE contains(d.text, b.ng))
+            ), injected AS (
+                SELECT doc_id, source, n_tokens, n_copies,
+                       text || CASE WHEN doc_id % 3 = 0 THEN
+                           ' contact user' || doc_id || '@mail.example.com'
+                           || ' from 10.' || (doc_id % 256) || '.0.'
+                           || (doc_id % 100)
+                           || ' call 555-' || lpad((doc_id % 10000)::VARCHAR,
+                                                   4, '0')
+                       ELSE '' END AS t0
+                FROM clean
+            ), s1 AS (
+                SELECT doc_id, source, n_tokens, n_copies,
+                       len(regexp_extract_all(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                           AS c1,
+                       regexp_replace(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                           '[EMAIL]', 'g') AS t1
+                FROM injected
+            ), s2 AS (
+                SELECT doc_id, source, n_tokens, n_copies, c1,
+                       len(regexp_extract_all(t1,
+                           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+                           AS c2,
+                       regexp_replace(t1,
+                           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
+                           '[IP]', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id, source, n_tokens, n_copies::BIGINT AS n_copies,
+                   regexp_replace(t2, '\b555-\d{{4}}\b', '[PHONE]', 'g')
+                       AS clean_text,
+                   (c1 + c2 + len(regexp_extract_all(t2, '\b555-\d{{4}}\b')))::BIGINT
+                       AS n_pii
+            FROM s2
         """,
         "doc_pii_redact": r"""
             WITH injected AS (

@@ -79,3 +79,21 @@ def test_benchmark_ngrams_contract(ray_session):
     ngs = benchmark_ngrams("/root/testdata/sf0.001", every=97, n_tokens=8)
     assert 0 < len(ngs) <= 6  # 500 docs / 97
     assert all(len(n.split(" ")) == 8 for n in ngs)
+
+
+def test_curate_corpus_end_to_end(ray_session):
+    from pyrosar_ray.pipelines.curate import curate_corpus
+
+    out = curate_corpus("/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {
+        "doc_id", "source", "n_tokens", "n_copies", "clean_text", "n_pii"
+    }
+    assert 0 < len(out) < 500          # gates actually dropped rows
+    assert out["doc_id"].is_unique     # dedup keeps one keeper per text
+    assert (out["n_copies"] >= 1).all()
+    injected = out[out["doc_id"] % 3 == 0]
+    assert (injected["n_pii"] == 3).all()          # email + ip + phone
+    assert injected["clean_text"].str.endswith(
+        "contact [EMAIL] from [IP] call [PHONE]"
+    ).all()
+    assert (out[out["doc_id"] % 3 != 0]["n_pii"] == 0).all()
