@@ -1417,6 +1417,29 @@ def q_video_mp4_meta(sf_dir: str):
     return mp4_meta(mp4_videos_from_documents(sf_dir))
 
 
+def q_raster_footprint(sf_dir: str):
+    """Raster → vector footprint extraction (north_star named surface):
+    synthetic single-band masks with integer-arithmetic trapezoid edges
+    are decoded and reduced to per-line boundary spans by reading ONLY
+    the pixels; the twin recomputes the spans from the edge formulas, so
+    the mask reduction (argmax/popcount chain) is value-checked."""
+    from pyrosar_ray.sources.images import footprint_rasters_from_documents
+    from pyrosar_ray.stages.footprint import footprint_spans
+
+    return footprint_spans(footprint_rasters_from_documents(sf_dir))
+
+
+def q_raster_footprint_poly(sf_dir: str):
+    """Spans closed into a CCW ring + Visvalingam-Whyatt reduction
+    (reference linesimplify semantics). Ring/simplified point counts and
+    the shoelace area are integers-in-doubles; the WKT is float-formatted
+    — rows-only by design, pinned by pytest goldens instead."""
+    from pyrosar_ray.sources.images import footprint_rasters_from_documents
+    from pyrosar_ray.stages.footprint import footprint_polygons
+
+    return footprint_polygons(footprint_rasters_from_documents(sf_dir))
+
+
 def q_audio_meta(sf_dir: str):
     """Audio metadata from the DECODED PCM (count/duration), which the
     SQL twin recomputes arithmetically from the synthesis parameters —
@@ -1766,7 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "audio_meta": q_audio_meta,
         "doc_top_tfidf": q_doc_top_tfidf,
-        "raster_info": q_raster_info,
+        "raster_footprint": q_raster_footprint,
         "video_frames": q_video_frames,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1781,7 +1804,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_select_overlap": q_archive_select_overlap,
         "doc_term_topk": q_doc_term_topk,
         "sessionize": q_sessionize,
+        "raster_info": q_raster_info,
         "events_props": q_events_props,
+        "raster_footprint_poly": q_raster_footprint_poly,
         "doc_normalize": q_doc_normalize,
         "doc_tokens": q_doc_tokens,
         "doc_embed_anti": q_doc_embed_anti,
@@ -2421,6 +2446,17 @@ def oracle_sql() -> dict[str, str]:
                    (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,
                    (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
             FROM documents
+        """,
+        "raster_footprint": """
+            SELECT 'fp-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
+                   y::BIGINT AS y,
+                   (doc_id % 4 + ((doc_id % 3) * y) // 4)::BIGINT AS x_min,
+                   (31 - (doc_id // 2) % 3 - (((doc_id // 3) % 2) * y) // 4)::BIGINT
+                       AS x_max,
+                   (31 - (doc_id // 2) % 3 - (((doc_id // 3) % 2) * y) // 4
+                    - (doc_id % 4 + ((doc_id % 3) * y) // 4) + 1)::BIGINT
+                       AS n_valid
+            FROM documents, range(24) AS t(y)
         """,
         "doc_curate": rf"""
             WITH scored AS (

@@ -191,3 +191,45 @@ def mp4_videos_from_documents(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(_make, batch_format="pyarrow", batch_size=64)
+
+
+FOOT_W, FOOT_H = 32, 24
+
+
+def synth_footprint_raster(doc_id: int) -> bytes:
+    """Deterministic grayscale raster whose valid region is a trapezoid
+    with integer-arithmetic edges (north_star raster→vector surface):
+    pixel (x, y) is valid iff
+    ``a + (b·y)//4 <= x <= W-1 - c - (d·y)//4`` with a=id%4, b=id%3,
+    c=(id//2)%3, d=(id//3)%2 — recomputable in SQL, so the extraction
+    stage's output is hash-checkable while the stage itself reads only
+    the pixels."""
+    a, b = doc_id % 4, doc_id % 3
+    c, d = (doc_id // 2) % 3, (doc_id // 3) % 2
+    y = np.arange(FOOT_H)[:, None]
+    x = np.arange(FOOT_W)[None, :]
+    left = a + (b * y) // 4
+    right = FOOT_W - 1 - c - (d * y) // 4
+    mask = (x >= left) & (x <= right)
+    return (mask * np.uint8(100)).astype(np.uint8).tobytes()
+
+
+def footprint_rasters_from_documents(sf_dir: str) -> Dataset:
+    """One synthetic single-band raster row per document."""
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "image_id": pa.array([f"fp-{i:012d}" for i in ids], type=pa.string()),
+                "bytes": pa.array(
+                    [synth_footprint_raster(i) for i in ids], type=pa.binary()
+                ),
+                "w": pa.array([FOOT_W] * len(ids), type=pa.int32()),
+                "h": pa.array([FOOT_H] * len(ids), type=pa.int32()),
+                "fmt": pa.array(["raw_gray"] * len(ids), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
