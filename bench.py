@@ -38,6 +38,8 @@ BENCH_QUERIES = (
     "doc_minhash_pairs",
     "doc_jaccard_pairs",
     "image_features",
+    "doc_curate",
+    "raster_footprint",
 )
 
 
