@@ -534,12 +534,34 @@ def benchmark_ngrams(sf_dir: str, every: int = 97, n_tokens: int = 8) -> list[st
     """The small decontamination side: first ``n_tokens`` whitespace
     tokens of every ``every``-th document. Small by construction
     (~N/97 strings), so materializing it driver-side IS the plan —
-    it then rides the object store once via ray.put, never shuffled."""
+    it then rides the object store once via ray.put, never shuffled.
+
+    Cost-based read (the engine's standard split): under a provable
+    256 MB input bound the two columns are read driver-side with
+    pyarrow directly — launching a distributed pipeline to produce 50
+    strings costs more than the scan; above the bound the scan runs as
+    a Ray pipeline (at real scale the benchmark set is an external
+    small table anyway)."""
+    import pyarrow.parquet as _pq
+
     from ..pipelines.tables import read_parquet_clean
 
-    docs = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    path = f"{sf_dir}/documents.parquet"
+    meta = _pq.ParquetFile(path).metadata
+    small_enough = (
+        sum(
+            meta.row_group(g).total_byte_size for g in range(meta.num_row_groups)
+        )
+        < 256 * 1024 * 1024
     )
+    if small_enough:
+        tbl = _pq.read_table(path, columns=["doc_id", "text"])
+        df = tbl.to_pandas()
+        df = df[df["doc_id"] % every == 0].sort_values("doc_id")
+        ng = df["text"].astype("string").str.split(" ").str[:n_tokens].str.join(" ")
+        return ng.tolist()
+
+    docs = read_parquet_clean(path, columns=["doc_id", "text"])
 
     def _first(batch: pa.Table) -> pa.Table:
         mask = batch["doc_id"].to_numpy() % every == 0
