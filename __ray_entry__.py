@@ -780,6 +780,18 @@ def q_doc_tokens(sf_dir: str):
     return token_stats(docs)
 
 
+def q_doc_pack(sf_dir: str):
+    """Greedy next-fit sequence packing into 64-token bins per source."""
+    import ray.data
+
+    from pyrosar_ray.stages.packing import pack_sequences
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return pack_sequences(docs, budget=64)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
@@ -1797,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "doc_pack": q_doc_pack,
         "doc_embed_join": q_doc_embed_join,
         # ---- position 50 ends here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
@@ -2681,6 +2694,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS doc_id, LEAST(u, MIN(v))::BIGINT AS cluster_id
             FROM reach GROUP BY u
+        """,
+        "doc_pack": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, source,
+                       len(string_split(text, ' '))::BIGINT AS n_tokens,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                           AS rn
+                FROM documents
+            ), pack AS (
+                SELECT source, rn, doc_id, n_tokens,
+                       0::BIGINT AS bin_idx, n_tokens AS fill
+                FROM toks WHERE rn = 1
+                UNION ALL
+                SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN p.fill + t.n_tokens <= 64 THEN p.bin_idx
+                            ELSE p.bin_idx + 1 END,
+                       CASE WHEN p.fill + t.n_tokens <= 64
+                            THEN p.fill + t.n_tokens
+                            ELSE t.n_tokens END
+                FROM pack p
+                JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+            )
+            SELECT doc_id, source, n_tokens, bin_idx,
+                   (fill - n_tokens)::BIGINT AS bin_offset
+            FROM pack
         """,
         "doc_embed_join": """
             SELECT d.doc_id, d.n_chars,

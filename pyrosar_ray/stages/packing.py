@@ -1,0 +1,86 @@
+"""Sequence packing: greedy next-fit token packing for training batches.
+
+Training-data prep companion to the sampling/quota stages (reference
+analogue: the reference has no packer — this is engine-native, like
+k-means and the window aggregates). Documents are packed, in ``id_col``
+order within each ``key_col`` partition, into fixed ``budget``-token
+bins ("sequences"): a document that would overflow the current bin
+starts the next one; a document larger than the whole budget gets a bin
+of its own.
+
+Scale contract: the pack order is *per key partition*, which makes the
+key the unit of parallelism — packing within a key is inherently
+sequential (each bin boundary depends on every prior document), so at
+corpus scale the caller picks a key of shard granularity (e.g.
+``source`` x hash-bucket, one key per output shard). Cross-key packing
+is embarrassingly parallel: one ``groupby(key).map_groups`` exchange,
+then each group packs locally in O(bins) searchsorted jumps over a
+cumulative-sum array — no per-row Python loop.
+
+Deterministic: byte-stable output for a given (input, budget, key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _pack_group(df: pd.DataFrame, budget: int, id_col: str) -> pd.DataFrame:
+    df = df.sort_values(id_col, kind="mergesort")
+    toks = df["n_tokens"].to_numpy(dtype=np.int64)
+    n = len(toks)
+    cum = np.concatenate([[0], np.cumsum(toks)])
+    bins = np.empty(n, dtype=np.int64)
+    offs = np.empty(n, dtype=np.int64)
+    start, b = 0, 0
+    while start < n:
+        # furthest end with cum[end] - cum[start] <= budget (next-fit jump)
+        end = int(np.searchsorted(cum, cum[start] + budget, side="right")) - 1
+        if end <= start:  # oversize document: a bin of its own
+            end = start + 1
+        bins[start:end] = b
+        offs[start:end] = cum[start:end] - cum[start]
+        b += 1
+        start = end
+    out = df.copy()
+    out["bin_idx"] = bins
+    out["bin_offset"] = offs
+    return out
+
+
+def pack_sequences(
+    docs: Dataset,
+    budget: int = 256,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Pack documents into ``budget``-token bins per ``key_col`` partition.
+
+    Returns one row per document: ``(id_col, key_col, n_tokens,
+    bin_idx, bin_offset)`` where ``bin_idx`` counts bins within the key
+    partition (id order) and ``bin_offset`` is the document's token
+    offset inside its bin. Token count is the engine-standard
+    whitespace count (stages/text.py:token_stats).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        n_ws = (s.str.count(" ") + 1).astype("int64")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                "n_tokens": pa.array(n_ws.to_numpy()),
+            }
+        )
+
+    counted = docs.map_batches(_tok, batch_format="pyarrow")
+    return counted.groupby(key_col).map_groups(
+        lambda df: _pack_group(df, budget, id_col), batch_format="pandas"
+    )
