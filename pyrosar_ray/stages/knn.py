@@ -194,6 +194,97 @@ class CentroidKNN:
         )
 
 
+class RTreeKNN:
+    """Actor probe: radius-doubling kNN against a broadcast STR R-tree.
+
+    The north-star's alternate physical plan ("actor pools holding
+    per-partition R-tree"): the tree is built ONCE driver-side over the
+    scene centroids and shipped via one ``ray.put``; each batch runs
+    rounds of *batched* box queries with per-probe radii that double
+    until the probe holds ≥ k candidates whose kth distance fits inside
+    its query box (every point within Euclidean distance r lies inside
+    the half-width-r box, so the kth answer is provably final).
+
+    Distance metric, tie-breaking and output contract are identical to
+    :class:`CentroidKNN` — the two plans must emit the same rows.
+    """
+
+    _MAX_R = 720.0  # past the whole lon/lat domain: resolve with all hits
+
+    def __init__(self, index_ref, k: int, point_cols):
+        self.__dict__.update(ray.get(index_ref))
+        self.k = k
+        self.point_cols = point_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        pids = batch[self.point_cols[0]].to_numpy()
+        n = len(lon)
+        out_pid, out_key, out_rank = [], [], []
+        active = np.arange(n, dtype=np.int64)
+        radius = np.full(n, self.r0)
+        while len(active):
+            al, at, ar = lon[active], lat[active], radius[active]
+            qi, ei = self.tree.query_boxes(al - ar, at - ar, al + ar, at + ar)
+            na = len(active)
+            cand_count = np.bincount(qi, minlength=na)
+            kth_d2 = np.full(na, np.inf)
+            if len(qi):
+                dx = self.cx[ei] - al[qi]
+                dy = self.cy[ei] - at[qi]
+                d2 = dx * dx + dy * dy
+                order = np.lexsort((self.keys[ei], d2, qi))
+                sq, se, sd2 = qi[order], ei[order], d2[order]
+                newgrp = np.empty(len(sq), dtype=bool)
+                newgrp[0] = True
+                np.not_equal(sq[1:], sq[:-1], out=newgrp[1:])
+                grp_start = np.maximum.accumulate(
+                    np.where(newgrp, np.arange(len(sq)), 0)
+                )
+                rank = np.arange(len(sq)) - grp_start
+                kth_rows = rank == np.minimum(cand_count[sq] - 1, self.k - 1)
+                kth_d2[sq[kth_rows]] = sd2[kth_rows]
+            resolved = (cand_count >= self.k) & (kth_d2 <= ar * ar)
+            resolved |= ar >= self._MAX_R  # sparse catalog: emit what exists
+            if len(qi):
+                keep = (rank < self.k) & resolved[sq]
+                out_pid.extend(pids[active[sq[keep]]].tolist())
+                out_key.extend(self.keys[se[keep]].tolist())
+                out_rank.extend((rank[keep] + 1).tolist())
+            unres = ~resolved
+            radius[active[unres]] *= 2.0
+            active = active[unres]
+        return pa.table(
+            {
+                "point_id": pa.array(out_pid, type=pa.int64()),
+                "scene_key": pa.array(out_key, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int64()),
+            }
+        )
+
+
+def build_rtree_index(tab: pa.Table, k: int, fanout: int = 16) -> dict:
+    """STR R-tree over scene centroids + a density-derived start radius."""
+    from ..functions.rtree import STRtree
+
+    cx = (tab["xmin"].to_numpy() + tab["xmax"].to_numpy()) / 2.0
+    cy = (tab["ymin"].to_numpy() + tab["ymax"].to_numpy()) / 2.0
+    n = max(len(cx), 1)
+    if len(cx):
+        area = max((cx.max() - cx.min()) * (cy.max() - cy.min()), 1e-12)
+        r0 = max(float(np.sqrt(area * k / n)), 1e-6)
+    else:
+        r0 = 1.0
+    return {
+        "tree": STRtree(cx, cy, cx, cy, fanout=fanout),
+        "cx": cx,
+        "cy": cy,
+        "keys": tab["scene_key"].to_numpy(),
+        "r0": r0,
+    }
+
+
 def spatial_knn(
     scenes: Dataset,
     points: Dataset,
@@ -201,14 +292,28 @@ def spatial_knn(
     res: int = 0,
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
     concurrency=(1, 8),
+    strategy: str = "cells",
 ) -> Dataset:
-    """k nearest scene centroids per point: rows (point_id, scene_key, rank)."""
+    """k nearest scene centroids per point: rows (point_id, scene_key, rank).
+
+    ``strategy='cells'``: expanding-ring search over the grid-cell index;
+    ``strategy='rtree'``: radius-doubling batched box queries over a
+    broadcast STR R-tree. Identical output by construction (same metric,
+    same (distance, scene_key) tie-break).
+    """
     from .spatial import materialize_small_side
 
     tab = materialize_small_side(scenes, ["scene_key", "xmin", "ymin", "xmax", "ymax"])
-    ref = ray.put(build_centroid_index(tab, res))
+    if strategy == "rtree":
+        ref = ray.put(build_rtree_index(tab, k))
+        cls = RTreeKNN
+    elif strategy == "cells":
+        ref = ray.put(build_centroid_index(tab, res))
+        cls = CentroidKNN
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (expected 'cells'|'rtree')")
     return points.select_columns(list(point_cols)).map_batches(
-        CentroidKNN,
+        cls,
         batch_format="pyarrow",
         concurrency=concurrency,
         fn_constructor_args=(ref, k, tuple(point_cols)),
