@@ -807,6 +807,22 @@ def q_doc_pack(sf_dir: str):
     return pack_sequences(docs, budget=64)
 
 
+def q_doc_mixture(sf_dir: str):
+    """Epoch-weighted training mixture: source srcN upweighted by
+    w = 1 + (N % 4) * 0.5 — floor(w) guaranteed copies per doc plus a
+    deterministic salted-hash draw for the fractional part. Row-local
+    (zero shuffle); output carries the 0-based epoch copy index."""
+    import ray.data
+
+    from pyrosar_ray.stages.sampling import source_mixture
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    weights = {f"src{n}": 1.0 + (n % 4) * 0.5 for n in range(64)}
+    return source_mixture(docs, weights)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
@@ -1843,12 +1859,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pack": q_doc_pack,
+        "doc_mixture": q_doc_mixture,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
-        "embed_neardup": q_embed_neardup,
         "doc_embed_join": q_doc_embed_join,
         # ---- position 50 ends here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "embed_neardup": q_embed_neardup,
         "video_frames": q_video_frames,
         "doc_quality": q_doc_quality,
         "dem_aw3d30": q_dem_aw3d30,
@@ -2739,6 +2756,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS doc_id, LEAST(u, MIN(v))::BIGINT AS cluster_id
             FROM reach GROUP BY u
+        """,
+        "doc_mixture": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       1.0 + (CAST(substr(source, 4) AS INT) % 4) * 0.5 AS wt
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source,
+                       CAST(floor(wt) AS BIGINT)
+                       + CASE WHEN (((doc_id + 7919) % 4294967296)::HUGEINT
+                                    * 2654435761) % 4294967296 % 100
+                                   < CAST(round((wt - floor(wt)) * 100) AS BIGINT)
+                              THEN 1 ELSE 0 END AS copies
+                FROM w
+            )
+            SELECT doc_id, source,
+                   unnest(generate_series(0, copies - 1))::BIGINT AS epoch
+            FROM c WHERE copies > 0
         """,
         "doc_pack": """
             WITH RECURSIVE toks AS (

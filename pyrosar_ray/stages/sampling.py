@@ -104,3 +104,57 @@ def hash_sample_k(ds: Dataset, k: int, id_col: str = "doc_id") -> Dataset:
 
     pruned = ds.map_batches(_prune, batch_format="pyarrow")
     return pruned.sort(["h", id_col]).limit(k)
+
+
+#: salt decorrelating the mixture's extra-copy draw from hash_sample
+_MIX_SALT = 7919
+
+
+def source_mixture(
+    ds: Dataset,
+    weights: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+) -> Dataset:
+    """Epoch-weighted training mixture: repeat each row per its source
+    weight — ``floor(w)`` guaranteed copies plus one more for the
+    deterministic ``frac(w)`` fraction of ids (salted hash draw, no RNG
+    state). Output rows carry an ``epoch`` column (0-based copy index).
+
+    The curriculum/datamix primitive: upweight scarce high-quality
+    sources, downweight bulk crawl (w < 1 keeps a w-rate subset as
+    epoch 0). Entirely row-local — zero shuffle at any scale; epoch
+    ordering is the downstream reader's concern (shard shuffle).
+
+    Weights are quantized to percent so the engine and any SQL twin
+    agree exactly on the fractional draw.
+    """
+    for k, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {k!r}: {w}")
+    wmap = {k: float(w) for k, w in weights.items()}
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        w = (
+            pd.Series(batch[key_col].to_pylist())
+            .map(wmap)
+            .fillna(default)
+            .to_numpy(dtype=np.float64)
+        )
+        nfull = np.floor(w).astype(np.int64)
+        frac_pct = np.round((w - np.floor(w)) * 100).astype(np.int64)
+        extra = hash_bucket(ids + _MIX_SALT) < frac_pct
+        copies = nfull + extra
+        total = int(copies.sum())
+        if total == 0:
+            empty = batch.slice(0, 0)
+            return empty.append_column("epoch", pa.array([], type=pa.int64()))
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), copies)
+        offs = np.concatenate([[0], np.cumsum(copies)[:-1]])
+        epoch = np.arange(total, dtype=np.int64) - np.repeat(offs, copies)
+        out = batch.take(pa.array(rep))
+        return out.append_column("epoch", pa.array(epoch, type=pa.int64()))
+
+    return ds.map_batches(_expand, batch_format="pyarrow")

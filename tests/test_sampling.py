@@ -78,3 +78,53 @@ def test_hash_sample_k_deterministic_min_k():
     assert len(out) == 20
     with pytest.raises(ValueError):
         hash_sample_k(ray.data.from_pandas(df), k=0)
+
+
+def test_source_mixture_copies_and_epochs(sf_dir):
+    from pyrosar_ray.stages.sampling import hash_bucket, source_mixture
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    weights = {f"src{n}": 1.0 + (n % 4) * 0.5 for n in range(64)}
+    out = source_mixture(docs, weights).to_pandas()
+    base = docs.to_pandas()
+    # per-doc copy count equals floor(w) + deterministic fractional draw
+    w = base["source"].str[3:].astype(int).mod(4).mul(0.5).add(1.0)
+    frac_pct = ((w - np.floor(w)) * 100).round().astype(int)
+    extra = hash_bucket(base["doc_id"].to_numpy() + 7919) < frac_pct
+    want = (np.floor(w).astype(int) + extra).rename(None)
+    got = out.groupby("doc_id").size().reindex(base["doc_id"]).fillna(0).astype(int)
+    assert (got.to_numpy() == want.to_numpy()).all()
+    # epochs are dense 0..copies-1 per doc
+    emax = out.groupby("doc_id")["epoch"].agg(["min", "max", "count"])
+    assert (emax["min"] == 0).all()
+    assert (emax["max"] == emax["count"] - 1).all()
+    # determinism
+    out2 = source_mixture(docs, weights).to_pandas()
+    key = ["doc_id", "epoch"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key, ignore_index=True),
+        out2.sort_values(key, ignore_index=True),
+    )
+
+
+def test_source_mixture_subunit_weight_is_rate_sample():
+    from pyrosar_ray.stages.sampling import hash_bucket, source_mixture
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(2000, dtype=np.int64), "source": "bulk"}
+    )
+    out = source_mixture(
+        ray.data.from_pandas(df).repartition(4), {"bulk": 0.25}
+    ).to_pandas()
+    kept = hash_bucket(df["doc_id"].to_numpy() + 7919) < 25
+    assert len(out) == int(kept.sum())
+    assert (out["epoch"] == 0).all()
+
+
+def test_source_mixture_rejects_negative_weight():
+    from pyrosar_ray.stages.sampling import source_mixture
+
+    with pytest.raises(ValueError):
+        source_mixture(None, {"a": -1.0})
