@@ -26,7 +26,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: benchmark suite: name → queries() key (all read SF_DIR)
 BENCH_QUERIES = (
     "spatial_join",
+    "spatial_join_s2",
     "spatial_knn",
+    "spatial_knn_rtree",
     "tile_assign",
     "tile_counts",
     "dedup_data",
