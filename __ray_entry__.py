@@ -823,6 +823,18 @@ def q_doc_mixture(sf_dir: str):
     return source_mixture(docs, weights)
 
 
+def q_doc_shard_shuffle(sf_dir: str):
+    """Epoch-3 deterministic reader shuffle into 8 shards: shard + dense
+    in-shard position as pure functions of (doc_id, epoch) — one
+    bounded (id, hash) exchange, content never shuffles."""
+    import ray.data
+
+    from pyrosar_ray.stages.sampling import epoch_shard_shuffle
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return epoch_shard_shuffle(docs, epoch=3, num_shards=8)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
@@ -1860,11 +1872,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pack": q_doc_pack,
         "doc_mixture": q_doc_mixture,
+        "doc_shard_shuffle": q_doc_shard_shuffle,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
-        "embed_topk": q_embed_topk,
         "doc_embed_join": q_doc_embed_join,
         # ---- position 50 ends here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
         "video_frames": q_video_frames,
         "doc_quality": q_doc_quality,
@@ -2756,6 +2769,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS doc_id, LEAST(u, MIN(v))::BIGINT AS cluster_id
             FROM reach GROUP BY u
+        """,
+        "doc_shard_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       (((doc_id + 3 * 40503) % 4294967296)::HUGEINT
+                        * 2654435761) % 4294967296 AS h
+                FROM documents
+            )
+            SELECT doc_id, h::BIGINT AS h, (h % 8)::BIGINT AS shard,
+                   (ROW_NUMBER() OVER (PARTITION BY h % 8
+                                       ORDER BY h, doc_id) - 1)::BIGINT AS pos
+            FROM h
         """,
         "doc_mixture": """
             WITH w AS (

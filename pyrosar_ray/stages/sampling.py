@@ -158,3 +158,45 @@ def source_mixture(
         return out.append_column("epoch", pa.array(epoch, type=pa.int64()))
 
     return ds.map_batches(_expand, batch_format="pyarrow")
+
+
+#: epoch mixing constant for the shard shuffle (odd, fits 16 bits so the
+#: pre-multiply stays under 2^48 before the mod-2^32 reduction)
+_EPOCH_MIX = 40503
+
+
+def epoch_shard_shuffle(
+    ds: Dataset, epoch: int, num_shards: int, id_col: str = "doc_id"
+) -> Dataset:
+    """Deterministic per-epoch training shuffle: every row gets a shard
+    and a dense position inside it, both pure functions of (id, epoch).
+
+    ``h = ((id + epoch·40503) mod 2^32) · 2654435761 mod 2^32`` — a new
+    permutation each epoch with no RNG state to coordinate; ``shard =
+    h mod num_shards``; ``pos`` ranks (h, id) inside the shard. ONE
+    bounded exchange (groupby shard) at any scale: the shuffle payload
+    is (id, h) pairs, never the documents — the reader joins positions
+    back to content shard-locally.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mixed = (ids.astype(np.uint64) + np.uint64(epoch) * np.uint64(_EPOCH_MIX)) % _M32
+        h = (mixed * _KNUTH % _M32).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "h": pa.array(h),
+                "shard": pa.array(h % np.int64(num_shards)),
+            }
+        )
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", id_col], kind="mergesort", ignore_index=True)
+        df["pos"] = np.arange(len(df), dtype=np.int64)
+        return df[[id_col, "h", "shard", "pos"]]
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+    return hashed.groupby("shard").map_groups(_rank, batch_format="pandas")

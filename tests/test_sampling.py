@@ -128,3 +128,37 @@ def test_source_mixture_rejects_negative_weight():
 
     with pytest.raises(ValueError):
         source_mixture(None, {"a": -1.0})
+
+
+def test_epoch_shard_shuffle_permutes_per_epoch(sf_dir):
+    from pyrosar_ray.stages.sampling import epoch_shard_shuffle
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    a = epoch_shard_shuffle(docs, epoch=0, num_shards=4).to_pandas()
+    b = epoch_shard_shuffle(docs, epoch=1, num_shards=4).to_pandas()
+    n = docs.count()
+    assert len(a) == n == len(b)
+    # positions dense 0..count-1 within each shard
+    for df in (a, b):
+        g = df.groupby("shard")["pos"]
+        assert (g.min() == 0).all()
+        assert (g.max() == g.count() - 1).all()
+    # different epochs give a different assignment (overwhelmingly)
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    same = (merged["shard_a"] == merged["shard_b"]) & (
+        merged["pos_a"] == merged["pos_b"]
+    )
+    assert same.mean() < 0.5
+    # same epoch reproduces exactly
+    a2 = epoch_shard_shuffle(docs, epoch=0, num_shards=4).to_pandas()
+    key = ["shard", "pos"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key, ignore_index=True), a2.sort_values(key, ignore_index=True)
+    )
+
+
+def test_epoch_shard_shuffle_rejects_bad_shards():
+    from pyrosar_ray.stages.sampling import epoch_shard_shuffle
+
+    with pytest.raises(ValueError):
+        epoch_shard_shuffle(None, epoch=0, num_shards=0)
