@@ -835,6 +835,43 @@ def q_doc_shard_shuffle(sf_dir: str):
     return epoch_shard_shuffle(docs, epoch=3, num_shards=8)
 
 
+def q_doc_curriculum(sf_dir: str):
+    """Composed curriculum pipeline: token counts → epoch-weighted
+    source mixture → next-fit packing into 64-token bins per
+    (source, epoch). Only (id, n_tokens) rows flow through the
+    expansion — document text never re-ships."""
+    import ray.data
+
+    from pyrosar_ray.stages.packing import pack_sequences
+    from pyrosar_ray.stages.sampling import source_mixture
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().astype("string")
+        n_ws = (s.str.count(" ") + 1).astype("int64")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tokens": pa.array(n_ws.to_numpy()),
+            }
+        )
+
+    toks = docs.map_batches(_tok, batch_format="pyarrow")
+    weights = {f"src{n}": 1.0 + (n % 4) * 0.5 for n in range(64)}
+    mixed = source_mixture(toks, weights)
+    return pack_sequences(
+        mixed,
+        budget=64,
+        key_col=["source", "epoch"],
+        id_col="doc_id",
+        n_tokens_col="n_tokens",
+    )
+
+
 def q_doc_quality(sf_dir: str):
     """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
@@ -1873,10 +1910,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack": q_doc_pack,
         "doc_mixture": q_doc_mixture,
         "doc_shard_shuffle": q_doc_shard_shuffle,
-        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_curriculum": q_doc_curriculum,
         "doc_embed_join": q_doc_embed_join,
         # ---- position 50 ends here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
         "video_frames": q_video_frames,
@@ -2799,6 +2837,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    unnest(generate_series(0, copies - 1))::BIGINT AS epoch
             FROM c WHERE copies > 0
+        """,
+        "doc_curriculum": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id, source,
+                       len(string_split(text, ' '))::BIGINT AS n_tokens,
+                       1.0 + (CAST(substr(source, 4) AS INT) % 4) * 0.5 AS wt
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(floor(wt) AS BIGINT)
+                       + CASE WHEN (((doc_id + 7919) % 4294967296)::HUGEINT
+                                    * 2654435761) % 4294967296 % 100
+                                   < CAST(round((wt - floor(wt)) * 100) AS BIGINT)
+                              THEN 1 ELSE 0 END AS copies
+                FROM w
+            ), m AS (
+                SELECT doc_id, source, n_tokens,
+                       unnest(generate_series(0, copies - 1))::BIGINT AS epoch
+                FROM c WHERE copies > 0
+            ), toks AS (
+                SELECT doc_id, source, n_tokens, epoch,
+                       row_number() OVER (PARTITION BY source, epoch
+                                          ORDER BY doc_id) AS rn
+                FROM m
+            ), pack AS (
+                SELECT source, epoch, rn, doc_id, n_tokens,
+                       0::BIGINT AS bin_idx, n_tokens AS fill
+                FROM toks WHERE rn = 1
+                UNION ALL
+                SELECT t.source, t.epoch, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN p.fill + t.n_tokens <= 64 THEN p.bin_idx
+                            ELSE p.bin_idx + 1 END,
+                       CASE WHEN p.fill + t.n_tokens <= 64
+                            THEN p.fill + t.n_tokens
+                            ELSE t.n_tokens END
+                FROM pack p
+                JOIN toks t ON t.source = p.source AND t.epoch = p.epoch
+                           AND t.rn = p.rn + 1
+            )
+            SELECT doc_id, source, epoch, n_tokens, bin_idx,
+                   (fill - n_tokens)::BIGINT AS bin_offset
+            FROM pack
         """,
         "doc_pack": """
             WITH RECURSIVE toks AS (

@@ -28,8 +28,10 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
-def _pack_group(df: pd.DataFrame, budget: int, id_col: str) -> pd.DataFrame:
-    df = df.sort_values(id_col, kind="mergesort")
+def _pack_group(df: pd.DataFrame, budget: int, sort_cols) -> pd.DataFrame:
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
+    df = df.sort_values(list(sort_cols), kind="mergesort")
     toks = df["n_tokens"].to_numpy(dtype=np.int64)
     n = len(toks)
     cum = np.concatenate([[0], np.cumsum(toks)])
@@ -54,9 +56,10 @@ def _pack_group(df: pd.DataFrame, budget: int, id_col: str) -> pd.DataFrame:
 def pack_sequences(
     docs: Dataset,
     budget: int = 256,
-    key_col: str = "source",
-    id_col: str = "doc_id",
+    key_col: str | list[str] = "source",
+    id_col: str | list[str] = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> Dataset:
     """Pack documents into ``budget``-token bins per ``key_col`` partition.
 
@@ -64,23 +67,26 @@ def pack_sequences(
     bin_idx, bin_offset)`` where ``bin_idx`` counts bins within the key
     partition (id order) and ``bin_offset`` is the document's token
     offset inside its bin. Token count is the engine-standard
-    whitespace count (stages/text.py:token_stats).
+    whitespace count (stages/text.py:token_stats), or a precomputed
+    ``n_tokens_col``. ``key_col``/``id_col`` accept composite keys
+    (e.g. pack per (source, epoch) after a mixture expansion).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
 
     def _tok(batch: pa.Table) -> pa.Table:
-        s = batch[text_col].to_pandas().astype("string")
-        n_ws = (s.str.count(" ") + 1).astype("int64")
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                key_col: batch[key_col],
-                "n_tokens": pa.array(n_ws.to_numpy()),
-            }
-        )
+        cols = {c: batch[c] for c in (*ids, *keys)}
+        if n_tokens_col is not None:
+            cols["n_tokens"] = batch[n_tokens_col].cast(pa.int64())
+        else:
+            s = batch[text_col].to_pandas().astype("string")
+            n_ws = (s.str.count(" ") + 1).astype("int64")
+            cols["n_tokens"] = pa.array(n_ws.to_numpy())
+        return pa.table(cols)
 
     counted = docs.map_batches(_tok, batch_format="pyarrow")
-    return counted.groupby(key_col).map_groups(
-        lambda df: _pack_group(df, budget, id_col), batch_format="pandas"
+    return counted.groupby(keys).map_groups(
+        lambda df: _pack_group(df, budget, ids), batch_format="pandas"
     )
