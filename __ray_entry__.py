@@ -872,6 +872,20 @@ def q_doc_curriculum(sf_dir: str):
     )
 
 
+def q_doc_hll(sf_dir: str):
+    """Corpus-distinct-token HyperLogLog registers (b=8): per-batch
+    partial max-rank folds merged by a 256-row groupby Max — the
+    fixed-size mergeable-sketch exchange. Register table is pure
+    integers (engine-standard FNV token hash, rank via IEEE exponent /
+    binary-string length), so the DuckDB twin matches bit-for-bit."""
+    import ray.data
+
+    from pyrosar_ray.stages.sketch import hll_registers
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hll_registers(docs, b=8)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
@@ -1911,9 +1925,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture": q_doc_mixture,
         "doc_shard_shuffle": q_doc_shard_shuffle,
         "doc_curriculum": q_doc_curriculum,
-        "doc_embed_join": q_doc_embed_join,
+        "doc_hll": q_doc_hll,
         # ---- position 50 ends here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "doc_embed_join": q_doc_embed_join,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
@@ -2010,6 +2025,44 @@ def _ivf_sql(ncells: int = 16, nprobe: int = 4, k: int = 10, modulus: int = 50) 
             WHERE e.vec_id <> q.query_id
         ) WHERE rank <= {k}
     """
+
+
+def _hll_sql(b: int = 8) -> str:
+    """DuckDB twin of ``stages.sketch.hll_registers``: the same FNV-1a
+    16-byte token hash as the minhash twin, folded to 32 bits, bucketed
+    on the top ``b`` bits, rank = leading zeros + 1 via binary-string
+    length (integer-exact on both sides)."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(16):
+        byte = (
+            f"(CASE WHEN length(tok) > {j} "
+            f"THEN CAST(ascii(tok[{j + 1}]) AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        h = f"((xor({h}, {byte}) * 1099511628211) % {m64})"
+    width = 32 - b
+    rem_mod = 1 << width
+    return f"""
+            WITH tl AS (
+              SELECT str_split(text, ' ') AS l FROM documents
+            ), toks AS (
+              SELECT unnest(l) AS tok FROM tl
+            ), h64 AS (
+              SELECT {h} AS h FROM toks
+            ), h32 AS (
+              SELECT xor(h // 4294967296, h % 4294967296) AS h FROM h64
+            ), reg AS (
+              SELECT (h // {rem_mod})::BIGINT AS bucket,
+                     (h % {rem_mod})::BIGINT AS rem
+              FROM h32
+            )
+            SELECT bucket,
+                   MAX(CASE WHEN rem > 0
+                            THEN {width} - length(bin(rem)) + 1
+                            ELSE {width + 1} END)::BIGINT AS rho
+            FROM reg GROUP BY bucket
+        """
 
 
 def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3) -> str:
@@ -2527,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
+        "doc_hll": _hll_sql(),
         "doc_top_tfidf": """
             WITH toks AS (
                 SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
