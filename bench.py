@@ -240,15 +240,30 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
             )
             return out
 
-    partials = docs.map_batches(_replicate, batch_format="pyarrow").map_batches(
-        _ImageTileProbe,
-        batch_format="pyarrow",
-        # fixed-size pool (autoscaling ramp-up would leave most of the
-        # pool cold for half of this short run), minus one CPU so the
-        # upstream read tasks are never starved
-        concurrency=max(1, num_cpus - 1),
-        batch_size=512,
-    )
+    replicated = docs.map_batches(_replicate, batch_format="pyarrow")
+    if os.environ.get("GRAFT_BENCH_TASKS") == "1":
+        # task-mode probe: identical kernels, stateless TaskPool with a
+        # per-task index attach (ray.get is zero-copy). Needed for
+        # num_cpus=1 — an actor pool would hold the ONLY CPU slot and
+        # starve the upstream read/replicate tasks (observed livelock) —
+        # and used at BOTH levels of a --scaling pair so the compared
+        # plans are identical.
+        def _probe_task(batch: pa.Table) -> pa.Table:
+            return _ImageTileProbe()(batch)
+
+        partials = replicated.map_batches(
+            _probe_task, batch_format="pyarrow", batch_size=512
+        )
+    else:
+        partials = replicated.map_batches(
+            _ImageTileProbe,
+            batch_format="pyarrow",
+            # fixed-size pool (autoscaling ramp-up would leave most of the
+            # pool cold for half of this short run), minus one CPU so the
+            # upstream read tasks are never starved
+            concurrency=max(1, num_cpus - 1),
+            batch_size=512,
+        )
     # timed window = the streaming execution only; the driver-side scene
     # index build and Ray session setup are identical at every
     # parallelism level and excluded (disclosed in BASELINE.md)
@@ -289,7 +304,15 @@ def main() -> None:
         help="the (N, 4N) parallelism pair for --scaling",
     )
     parser.add_argument("--sf-dir", default=SF_DIR)
+    parser.add_argument(
+        "--tasks",
+        action="store_true",
+        help="scaling probe as stateless tasks at BOTH levels (required "
+        "for num_cpus=1, where an actor pool would starve the reads)",
+    )
     args = parser.parse_args()
+    if args.tasks or 1 in tuple(args.pair):
+        os.environ["GRAFT_BENCH_TASKS"] = "1"
 
     if args.headline_only:
         out = run_headline(args.sf_dir, args.num_cpus)
