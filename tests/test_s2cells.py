@@ -136,3 +136,22 @@ def test_unknown_grid_rejected():
 
     with pytest.raises(ValueError):
         _grid_fns("h4")
+
+
+def test_partitioned_join_over_s2_grid(sf_dir):
+    """Co-partition plan on S2 cells emits the flat-grid pair set."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.spatial import spatial_join_points
+
+    def pairs(**kw):
+        out = spatial_join_points(
+            load_scenes(sf_dir), load_points(sf_dir).limit(2000), **kw
+        )
+        df = out.select_columns(["scene_key", "point_id"]).to_pandas()
+        return df.sort_values(["scene_key", "point_id"], ignore_index=True)
+
+    flat = pairs()
+    s2p = pairs(strategy="partitioned", grid="s2", res=7, num_partitions=8)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(flat, s2p)
