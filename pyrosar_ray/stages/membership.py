@@ -109,3 +109,52 @@ def bloom_new_rows(
         concurrency=concurrency,
         fn_constructor_args=(bloom_ref, id_col),
     )
+
+
+def bloom_anti_join(
+    candidates: Dataset,
+    ref: Dataset,
+    id_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    concurrency=(1, 8),
+) -> Dataset:
+    """EXACT anti-join accelerated by the bloom prefilter — the
+    production shape (sketch prune + exact verify).
+
+    The broadcast bit set splits candidates into definitely-new rows
+    (≥1 unset bit — pass through untouched, typically the vast
+    majority) and maybe-members, and ONLY the maybe slice pays the
+    exact co-partition anti-join exchange. Output is exactly the
+    anti-join — false positives just ride the slow path; none are
+    dropped.
+    """
+    from .join import equi_join
+
+    bloom_ref, _ = build_bloom(ref, id_col, m_bits, k)
+
+    class _Maybe:
+        def __init__(self):
+            b = ray.get(bloom_ref)
+            self.bits, self.m_bits, self.k = b["bits"], b["m_bits"], b["k"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+            pos = bloom_positions(ids, self.m_bits, self.k)
+            return batch.filter(pa.array(self.bits[pos].all(axis=1)))
+
+    sure_new = candidates.map_batches(
+        BloomFilterNew,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(bloom_ref, id_col),
+    )
+    maybe = candidates.map_batches(
+        _Maybe, batch_format="pyarrow", concurrency=concurrency
+    )
+    ref_keys = ref.select_columns([id_col])
+    verified_new = equi_join(maybe, ref_keys, on=id_col, how="anti")
+    cand_cols = [c for c in (candidates.schema().names or [])]
+    return sure_new.select_columns(cand_cols).union(
+        verified_new.select_columns(cand_cols)
+    )

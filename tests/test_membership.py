@@ -47,3 +47,19 @@ def test_no_false_negatives_and_bounded_false_positives():
 def test_build_rejects_bad_params():
     with pytest.raises(ValueError):
         build_bloom(None, "id", m_bits=1, k=0)
+
+
+def test_bloom_anti_join_is_exact_even_with_tiny_filter(sf_dir):
+    """m=64 saturates the filter — nearly everything rides the exact
+    path — and the result is still the exact anti-join."""
+    from pyrosar_ray.stages.membership import bloom_anti_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ref = docs.filter(lambda r: r["doc_id"] % 3 == 0).select_columns(["doc_id"])
+    out = bloom_anti_join(docs, ref, "doc_id", m_bits=64, k=2).to_pandas()
+    base = docs.to_pandas()
+    want = base[base["doc_id"] % 3 != 0].sort_values("doc_id", ignore_index=True)
+    got = out.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
