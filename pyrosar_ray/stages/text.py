@@ -613,3 +613,39 @@ def decontaminate(
         )
 
     return docs.map_batches(_flag, batch_format="pyarrow")
+
+
+def adaptive_token_filter(
+    docs: Dataset,
+    q: float = 0.5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-key adaptive quality cutoff: keep documents whose token count
+    reaches their OWN key's exact q-quantile (the corpus-curation move
+    that a single global threshold gets wrong when sources differ in
+    register). Two passes: the bounded-histogram keyed quantile
+    (:func:`token_count_quantiles_by`, keys x distinct-counts exchange),
+    then a broadcast cutoff map filters the stream — no shuffle of the
+    documents themselves.
+    """
+    cuts = token_count_quantiles_by(docs, [q], key_col=key_col, text_col=text_col)
+    cutoff = {k: int(v) for k, v in zip(cuts[key_col].to_pylist(), cuts["v"].to_pylist())}
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        n = (s.str.count(" ") + 1).astype("int64").to_numpy()
+        keys = batch[key_col].to_pylist()
+        lim = np.array([cutoff.get(k, 0) for k in keys], dtype=np.int64)
+        keep = n >= lim
+        out = pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                "n_tokens": pa.array(n),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return docs.map_batches(_filter, batch_format="pyarrow")

@@ -315,3 +315,22 @@ def test_new_ops_tolerate_empty_input():
     assert hash_sample(empty, 10).count() == 0
     assert group_cap(empty, cap=3).count() == 0
     assert top_tf_df_terms(empty, k=3).count() == 0
+
+
+def test_adaptive_token_filter_median_cutoff(sf_dir):
+    import ray
+    from pyrosar_ray.stages.text import adaptive_token_filter
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    out = adaptive_token_filter(docs, q=0.5).to_pandas()
+    base = docs.to_pandas()
+    base["n"] = base["text"].str.count(" ") + 1
+    for src, grp in base.groupby("source"):
+        v = np.sort(grp["n"].to_numpy())
+        cum_rank = max(1, int(np.ceil(0.5 * len(v))))
+        cut = v[cum_rank - 1]
+        want = set(grp.loc[grp["n"] >= cut, "doc_id"])
+        got = set(out.loc[out["source"] == src, "doc_id"])
+        assert got == want, src
