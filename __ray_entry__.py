@@ -23,7 +23,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from pyrosar_ray.derive import OSV_DURATION, OSV_SQL, POINTS_SQL, SCENES_SQL
+from pyrosar_ray.derive import (
+    OSV_DURATION,
+    OSV_SQL,
+    POINTS_SQL,
+    QUADS_SQL,
+    SCENES_SQL,
+)
 from pyrosar_ray.pipelines.tables import read_parquet_clean as _read_parquet
 
 _SCENES = f"WITH scenes AS ({SCENES_SQL})"
@@ -91,6 +97,22 @@ def q_spatial_join_hex(sf_dir: str):
 
     pairs = spatial_join_points(
         load_scenes(sf_dir), load_points(sf_dir), grid="hex", res=1
+    )
+    return pairs.select_columns(["scene_key", "point_id"])
+
+
+def q_spatial_join_poly(sf_dir: str):
+    """Point-in-POLYGON spatial join: scenes carry convex CCW quad
+    footprints (one vertex per bbox edge — the real-SAR acquisition
+    footprint shape, reference identify() corner coordinates), the
+    broadcast index is polyfilled (cover cells SAT-pruned against the
+    quad) and the refine is the exact 4-edge cross-product test. The
+    oracle runs the bit-identical IEEE predicate chain in SQL."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scene_quads
+    from pyrosar_ray.stages.spatial import spatial_join_points
+
+    pairs = spatial_join_points(
+        load_scene_quads(sf_dir), load_points(sf_dir), refine="quad"
     )
     return pairs.select_columns(["scene_key", "point_id"])
 
@@ -2013,10 +2035,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join": q_spatial_join,
         "spatial_join_s2": q_spatial_join_s2,
         "spatial_join_hex": q_spatial_join_hex,
+        "spatial_join_poly": q_spatial_join_poly,
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
-        "dem_srtm3": q_dem_srtm3,
         "audio_wav_meta": q_audio_wav_meta,
         "archive_select": q_archive_select,
         "video_mp4_meta": q_video_mp4_meta,
@@ -2047,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
         "db_convert": q_db_convert,
+        "dem_srtm3": q_dem_srtm3,
         "scene_seconds": q_scene_seconds,
         "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
@@ -2346,6 +2369,17 @@ def oracle_sql() -> dict[str, str]:
             FROM scenes s JOIN points p
               ON p.lon >= s.xmin AND p.lon < s.xmax
              AND p.lat >= s.ymin AND p.lat < s.ymax
+        """,
+        "spatial_join_poly": f"""
+            WITH quads AS ({QUADS_SQL}), points AS ({POINTS_SQL})
+            SELECT s.scene_key, p.point_id
+            FROM quads s JOIN points p
+              ON p.lon >= s.xmin AND p.lon < s.xmax
+             AND p.lat >= s.ymin AND p.lat < s.ymax
+             AND (s.qbx - s.qax) * (p.lat - s.qay) - (s.qby - s.qay) * (p.lon - s.qax) >= 0
+             AND (s.qcx - s.qbx) * (p.lat - s.qby) - (s.qcy - s.qby) * (p.lon - s.qbx) >= 0
+             AND (s.qdx - s.qcx) * (p.lat - s.qcy) - (s.qdy - s.qcy) * (p.lon - s.qcx) >= 0
+             AND (s.qax - s.qdx) * (p.lat - s.qdy) - (s.qay - s.qdy) * (p.lon - s.qdx) >= 0
         """,
         "tile_assign": f"""
             {_SCENES},

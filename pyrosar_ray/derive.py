@@ -191,6 +191,80 @@ def scene_blobs(keys: np.ndarray) -> pa.Table:
     )
 
 
+# ------------------------------------------------- quad footprints
+
+#: numerators are dyadic (÷16, ÷32) so corner fractions are exact doubles
+#: and the numpy / DuckDB renderings round identically.
+
+
+def quad_corners_from_keys(keys: np.ndarray) -> dict[str, np.ndarray]:
+    """Convex CCW quadrilateral footprint per scene key (vectorized).
+
+    Real SAR footprints are acquisition quads, not axis-aligned boxes
+    (reference identify() corner coordinates, e.g. drivers.py SAFE /
+    CEOS corner parses). The synthetic quad puts one vertex on each
+    edge of the scene bbox — edge direction vectors then fall in
+    quadrants I→II→III→IV in order, which forces left turns at every
+    vertex: the quad is convex and CCW **by construction** for any key.
+
+    SQL twin: QUADS_SQL. All formulas are integer arithmetic followed
+    by exact dyadic fractions and one fused chain of IEEE double ops
+    written identically on both sides:
+
+      w   = (100 + ident % 7 * 50) / 100.0     (= xmax - xmin exactly)
+      h   = (100 + ident % 5 * 50) / 100.0
+      qax = xmin + (ident % 11) / 16.0 * w ;  qay = ymin
+      qbx = xmin + w                       ;  qby = ymin + (ident % 13) / 16.0 * h
+      qcx = xmin + w - (ident % 17) / 32.0 * w ; qcy = ymin + h
+      qdx = xmin                           ;  qdy = ymin + h - (ident % 19) / 32.0 * h
+    """
+    k = np.asarray(keys, dtype=np.int64)
+    ident = np.where(k % 10 == 9, k - 1, k)
+    xmin = (ident * 9973 % 33000) / 100.0 - 170.0
+    ymin = (ident * 7919 % 13000) / 100.0 - 70.0
+    w = (100 + ident % 7 * 50) / 100.0
+    h = (100 + ident % 5 * 50) / 100.0
+    return {
+        "qax": xmin + (ident % 11) / 16.0 * w,
+        "qay": ymin,
+        "qbx": xmin + w,
+        "qby": ymin + (ident % 13) / 16.0 * h,
+        "qcx": xmin + w - (ident % 17) / 32.0 * w,
+        "qcy": ymin + h,
+        "qdx": xmin,
+        "qdy": ymin + h - (ident % 19) / 32.0 * h,
+    }
+
+
+QUADS_SQL = """
+    SELECT
+        scene_key,
+        xmin, ymin, xmin + w AS xmax, ymin + h AS ymax,
+        xmin + (ident % 11) / 16.0 * w AS qax,
+        ymin AS qay,
+        xmin + w AS qbx,
+        ymin + (ident % 13) / 16.0 * h AS qby,
+        xmin + w - (ident % 17) / 32.0 * w AS qcx,
+        ymin + h AS qcy,
+        xmin AS qdx,
+        ymin + h - (ident % 19) / 32.0 * h AS qdy
+    FROM (
+        SELECT
+            o_orderkey AS scene_key,
+            ident,
+            (ident * 9973 % 33000) / 100.0 - 170.0 AS xmin,
+            (ident * 7919 % 13000) / 100.0 - 70.0 AS ymin,
+            (100 + ident % 7 * 50) / 100.0 AS w,
+            (100 + ident % 5 * 50) / 100.0 AS h
+        FROM (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 9 THEN o_orderkey - 1 ELSE o_orderkey END AS ident
+            FROM orders
+        )
+    )
+"""
+
+
 # ------------------------------------------------------------- points
 
 

@@ -203,6 +203,49 @@ def boxes_intersect_convex(
     return keep
 
 
+def boxes_intersect_quads(
+    qx: np.ndarray,
+    qy: np.ndarray,
+    xmin: np.ndarray,
+    ymin: np.ndarray,
+    xmax: np.ndarray,
+    ymax: np.ndarray,
+) -> np.ndarray:
+    """Pairwise exact intersects of M boxes vs M convex quads (SAT).
+
+    ``qx``/``qy`` are (M, 4) vertex arrays (each row one CCW quad);
+    box i is tested against quad i. Full separating-axis test — box
+    axes reduce to bbox-interval overlap against the quad's bounds,
+    the quad's 4 edge normals are tested with box support points
+    selected by normal sign. Fixed 4-edge loop of O(M) numpy ops, no
+    per-pair Python. Touch counts as intersect (superset-cover use)."""
+    qx = np.asarray(qx, dtype=np.float64)
+    qy = np.asarray(qy, dtype=np.float64)
+    keep = (
+        (xmin <= qx.max(axis=1))
+        & (xmax >= qx.min(axis=1))
+        & (ymin <= qy.max(axis=1))
+        & (ymax >= qy.min(axis=1))
+    )
+    for e in range(4):
+        if not keep.any():
+            break
+        ex = qx[:, (e + 1) % 4] - qx[:, e]
+        ey = qy[:, (e + 1) % 4] - qy[:, e]
+        nx, ny = -ey, ex
+        proj = nx[:, None] * qx + ny[:, None] * qy  # (M, 4)
+        pmin = proj.min(axis=1)
+        pmax = proj.max(axis=1)
+        bx_lo = np.where(nx >= 0, xmin, xmax)
+        bx_hi = np.where(nx >= 0, xmax, xmin)
+        by_lo = np.where(ny >= 0, ymin, ymax)
+        by_hi = np.where(ny >= 0, ymax, ymin)
+        lo = nx * bx_lo + ny * by_lo
+        hi = nx * bx_hi + ny * by_hi
+        keep &= ~((hi < pmin) | (pmax < lo))
+    return keep
+
+
 def bbox_intersects(
     axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
 ) -> np.ndarray:

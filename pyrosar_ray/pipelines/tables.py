@@ -16,7 +16,11 @@ import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 
-from ..derive import points_from_lineitem, scenes_from_orders
+from ..derive import (
+    points_from_lineitem,
+    quad_corners_from_keys,
+    scenes_from_orders,
+)
 
 
 def _strip_block_metadata(block: pa.Table) -> pa.Table:
@@ -73,6 +77,25 @@ def load_scenes(sf_dir: str) -> Dataset:
 
     def _derive(batch: pa.Table) -> pa.Table:
         return scenes_from_orders(batch["o_orderkey"].to_numpy())
+
+    return ds.map_batches(_derive, batch_format="pyarrow")
+
+
+def load_scene_quads(sf_dir: str) -> Dataset:
+    """Scene catalog with convex CCW quad footprint corners appended.
+
+    The quad model mirrors real SAR acquisition footprints (corner
+    coordinates from identify(), reference drivers.py) — not
+    axis-aligned; the point-in-polygon join path consumes these.
+    """
+    ds = load_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        out = scenes_from_orders(keys)
+        for name, arr in quad_corners_from_keys(keys).items():
+            out = out.append_column(name, pa.array(arr))
+        return out
 
     return ds.map_batches(_derive, batch_format="pyarrow")
 

@@ -156,9 +156,16 @@ def spatial_join_points(
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
     strategy: str = "broadcast",
     grid: str = "flat",
+    refine: str = "bbox",
 ) -> Dataset:
     """Inner spatial join: (scene, point) pairs where the point falls in
-    the scene bbox. Output columns = scene_cols + point_cols.
+    the scene footprint. Output columns = scene_cols + point_cols.
+
+    ``refine='bbox'`` (default) tests the half-open bbox;
+    ``refine='quad'`` additionally requires the point inside the
+    scene's convex CCW quad footprint (columns qax..qdy on the scene
+    side — point-in-polygon, the real-SAR-footprint path; broadcast
+    strategy only).
 
     ``strategy='broadcast'`` (default): the scene catalog is the SMALL
     side (SAR catalogs are ~10^5-10^6 rows vs 10^12 image rows); its
@@ -177,7 +184,10 @@ def spatial_join_points(
             scene_cols=scene_cols,
             point_cols=point_cols,
             grid=grid,
+            refine=refine,
         )
+    if refine != "bbox":
+        raise ValueError("refine='quad' is implemented for the broadcast plan")
     if num_partitions is None:
         num_partitions = auto_num_partitions(scenes, points)
     return partitioned_spatial_join(
@@ -320,11 +330,40 @@ def partitioned_spatial_join(
     )
 
 
-def build_scene_index(tab: pa.Table, res: int, emit_cols, grid: str = "flat") -> dict:
+_QUAD_COLS = ("qax", "qay", "qbx", "qby", "qcx", "qcy", "qdx", "qdy")
+
+
+def _cell_boxes(cells: np.ndarray, res: int, grid: str):
+    """Conservative per-cell bounding boxes for polyfill pruning.
+
+    flat: exact cell bounds; hex: center ± circumradius (contains the
+    hex, so pruning on it never under-covers); other grids: None (no
+    pruning — the cover stays the bbox superset)."""
+    if grid == "flat":
+        from ..functions.cells import cell_bounds
+
+        return cell_bounds(cells)
+    if grid == "hex":
+        from ..functions.hexgrid import cell_center, circumradius
+
+        cx, cy = cell_center(cells)
+        r = circumradius(res)
+        return cx - r, cy - r, cx + r, cy + r
+    return None
+
+
+def build_scene_index(
+    tab: pa.Table, res: int, emit_cols, grid: str = "flat", quad: bool = False
+) -> dict:
     """Cell→scenes lookup structure, built ONCE driver-side and broadcast.
 
     Numeric arrays ship zero-copy through the object store; actors only
-    ``ray.get`` — no per-actor rebuild of the cover expansion/sort."""
+    ``ray.get`` — no per-actor rebuild of the cover expansion/sort.
+
+    ``quad=True`` stores the convex-footprint corner arrays and
+    *polyfills*: cover cells whose box provably misses the quad are
+    pruned (SAT, H3 polygonToCells-style) so skinny diagonal footprints
+    don't inflate the index with never-matching cells."""
     _, cover_fn = _grid_fns(grid)
     row_idx, cells = cover_fn(
         tab["xmin"].to_numpy(),
@@ -333,6 +372,15 @@ def build_scene_index(tab: pa.Table, res: int, emit_cols, grid: str = "flat") ->
         tab["ymax"].to_numpy(),
         res,
     )
+    if quad and len(cells):
+        boxes = _cell_boxes(cells, res, grid)
+        if boxes is not None:
+            from ..functions.geometry import boxes_intersect_quads
+
+            qx = np.stack([tab[c].to_numpy() for c in ("qax", "qbx", "qcx", "qdx")], axis=1)
+            qy = np.stack([tab[c].to_numpy() for c in ("qay", "qby", "qcy", "qdy")], axis=1)
+            m = boxes_intersect_quads(qx[row_idx], qy[row_idx], *boxes)
+            row_idx, cells = row_idx[m], cells[m]
     order = np.argsort(cells)
     cells_sorted = cells[order]
     # diff-based unique over the already-sorted array (skips a second sort)
@@ -356,6 +404,9 @@ def build_scene_index(tab: pa.Table, res: int, emit_cols, grid: str = "flat") ->
         "sxmax": tab["xmax"].to_numpy(),
         "symax": tab["ymax"].to_numpy(),
         "emit": tab.select(list(emit_cols)),
+        **(
+            {c: tab[c].to_numpy() for c in _QUAD_COLS} if quad else {}
+        ),
     }
 
 
@@ -391,6 +442,10 @@ class SceneCellIndex:
                 ],
                 axis=1,
             )  # (n_scenes, 4, 2)
+        elif refine == "quad":
+            # explicit convex CCW footprint corners (quad=True index)
+            self.qx = np.stack([self.qax, self.qbx, self.qcx, self.qdx], axis=1)
+            self.qy = np.stack([self.qay, self.qby, self.qcy, self.qdy], axis=1)
 
     def _pip_mask(self, scene_idx: np.ndarray, pl: np.ndarray, pt: np.ndarray):
         """Vectorized point-in-convex-CCW-ring test for candidate pairs."""
@@ -401,6 +456,16 @@ class SceneCellIndex:
         by = np.roll(ay, -1, axis=1)
         cross = (bx - ax) * (pt[:, None] - ay) - (by - ay) * (pl[:, None] - ax)
         return (cross >= -1e-12).all(axis=1)
+
+    def _quad_mask(self, scene_idx: np.ndarray, pl: np.ndarray, pt: np.ndarray):
+        """EXACT point-in-convex-CCW-quad test (bit-identical to the SQL
+        twin: same IEEE sub/mul chain per edge, strict ``>= 0``)."""
+        ax = self.qx[scene_idx]  # (m, 4)
+        ay = self.qy[scene_idx]
+        bx = np.roll(ax, -1, axis=1)
+        by = np.roll(ay, -1, axis=1)
+        cross = (bx - ax) * (pt[:, None] - ay) - (by - ay) * (pl[:, None] - ax)
+        return (cross >= 0.0).all(axis=1)
 
     def _empty(self, batch: pa.Table) -> pa.Table:
         cols = {c: self.emit[c].slice(0, 0) for c in self.scene_cols}
@@ -438,6 +503,8 @@ class SceneCellIndex:
         )
         if self.refine == "polygon":
             keep &= self._pip_mask(scene_idx, pl, pt)
+        elif self.refine == "quad":
+            keep &= self._quad_mask(scene_idx, pl, pt)
         scene_idx = scene_idx[keep]
         point_rep = point_rep[keep]
         staken = self.emit.take(pa.array(scene_idx))
@@ -471,6 +538,7 @@ def broadcast_spatial_join(
     concurrency: tuple[int, int] = (1, 8),
     batch_size: int = 32768,
     grid: str = "flat",
+    refine: str = "bbox",
 ) -> Dataset:
     """Shuffle-free spatial join: broadcast scene index, stream points.
 
@@ -486,16 +554,21 @@ def broadcast_spatial_join(
     runs get much larger per-call arrays and allocator behavior —
     therefore throughput — would depend on cluster size).
     """
-    need = sorted(set(scene_cols) | {"xmin", "ymin", "xmax", "ymax"})
+    quad = refine == "quad"
+    need = sorted(
+        set(scene_cols)
+        | {"xmin", "ymin", "xmax", "ymax"}
+        | (set(_QUAD_COLS) if quad else set())
+    )
     stab = materialize_small_side(scenes, need)
-    index = build_scene_index(stab, res, scene_cols, grid=grid)
+    index = build_scene_index(stab, res, scene_cols, grid=grid, quad=quad)
     ref = ray.put(index)
     return points.select_columns(list(point_cols)).map_batches(
         SceneCellIndex,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
-        fn_constructor_args=(ref, tuple(scene_cols), tuple(point_cols)),
+        fn_constructor_args=(ref, tuple(scene_cols), tuple(point_cols), refine),
     )
 
 
