@@ -963,6 +963,17 @@ def q_doc_hll(sf_dir: str):
     return hll_registers(docs, b=8)
 
 
+def q_doc_cms(sf_dir: str):
+    """Count-min sketch of corpus token frequencies (depth 4, width
+    1024): per-batch weighted partial folds merged by a fixed-size
+    groupby Sum — the approximate heavy-hitter dual of the exact
+    term-topk plan. Integer-exact, twinned in SQL."""
+    from pyrosar_ray.stages.sketch import cms_counters
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cms_counters(docs, depth=4, lw=10)
+
+
 def q_doc_bloom_new(sf_dir: str):
     """Bloom-membership prefilter: documents provably NOT in the
     (vec_id % 3 == 0) embedding reference set. m=512/k=2 is chosen
@@ -2070,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- correctness window (proven in r1/r2 or rows-only by design)
         "db_convert": q_db_convert,
         "dem_srtm3": q_dem_srtm3,
+        "doc_cms": q_doc_cms,
         "scene_seconds": q_scene_seconds,
         "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
@@ -2209,6 +2221,41 @@ def _hll_sql(b: int = 8) -> str:
                             THEN {width} - length(bin(rem)) + 1
                             ELSE {width + 1} END)::BIGINT AS rho
             FROM reg GROUP BY bucket
+        """
+
+
+def _cms_sql(depth: int = 4, lw: int = 10) -> str:
+    """DuckDB twin of ``stages.sketch.cms_counters``: same FNV-1a 32-bit
+    token hash as the HLL twin, multiply-shift per sketch row with the
+    public odd constants, mod-2^32 HUGEINT arithmetic — counter table
+    matches the numpy plan bit-for-bit."""
+    from pyrosar_ray.stages.sketch import CMS_ODD
+
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(16):
+        byte = (
+            f"(CASE WHEN length(tok) > {j} "
+            f"THEN CAST(ascii(tok[{j + 1}]) AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        h = f"((xor({h}, {byte}) * 1099511628211) % {m64})"
+    rows = ", ".join(f"({d}, {CMS_ODD[d]})" for d in range(depth))
+    div = 1 << (32 - lw)
+    return f"""
+            WITH tl AS (
+              SELECT str_split(text, ' ') AS l FROM documents
+            ), toks AS (
+              SELECT unnest(l) AS tok FROM tl
+            ), h32 AS (
+              SELECT xor(h // 4294967296, h % 4294967296) AS h
+              FROM (SELECT {h} AS h FROM toks)
+            ), rows(d, a) AS (VALUES {rows})
+            SELECT r.d::BIGINT AS d,
+                   ((h32.h * r.a) % 4294967296 // {div})::BIGINT AS pos,
+                   COUNT(*)::BIGINT AS cnt
+            FROM h32 CROSS JOIN rows r
+            GROUP BY 1, 2
         """
 
 
@@ -2761,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
         "doc_hll": _hll_sql(),
+        "doc_cms": _cms_sql(),
         "doc_top_tfidf": """
             WITH toks AS (
                 SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents

@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketch: HyperLogLog registers over token hashes.
+"""Mergeable sketches: HyperLogLog registers + count-min counters.
 
 The distributed distinct-count primitive (Flajolet et al. 2007): each
 batch folds its tokens into 2^b max-of-rank registers; registers merge
@@ -84,6 +84,91 @@ def hll_registers(
 
     partials = docs.map_batches(_partial, batch_format="pyarrow")
     return partials.groupby("bucket").aggregate(Max("rho", alias_name="rho"))
+
+
+#: odd multiply-shift row constants (public xxhash/Knuth primes)
+CMS_ODD = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def cms_counters(
+    docs: Dataset, depth: int = 4, lw: int = 10, text_col: str = "text"
+) -> Dataset:
+    """Count-min sketch of corpus token frequencies (Cormode-Muthukrishnan).
+
+    Counter[d][pos] = total occurrences of tokens whose row-``d``
+    multiply-shift hash lands on ``pos``; rows merge by elementwise sum,
+    so the exchange is a fixed ``depth * 2^lw``-row groupby Sum
+    regardless of vocabulary — the approximate dual of the exact
+    term-frequency plan (stages/text.py term_topk). Per batch, distinct
+    tokens are hashed once and weighted by their in-batch counts.
+
+    Everything that crosses the wire is INTEGER (the engine-standard
+    FNV-1a 32-bit token hash times public odd constants, mod 2^32,
+    shifted), so the DuckDB twin reproduces the counter table
+    bit-for-bit. Output rows: ``(d, pos, cnt)`` for non-empty counters.
+    """
+    if not 1 <= depth <= len(CMS_ODD):
+        raise ValueError(f"depth must be in [1, {len(CMS_ODD)}]")
+    if not 1 <= lw <= 20:
+        raise ValueError("lw (log2 width) must be in [1, 20]")
+    shift = np.uint64(32 - lw)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        counts = s.str.split(" ").explode().dropna().value_counts()
+        if not len(counts):
+            e = pa.array([], type=pa.int64())
+            return pa.table({"d": e, "pos": e, "cnt": e})
+        h = _token_hash32(pd.Series(counts.index))
+        cnt = counts.to_numpy()
+        frames = []
+        for d in range(depth):
+            pos = ((h * np.uint64(CMS_ODD[d])) & _M32) >> shift
+            frames.append(
+                pd.DataFrame(
+                    {"d": d, "pos": pos.astype(np.int64), "cnt": cnt}
+                )
+            )
+        part = (
+            pd.concat(frames)
+            .groupby(["d", "pos"], sort=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "d": pa.array(part["d"].to_numpy(), type=pa.int64()),
+                "pos": pa.array(part["pos"].to_numpy()),
+                "cnt": pa.array(part["cnt"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = docs.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby(["d", "pos"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def cms_query(counters: pd.DataFrame, tokens: list[str], depth: int = 4, lw: int = 10):
+    """Driver epilogue: point-estimate token counts = min over the
+    ``depth`` counters each token hashes to (never under-estimates)."""
+    shift = np.uint64(32 - lw)
+    table = {}
+    for d, pos, cnt in zip(counters["d"], counters["pos"], counters["cnt"]):
+        table[(int(d), int(pos))] = int(cnt)
+    h = _token_hash32(pd.Series(tokens))
+    out = []
+    for i in range(len(tokens)):
+        est = min(
+            table.get(
+                (d, int(((h[i] * np.uint64(CMS_ODD[d])) & _M32) >> shift)), 0
+            )
+            for d in range(depth)
+        )
+        out.append(est)
+    return np.asarray(out, dtype=np.int64)
 
 
 def hll_estimate(registers: pd.DataFrame, b: int = 8) -> float:

@@ -63,3 +63,36 @@ def test_hll_registers_pipeline(sf_dir):
 def test_hll_registers_rejects_bad_b():
     with pytest.raises(ValueError):
         hll_registers(None, b=0)
+
+
+def test_cms_counters_pipeline_and_query(sf_dir):
+    from pyrosar_ray.stages.sketch import cms_counters, cms_query
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    tab = cms_counters(docs, depth=4, lw=10).to_pandas()
+    assert set(tab.columns) == {"d", "pos", "cnt"}
+    assert (tab["d"] >= 0).all() and (tab["d"] < 4).all()
+    assert (tab["pos"] >= 0).all() and (tab["pos"] < 1024).all()
+    assert not tab.duplicated(["d", "pos"]).any()
+    # every sketch row preserves total mass
+    totals = tab.groupby("d")["cnt"].sum()
+    assert totals.nunique() == 1
+    # point estimates never under-count: compare vs exact counts
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])["text"]
+    exact = texts.str.split(" ").explode().dropna().value_counts()
+    toks = list(exact.index[:20])
+    est = cms_query(tab, toks, depth=4, lw=10)
+    for t, e in zip(toks, est):
+        assert e >= exact[t]
+    # unseen token estimates stay below the heaviest true count
+    ghost = cms_query(tab, ["zzz-unseen-token"], depth=4, lw=10)
+    assert ghost[0] <= int(exact.max())
+
+
+def test_cms_counters_rejects_bad_params():
+    from pyrosar_ray.stages.sketch import cms_counters
+
+    with pytest.raises(ValueError):
+        cms_counters(None, depth=0)
+    with pytest.raises(ValueError):
+        cms_counters(None, lw=0)
