@@ -963,6 +963,18 @@ def q_doc_hll(sf_dir: str):
     return hll_registers(docs, b=8)
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact duplicated 5-gram span statistics per doc (Lee et al. 2021
+    exact-substring dedup, hash-groupby rendering): one (gram, doc)
+    exchange co-partitioned on the gram hash, vectorized in-partition
+    dup counting, left-join stitch of totals. Integer-exact — the SQL
+    twin reproduces total/distinct/dup gram counts bit-for-bit."""
+    from pyrosar_ray.stages.dedup_text import dup_ngram_stats
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_ngram_stats(docs, k=5)
+
+
 def q_doc_cms(sf_dir: str):
     """Count-min sketch of corpus token frequencies (depth 4, width
     1024): per-batch weighted partial folds merged by a fixed-size
@@ -2082,6 +2094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "db_convert": q_db_convert,
         "dem_srtm3": q_dem_srtm3,
         "doc_cms": q_doc_cms,
+        "doc_dup_spans": q_doc_dup_spans,
         "scene_seconds": q_scene_seconds,
         "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
@@ -2221,6 +2234,55 @@ def _hll_sql(b: int = 8) -> str:
                             THEN {width} - length(bin(rem)) + 1
                             ELSE {width + 1} END)::BIGINT AS rho
             FROM reg GROUP BY bucket
+        """
+
+
+def _dup_ngram_sql(k: int = 5) -> str:
+    """DuckDB twin of ``stages.dedup_text.dup_ngram_stats``: same FNV-1a
+    token hash, same Horner base-1000003 mod-2^64 k-gram mix (lead()
+    over token position), dup = gram in >= 2 distinct docs."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(16):
+        byte = (
+            f"(CASE WHEN length(tok) > {j} "
+            f"THEN CAST(ascii(tok[{j + 1}]) AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        h = f"((xor({h}, {byte}) * 1099511628211) % {m64})"
+    g = "th"
+    for j in range(1, k):
+        g = f"(({g} * 1000003 + lead(th, {j}) OVER w) % {m64})"
+    return f"""
+            WITH tl AS (
+              SELECT doc_id, str_split(text, ' ') AS l FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(range(len(l)))::BIGINT AS i, unnest(l) AS tok
+              FROM tl
+            ), hashed AS (
+              SELECT doc_id, i, {h} AS th FROM toks
+            ), grams AS (
+              SELECT doc_id, {g} AS g,
+                     lead(th, {k - 1}) OVER w IS NOT NULL AS ok
+              FROM hashed
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ), valid AS (
+              SELECT doc_id, g FROM grams WHERE ok
+            ), tot AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS total_grams,
+                     COUNT(DISTINCT g)::BIGINT AS distinct_grams
+              FROM valid GROUP BY doc_id
+            ), dg AS (
+              SELECT DISTINCT doc_id, g FROM valid
+            ), dupg AS (
+              SELECT g FROM dg GROUP BY g HAVING COUNT(*) >= 2
+            ), dd AS (
+              SELECT dg.doc_id, COUNT(*)::BIGINT AS dup_grams
+              FROM dg JOIN dupg USING (g) GROUP BY dg.doc_id
+            )
+            SELECT t.doc_id, t.total_grams, t.distinct_grams,
+                   COALESCE(dd.dup_grams, 0)::BIGINT AS dup_grams
+            FROM tot t LEFT JOIN dd USING (doc_id)
         """
 
 
@@ -2809,6 +2871,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_pairs": _minhash_sql(),
         "doc_hll": _hll_sql(),
         "doc_cms": _cms_sql(),
+        "doc_dup_spans": _dup_ngram_sql(),
         "doc_top_tfidf": """
             WITH toks AS (
                 SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents

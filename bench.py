@@ -27,6 +27,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = (
     "spatial_join",
     "spatial_join_s2",
+    "spatial_join_hex",
+    "spatial_join_poly",
     "spatial_knn",
     "spatial_knn_rtree",
     "tile_assign",

@@ -676,3 +676,115 @@ def dup_clusters(
     blocks = [t for t in ray.get(pairs_ds.to_arrow_refs()) if len(t)]
     out = connected_components(pa.concat_tables(blocks).to_pandas())
     return _ray_from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# ------------------------------------------------- exact duplicated spans
+
+
+def dup_ngram_stats(
+    docs: Dataset,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Exact duplicated k-gram span statistics per document.
+
+    The hash-groupby rendering of exact substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021 — there
+    via suffix arrays; the distributed-scalable variant exchanges
+    (gram-hash, doc) pairs instead): a k-gram counts as duplicated when
+    it occurs in >= 2 distinct documents. Output per document (only
+    documents with at least one valid k-gram, i.e. >= k tokens):
+
+        total_grams     all k-gram positions (with multiplicity)
+        distinct_grams  distinct k-gram hashes in the doc
+        dup_grams       distinct k-grams shared with another doc
+
+    Plan: one map_batches emits per-doc DISTINCT (gram, doc) pairs (the
+    per-doc dedup bounds the exchange by distinct grams, not positions);
+    the pairs co-partition on a Fibonacci hash of the gram so each gram
+    lives wholly in one partition, and in-partition dup counting is one
+    vectorized pandas pass (no per-gram groups); bounded per-doc partials
+    merge in a doc-sized groupby Sum; a left equi-join stitches totals.
+    Gram hashes are the minhash shingle mix (FNV-1a token hashes, Horner
+    base 1000003, uint64 wrap) so the SQL twin matches bit-for-bit.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from .join import equi_join
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].to_pylist()
+        out_ids, out_g, out_tot = [], [], []
+        for i, t in enumerate(texts):
+            th = _token_hashes(t or "")
+            if len(th) < k:
+                continue
+            n = len(th) - k + 1
+            with np.errstate(over="ignore"):
+                mix = th[:n].copy()
+                for j in range(1, k):
+                    mix = mix * _MIX + th[j : n + j]
+            uniq = np.unique(mix)
+            out_ids.append(np.full(len(uniq), ids[i], dtype=np.int64))
+            out_g.append(uniq.view(np.int64))
+            out_tot.append(np.full(len(uniq), n, dtype=np.int64))
+        if not out_ids:
+            e = pa.array([], type=pa.int64())
+            return pa.table({id_col: e, "g": e, "tot": e})
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids)),
+                "g": pa.array(np.concatenate(out_g)),
+                "tot": pa.array(np.concatenate(out_tot)),
+            }
+        )
+
+    pairs = docs.map_batches(_grams, batch_format="pyarrow")
+    totals = pairs.groupby(id_col).aggregate(
+        Max("tot", alias_name="total_grams"),
+        Count(alias_name="distinct_grams"),
+    )
+
+    fib = np.uint64(0x9E3779B97F4A7C15)
+    nparts = int(num_partitions)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        g = batch["g"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            gp = ((g * fib) >> np.uint64(40)).astype(np.int64) % nparts
+        return batch.append_column("_gp", pa.array(gp))
+
+    def _dups(group: pd.DataFrame) -> pd.DataFrame:
+        sizes = group.groupby("g")["g"].transform("size")
+        hit = group.loc[sizes >= 2]
+        if not len(hit):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "dup_grams": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = hit.groupby(id_col).size().reset_index(name="dup_grams")
+        return out.astype({id_col: np.int64, "dup_grams": np.int64})
+
+    dup = (
+        pairs.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_gp")
+        .map_groups(_dups, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Sum("dup_grams", alias_name="dup_grams"))
+    )
+
+    joined = equi_join(totals, dup, on=id_col, how="left")
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        col = batch["dup_grams"].combine_chunks().cast(pa.int64())
+        filled = pa.compute.fill_null(col, 0)
+        return batch.set_column(
+            batch.schema.get_field_index("dup_grams"), "dup_grams", filled
+        )
+
+    return joined.map_batches(_fill, batch_format="pyarrow")

@@ -334,3 +334,67 @@ def test_adaptive_token_filter_median_cutoff(sf_dir):
         want = set(grp.loc[grp["n"] >= cut, "doc_id"])
         got = set(out.loc[out["source"] == src, "doc_id"])
         assert got == want, src
+
+
+def test_dup_ngram_stats_golden(sf_dir):
+    """Known corpus: shared 3-gram spans counted exactly."""
+    import pyarrow as pa
+    import ray
+
+    from pyrosar_ray.stages.dedup_text import dup_ngram_stats
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps",   # grams: tqb qbf bfj
+                        "a quick brown fox runs",      # grams: aqb qbf bfr
+                        "nothing in common here now",
+                        "xy",                          # < k tokens: excluded
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        dup_ngram_stats(docs, k=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert list(out["total_grams"]) == [3, 3, 3]
+    assert list(out["distinct_grams"]) == [3, 3, 3]
+    # "quick brown fox" is the one shared 3-gram between docs 1 and 2
+    assert list(out["dup_grams"]) == [1, 1, 0]
+
+
+def test_dup_ngram_stats_repeated_gram_multiplicity(sf_dir):
+    import pyarrow as pa
+    import ray
+
+    from pyrosar_ray.stages.dedup_text import dup_ngram_stats
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "go go go go",  # 3-grams: (go go go) x2 -> 1 distinct
+                        "go go go stop",
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        dup_ngram_stats(docs, k=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # doc 1: total 2 positions, 1 distinct, and it is shared with doc 2
+    assert list(out["total_grams"]) == [2, 2]
+    assert list(out["distinct_grams"]) == [1, 2]
+    assert list(out["dup_grams"]) == [1, 1]
