@@ -975,6 +975,18 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_ngram_stats(docs, k=5)
 
 
+def q_embed_semdedup(sf_dir: str):
+    """SemDeDup: integer-exact coarse-cell assignment (the IVF
+    quantizer), then per-cell cosine near-dup removal keeping the
+    smallest vec_id — one cell-keyed exchange, quadratic work confined
+    to a cell. Twin: same cells CTE as the IVF oracle + correlated
+    same-cell EXISTS over DuckDB's cosine."""
+    from pyrosar_ray.stages.ann import semdedup
+
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semdedup(emb, threshold=0.2, ncells=16)
+
+
 def q_doc_cms(sf_dir: str):
     """Count-min sketch of corpus token frequencies (depth 4, width
     1024): per-batch weighted partial folds merged by a fixed-size
@@ -2095,6 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_srtm3": q_dem_srtm3,
         "doc_cms": q_doc_cms,
         "doc_dup_spans": q_doc_dup_spans,
+        "embed_semdedup": q_embed_semdedup,
         "scene_seconds": q_scene_seconds,
         "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
@@ -2234,6 +2247,45 @@ def _hll_sql(b: int = 8) -> str:
                             THEN {width} - length(bin(rem)) + 1
                             ELSE {width + 1} END)::BIGINT AS rho
             FROM reg GROUP BY bucket
+        """
+
+
+def _semdedup_sql(threshold: float = 0.2, ncells: int = 16) -> str:
+    """DuckDB twin of ``stages.ann.semdedup``: identical integer cell
+    assignment (the _ivf_sql cells CTE), kept = no same-cell smaller-id
+    vector with cosine >= threshold."""
+    from pyrosar_ray.stages.ann import ivf_centroids
+
+    cents = ivf_centroids(ncells, 64, seed=7)
+    rows = ",\n".join(
+        f"({cell}, [{', '.join(str(v) for v in cv)}]::DOUBLE[])"
+        for cell, cv in enumerate(cents)
+    )
+    return f"""
+        WITH cent(cell, cv) AS (VALUES {rows}),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ee,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * 1000000 + 0.5)) AS qe
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.qe, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM e, cent c
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id, ca.cell::BIGINT AS cell,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM e b JOIN cells cb ON b.vec_id = cb.vec_id
+                   WHERE cb.cell = ca.cell AND b.vec_id < a.vec_id
+                     AND list_cosine_similarity(a.ee, b.ee) >= {threshold}
+               ) THEN 0 ELSE 1 END::BIGINT AS kept
+        FROM e a JOIN cells ca ON a.vec_id = ca.vec_id
         """
 
 
@@ -2872,6 +2924,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hll": _hll_sql(),
         "doc_cms": _cms_sql(),
         "doc_dup_spans": _dup_ngram_sql(),
+        "embed_semdedup": _semdedup_sql(),
         "doc_top_tfidf": """
             WITH toks AS (
                 SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents

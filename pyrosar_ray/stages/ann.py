@@ -383,3 +383,61 @@ def ivf_topk(
         return group[["query_id", "neighbor_id", "rank"]]
 
     return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
+# ----------------------------------------------------------- SemDeDup
+
+
+def semdedup(
+    corpus: Dataset,
+    threshold: float = 0.2,
+    ncells: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 7,
+) -> Dataset:
+    """Cluster-partitioned semantic dedup (SemDeDup, Abbas et al. 2023).
+
+    Embeddings are assigned to their argmax-inner-product coarse cell
+    (the deterministic integer quantizer of :func:`ivf_topk`, ties →
+    lowest cell), then each cell independently drops every vector that
+    has a same-cell neighbor with smaller id and cosine ≥ ``threshold``
+    — the paper's "keep one representative per semantic cluster" rule
+    with a deterministic representative. Output rows:
+    ``(vec_id, cell, kept)``.
+
+    Scale shape: the only exchange is the groupby on the cell id; the
+    quadratic cosine pass is confined to one cell (SemDeDup's cost
+    model — ``ncells`` grows with the corpus so cells stay bounded),
+    and each cell is one vectorized matmul, not per-pair Python.
+    """
+    state = {}
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("cell", pa.array([], type=pa.int64()))
+        emb = quantize_embeddings(_stack_embeddings(batch, emb_col))
+        if "cents" not in state:
+            state["cents"] = ivf_centroids(ncells, emb.shape[1], seed=seed)
+        cells = np.argmax(emb @ state["cents"].T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells))
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(id_col, ignore_index=True)
+        mat = _normalize(np.stack(group[emb_col].to_numpy()))
+        sims = mat @ mat.T
+        dup = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].to_numpy().astype(np.int64),
+                "cell": group["cell"].to_numpy().astype(np.int64),
+                "kept": (~dup).astype(np.int64),
+            }
+        )
+
+    return (
+        corpus.select_columns([id_col, emb_col])
+        .map_batches(_assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(_dedup, batch_format="pandas")
+    )

@@ -221,3 +221,55 @@ def test_ivf_topk_exact_vs_scalar(ray_session):
     assert got == expect
     assert (out.groupby("query_id")["rank"].apply(lambda r: sorted(r.tolist()))
             .apply(lambda r: r == list(range(1, len(r) + 1))).all())
+
+
+def test_semdedup_rule_small():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyrosar_ray.stages.ann import semdedup
+
+    # vec 1 and 2 nearly identical; 3 orthogonal-ish; 4 = -1 direction
+    base = np.zeros(64); base[0] = 1.0
+    v2 = base.copy(); v2[1] = 0.05
+    v3 = np.zeros(64); v3[1] = 1.0
+    v4 = -base
+    tab = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "embedding": pa.array([list(v) for v in (base, v2, v3, v4)],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        semdedup(ray.data.from_arrow(tab), threshold=0.9, ncells=8)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    kept = dict(zip(out["vec_id"], out["kept"]))
+    assert kept[1] == 1          # smallest id always kept
+    # v2 is a near-dup of v1 — dropped only if they share a cell
+    same_cell = (
+        out.set_index("vec_id").loc[1, "cell"]
+        == out.set_index("vec_id").loc[2, "cell"]
+    )
+    assert kept[2] == (0 if same_cell else 1)
+    assert kept[3] == 1 and kept[4] == 1  # dissimilar vectors survive
+
+
+def test_semdedup_corpus_counts(sf_dir):
+    import ray
+
+    from pyrosar_ray.stages.ann import semdedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semdedup(emb, threshold=0.2, ncells=16).to_pandas()
+    n = len(out)
+    assert out["vec_id"].is_unique
+    assert set(out["kept"].unique()) <= {0, 1}
+    # per-cell smallest id is always kept
+    first = out.sort_values("vec_id").groupby("cell").first()
+    assert (first["kept"] == 1).all()
