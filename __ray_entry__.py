@@ -987,6 +987,17 @@ def q_embed_semdedup(sf_dir: str):
     return semdedup(emb, threshold=0.2, ncells=16)
 
 
+def q_embed_gram(sf_dir: str):
+    """Distributed Gram matrix of quantized embeddings (the PCA first
+    pass): per-batch integer Q^T Q folds merged by a fixed d^2-row
+    groupby Sum — dimension-sized exchange at any corpus size.
+    Integer-exact; the SQL twin sums unnested dim pairs in HUGEINT."""
+    from pyrosar_ray.stages.ann import embedding_gram
+
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_gram(emb)
+
+
 def q_doc_cms(sf_dir: str):
     """Count-min sketch of corpus token frequencies (depth 4, width
     1024): per-batch weighted partial folds merged by a fixed-size
@@ -1418,6 +1429,27 @@ def q_spatial_knn_rtree(sf_dir: str):
         .aggregate(Min("lon", alias_name="lon"), Min("lat", alias_name="lat"))
     )
     return spatial_knn(load_scenes(sf_dir), points, k=5, strategy="rtree")
+
+
+def q_spatial_knn_hex(sf_dir: str):
+    """5 nearest scene centroids per sampled point via H3-style gridDisk
+    expanding rings over the aperture-7 hex cell map — must emit the
+    exact rows of the expanding-ring plan, so it shares its oracle."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.knn import spatial_knn
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["point_id"].to_numpy() % 100 == 0))
+
+    from ray.data.aggregate import Min
+
+    points = (
+        load_points(sf_dir)
+        .map_batches(_sample, batch_format="pyarrow")
+        .groupby("point_id")
+        .aggregate(Min("lon", alias_name="lon"), Min("lat", alias_name="lat"))
+    )
+    return spatial_knn(load_scenes(sf_dir), points, k=5, strategy="hex", res=1)
 
 
 def q_unique_dirs(sf_dir: str):
@@ -2105,9 +2137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- correctness window (proven in r1/r2 or rows-only by design)
         "db_convert": q_db_convert,
         "dem_srtm3": q_dem_srtm3,
+        "spatial_knn_hex": q_spatial_knn_hex,
         "doc_cms": q_doc_cms,
         "doc_dup_spans": q_doc_dup_spans,
         "embed_semdedup": q_embed_semdedup,
+        "embed_gram": q_embed_gram,
         "scene_seconds": q_scene_seconds,
         "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
@@ -2248,6 +2282,25 @@ def _hll_sql(b: int = 8) -> str:
                             ELSE {width + 1} END)::BIGINT AS rho
             FROM reg GROUP BY bucket
         """
+
+
+_GRAM_SQL = """
+    WITH e AS (
+        SELECT list_transform(embedding::DOUBLE[],
+                              x -> floor(x * 1000000 + 0.5)) AS qe
+        FROM embeddings
+    ), dims AS (
+        SELECT qe, unnest(range(len(qe)))::BIGINT AS i,
+               unnest(qe) AS vi
+        FROM e
+    ), pairs AS (
+        SELECT d.i, unnest(range(len(d.qe)))::BIGINT AS j,
+               d.vi, unnest(d.qe) AS vj
+        FROM dims d
+    )
+    SELECT i, j, SUM(CAST(vi AS HUGEINT) * vj)::BIGINT AS s
+    FROM pairs WHERE i <= j GROUP BY i, j
+"""
 
 
 def _semdedup_sql(threshold: float = 0.2, ncells: int = 16) -> str:
@@ -2925,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cms": _cms_sql(),
         "doc_dup_spans": _dup_ngram_sql(),
         "embed_semdedup": _semdedup_sql(),
+        "embed_gram": _GRAM_SQL,
         "doc_top_tfidf": """
             WITH toks AS (
                 SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
@@ -3546,6 +3600,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "spatial_knn_rtree": f"""
+            {_SCENES}, points AS ({POINTS_SQL}),
+            p AS (SELECT DISTINCT point_id, lon, lat FROM points WHERE point_id % 100 = 0),
+            s AS (SELECT scene_key, (xmin + xmax) / 2 AS cx, (ymin + ymax) / 2 AS cy
+                  FROM scenes)
+            SELECT point_id, scene_key, rank FROM (
+                SELECT p.point_id, s.scene_key,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.point_id
+                           ORDER BY (s.cx - p.lon) * (s.cx - p.lon) +
+                                    (s.cy - p.lat) * (s.cy - p.lat),
+                                    s.scene_key
+                       ) AS rank
+                FROM p, s
+            ) WHERE rank <= 5
+        """,
+"spatial_knn_hex": f"""
             {_SCENES}, points AS ({POINTS_SQL}),
             p AS (SELECT DISTINCT point_id, lon, lat FROM points WHERE point_id % 100 = 0),
             s AS (SELECT scene_key, (xmin + xmax) / 2 AS cx, (ymin + ymax) / 2 AS cy

@@ -441,3 +441,60 @@ def semdedup(
         .groupby("cell")
         .map_groups(_dedup, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- distributed Gram matrix
+
+
+def embedding_gram(
+    corpus: Dataset, emb_col: str = "embedding"
+) -> Dataset:
+    """Exact Gram (scatter) matrix of quantized embeddings — the
+    distributed-PCA first pass.
+
+    Per batch one integer matmul folds rows into a d x d partial
+    (Q^T Q); partials merge by a fixed d^2-row groupby Sum, so the
+    exchange is dimension-sized regardless of corpus size. Entries are
+    exact int64 (|q| <= ~1e6+eps, so a 10^6-row corpus stays < 2^53 per
+    partial and the merged sums stay < 2^63 far past that; the SQL twin
+    sums in HUGEINT). Output rows: ``(i, j, s)`` for the upper triangle
+    (i <= j — the matrix is symmetric; the driver epilogue mirrors it
+    before an eigendecomposition).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            e = pa.array([], type=pa.int64())
+            return pa.table({"i": e, "j": e, "s": e})
+        q = quantize_embeddings(_stack_embeddings(batch, emb_col))
+        g = q.T @ q  # (d, d) exact int64
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "s": pa.array(g[iu, ju]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        corpus.select_columns([emb_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+
+def gram_to_matrix(gram: pd.DataFrame, dim: int) -> np.ndarray:
+    """Driver epilogue: mirror the upper triangle into the full (d, d)
+    float64 matrix (exact — entries < 2^53), ready for np.linalg.eigh."""
+    m = np.zeros((dim, dim), dtype=np.float64)
+    i = gram["i"].to_numpy()
+    j = gram["j"].to_numpy()
+    s = gram["s"].to_numpy().astype(np.float64)
+    m[i, j] = s
+    m[j, i] = s
+    return m

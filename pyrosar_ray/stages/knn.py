@@ -298,8 +298,10 @@ def spatial_knn(
 
     ``strategy='cells'``: expanding-ring search over the grid-cell index;
     ``strategy='rtree'``: radius-doubling batched box queries over a
-    broadcast STR R-tree. Identical output by construction (same metric,
-    same (distance, scene_key) tie-break).
+    broadcast STR R-tree; ``strategy='hex'``: H3-style gridDisk
+    expanding rings over the aperture-7 hex cell map (``res`` is the
+    hex resolution there). Identical output by construction (same
+    metric, same (distance, scene_key) tie-break).
     """
     from .spatial import materialize_small_side
 
@@ -310,11 +312,180 @@ def spatial_knn(
     elif strategy == "cells":
         ref = ray.put(build_centroid_index(tab, res))
         cls = CentroidKNN
+    elif strategy == "hex":
+        ref = ray.put(build_hex_centroid_index(tab, res if res else 2))
+        cls = HexKNN
     else:
-        raise ValueError(f"unknown strategy {strategy!r} (expected 'cells'|'rtree')")
+        raise ValueError(
+            f"unknown strategy {strategy!r} (expected 'cells'|'rtree'|'hex')"
+        )
     return points.select_columns(list(point_cols)).map_batches(
         cls,
         batch_format="pyarrow",
         concurrency=concurrency,
         fn_constructor_args=(ref, k, tuple(point_cols)),
     )
+
+
+class HexKNN:
+    """Actor probe: H3-style gridDisk expanding-ring kNN over the hex grid.
+
+    The north-star's "actor pools holding ... H3 cell maps": scene
+    centroids are bucketed by aperture-7 hex cell (functions/hexgrid),
+    each probe expands gridDisk neighborhoods until the kth candidate
+    distance fits inside the ring's correctness bound.
+
+    Bound: hex centers at grid distance g are >= g * 1.5 * R apart
+    (ring inradius of the hex lattice, R = circumradius); probe and
+    candidate each sit within R of their centers, so any cell OUTSIDE
+    disk(g) holds points >= (1.5 * (g + 1) - 2) * R away. Metric,
+    tie-break and output contract are identical to :class:`CentroidKNN`
+    — all three plans must emit the same rows.
+    """
+
+    def __init__(self, index_ref, k: int, point_cols):
+        self.__dict__.update(ray.get(index_ref))
+        self.k = k
+        self.point_cols = point_cols
+
+    def _axials(self, lon, lat):
+        from ..functions.hexgrid import _apow, _B0_INV, _hex_round
+
+        m = _apow(self.res).astype(np.float64) @ _B0_INV
+        fq = m[0, 0] * lon + m[0, 1] * lat
+        fr = m[1, 0] * lon + m[1, 1] * lat
+        return _hex_round(fq, fr)
+
+    def _candidates_disk(self, q: int, r: int, g: int) -> np.ndarray:
+        from ..functions.hexgrid import _disk_offsets, axial_to_cell
+
+        dq, dr = _disk_offsets(g)
+        cells = np.sort(axial_to_cell(q + dq, r + dr, self.res))
+        pos = np.searchsorted(self.unique_cells, cells)
+        pos = np.clip(pos, 0, max(len(self.unique_cells) - 1, 0))
+        out = []
+        for c, p in zip(cells, pos):
+            if len(self.unique_cells) and self.unique_cells[p] == c:
+                out.append(np.arange(self.offsets[p], self.offsets[p + 1]))
+        return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+
+    def _bulk_disk(self, lon, lat, pq, pr, G: int = 2):
+        """Vectorized gridDisk(G) kNN for all probes at once + the
+        unresolved mask (same shape as CentroidKNN._bulk_3x3)."""
+        from ..functions.hexgrid import _disk_offsets, axial_to_cell
+
+        n = len(lon)
+        dq, dr = _disk_offsets(G)
+        nd = len(dq)
+        cells = axial_to_cell(
+            (pq[:, None] + dq[None, :]).ravel(),
+            (pr[:, None] + dr[None, :]).ravel(),
+            self.res,
+        )
+        pos = np.searchsorted(self.unique_cells, cells)
+        pos_c = np.clip(pos, 0, max(len(self.unique_cells) - 1, 0))
+        hit = (
+            (self.unique_cells[pos_c] == cells)
+            if len(self.unique_cells)
+            else np.zeros(len(cells), dtype=bool)
+        )
+        lo = np.where(hit, self.offsets[pos_c], 0)
+        hi = np.where(hit, self.offsets[pos_c + 1], 0)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return (np.zeros(0, np.int64),) * 3 + (np.ones(n, dtype=bool),)
+        probe_rep = np.repeat(np.arange(n * nd, dtype=np.int64) // nd, counts)
+        run_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        j = np.arange(total, dtype=np.int64) - np.repeat(run_off, counts)
+        entry = np.repeat(lo, counts) + j
+        dx = self.cx[entry] - lon[probe_rep]
+        dy = self.cy[entry] - lat[probe_rep]
+        d2 = dx * dx + dy * dy
+        order = np.lexsort((self.keys[entry], d2, probe_rep))
+        sp, sd2, se = probe_rep[order], d2[order], entry[order]
+        newgrp = np.empty(len(sp), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(sp[1:], sp[:-1], out=newgrp[1:])
+        grp_start = np.maximum.accumulate(np.where(newgrp, np.arange(len(sp)), 0))
+        rank = np.arange(len(sp)) - grp_start
+        keep = rank < self.k
+        cand_count = np.bincount(sp, minlength=n)
+        kth_d2 = np.full(n, np.inf)
+        kth_rows = keep & (rank == np.minimum(cand_count[sp] - 1, self.k - 1))
+        kth_d2[sp[kth_rows]] = sd2[kth_rows]
+        bound = (1.5 * (G + 1) - 2.0) * self.hex_r
+        unresolved = (cand_count < self.k) | (kth_d2 > bound * bound)
+        ok = keep & ~unresolved[sp]
+        return sp[ok], se[ok], rank[ok] + 1, unresolved
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        pids = batch[self.point_cols[0]].to_numpy()
+        pq, pr = self._axials(lon, lat)
+        out_pid, out_key, out_rank = [], [], []
+        bp, be, br, unresolved = self._bulk_disk(lon, lat, pq, pr)
+        out_pid.extend(pids[bp].tolist())
+        out_key.extend(self.keys[be].tolist())
+        out_rank.extend(br.tolist())
+        max_g = int(540.0 / (1.5 * self.hex_r)) + 2
+        for i in np.flatnonzero(unresolved):
+            best = bestd = None
+            for g in range(1, max_g):
+                idx = self._candidates_disk(int(pq[i]), int(pr[i]), g)
+                if len(idx):
+                    dx = self.cx[idx] - lon[i]
+                    dy = self.cy[idx] - lat[i]
+                    d2 = dx * dx + dy * dy
+                    order = np.lexsort((self.keys[idx], d2))[: self.k]
+                    best = idx[order]
+                    bestd = d2[order]
+                bound = (1.5 * (g + 1) - 2.0) * self.hex_r
+                if (
+                    best is not None
+                    and len(best) >= self.k
+                    and bestd[self.k - 1] <= bound * bound
+                ):
+                    break
+            if best is None:
+                continue
+            out_pid.extend([pids[i]] * len(best))
+            out_key.extend(self.keys[best].tolist())
+            out_rank.extend(range(1, len(best) + 1))
+        return pa.table(
+            {
+                "point_id": pa.array(out_pid, type=pa.int64()),
+                "scene_key": pa.array(out_key, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int64()),
+            }
+        )
+
+
+def build_hex_centroid_index(tab: pa.Table, res: int = 2) -> dict:
+    """Scene centroids bucketed by aperture-7 hex cell (sorted + offsets)."""
+    from ..functions.hexgrid import circumradius, hex_cell_of_points
+
+    cx = (tab["xmin"].to_numpy() + tab["xmax"].to_numpy()) / 2.0
+    cy = (tab["ymin"].to_numpy() + tab["ymax"].to_numpy()) / 2.0
+    cell = hex_cell_of_points(cx, cy, res)
+    order = np.argsort(cell)
+    cell_sorted = cell[order]
+    if len(cell_sorted):
+        newgrp = np.empty(len(cell_sorted), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(cell_sorted[1:], cell_sorted[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        unique_cells = cell_sorted[starts]
+    else:
+        starts = np.zeros(0, dtype=np.int64)
+        unique_cells = cell_sorted
+    return {
+        "res": res,
+        "hex_r": circumradius(res),
+        "cx": cx[order],
+        "cy": cy[order],
+        "keys": tab["scene_key"].to_numpy()[order],
+        "unique_cells": unique_cells,
+        "offsets": np.concatenate([starts, [len(cell_sorted)]]),
+    }

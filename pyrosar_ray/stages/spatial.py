@@ -504,7 +504,11 @@ class SceneCellIndex:
         if self.refine == "polygon":
             keep &= self._pip_mask(scene_idx, pl, pt)
         elif self.refine == "quad":
-            keep &= self._quad_mask(scene_idx, pl, pt)
+            # run the 4-edge test only on bbox survivors (~40% fewer rows)
+            idx = np.flatnonzero(keep)
+            if len(idx):
+                qm = self._quad_mask(scene_idx[idx], pl[idx], pt[idx])
+                keep[idx[~qm]] = False
         scene_idx = scene_idx[keep]
         point_rep = point_rep[keep]
         staken = self.emit.take(pa.array(scene_idx))

@@ -273,3 +273,26 @@ def test_semdedup_corpus_counts(sf_dir):
     # per-cell smallest id is always kept
     first = out.sort_values("vec_id").groupby("cell").first()
     assert (first["kept"] == 1).all()
+
+
+def test_embedding_gram_matches_numpy(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from pyrosar_ray.stages.ann import (
+        embedding_gram,
+        gram_to_matrix,
+        quantize_embeddings,
+    )
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack(tab["embedding"].to_pylist())
+    q = quantize_embeddings(mat)
+    want = q.T @ q
+    got = embedding_gram(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    ).to_pandas()
+    dim = q.shape[1]
+    assert len(got) == dim * (dim + 1) // 2
+    assert np.array_equal(gram_to_matrix(got, dim), want.astype(np.float64))

@@ -94,3 +94,23 @@ def test_unknown_strategy_rejected():
             ray.data.from_items([{"point_id": 1, "lon": 0.5, "lat": 0.5}]),
             strategy="kd",
         )
+
+
+def test_hex_knn_matches_cells_plan(sf_dir):
+    import ray
+
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.knn import spatial_knn
+
+    pts = load_points(sf_dir).limit(400)
+    a = (
+        spatial_knn(load_scenes(sf_dir), pts, k=5, strategy="cells")
+        .to_pandas()
+        .sort_values(["point_id", "rank"], ignore_index=True)
+    )
+    b = (
+        spatial_knn(load_scenes(sf_dir), pts, k=5, strategy="hex", res=1)
+        .to_pandas()
+        .sort_values(["point_id", "rank"], ignore_index=True)
+    )
+    assert a.equals(b)
