@@ -975,6 +975,21 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_ngram_stats(docs, k=5)
 
 
+def q_scene_rasterize(sf_dir: str):
+    """Vector → raster: burn sampled scenes' convex quad footprints
+    into the 0.25° grid by center-sample rasterization (cell covered
+    iff its center passes the exact 4-edge cross test). Row-local; the
+    SQL twin reproduces the burned cell set bit-for-bit."""
+    from pyrosar_ray.pipelines.tables import load_scene_quads
+    from pyrosar_ray.stages.footprint import rasterize_quads
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["scene_key"].to_numpy() % 10 == 0))
+
+    scenes = load_scene_quads(sf_dir).map_batches(_sample, batch_format="pyarrow")
+    return rasterize_quads(scenes, res=2)
+
+
 def q_embed_semdedup(sf_dir: str):
     """SemDeDup: integer-exact coarse-cell assignment (the IVF
     quantizer), then per-cell cosine near-dup removal keeping the
@@ -2131,11 +2146,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll": q_doc_hll,
         "interval_join": q_interval_join,
         "doc_bloom_new": q_doc_bloom_new,
-        "doc_bloom_anti": q_doc_bloom_anti,
+        "scene_rasterize": q_scene_rasterize,
         "doc_adaptive_filter": q_doc_adaptive_filter,
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven in r1/r2 or rows-only by design)
         "db_convert": q_db_convert,
+        "doc_bloom_anti": q_doc_bloom_anti,
         "dem_srtm3": q_dem_srtm3,
         "spatial_knn_hex": q_spatial_knn_hex,
         "doc_cms": q_doc_cms,
@@ -2281,6 +2297,46 @@ def _hll_sql(b: int = 8) -> str:
                             THEN {width} - length(bin(rem)) + 1
                             ELSE {width + 1} END)::BIGINT AS rho
             FROM reg GROUP BY bucket
+        """
+
+
+def _rasterize_sql(res: int = 2, mod: int = 10) -> str:
+    """DuckDB twin of ``stages.footprint.rasterize_quads``: identical
+    cover ranges, identical IEEE center coordinates, identical 4-edge
+    cross predicates."""
+    s = float(1 << res)
+    edges = []
+    for a, b in (("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")):
+        edges.append(
+            f"(q{b}x - q{a}x) * (cy - q{a}y) - (q{b}y - q{a}y) * (cx - q{a}x) >= 0"
+        )
+    cond = "\n               AND ".join(edges)
+    return f"""
+        WITH quads AS ({{QUADS}}),
+        s AS (SELECT * FROM quads WHERE scene_key % {mod} = 0),
+        rows_exp AS (
+            SELECT scene_key, qax, qay, qbx, qby, qcx, qcy, qdx, qdy,
+                   xmin, xmax,
+                   unnest(generate_series(floor((ymin + 90) * {s})::BIGINT,
+                                          floor((ymax + 90) * {s})::BIGINT)) AS r
+            FROM s
+        ),
+        cells AS (
+            SELECT scene_key, qax, qay, qbx, qby, qcx, qcy, qdx, qdy, r,
+                   unnest(generate_series(floor((xmin + 180) * {s})::BIGINT,
+                                          floor((xmax + 180) * {s})::BIGINT)) AS c
+            FROM rows_exp
+        ),
+        centered AS (
+            SELECT scene_key, r, c,
+                   (c + 0.5) / {s} - 180.0 AS cx,
+                   (r + 0.5) / {s} - 90.0 AS cy,
+                   qax, qay, qbx, qby, qcx, qcy, qdx, qdy
+            FROM cells
+        )
+        SELECT scene_key, r AS "row", c AS "col"
+        FROM centered
+        WHERE {cond}
         """
 
 
@@ -2979,6 +3035,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": _dup_ngram_sql(),
         "embed_semdedup": _semdedup_sql(),
         "embed_gram": _GRAM_SQL,
+        "scene_rasterize": _rasterize_sql().replace("{QUADS}", QUADS_SQL),
         "doc_top_tfidf": """
             WITH toks AS (
                 SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents

@@ -148,3 +148,70 @@ def footprint_polygons(
         batch_size=batch_size,
         fn_constructor_args=(max_points,),
     )
+
+
+# ------------------------------------------------- vector -> raster
+
+
+def rasterize_quads(
+    scenes: Dataset,
+    res: int = 2,
+    key_col: str = "scene_key",
+) -> Dataset:
+    """Burn convex quad footprints into the flat grid (vector → raster).
+
+    The inverse of the footprint extraction above: center-sample
+    rasterization (a cell is covered when its CENTER lies inside the
+    quad — GDAL's default all_touched=False convention). Per batch the
+    candidate cells come from the bbox cover expansion
+    (functions/cells.cell_cover_bbox) and the center test is the exact
+    4-edge cross-product kernel over IEEE-identical center coordinates
+    ``(idx + 0.5) / scale - offset`` — so a SQL twin reproduces the
+    burned cell set bit-for-bit. Output rows: ``(key, row, col)``.
+
+    Row-local (cover + mask per batch, no shuffle); output volume is
+    the burned-cell count, the raster's natural size.
+    """
+    from ..functions.cells import cell_cover_bbox
+
+    scale = float(1 << res)
+
+    def _burn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], type=pa.int64()),
+                "row": pa.array([], type=pa.int64()),
+                "col": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        row_idx, cells = cell_cover_bbox(
+            batch["xmin"].to_numpy(),
+            batch["ymin"].to_numpy(),
+            batch["xmax"].to_numpy(),
+            batch["ymax"].to_numpy(),
+            res,
+        )
+        if len(cells) == 0:
+            return empty
+        rows = (cells >> 28) & ((1 << 28) - 1)
+        cols = cells & ((1 << 28) - 1)
+        cx = (cols + 0.5) / scale - 180.0
+        cy = (rows + 0.5) / scale - 90.0
+        keep = np.ones(len(cells), dtype=bool)
+        qx = [batch[c].to_numpy()[row_idx] for c in ("qax", "qbx", "qcx", "qdx")]
+        qy = [batch[c].to_numpy()[row_idx] for c in ("qay", "qby", "qcy", "qdy")]
+        for e in range(4):
+            ax, ay = qx[e], qy[e]
+            bx, by = qx[(e + 1) % 4], qy[(e + 1) % 4]
+            keep &= (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) >= 0
+        return pa.table(
+            {
+                key_col: pa.array(batch[key_col].to_numpy()[row_idx][keep]),
+                "row": pa.array(rows[keep]),
+                "col": pa.array(cols[keep]),
+            }
+        )
+
+    return scenes.map_batches(_burn, batch_format="pyarrow")

@@ -79,3 +79,57 @@ def test_footprint_query_slice(ray_session):
     ys = np.arange(24)
     assert one["x_min"].tolist() == (a + (b * ys) // 4).tolist()
     assert one["x_max"].tolist() == (31 - c - (d * ys) // 4).tolist()
+
+
+def test_rasterize_quads_center_semantics(sf_dir):
+    """Burned cells are exactly those whose center lies in the quad."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyrosar_ray.derive import quad_corners_from_keys
+    from pyrosar_ray.stages.footprint import rasterize_quads
+
+    keys = np.arange(1, 60, dtype=np.int64)
+    q = quad_corners_from_keys(keys)
+    k = np.where(keys % 10 == 9, keys - 1, keys)
+    xmin = (k * 9973 % 33000) / 100.0 - 170.0
+    ymin = (k * 7919 % 13000) / 100.0 - 70.0
+    xmax = xmin + (100 + k % 7 * 50) / 100.0
+    ymax = ymin + (100 + k % 5 * 50) / 100.0
+    tab = pa.table(
+        {
+            "scene_key": pa.array(keys),
+            "xmin": pa.array(xmin),
+            "ymin": pa.array(ymin),
+            "xmax": pa.array(xmax),
+            "ymax": pa.array(ymax),
+            **{c: pa.array(v) for c, v in q.items()},
+        }
+    )
+    res = 3
+    out = rasterize_quads(ray.data.from_arrow(tab), res=res).to_pandas()
+    scale = float(1 << res)
+    # scalar re-check of every burned cell + spot-check of non-burned
+    burned = set(map(tuple, out[["scene_key", "row", "col"]].to_numpy()))
+    qx = np.stack([q["qax"], q["qbx"], q["qcx"], q["qdx"]], axis=1)
+    qy = np.stack([q["qay"], q["qby"], q["qcy"], q["qdy"]], axis=1)
+
+    def inside(si, cx, cy):
+        for e in range(4):
+            ax, ay = qx[si, e], qy[si, e]
+            bx, by = qx[si, (e + 1) % 4], qy[si, (e + 1) % 4]
+            if (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) < 0:
+                return False
+        return True
+
+    for si, key in enumerate(keys):
+        r0 = int(np.floor((ymin[si] + 90) * scale))
+        r1 = int(np.floor((ymax[si] + 90) * scale))
+        c0 = int(np.floor((xmin[si] + 180) * scale))
+        c1 = int(np.floor((xmax[si] + 180) * scale))
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                cx = (c + 0.5) / scale - 180.0
+                cy = (r + 0.5) / scale - 90.0
+                assert ((int(key), r, c) in burned) == inside(si, cx, cy)
