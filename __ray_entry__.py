@@ -1467,6 +1467,28 @@ def q_spatial_knn_hex(sf_dir: str):
     return spatial_knn(load_scenes(sf_dir), points, k=5, strategy="hex", res=1)
 
 
+def q_spatial_knn_partitioned(sf_dir: str):
+    """Large-large kNN: halo-replicated centroid co-partition + local
+    rank kernel, broadcast fallback for the sparse unresolved tail —
+    must emit the exact rows of the broadcast plans, so it shares the
+    spatial_knn oracle."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.knn import partitioned_spatial_knn
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["point_id"].to_numpy() % 100 == 0))
+
+    from ray.data.aggregate import Min
+
+    points = (
+        load_points(sf_dir)
+        .map_batches(_sample, batch_format="pyarrow")
+        .groupby("point_id")
+        .aggregate(Min("lon", alias_name="lon"), Min("lat", alias_name="lat"))
+    )
+    return partitioned_spatial_knn(load_scenes(sf_dir), points, k=5)
+
+
 def q_unique_dirs(sf_dir: str):
     """Distinct scene parent directories (Archive.get_unique_directories)."""
     from pyrosar_ray.catalog.archive import RayArchive
@@ -2109,7 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hgt_union": q_hgt_union,
         "doc_embed_outer": q_doc_embed_outer,
         "spatial_knn": q_spatial_knn,
-        "spatial_knn_rtree": q_spatial_knn_rtree,
+        "spatial_knn_partitioned": q_spatial_knn_partitioned,
         "geo_grid": q_geo_grid,
         "osv_best": q_osv_best,
         "unique_dirs": q_unique_dirs,
@@ -2154,6 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bloom_anti": q_doc_bloom_anti,
         "dem_srtm3": q_dem_srtm3,
         "spatial_knn_hex": q_spatial_knn_hex,
+        "spatial_knn_rtree": q_spatial_knn_rtree,
         "doc_cms": q_doc_cms,
         "doc_dup_spans": q_doc_dup_spans,
         "embed_semdedup": q_embed_semdedup,
@@ -3673,6 +3696,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
 "spatial_knn_hex": f"""
+            {_SCENES}, points AS ({POINTS_SQL}),
+            p AS (SELECT DISTINCT point_id, lon, lat FROM points WHERE point_id % 100 = 0),
+            s AS (SELECT scene_key, (xmin + xmax) / 2 AS cx, (ymin + ymax) / 2 AS cy
+                  FROM scenes)
+            SELECT point_id, scene_key, rank FROM (
+                SELECT p.point_id, s.scene_key,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.point_id
+                           ORDER BY (s.cx - p.lon) * (s.cx - p.lon) +
+                                    (s.cy - p.lat) * (s.cy - p.lat),
+                                    s.scene_key
+                       ) AS rank
+                FROM p, s
+            ) WHERE rank <= 5
+        """,
+"spatial_knn_partitioned": f"""
             {_SCENES}, points AS ({POINTS_SQL}),
             p AS (SELECT DISTINCT point_id, lon, lat FROM points WHERE point_id % 100 = 0),
             s AS (SELECT scene_key, (xmin + xmax) / 2 AS cx, (ymin + ymax) / 2 AS cy

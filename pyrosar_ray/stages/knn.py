@@ -489,3 +489,211 @@ def build_hex_centroid_index(tab: pa.Table, res: int = 2) -> dict:
         "unique_cells": unique_cells,
         "offsets": np.concatenate([starts, [len(cell_sorted)]]),
     }
+
+
+# ------------------------------------------------- large-large plan
+
+
+def partitioned_spatial_knn(
+    scenes: Dataset,
+    points: Dataset,
+    k: int = 5,
+    res: int = 0,
+    halo: int = 2,
+    num_partitions: int | None = None,
+    point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
+) -> Dataset:
+    """Large-large kNN: co-partition by grid cell with halo replication.
+
+    When the scene side is itself too large to broadcast, each scene
+    centroid replicates to its cell and every cell within Chebyshev
+    radius ``halo`` ((2*halo+1)^2 copies of a 4-column row — centroid
+    tables are tiny relative to imagery); points carry their own cell;
+    both sides co-partition on a salted cell hash and each partition
+    resolves its points against the local halo candidates with the
+    same vectorized rank kernel as :class:`CentroidKNN`.
+
+    Correctness: a point's unseen candidates live in cells at Chebyshev
+    distance > halo, hence >= halo * cell_size away; points whose kth
+    candidate distance exceeds that bound (or with < k candidates) are
+    re-resolved by the broadcast plan — the fallback set is the sparse
+    tail, output-sized, and the union is EXACTLY the broadcast plan's
+    rows (same metric and (distance, scene_key) tie-break; the
+    spatial_knn oracle hash-checks it).
+    """
+    from .spatial import _cell_partition, auto_num_partitions, materialize_small_side
+
+    if num_partitions is None:
+        num_partitions = auto_num_partitions(scenes, points)
+    nparts = int(num_partitions)
+    scale = float(1 << res)
+    cell_size = 1.0 / scale
+    ncols = int(360 * scale) + 2 * halo + 3
+    span = np.arange(-halo, halo + 1, dtype=np.int64)
+    dr = np.repeat(span, 2 * halo + 1)
+    dc = np.tile(span, 2 * halo + 1)
+
+    def _rep_scenes(batch: pa.Table) -> pa.Table:
+        cx = (batch["xmin"].to_numpy() + batch["xmax"].to_numpy()) / 2.0
+        cy = (batch["ymin"].to_numpy() + batch["ymax"].to_numpy()) / 2.0
+        row = np.floor((cy + 90.0) * scale).astype(np.int64) + halo + 1
+        col = np.floor((cx + 180.0) * scale).astype(np.int64) + halo + 1
+        n = len(cx)
+        nd = len(dr)
+        cells = ((row[:, None] + dr[None, :]) * ncols + (col[:, None] + dc[None, :])).ravel()
+        rep = np.repeat(np.arange(n, dtype=np.int64), nd)
+        return pa.table(
+            {
+                "_cell": pa.array(cells),
+                "_part": pa.array(_cell_partition(cells, nparts)),
+                "_side": pa.array(np.zeros(len(cells), dtype=np.int8)),
+                "point_id": pa.array(np.full(len(cells), -1, dtype=np.int64)),
+                "scene_key": pa.array(batch["scene_key"].to_numpy()[rep]),
+                "lon": pa.array(cx[rep]),
+                "lat": pa.array(cy[rep]),
+            }
+        )
+
+    def _tag_points(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        row = np.floor((lat + 90.0) * scale).astype(np.int64) + halo + 1
+        col = np.floor((lon + 180.0) * scale).astype(np.int64) + halo + 1
+        cells = row * ncols + col
+        return pa.table(
+            {
+                "_cell": pa.array(cells),
+                "_part": pa.array(_cell_partition(cells, nparts)),
+                "_side": pa.array(np.ones(len(cells), dtype=np.int8)),
+                "point_id": pa.array(batch[point_cols[0]].to_numpy()),
+                "scene_key": pa.array(np.full(len(cells), -1, dtype=np.int64)),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    bound2 = (halo * cell_size) ** 2
+
+    def _local(tab: pa.Table) -> pa.Table:
+        side = tab["_side"].to_numpy()
+        stab = tab.filter(pa.array(side == 0))
+        ptab = tab.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                "point_id": pa.array([], type=pa.int64()),
+                "scene_key": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "ok": pa.array([], type=pa.bool_()),
+            }
+        )
+        if len(ptab) == 0:
+            return empty
+        pids = ptab["point_id"].to_numpy()
+        if len(stab) == 0:
+            return pa.table(
+                {
+                    "point_id": pa.array(pids),
+                    "scene_key": pa.array(np.full(len(pids), -1, dtype=np.int64)),
+                    "rank": pa.array(np.zeros(len(pids), dtype=np.int64)),
+                    "ok": pa.array(np.zeros(len(pids), dtype=bool)),
+                }
+            )
+        scell = stab["_cell"].to_numpy()
+        order = np.argsort(scell, kind="stable")
+        scell_sorted = scell[order]
+        pcell = ptab["_cell"].to_numpy()
+        lo = np.searchsorted(scell_sorted, pcell, side="left")
+        hi = np.searchsorted(scell_sorted, pcell, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        n = len(pids)
+        plon = ptab["lon"].to_numpy()
+        plat = ptab["lat"].to_numpy()
+        out_pid, out_key, out_rank, out_ok = [], [], [], []
+        if total:
+            point_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+            run_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            j = np.arange(total, dtype=np.int64) - np.repeat(run_off, counts)
+            entry = order[np.repeat(lo, counts) + j]
+            scx = stab["lon"].to_numpy()[entry]
+            scy = stab["lat"].to_numpy()[entry]
+            skey = stab["scene_key"].to_numpy()[entry]
+            dx = scx - plon[point_rep]
+            dy = scy - plat[point_rep]
+            d2 = dx * dx + dy * dy
+            osort = np.lexsort((skey, d2, point_rep))
+            sp, sd2, sk = point_rep[osort], d2[osort], skey[osort]
+            newgrp = np.empty(len(sp), dtype=bool)
+            newgrp[0] = True
+            np.not_equal(sp[1:], sp[:-1], out=newgrp[1:])
+            grp_start = np.maximum.accumulate(np.where(newgrp, np.arange(len(sp)), 0))
+            rank = np.arange(len(sp)) - grp_start
+            keep = rank < k
+            cand_count = np.bincount(sp, minlength=n)
+            kth_d2 = np.full(n, np.inf)
+            kth_rows = keep & (rank == np.minimum(cand_count[sp] - 1, k - 1))
+            kth_d2[sp[kth_rows]] = sd2[kth_rows]
+            resolved = (cand_count >= k) & (kth_d2 <= bound2)
+            emit = keep & resolved[sp]
+            out_pid.append(pids[sp[emit]])
+            out_key.append(sk[emit])
+            out_rank.append(rank[emit] + 1)
+            out_ok.append(np.ones(int(emit.sum()), dtype=bool))
+            un = np.flatnonzero(~resolved)
+        else:
+            un = np.arange(n)
+        if len(un):
+            out_pid.append(pids[un])
+            out_key.append(np.full(len(un), -1, dtype=np.int64))
+            out_rank.append(np.zeros(len(un), dtype=np.int64))
+            out_ok.append(np.zeros(len(un), dtype=bool))
+        return pa.table(
+            {
+                "point_id": pa.array(np.concatenate(out_pid)),
+                "scene_key": pa.array(np.concatenate(out_key)),
+                "rank": pa.array(np.concatenate(out_rank)),
+                "ok": pa.array(np.concatenate(out_ok)),
+            }
+        )
+
+    tagged = scenes.select_columns(
+        ["scene_key", "xmin", "ymin", "xmax", "ymax"]
+    ).map_batches(_rep_scenes, batch_format="pyarrow").union(
+        points.select_columns(list(point_cols)).map_batches(
+            _tag_points, batch_format="pyarrow"
+        )
+    )
+    pass1 = (
+        tagged.groupby("_part")
+        .map_groups(_local, batch_format="pyarrow")
+        .materialize()  # output-sized (k rows per resolved point)
+    )
+    resolved = pass1.filter(expr="ok == True").select_columns(
+        ["point_id", "scene_key", "rank"]
+    )
+    stub = pass1.filter(expr="ok == False").select_columns(["point_id"])
+    un_ids = np.unique(
+        np.concatenate(
+            [t["point_id"].to_numpy() for t in ray.get(stub.to_arrow_refs()) if len(t)]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+    )
+    if len(un_ids) == 0:
+        return resolved
+    # sparse tail: re-resolve via the broadcast plan (exact same contract)
+    idref = ray.put(frozenset(un_ids.tolist()))
+
+    def _keep_unresolved(batch: pa.Table) -> pa.Table:
+        ids = ray.get(idref)
+        m = np.fromiter(
+            (int(x) in ids for x in batch[point_cols[0]].to_numpy()),
+            count=len(batch),
+            dtype=bool,
+        )
+        return batch.filter(pa.array(m))
+
+    tail_pts = points.select_columns(list(point_cols)).map_batches(
+        _keep_unresolved, batch_format="pyarrow"
+    )
+    tail = spatial_knn(scenes, tail_pts, k=k, res=res, strategy="cells")
+    return resolved.union(tail)

@@ -114,3 +114,52 @@ def test_hex_knn_matches_cells_plan(sf_dir):
         .sort_values(["point_id", "rank"], ignore_index=True)
     )
     assert a.equals(b)
+
+
+def test_partitioned_knn_matches_broadcast_with_sparse_tail(sf_dir):
+    """halo=1 at a coarse res leaves sparse probes unresolved; the
+    broadcast fallback must stitch them to the exact broadcast rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyrosar_ray.stages.knn import partitioned_spatial_knn, spatial_knn
+
+    rng = np.random.default_rng(3)
+    # sparse clustered catalog: most of the plane is empty
+    n = 120
+    cx = np.concatenate([rng.uniform(0, 4, n // 2), rng.uniform(60, 61, n // 2)])
+    cy = np.concatenate([rng.uniform(0, 4, n // 2), rng.uniform(10, 11, n // 2)])
+    scenes = ray.data.from_arrow(
+        pa.table(
+            {
+                "scene_key": pa.array(np.arange(n, dtype=np.int64)),
+                "xmin": pa.array(cx - 0.1),
+                "ymin": pa.array(cy - 0.1),
+                "xmax": pa.array(cx + 0.1),
+                "ymax": pa.array(cy + 0.1),
+            }
+        )
+    )
+    m = 150
+    points = ray.data.from_arrow(
+        pa.table(
+            {
+                "point_id": pa.array(np.arange(m, dtype=np.int64)),
+                "lon": pa.array(rng.uniform(-30, 70, m)),
+                "lat": pa.array(rng.uniform(-20, 30, m)),
+            }
+        )
+    )
+    a = (
+        spatial_knn(scenes, points, k=5, strategy="cells")
+        .to_pandas()
+        .sort_values(["point_id", "rank"], ignore_index=True)
+    )
+    b = (
+        partitioned_spatial_knn(scenes, points, k=5, halo=1, num_partitions=8)
+        .to_pandas()
+        .sort_values(["point_id", "rank"], ignore_index=True)
+    )
+    assert len(a) == m * 5
+    assert a.equals(b)
