@@ -425,8 +425,20 @@ def semdedup(
     def _dedup(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(id_col, ignore_index=True)
         mat = _normalize(np.stack(group[emb_col].to_numpy()))
-        sims = mat @ mat.T
-        dup = np.tril(sims >= threshold, k=-1).any(axis=1)
+        # row-tiled matmul: peak extra memory = tile x n, not n x n
+        # (the cell itself must fit the worker — SemDeDup's contract is
+        # that ncells grows with the corpus so cells stay bounded)
+        n = len(mat)
+        tile = 4096
+        dup = np.zeros(n, dtype=bool)
+        for t0 in range(0, n, tile):
+            t1 = min(t0 + tile, n)
+            sims = mat[t0:t1] @ mat.T  # (tile, n)
+            hit = sims >= threshold
+            # only columns strictly below the row index count (smaller id)
+            col = np.arange(n)[None, :]
+            row = np.arange(t0, t1)[:, None]
+            dup[t0:t1] = (hit & (col < row)).any(axis=1)
         return pd.DataFrame(
             {
                 id_col: group[id_col].to_numpy().astype(np.int64),

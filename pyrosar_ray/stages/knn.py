@@ -680,16 +680,16 @@ def partitioned_spatial_knn(
     )
     if len(un_ids) == 0:
         return resolved
-    # sparse tail: re-resolve via the broadcast plan (exact same contract)
-    idref = ray.put(frozenset(un_ids.tolist()))
+    # sparse tail: re-resolve via the broadcast plan (exact same contract).
+    # un_ids ships sorted; the probe is one vectorized searchsorted per batch.
+    idref = ray.put(np.sort(un_ids))
 
     def _keep_unresolved(batch: pa.Table) -> pa.Table:
         ids = ray.get(idref)
-        m = np.fromiter(
-            (int(x) in ids for x in batch[point_cols[0]].to_numpy()),
-            count=len(batch),
-            dtype=bool,
-        )
+        keys = batch[point_cols[0]].to_numpy()
+        pos = np.searchsorted(ids, keys)
+        pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
+        m = (ids[pos_c] == keys) if len(ids) else np.zeros(len(keys), dtype=bool)
         return batch.filter(pa.array(m))
 
     tail_pts = points.select_columns(list(point_cols)).map_batches(
