@@ -990,6 +990,17 @@ def q_scene_rasterize(sf_dir: str):
     return rasterize_quads(scenes, res=2)
 
 
+def q_doc_chunk(sf_dir: str):
+    """Fixed-token-window chunking with overlap (window 32, stride 24):
+    the standard LLM-pretraining preprocessing explode. Row-local, no
+    shuffle; the SQL twin reproduces starts, chunk ids and chunk text
+    exactly (generate_series + list_slice)."""
+    from pyrosar_ray.stages.text import chunk_documents
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
 def q_embed_semdedup(sf_dir: str):
     """SemDeDup: integer-exact coarse-cell assignment (the IVF
     quantizer), then per-cell cosine near-dup removal keeping the
@@ -2178,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn_hex": q_spatial_knn_hex,
         "spatial_knn_rtree": q_spatial_knn_rtree,
         "doc_cms": q_doc_cms,
+        "doc_chunk": q_doc_chunk,
         "doc_dup_spans": q_doc_dup_spans,
         "embed_semdedup": q_embed_semdedup,
         "embed_gram": q_embed_gram,
@@ -2360,6 +2372,33 @@ def _rasterize_sql(res: int = 2, mod: int = 10) -> str:
         SELECT scene_key, r AS "row", c AS "col"
         FROM centered
         WHERE {cond}
+        """
+
+
+def _chunk_sql(w: int = 32, s: int = 24) -> str:
+    """DuckDB twin of ``stages.text.chunk_documents``: same start grid
+    (multiples of stride capped at n - w, plus the final partial start
+    when uncovered), chunk_id = ceil(start / stride)."""
+    return f"""
+        WITH tl AS (
+            SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        ), base AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   greatest(0, len(toks) - {w}) AS last
+            FROM tl
+        ), st AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(0, last, {s})) AS st
+            FROM base
+            UNION ALL
+            SELECT doc_id, toks, n, last AS st
+            FROM base WHERE last % {s} != 0
+        )
+        SELECT doc_id,
+               ((st + {s} - 1) // {s})::BIGINT AS chunk_id,
+               len(list_slice(toks, st + 1, least(st + {w}, n)))::BIGINT AS n_tokens,
+               array_to_string(list_slice(toks, st + 1, least(st + {w}, n)), ' ') AS chunk_text
+        FROM st
         """
 
 
@@ -3058,6 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": _dup_ngram_sql(),
         "embed_semdedup": _semdedup_sql(),
         "embed_gram": _GRAM_SQL,
+        "doc_chunk": _chunk_sql(),
         "scene_rasterize": _rasterize_sql().replace("{QUADS}", QUADS_SQL),
         "doc_top_tfidf": """
             WITH toks AS (

@@ -649,3 +649,54 @@ def adaptive_token_filter(
         return out.filter(pa.array(keep))
 
     return docs.map_batches(_filter, batch_format="pyarrow")
+
+
+def chunk_documents(
+    docs: Dataset,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Split each document into fixed-token-window chunks with overlap —
+    the standard LLM-pretraining chunking op (window ``chunk_tokens``,
+    hop ``stride``; stride < chunk_tokens overlaps adjacent chunks).
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens,
+    except that a final partial window starting past ``n - chunk_tokens``
+    is emitted only when it adds tokens not covered by the previous
+    chunk (i.e. starts are capped at max(0, n - chunk_tokens) and
+    deduplicated) — every token lands in >= 1 chunk and no chunk is a
+    strict suffix duplicate. Row-local (one explode, no shuffle); output
+    rows ``(doc_id, chunk_id, n_tokens, chunk_text)``.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].to_pylist()
+        out_id, out_ch, out_n, out_tx = [], [], [], []
+        for i, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            n = len(toks)
+            last = max(0, n - chunk_tokens)
+            starts = list(range(0, last + 1, stride))
+            if starts[-1] != last:
+                starts.append(last)
+            for ci, s in enumerate(starts):
+                piece = toks[s : s + chunk_tokens]
+                out_id.append(ids[i])
+                out_ch.append(ci)
+                out_n.append(len(piece))
+                out_tx.append(" ".join(piece))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "chunk_id": pa.array(out_ch, type=pa.int64()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+                "chunk_text": pa.array(out_tx, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_chunks, batch_format="pyarrow")

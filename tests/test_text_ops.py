@@ -398,3 +398,41 @@ def test_dup_ngram_stats_repeated_gram_multiplicity(sf_dir):
     assert list(out["total_grams"]) == [2, 2]
     assert list(out["distinct_grams"]) == [1, 2]
     assert list(out["dup_grams"]) == [1, 1]
+
+
+def test_chunk_documents_coverage_and_overlap(sf_dir):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from pyrosar_ray.stages.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(75))
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array([text])})
+    )
+    out = (
+        chunk_documents(docs, chunk_tokens=32, stride=24)
+        .to_pandas()
+        .sort_values("chunk_id", ignore_index=True)
+    )
+    # starts: 0, 24, capped last = 43 -> chunk ids 0, 1, 2
+    assert list(out["chunk_id"]) == [0, 1, 2]
+    assert list(out["n_tokens"]) == [32, 32, 32]
+    assert out.loc[0, "chunk_text"].split(" ")[0] == "t0"
+    assert out.loc[2, "chunk_text"].split(" ")[0] == "t43"
+    # every token covered
+    covered = set()
+    for t in out["chunk_text"]:
+        covered |= set(t.split(" "))
+    assert covered == {f"t{i}" for i in range(75)}
+    # short doc -> exactly one full chunk
+    short = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([2], type=pa.int64()),
+                  "text": pa.array(["a b c"])})
+    )
+    one = chunk_documents(short, chunk_tokens=32, stride=24).to_pandas()
+    assert len(one) == 1 and one.loc[0, "n_tokens"] == 3
+    with pytest.raises(ValueError):
+        chunk_documents(short, chunk_tokens=0)
