@@ -686,7 +686,7 @@ def dup_ngram_stats(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Exact duplicated k-gram span statistics per document.
 
@@ -713,6 +713,13 @@ def dup_ngram_stats(
     from ray.data.aggregate import Max, Sum
 
     from .join import equi_join
+
+    if num_partitions is None:
+        # size the gram exchange from the input text bytes (the pair
+        # table is ~token-count-proportional; same policy as the joins)
+        from .spatial import auto_num_partitions
+
+        num_partitions = auto_num_partitions(docs, docs)
 
     def _grams(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()

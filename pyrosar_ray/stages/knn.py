@@ -668,10 +668,18 @@ def partitioned_spatial_knn(
         .map_groups(_local, batch_format="pyarrow")
         .materialize()  # output-sized (k rows per resolved point)
     )
-    resolved = pass1.filter(expr="ok == True").select_columns(
-        ["point_id", "scene_key", "rank"]
-    )
-    stub = pass1.filter(expr="ok == False").select_columns(["point_id"])
+    def _keep_ok(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["ok"]).select(["point_id", "scene_key", "rank"])
+
+    def _keep_bad(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(batch["ok"].combine_chunks())).select(
+            ["point_id"]
+        )
+
+    resolved = pass1.map_batches(_keep_ok, batch_format="pyarrow")
+    stub = pass1.map_batches(_keep_bad, batch_format="pyarrow")
     un_ids = np.unique(
         np.concatenate(
             [t["point_id"].to_numpy() for t in ray.get(stub.to_arrow_refs()) if len(t)]
