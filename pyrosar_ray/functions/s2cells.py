@@ -67,25 +67,16 @@ def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
     comp = np.choose(axis, [x, y, z])
     face = np.where(comp >= 0, axis, axis + 3).astype(np.int64)
-    # public face->(u,v) formulas; divide by the dominant component
-    u = np.empty_like(x)
-    v = np.empty_like(x)
-    for f, (ufn, vfn) in enumerate(
-        [
-            (lambda: y / x, lambda: z / x),  # face 0 (+x)
-            (lambda: -x / y, lambda: z / y),  # face 1 (+y)
-            (lambda: -x / z, lambda: -y / z),  # face 2 (+z)
-            (lambda: z / x, lambda: y / x),  # face 3 (-x)
-            (lambda: z / y, lambda: -x / y),  # face 4 (-y)
-            (lambda: -y / z, lambda: -x / z),  # face 5 (-z)
-        ]
-    ):
-        m = face == f
-        if m.any():
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u[m] = ufn()[m]
-                v[m] = vfn()[m]
-    return face, u, v
+    # public face->(u,v) formulas (u = unum/comp, v = vnum/comp with the
+    # dominant signed component as denominator — bit-identical to the
+    # per-face spellings, but 2 divisions instead of 12):
+    #   f0: y/x,  z/x   f1: -x/y, z/y   f2: -x/z, -y/z
+    #   f3: z/x,  y/x   f4: z/y, -x/y   f5: -y/z, -x/z
+    nx, ny = -x, -y
+    unum = np.choose(face, [y, nx, nx, z, z, ny])
+    vnum = np.choose(face, [z, z, ny, y, nx, nx])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return face, unum / comp, vnum / comp
 
 
 def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
@@ -117,17 +108,43 @@ def st_to_uv(s: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- hilbert
 
 
+# Two-level composed tables (the s2geometry lookup-batching trick):
+# index = (bi1, bj1, bi2, bj2) packed high-to-low; one table lookup per
+# TWO levels of the walk.
+_IJ2_TO_POS4 = np.zeros((4, 16), dtype=np.uint64)
+_IJ2_ORIENT = np.zeros((4, 16), dtype=np.int64)
+for _o in range(4):
+    for _ij in range(16):
+        _p1 = int(_IJ_TO_POS[_o, _ij >> 2])
+        _o1 = _o ^ int(_POS_TO_ORIENT[_p1])
+        _p2 = int(_IJ_TO_POS[_o1, _ij & 3])
+        _IJ2_TO_POS4[_o, _ij] = (_p1 << 2) | _p2
+        _IJ2_ORIENT[_o, _ij] = _o1 ^ int(_POS_TO_ORIENT[_p2])
+del _o, _ij, _p1, _o1, _p2
+
+
 def hilbert_pos(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int):
-    """(face, i, j at 2^level resolution) -> curve position (2*level bits)."""
+    """(face, i, j at 2^level resolution) -> curve position (2*level bits).
+
+    Walks TWO levels per iteration through the composed lookup tables
+    (half the fancy-indexing passes of the 1-bit walk — this is the hot
+    kernel of the point->cell encode)."""
     orient = (face & _SWAP).astype(np.int64)
     pos = np.zeros(len(face), dtype=np.uint64)
-    for k in range(level - 1, -1, -1):
-        bi = (i >> k) & 1
-        bj = (j >> k) & 1
-        ij2 = 2 * bi + bj
+    k = int(level)
+    if k % 2 == 1:
+        k -= 1
+        ij2 = 2 * ((i >> k) & 1) + ((j >> k) & 1)
         posbits = _IJ_TO_POS[orient, ij2]
         pos = (pos << np.uint64(2)) | posbits.astype(np.uint64)
         orient = orient ^ _POS_TO_ORIENT[posbits]
+    while k > 0:
+        k -= 2
+        hi = 2 * ((i >> (k + 1)) & 1) + ((j >> (k + 1)) & 1)
+        lo = 2 * ((i >> k) & 1) + ((j >> k) & 1)
+        idx = hi * 4 + lo
+        pos = (pos << np.uint64(4)) | _IJ2_TO_POS4[orient, idx]
+        orient = _IJ2_ORIENT[orient, idx]
     return pos
 
 
