@@ -31,6 +31,8 @@ BENCH_QUERIES = (
     "spatial_join_poly",
     "spatial_knn",
     "spatial_knn_rtree",
+    "spatial_knn_partitioned",
+    "doc_dup_spans",
     "tile_assign",
     "tile_counts",
     "dedup_data",

@@ -180,3 +180,54 @@ def test_connected_components_properties(edges):
     for node, lab in label.items():
         assert lab <= node  # canonical label is the component minimum
         assert label[lab] == lab  # the minimum labels itself
+
+
+# ---------------------------------------------------------- hex grid
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-179.9, max_value=179.9),
+            st.floats(min_value=-89.9, max_value=89.9),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+@settings(max_examples=40, deadline=None)
+def test_hex_roundtrip_property(pts, res):
+    import numpy as np
+
+    from pyrosar_ray.functions.hexgrid import cell_center, hex_cell_of_points
+
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    cells = hex_cell_of_points(lon, lat, res)
+    clon, clat = cell_center(cells)
+    assert np.array_equal(hex_cell_of_points(clon, clat, res), cells)
+
+
+@given(
+    st.floats(min_value=-170, max_value=160),
+    st.floats(min_value=-80, max_value=70),
+    st.floats(min_value=1e-6, max_value=9.0),
+    st.floats(min_value=1e-6, max_value=9.0),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_hex_cover_superset_property(x0, y0, w, h, res):
+    import numpy as np
+
+    from pyrosar_ray.functions.hexgrid import cover_bbox_hex, hex_cell_of_points
+
+    ri, cells = cover_bbox_hex(
+        np.array([x0]), np.array([y0]), np.array([x0 + w]), np.array([y0 + h]), res
+    )
+    cover = set(cells.tolist())
+    rng = np.random.default_rng(0)
+    px = rng.uniform(x0, x0 + w, 128)
+    py = rng.uniform(y0, y0 + h, 128)
+    inside = set(hex_cell_of_points(px, py, res).tolist())
+    assert inside <= cover
