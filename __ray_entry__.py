@@ -1024,6 +1024,18 @@ def q_embed_gram(sf_dir: str):
     return embedding_gram(emb)
 
 
+def q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003, MOSS): sliding
+    window-min over the k-gram hash sequence, distinct selected values
+    per doc — shared substrings of >= window+k-1 tokens share a
+    fingerprint. Row-local; the SQL twin is a MIN() window frame over
+    the same Horner chain."""
+    from pyrosar_ray.stages.dedup_text import winnow_fingerprints
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_fingerprints(docs, k=4, window=5)
+
+
 def q_doc_cms(sf_dir: str):
     """Count-min sketch of corpus token frequencies (depth 4, width
     1024): per-batch weighted partial folds merged by a fixed-size
@@ -2190,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn_rtree": q_spatial_knn_rtree,
         "doc_cms": q_doc_cms,
         "doc_chunk": q_doc_chunk,
+        "doc_winnow": q_doc_winnow,
         "doc_dup_spans": q_doc_dup_spans,
         "embed_semdedup": q_embed_semdedup,
         "embed_gram": q_embed_gram,
@@ -2506,6 +2519,53 @@ def _dup_ngram_sql(k: int = 5) -> str:
             SELECT t.doc_id, t.total_grams, t.distinct_grams,
                    COALESCE(dd.dup_grams, 0)::BIGINT AS dup_grams
             FROM tot t LEFT JOIN dd USING (doc_id)
+        """
+
+
+def _winnow_sql(k: int = 4, window: int = 5) -> str:
+    """DuckDB twin of ``stages.dedup_text.winnow_fingerprints``: same
+    Horner k-gram chain, window MIN over full windows only (per-doc
+    window size = least(window, n_grams)), unsigned→int64 view."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(16):
+        byte = (
+            f"(CASE WHEN length(tok) > {j} "
+            f"THEN CAST(ascii(tok[{j + 1}]) AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        h = f"((xor({h}, {byte}) * 1099511628211) % {m64})"
+    g = "th"
+    for j in range(1, k):
+        g = f"(({g} * 1000003 + lead(th, {j}) OVER w) % {m64})"
+    return f"""
+        WITH tl AS (
+            SELECT doc_id, str_split(text, ' ') AS l FROM documents
+        ), toks AS (
+            SELECT doc_id, unnest(range(len(l)))::BIGINT AS i, unnest(l) AS tok
+            FROM tl
+        ), hashed AS (
+            SELECT doc_id, i, {h} AS th FROM toks
+        ), grams AS (
+            SELECT doc_id, i, {g} AS g,
+                   lead(th, {k - 1}) OVER w IS NOT NULL AS ok
+            FROM hashed
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ), valid AS (
+            SELECT doc_id, i, g,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p,
+                   MIN(g) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+                   ) AS wmin
+            FROM grams WHERE ok
+        )
+        SELECT DISTINCT doc_id,
+               (CASE WHEN wmin >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN wmin - {m64} ELSE wmin END)::BIGINT AS fp
+        FROM valid
+        WHERE p <= ng - least({window}, ng)
         """
 
 
@@ -3095,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hll": _hll_sql(),
         "doc_cms": _cms_sql(),
         "doc_dup_spans": _dup_ngram_sql(),
+        "doc_winnow": _winnow_sql(),
         "embed_semdedup": _semdedup_sql(),
         "embed_gram": _GRAM_SQL,
         "doc_chunk": _chunk_sql(),

@@ -712,8 +712,6 @@ def dup_ngram_stats(
     """
     from ray.data.aggregate import Max, Sum
 
-    from .join import equi_join
-
     if num_partitions is None:
         # size the gram exchange from the input text bytes (the pair
         # table is ~token-count-proportional; same policy as the joins)
@@ -724,36 +722,51 @@ def dup_ngram_stats(
     def _grams(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
         texts = batch[text_col].to_pylist()
-        out_ids, out_g, out_tot = [], [], []
-        for i, t in enumerate(texts):
-            th = _token_hashes(t or "")
-            if len(th) < k:
-                continue
-            n = len(th) - k + 1
-            with np.errstate(over="ignore"):
-                mix = th[:n].copy()
-                for j in range(1, k):
-                    mix = mix * _MIX + th[j : n + j]
-            uniq = np.unique(mix)
-            out_ids.append(np.full(len(uniq), ids[i], dtype=np.int64))
-            out_g.append(uniq.view(np.int64))
-            out_tot.append(np.full(len(uniq), n, dtype=np.int64))
-        if not out_ids:
-            e = pa.array([], type=pa.int64())
-            return pa.table({id_col: e, "g": e, "tot": e})
-        return pa.table(
+        empty = pa.table(
             {
-                id_col: pa.array(np.concatenate(out_ids)),
-                "g": pa.array(np.concatenate(out_g)),
-                "tot": pa.array(np.concatenate(out_tot)),
+                id_col: pa.array([], type=pa.int64()),
+                "g": pa.array([], type=pa.int64()),
+                "tot": pa.array([], type=pa.int64()),
             }
         )
-
-    pairs = docs.map_batches(_grams, batch_format="pyarrow")
-    totals = pairs.groupby(id_col).aggregate(
-        Max("tot", alias_name="total_grams"),
-        Count(alias_name="distinct_grams"),
-    )
+        if not texts:
+            return empty
+        # ONE flat pass over the whole batch: hash every token once,
+        # Horner-mix over the flat array, then drop grams that straddle
+        # a document boundary — no per-doc Python loop.
+        tok_lists = [(t or "").split(" ") for t in texts]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat = np.array(
+            [tok for lst in tok_lists for tok in lst], dtype=f"S{_TOKEN_BYTES}"
+        )
+        th = _token_hash_matrix(flat)
+        if len(th) < k:
+            return empty
+        ng_flat = len(th) - k + 1
+        with np.errstate(over="ignore"):
+            mix = th[:ng_flat].copy()
+            for j in range(1, k):
+                mix = mix * _MIX + th[j : ng_flat + j]
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        same_doc = doc_of[:ng_flat] == doc_of[k - 1 :]
+        gdoc = doc_of[:ng_flat][same_doc]
+        gval = mix[same_doc].view(np.int64)
+        if not len(gdoc):
+            return empty
+        # per-doc distinct (doc, gram) pairs via one lexsort
+        order = np.lexsort((gval, gdoc))
+        sd, sv = gdoc[order], gval[order]
+        first = np.empty(len(sd), dtype=bool)
+        first[0] = True
+        first[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        tot_per_doc = np.maximum(counts - k + 1, 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids[sd[first]]),
+                "g": pa.array(sv[first]),
+                "tot": pa.array(tot_per_doc[sd[first]]),
+            }
+        )
 
     fib = np.uint64(0x9E3779B97F4A7C15)
     nparts = int(num_partitions)
@@ -764,34 +777,83 @@ def dup_ngram_stats(
             gp = ((g * fib) >> np.uint64(40)).astype(np.int64) % nparts
         return batch.append_column("_gp", pa.array(gp))
 
-    def _dups(group: pd.DataFrame) -> pd.DataFrame:
+    def _partials(group: pd.DataFrame) -> pd.DataFrame:
+        """Per-doc partials from one gram partition: every gram lives
+        wholly here, so per-partition distinct/dup counts SUM to the
+        global ones and tot (per-doc constant) merges by Max — all
+        three aggregates ride ONE exchange, pairs are computed once,
+        and no join is needed."""
         sizes = group.groupby("g")["g"].transform("size")
-        hit = group.loc[sizes >= 2]
-        if not len(hit):
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype=np.int64),
-                    "dup_grams": pd.Series([], dtype=np.int64),
-                }
-            )
-        out = hit.groupby(id_col).size().reset_index(name="dup_grams")
-        return out.astype({id_col: np.int64, "dup_grams": np.int64})
+        agg = group.assign(_dup=(sizes >= 2).astype(np.int64)).groupby(id_col).agg(
+            tot=("tot", "max"),
+            distinct_grams=("g", "size"),
+            dup_grams=("_dup", "sum"),
+        )
+        return agg.reset_index().astype(np.int64)
 
-    dup = (
-        pairs.map_batches(_bucket, batch_format="pyarrow")
+    return (
+        docs.map_batches(_grams, batch_format="pyarrow")
+        .map_batches(_bucket, batch_format="pyarrow")
         .groupby("_gp")
-        .map_groups(_dups, batch_format="pandas")
+        .map_groups(_partials, batch_format="pandas")
         .groupby(id_col)
-        .aggregate(Sum("dup_grams", alias_name="dup_grams"))
+        .aggregate(
+            Max("tot", alias_name="total_grams"),
+            Sum("distinct_grams", alias_name="distinct_grams"),
+            Sum("dup_grams", alias_name="dup_grams"),
+        )
     )
 
-    joined = equi_join(totals, dup, on=id_col, how="left")
 
-    def _fill(batch: pa.Table) -> pa.Table:
-        col = batch["dup_grams"].combine_chunks().cast(pa.int64())
-        filled = pa.compute.fill_null(col, 0)
-        return batch.set_column(
-            batch.schema.get_field_index("dup_grams"), "dup_grams", filled
+def winnow_fingerprints(
+    docs: Dataset,
+    k: int = 4,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Winnowing document fingerprints (Schleimer et al. 2003, MOSS).
+
+    Each document's k-gram hash sequence slides a ``window``; the
+    minimum hash of every window position is selected, and the DISTINCT
+    selected values form the fingerprint set — the guarantee is that
+    any shared substring of length >= window + k - 1 tokens yields a
+    shared fingerprint. Row-local (one pass per doc, vectorized
+    sliding-window minimum via stride tricks); output rows
+    ``(doc_id, fp)`` sorted within doc by fp.
+
+    Gram hashes are the engine-standard shingle mix, so the SQL twin is
+    a MIN() window frame over the same Horner chain.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def _fps(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].to_pylist()
+        out_ids, out_fp = [], []
+        for i, t in enumerate(texts):
+            th = _token_hashes(t or "")
+            if len(th) < k:
+                continue
+            n = len(th) - k + 1
+            with np.errstate(over="ignore"):
+                mix = th[:n].copy()
+                for j in range(1, k):
+                    mix = mix * _MIX + th[j : n + j]
+            w = min(window, n)
+            wins = np.lib.stride_tricks.sliding_window_view(mix, w)
+            sel = np.unique(wins.min(axis=1))
+            out_ids.append(np.full(len(sel), ids[i], dtype=np.int64))
+            out_fp.append(sel.view(np.int64))
+        if not out_ids:
+            e = pa.array([], type=pa.int64())
+            return pa.table({id_col: e, "fp": e})
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids)),
+                "fp": pa.array(np.concatenate(out_fp)),
+            }
         )
 
-    return joined.map_batches(_fill, batch_format="pyarrow")
+    return docs.map_batches(_fps, batch_format="pyarrow")

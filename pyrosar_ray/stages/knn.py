@@ -584,6 +584,8 @@ def partitioned_spatial_knn(
                 "scene_key": pa.array([], type=pa.int64()),
                 "rank": pa.array([], type=pa.int64()),
                 "ok": pa.array([], type=pa.bool_()),
+                "lon": pa.array([], type=pa.float64()),
+                "lat": pa.array([], type=pa.float64()),
             }
         )
         if len(ptab) == 0:
@@ -596,6 +598,8 @@ def partitioned_spatial_knn(
                     "scene_key": pa.array(np.full(len(pids), -1, dtype=np.int64)),
                     "rank": pa.array(np.zeros(len(pids), dtype=np.int64)),
                     "ok": pa.array(np.zeros(len(pids), dtype=bool)),
+                    "lon": ptab["lon"],
+                    "lat": ptab["lat"],
                 }
             )
         scell = stab["_cell"].to_numpy()
@@ -610,6 +614,7 @@ def partitioned_spatial_knn(
         plon = ptab["lon"].to_numpy()
         plat = ptab["lat"].to_numpy()
         out_pid, out_key, out_rank, out_ok = [], [], [], []
+        out_lon, out_lat = [], []
         if total:
             point_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
             run_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -639,6 +644,8 @@ def partitioned_spatial_knn(
             out_key.append(sk[emit])
             out_rank.append(rank[emit] + 1)
             out_ok.append(np.ones(int(emit.sum()), dtype=bool))
+            out_lon.append(np.zeros(int(emit.sum())))
+            out_lat.append(np.zeros(int(emit.sum())))
             un = np.flatnonzero(~resolved)
         else:
             un = np.arange(n)
@@ -647,12 +654,18 @@ def partitioned_spatial_knn(
             out_key.append(np.full(len(un), -1, dtype=np.int64))
             out_rank.append(np.zeros(len(un), dtype=np.int64))
             out_ok.append(np.zeros(len(un), dtype=bool))
+            # unresolved rows carry their coordinates so the fallback
+            # probes come straight from pass1 (no points re-scan)
+            out_lon.append(plon[un])
+            out_lat.append(plat[un])
         return pa.table(
             {
                 "point_id": pa.array(np.concatenate(out_pid)),
                 "scene_key": pa.array(np.concatenate(out_key)),
                 "rank": pa.array(np.concatenate(out_rank)),
                 "ok": pa.array(np.concatenate(out_ok)),
+                "lon": pa.array(np.concatenate(out_lon)),
+                "lat": pa.array(np.concatenate(out_lat)),
             }
         )
 
@@ -675,33 +688,17 @@ def partitioned_spatial_knn(
         import pyarrow.compute as pc
 
         return batch.filter(pc.invert(batch["ok"].combine_chunks())).select(
-            ["point_id"]
+            ["point_id", "lon", "lat"]
         )
 
     resolved = pass1.map_batches(_keep_ok, batch_format="pyarrow")
-    stub = pass1.map_batches(_keep_bad, batch_format="pyarrow")
-    un_ids = np.unique(
-        np.concatenate(
-            [t["point_id"].to_numpy() for t in ray.get(stub.to_arrow_refs()) if len(t)]
-            or [np.zeros(0, dtype=np.int64)]
-        )
-    )
-    if len(un_ids) == 0:
+    # sparse tail: unresolved probes (with coordinates) come straight
+    # from the materialized pass1 — the points pipeline never re-runs
+    tail_pts = pass1.map_batches(_keep_bad, batch_format="pyarrow")
+    if tail_pts.count() == 0:
         return resolved
-    # sparse tail: re-resolve via the broadcast plan (exact same contract).
-    # un_ids ships sorted; the probe is one vectorized searchsorted per batch.
-    idref = ray.put(np.sort(un_ids))
-
-    def _keep_unresolved(batch: pa.Table) -> pa.Table:
-        ids = ray.get(idref)
-        keys = batch[point_cols[0]].to_numpy()
-        pos = np.searchsorted(ids, keys)
-        pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
-        m = (ids[pos_c] == keys) if len(ids) else np.zeros(len(keys), dtype=bool)
-        return batch.filter(pa.array(m))
-
-    tail_pts = points.select_columns(list(point_cols)).map_batches(
-        _keep_unresolved, batch_format="pyarrow"
+    tail = spatial_knn(
+        scenes, tail_pts, k=k, res=res,
+        point_cols=("point_id", "lon", "lat"), strategy="cells",
     )
-    tail = spatial_knn(scenes, tail_pts, k=k, res=res, strategy="cells")
     return resolved.union(tail)

@@ -436,3 +436,35 @@ def test_chunk_documents_coverage_and_overlap(sf_dir):
     assert len(one) == 1 and one.loc[0, "n_tokens"] == 3
     with pytest.raises(ValueError):
         chunk_documents(short, chunk_tokens=0)
+
+
+def test_winnow_guarantee_shared_substring(sf_dir):
+    """Docs sharing a substring of >= window+k-1 tokens share >= 1
+    fingerprint; disjoint docs share none."""
+    import pyarrow as pa
+    import ray
+
+    from pyrosar_ray.stages.dedup_text import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(8))  # 8 >= window+k-1 = 8
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta " + shared + " gamma",
+                        "x y z " + shared,
+                        "totally different words here entirely now",
+                    ]
+                ),
+            }
+        )
+    )
+    out = winnow_fingerprints(docs, k=4, window=5).to_pandas()
+    fps = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+    # fingerprints are distinct within each doc
+    assert not out.duplicated(["doc_id", "fp"]).any()
