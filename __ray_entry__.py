@@ -1933,6 +1933,100 @@ def q_image_meta(sf_dir: str):
     )
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics through the real GeoTIFF codec path: one tiled
+    float32 GeoTIFF per sampled order key with a DYADIC geotransform
+    (xres=1/8, yres=1/4 — every pixel-center coordinate is an exact
+    IEEE double) and a closed-form pixel fill with arithmetic nodata
+    holes; pixels are decoded, centers assigned to their 1° zone, and
+    per-zone count/sum/raster-count merged via bounded partials. The
+    SQL twin recomputes pixels AND geometry from the key, so the
+    encoder, the decoder, the nodata mask and the zone floor are all
+    hash-checked."""
+    from pyrosar_ray.functions.tiff import encode_geotiff
+    from pyrosar_ray.stages.zonal import zonal_stats
+
+    orders = _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def _blob(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["o_orderkey"].combine_chunks())
+        ids, blobs = [], []
+        for k in keys[keys % 50 == 0].tolist():
+            w = 8 + k % 13
+            h = 6 + k % 9
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            v = ((k + 3 * y + 7 * x) % 101).astype(np.float32)
+            v[(x + y + k) % 17 == 0] = -99.0
+            blobs.append(
+                encode_geotiff(
+                    v[None],
+                    ulx=float(k % 360 - 180),
+                    uly=float(k % 120 - 60),
+                    xres=0.125,
+                    yres=0.25,
+                    nodata=-99.0,
+                    tile=8,
+                )
+            )
+            ids.append(k)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.int64()),
+                "blob": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    rasters = orders.map_batches(_blob, batch_format="pyarrow")
+    return zonal_stats(rasters)
+
+
+def q_quad_area(sf_dir: str):
+    """Integer-exact shoelace area of every scene's convex quad
+    footprint: corners are exact multiples of 1/3200° by construction
+    (derive.quad_corners_from_keys), so scaling by 3200 and rounding
+    recovers exact int64 numerators and the doubled shoelace sum is
+    pure integer arithmetic — hash-exact against the same chain in SQL.
+    Output: scene_key, area2 (2·area in (1/3200°)² units; positive
+    certifies the CCW construction)."""
+    from pyrosar_ray.pipelines.tables import load_scene_quads
+
+    quads = load_scene_quads(sf_dir)
+
+    def _area(batch: pa.Table) -> pa.Table:
+        cols = {
+            c: np.rint(batch[c].to_numpy() * 3200.0).astype(np.int64)
+            for c in ("qax", "qay", "qbx", "qby", "qcx", "qcy", "qdx", "qdy")
+        }
+        xs = [cols["qax"], cols["qbx"], cols["qcx"], cols["qdx"]]
+        ys = [cols["qay"], cols["qby"], cols["qcy"], cols["qdy"]]
+        area2 = np.zeros(len(batch), dtype=np.int64)
+        for i in range(4):
+            j = (i + 1) % 4
+            area2 += xs[i] * ys[j] - xs[j] * ys[i]
+        return pa.table(
+            {
+                "scene_key": batch["scene_key"],
+                "area2": pa.array(area2),
+            }
+        )
+
+    return quads.map_batches(_area, batch_format="pyarrow")
+
+
+def q_image_patches(sf_dir: str):
+    """ViT-style patch extraction through real byte decode: closed-form
+    grayscale rasters (v = (id*7 + y*13 + x*5) % 251, ragged sizes) are
+    exploded into non-overlapping 4x4 patches with integer per-patch
+    sum/min/max; trailing partial patches drop. The SQL twin recomputes
+    every statistic from the fill formula, so the crop arithmetic, the
+    reshape/transpose tiling and the byte decode are all hash-checked."""
+    from pyrosar_ray.sources.images import patch_images_from_documents
+    from pyrosar_ray.stages.images import image_patches
+
+    return image_patches(patch_images_from_documents(sf_dir), patch=4)
+
+
 def q_image_neardup(sf_dir: str):
     """pHash banded near-dup pairs with popcount verify. Rows-only: RNG payloads."""
     from pyrosar_ray.sources.images import images_from_documents
@@ -2141,7 +2235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     evidence.
     """
     return {
-        # -- previously-unverified hash twins (r2 verdict: move in-window) --
+        # -- never-driver-verified hash twins lead (r2 verdict finding #1;
+        # -- same policy this round: the window is spent on unproven twins)
         "identify_scenes": q_identify_scenes,
         "embed_ivf_topk": q_embed_ivf_topk,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2158,31 +2253,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_grid": q_geo_grid,
         "osv_best": q_osv_best,
         "unique_dirs": q_unique_dirs,
-        # -- r2-proven core (one representative per physical plan) --
-        "spatial_join": q_spatial_join,
+        # -- round-3 operators, never driver-checked --
+        "image_patches": q_image_patches,
+        "zonal_stats": q_zonal_stats,
+        "quad_area": q_quad_area,
+        "doc_bloom_anti": q_doc_bloom_anti,
+        "spatial_knn_hex": q_spatial_knn_hex,
+        "spatial_knn_rtree": q_spatial_knn_rtree,
+        "doc_cms": q_doc_cms,
+        "doc_chunk": q_doc_chunk,
+        "doc_winnow": q_doc_winnow,
+        "doc_dup_spans": q_doc_dup_spans,
+        "embed_semdedup": q_embed_semdedup,
+        "embed_gram": q_embed_gram,
         "spatial_join_s2": q_spatial_join_s2,
         "spatial_join_hex": q_spatial_join_hex,
         "spatial_join_poly": q_spatial_join_poly,
-        "spatial_join_partitioned": q_spatial_join_partitioned,
-        "tile_assign": q_tile_assign,
-        "tile_counts": q_tile_counts,
         "audio_wav_meta": q_audio_wav_meta,
-        "archive_select": q_archive_select,
         "video_mp4_meta": q_video_mp4_meta,
-        "archive_select_spatial": q_archive_select_spatial,
-        "dedup_data": q_dedup_data,
-        "parse_names": q_parse_names,
-        "find_datasets": q_find_datasets,
-        "osv_files": q_osv_files,
-        "asof_osv": q_asof_osv,
         "doc_curate": q_doc_curate,
-        "sessionize_ranged": q_sessionize_ranged,
         "doc_pii_redact": q_doc_pii_redact,
         "audio_flac_meta": q_audio_flac_meta,
-        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_repetition": q_doc_repetition,
         "raster_footprint": q_raster_footprint,
-        "doc_exact_dedup": q_doc_exact_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pack": q_doc_pack,
         "doc_mixture": q_doc_mixture,
@@ -2193,19 +2286,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bloom_new": q_doc_bloom_new,
         "scene_rasterize": q_scene_rasterize,
         "doc_adaptive_filter": q_doc_adaptive_filter,
+        # -- regression picks: stages REWRITTEN since their last green check
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "spatial_join_partitioned": q_spatial_join_partitioned,
         # ---- position 51 starts here: entries below are past the driver's
-        # ---- correctness window (proven in r1/r2 or rows-only by design)
+        # ---- correctness window (proven green in r1/r2 with stages
+        # ---- unchanged since, or rows-only by design)
+        "spatial_join": q_spatial_join,
+        "tile_assign": q_tile_assign,
+        "tile_counts": q_tile_counts,
+        "archive_select": q_archive_select,
+        "archive_select_spatial": q_archive_select_spatial,
+        "dedup_data": q_dedup_data,
+        "parse_names": q_parse_names,
+        "find_datasets": q_find_datasets,
+        "osv_files": q_osv_files,
+        "asof_osv": q_asof_osv,
+        "sessionize_ranged": q_sessionize_ranged,
+        "doc_exact_dedup": q_doc_exact_dedup,
         "db_convert": q_db_convert,
-        "doc_bloom_anti": q_doc_bloom_anti,
         "dem_srtm3": q_dem_srtm3,
-        "spatial_knn_hex": q_spatial_knn_hex,
-        "spatial_knn_rtree": q_spatial_knn_rtree,
-        "doc_cms": q_doc_cms,
-        "doc_chunk": q_doc_chunk,
-        "doc_winnow": q_doc_winnow,
-        "doc_dup_spans": q_doc_dup_spans,
-        "embed_semdedup": q_embed_semdedup,
-        "embed_gram": q_embed_gram,
         "scene_seconds": q_scene_seconds,
         "events_stats": q_events_stats,
         "doc_token_quantiles": q_doc_token_quantiles,
@@ -2566,6 +2666,82 @@ def _winnow_sql(k: int = 4, window: int = 5) -> str:
                      THEN wmin - {m64} ELSE wmin END)::BIGINT AS fp
         FROM valid
         WHERE p <= ng - least({window}, ng)
+        """
+
+
+def _patches_sql(patch: int = 4) -> str:
+    """DuckDB twin of ``stages.images.image_patches`` over the
+    closed-form patch rasters: same fill formula, same crop-to-multiple
+    contract, per-patch integer sum/min/max."""
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id,
+                   (8 + doc_id % 9) - (8 + doc_id % 9) % {patch} AS wc,
+                   (6 + doc_id % 7) - (6 + doc_id % 7) % {patch} AS hc
+            FROM documents
+        ), ys AS (
+            SELECT doc_id, wc, unnest(range(hc))::BIGINT AS y FROM imgs
+        ), pix AS (
+            SELECT doc_id, y, unnest(range(wc))::BIGINT AS x FROM ys
+        )
+        SELECT doc_id AS image_id,
+               y // {patch} AS py,
+               x // {patch} AS px,
+               SUM((doc_id * 7 + y * 13 + x * 5) % 251)::BIGINT AS p_sum,
+               MIN((doc_id * 7 + y * 13 + x * 5) % 251)::BIGINT AS p_min,
+               MAX((doc_id * 7 + y * 13 + x * 5) % 251)::BIGINT AS p_max
+        FROM pix
+        GROUP BY doc_id, py, px
+        """
+
+
+_ZONAL_SQL = """
+    WITH keys AS (
+        SELECT o_orderkey AS k, 8 + o_orderkey % 13 AS w, 6 + o_orderkey % 9 AS h,
+               (o_orderkey % 360 - 180)::DOUBLE AS ulx,
+               (o_orderkey % 120 - 60)::DOUBLE AS uly
+        FROM orders WHERE o_orderkey % 50 = 0
+    ), ys AS (
+        SELECT k, w, ulx, uly, unnest(range(h))::BIGINT AS y FROM keys
+    ), pix AS (
+        SELECT k, ulx, uly, y, unnest(range(w))::BIGINT AS x FROM ys
+        -- nodata holes excluded exactly as the raster mask drops them
+    ), valid AS (
+        SELECT k,
+               FLOOR(ulx + (x + 0.5) * 0.125)::BIGINT AS zone_lon,
+               FLOOR(uly - (y + 0.5) * 0.25)::BIGINT AS zone_lat,
+               (k + 3 * y + 7 * x) % 101 AS v
+        FROM pix WHERE (x + y + k) % 17 <> 0
+    ), per_img AS (
+        SELECT k, zone_lon, zone_lat,
+               COUNT(*)::BIGINT AS px_count, SUM(v)::BIGINT AS v_sum
+        FROM valid GROUP BY k, zone_lon, zone_lat
+    )
+    SELECT zone_lon, zone_lat,
+           SUM(px_count)::BIGINT AS px_count,
+           SUM(v_sum)::BIGINT AS v_sum,
+           COUNT(*)::BIGINT AS img_count
+    FROM per_img GROUP BY zone_lon, zone_lat
+    """
+
+
+def _quad_area_sql() -> str:
+    """DuckDB twin of q_quad_area: the same x3200 round-to-int64 corner
+    recovery and doubled shoelace sum, over QUADS_SQL corners."""
+    from pyrosar_ray.derive import QUADS_SQL
+
+    def r(c: str) -> str:
+        return f"ROUND({c} * 3200.0)::BIGINT"
+
+    xs = [r(c) for c in ("qax", "qbx", "qcx", "qdx")]
+    ys = [r(c) for c in ("qay", "qby", "qcy", "qdy")]
+    terms = " + ".join(
+        f"({xs[i]} * {ys[(i + 1) % 4]} - {xs[(i + 1) % 4]} * {ys[i]})"
+        for i in range(4)
+    )
+    return f"""
+        SELECT scene_key, ({terms})::BIGINT AS area2
+        FROM ({QUADS_SQL})
         """
 
 
@@ -3156,6 +3332,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_cms": _cms_sql(),
         "doc_dup_spans": _dup_ngram_sql(),
         "doc_winnow": _winnow_sql(),
+        "image_patches": _patches_sql(),
+        "zonal_stats": _ZONAL_SQL,
+        "quad_area": _quad_area_sql(),
         "embed_semdedup": _semdedup_sql(),
         "embed_gram": _GRAM_SQL,
         "doc_chunk": _chunk_sql(),

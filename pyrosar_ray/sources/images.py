@@ -233,3 +233,42 @@ def footprint_rasters_from_documents(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
+
+
+def synth_patch_raster(doc_id: int) -> tuple[bytes, int, int]:
+    """Deterministic grayscale raster with a CLOSED-FORM pixel fill
+    ``v(y, x) = (id*7 + y*13 + x*5) % 251`` — recomputable in SQL, so
+    the ViT-style patch-extraction stage's per-patch statistics are
+    hash-checkable end to end while the stage reads only the bytes.
+    Ragged sizes (w = 8 + id%9, h = 6 + id%7) exercise the edge-crop
+    contract (trailing partial patches are dropped)."""
+    w, h = 8 + doc_id % 9, 6 + doc_id % 7
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    v = (doc_id * 7 + y * 13 + x * 5) % 251
+    return v.astype(np.uint8).tobytes(), w, h
+
+
+def patch_images_from_documents(sf_dir: str) -> Dataset:
+    """One closed-form grayscale raster row per document (patch ops)."""
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        blobs, ws, hs = [], [], []
+        for i in ids:
+            b, w, h = synth_patch_raster(i)
+            blobs.append(b)
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.int64()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "w": pa.array(ws, type=pa.int32()),
+                "h": pa.array(hs, type=pa.int32()),
+                "fmt": pa.array(["raw_gray"] * len(ids), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)

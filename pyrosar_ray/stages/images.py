@@ -594,3 +594,74 @@ def raster_info_columns(
         )
 
     return rasters.map_batches(_probe, batch_format="pyarrow")
+
+
+def image_patches(
+    images: Dataset,
+    patch: int = 4,
+    id_col: str = "image_id",
+) -> Dataset:
+    """ViT-style non-overlapping patch extraction (the 2-D analogue of
+    :func:`stages.dedup_text.chunk_documents`): each grayscale image is
+    cropped to the largest patch-multiple region (trailing partial rows
+    and columns DROPPED — the standard vision-transformer contract) and
+    exploded into ``patch x patch`` tiles with integer per-patch
+    statistics ``(p_sum, p_min, p_max)``.
+
+    Row-local explode — no exchange; output volume = pixel volume /
+    patch^2 x 1 row. The per-image reshape/transpose chain is fully
+    vectorized (production images are MB-scale, so the per-image Python
+    step is negligible against the numpy work; batch memory is bounded
+    by ``batch_size`` like every blob stage here).
+
+    Reference surface: per-block raster ops (multilook block-mean,
+    snap/auxil.py tiled writer) — same blocking arithmetic, explode
+    instead of reduce.
+    """
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        blobs = batch["bytes"].to_pylist()
+        out_id, out_py, out_px = [], [], []
+        out_sum, out_min, out_max = [], [], []
+        for i in range(len(ids)):
+            w, h = int(ws[i]), int(hs[i])
+            wc, hc = w - w % patch, h - h % patch
+            if wc == 0 or hc == 0:
+                continue
+            arr = np.frombuffer(blobs[i], dtype=np.uint8).reshape(h, w)
+            tiles = (
+                arr[:hc, :wc]
+                .reshape(hc // patch, patch, wc // patch, patch)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1, patch * patch)
+                .astype(np.int64)
+            )
+            n_py, n_px = hc // patch, wc // patch
+            out_id.append(np.full(n_py * n_px, ids[i], dtype=np.int64))
+            out_py.append(np.repeat(np.arange(n_py, dtype=np.int64), n_px))
+            out_px.append(np.tile(np.arange(n_px, dtype=np.int64), n_py))
+            out_sum.append(tiles.sum(axis=1))
+            out_min.append(tiles.min(axis=1))
+            out_max.append(tiles.max(axis=1))
+        if not out_id:
+            e = pa.array([], type=pa.int64())
+            return pa.table(
+                {id_col: e, "py": e, "px": e, "p_sum": e, "p_min": e, "p_max": e}
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "py": pa.array(np.concatenate(out_py)),
+                "px": pa.array(np.concatenate(out_px)),
+                "p_sum": pa.array(np.concatenate(out_sum)),
+                "p_min": pa.array(np.concatenate(out_min)),
+                "p_max": pa.array(np.concatenate(out_max)),
+            }
+        )
+
+    return images.map_batches(_explode, batch_format="pyarrow", batch_size=128)

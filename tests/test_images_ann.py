@@ -296,3 +296,118 @@ def test_embedding_gram_matches_numpy(sf_dir):
     dim = q.shape[1]
     assert len(got) == dim * (dim + 1) // 2
     assert np.array_equal(gram_to_matrix(got, dim), want.astype(np.float64))
+
+
+def test_image_patches_partition_of_crop():
+    """Patch sums partition the cropped pixel sum; partial edges drop."""
+    from pyrosar_ray.stages.images import image_patches
+
+    w, h, P = 10, 7, 4  # crop to 8x4
+    arr = (np.arange(h * w, dtype=np.int64) % 251).astype(np.uint8).reshape(h, w)
+    images = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([9], type=pa.int64()),
+                "bytes": pa.array([arr.tobytes()], type=pa.binary()),
+                "w": pa.array([w], type=pa.int32()),
+                "h": pa.array([h], type=pa.int32()),
+                "fmt": pa.array(["raw_gray"]),
+            }
+        )
+    )
+    out = image_patches(images, patch=P).to_pandas()
+    assert len(out) == (h // P) * (w // P) == 2
+    assert out["p_sum"].sum() == arr[: h - h % P, : w - w % P].sum()
+    # one patch checked cell-exactly
+    p00 = out[(out.py == 0) & (out.px == 0)].iloc[0]
+    tile = arr[:P, :P].astype(np.int64)
+    assert (p00.p_sum, p00.p_min, p00.p_max) == (
+        tile.sum(),
+        tile.min(),
+        tile.max(),
+    )
+
+
+def test_image_patches_small_image_drops_and_identity():
+    from pyrosar_ray.stages.images import image_patches
+
+    tiny = np.full((2, 3), 7, dtype=np.uint8)
+    images = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([1, 2], type=pa.int64()),
+                "bytes": pa.array(
+                    [tiny.tobytes(), np.array([[5]], dtype=np.uint8).tobytes()],
+                    type=pa.binary(),
+                ),
+                "w": pa.array([3, 1], type=pa.int32()),
+                "h": pa.array([2, 1], type=pa.int32()),
+                "fmt": pa.array(["raw_gray", "raw_gray"]),
+            }
+        )
+    )
+    # patch=4 > both dims of every image -> nothing survives the crop
+    assert image_patches(images, patch=4).count() == 0
+    # patch=1 is the identity explode: one row per pixel, sum==value
+    out = image_patches(images, patch=1).to_pandas()
+    assert len(out) == 6 + 1
+    assert (out.p_sum == out.p_min).all() and (out.p_sum == out.p_max).all()
+    with pytest.raises(ValueError):
+        image_patches(images, patch=0)
+
+
+def test_zonal_stats_zones_and_nodata():
+    """Pixel centers land in the right 1-degree zones; nodata drops."""
+    from pyrosar_ray.functions.tiff import encode_geotiff
+    from pyrosar_ray.stages.zonal import zonal_stats
+
+    # 4x2 raster at ulx=10, uly=20, xres=0.5: centers x = 10.25,10.75,
+    # 11.25,11.75 -> zones 10,10,11,11; yres=0.5: centers y = 19.75,
+    # 19.25 -> zone 19 for both rows
+    v = np.array([[1, 2, 3, 4], [5, -9, 7, 8]], dtype=np.float32)
+    blob = encode_geotiff(
+        v[None], ulx=10.0, uly=20.0, xres=0.5, yres=0.5, nodata=-9.0, tile=8
+    )
+    rasters = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([1], type=pa.int64()),
+                "blob": pa.array([blob], type=pa.binary()),
+            }
+        )
+    )
+    out = (
+        zonal_stats(rasters)
+        .to_pandas()
+        .sort_values(["zone_lon", "zone_lat"], ignore_index=True)
+    )
+    assert out.zone_lon.tolist() == [10, 11]
+    assert out.zone_lat.tolist() == [19, 19]
+    assert out.px_count.tolist() == [3, 4]  # nodata pixel dropped
+    assert out.v_sum.tolist() == [1 + 2 + 5, 3 + 4 + 7 + 8]
+    assert out.img_count.tolist() == [1, 1]
+
+
+def test_zonal_stats_img_count_merges_across_rasters():
+    from pyrosar_ray.functions.tiff import encode_geotiff
+    from pyrosar_ray.stages.zonal import zonal_stats
+
+    v = np.ones((1, 2), dtype=np.float32)
+    blobs = [
+        encode_geotiff(
+            v[None], ulx=0.0, uly=1.0, xres=0.25, yres=0.25, nodata=None, tile=8
+        )
+        for _ in range(3)
+    ]
+    rasters = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([1, 2, 3], type=pa.int64()),
+                "blob": pa.array(blobs, type=pa.binary()),
+            }
+        )
+    )
+    out = zonal_stats(rasters).to_pandas()
+    assert len(out) == 1
+    assert int(out.img_count.iloc[0]) == 3
+    assert int(out.px_count.iloc[0]) == 6
