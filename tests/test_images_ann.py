@@ -411,3 +411,30 @@ def test_zonal_stats_img_count_merges_across_rasters():
     assert len(out) == 1
     assert int(out.img_count.iloc[0]) == 3
     assert int(out.px_count.iloc[0]) == 6
+
+
+def test_raster_gradient_stats_golden():
+    from pyrosar_ray.stages.images import raster_gradient_stats
+
+    # 3x4 ramp: v = 2*x + 10*y -> gx = 4 everywhere, gy = 20
+    y, x = np.mgrid[0:3, 0:4]
+    v = (2 * x + 10 * y).astype(np.uint8)
+    images = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([7, 8], type=pa.int64()),
+                "bytes": pa.array(
+                    [v.tobytes(), b"\x00\x00\x00\x00"], type=pa.binary()
+                ),
+                "w": pa.array([4, 2], type=pa.int32()),
+                "h": pa.array([3, 2], type=pa.int32()),
+                "fmt": pa.array(["raw_gray", "raw_gray"]),
+            }
+        )
+    )
+    out = raster_gradient_stats(images).to_pandas()
+    assert out.image_id.tolist() == [7]  # 2x2 image has no interior
+    row = out.iloc[0]
+    assert row.n_interior == 2
+    assert (row.gx_max, row.gy_max) == (4, 20)
+    assert row.grad_sum == 2 * (4 + 20)

@@ -92,3 +92,31 @@ def test_vectorized_dem_expansion_matches_scalar():
         want_ge = sorted(dem_tile_ids(extent, "GETASSE30"))
         got_ge = sorted(ge[ge.scene_key == sc.scene_key]["tile"])
         assert got_ge == want_ge
+
+
+def test_utm_mgrs_zone_goldens_and_exceptions():
+    """Known designators: Berlin 33U, Oslo 32V (Norway widening),
+    Longyearbyen 33X (Svalbard), Sydney 56H, band edges."""
+    import numpy as np
+
+    from pyrosar_ray.functions.tiles import utm_mgrs_zone
+
+    pts = {
+        # (lon, lat) in centidegrees -> expected (zone, band)
+        (1340, 5250): (33, "U"),   # Berlin 13.40E 52.50N
+        (1075, 5991): (32, "V"),   # Oslo 10.75E 59.91N (Norway: else 32 anyway)
+        (575, 5800): (32, "V"),    # 5.75E 58.0N — would be 31 without Norway rule
+        (1560, 7822): (33, "X"),   # Longyearbyen 15.60E 78.22N (else 33 anyway)
+        (800, 7800): (31, "X"),    # 8E 78N — would be 32 but X skips it
+        (2200, 7800): (35, "X"),   # 22E 78N — would be 34 but X skips it
+        (15121, -3387): (56, "H"), # Sydney 151.21E 33.87S
+        (-17999, 0): (1, "N"),     # west edge
+        (3500, 8399): (37, "X"),   # 35E 83.99N — Svalbard zone 37 range
+        (17999, 8399): (60, "X"),  # band X outside Svalbard: normal zone
+        (0, -8000): (31, "C"),     # south UTM limit
+    }
+    lon = np.array([k[0] for k in pts], dtype=np.int64)
+    lat = np.array([k[1] for k in pts], dtype=np.int64)
+    zone, band = utm_mgrs_zone(lon, lat)
+    got = list(zip(zone.tolist(), band.tolist()))
+    assert got == list(pts.values())
