@@ -1943,42 +1943,9 @@ def q_zonal_stats(sf_dir: str):
     SQL twin recomputes pixels AND geometry from the key, so the
     encoder, the decoder, the nodata mask and the zone floor are all
     hash-checked."""
-    from pyrosar_ray.functions.tiff import encode_geotiff
     from pyrosar_ray.stages.zonal import zonal_stats
 
-    orders = _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
-
-    def _blob(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch["o_orderkey"].combine_chunks())
-        ids, blobs = [], []
-        for k in keys[keys % 50 == 0].tolist():
-            w = 8 + k % 13
-            h = 6 + k % 9
-            y = np.arange(h, dtype=np.int64)[:, None]
-            x = np.arange(w, dtype=np.int64)[None, :]
-            v = ((k + 3 * y + 7 * x) % 101).astype(np.float32)
-            v[(x + y + k) % 17 == 0] = -99.0
-            blobs.append(
-                encode_geotiff(
-                    v[None],
-                    ulx=float(k % 360 - 180),
-                    uly=float(k % 120 - 60),
-                    xres=0.125,
-                    yres=0.25,
-                    nodata=-99.0,
-                    tile=8,
-                )
-            )
-            ids.append(k)
-        return pa.table(
-            {
-                "image_id": pa.array(ids, type=pa.int64()),
-                "blob": pa.array(blobs, type=pa.binary()),
-            }
-        )
-
-    rasters = orders.map_batches(_blob, batch_format="pyarrow")
-    return zonal_stats(rasters)
+    return zonal_stats(_zonal_rasters(sf_dir))
 
 
 def q_quad_area(sf_dir: str):
@@ -2012,6 +1979,62 @@ def q_quad_area(sf_dir: str):
         )
 
     return quads.map_batches(_area, batch_format="pyarrow")
+
+
+def _zonal_rasters(sf_dir: str):
+    """Shared synth for the zonal/sampling raster queries: one tiled
+    float32 GeoTIFF per sampled order key, dyadic geotransform
+    (xres=1/8, yres=1/4), closed-form fill with arithmetic nodata
+    holes (see q_zonal_stats)."""
+    from pyrosar_ray.functions.tiff import encode_geotiff
+
+    orders = _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def _blob(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["o_orderkey"].combine_chunks())
+        ids, blobs = [], []
+        for k in keys[keys % 50 == 0].tolist():
+            w = 8 + k % 13
+            h = 6 + k % 9
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            v = ((k + 3 * y + 7 * x) % 101).astype(np.float32)
+            v[(x + y + k) % 17 == 0] = -99.0
+            blobs.append(
+                encode_geotiff(
+                    v[None],
+                    ulx=float(k % 360 - 180),
+                    uly=float(k % 120 - 60),
+                    xres=0.125,
+                    yres=0.25,
+                    nodata=-99.0,
+                    tile=8,
+                )
+            )
+            ids.append(k)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.int64()),
+                "blob": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    return orders.map_batches(_blob, batch_format="pyarrow")
+
+
+def q_sample_raster(sf_dir: str):
+    """Point-in-raster pixel sampling ("extract values to points"):
+    header-probe extent catalog → broadcast cell-index prune (padded
+    one pixel so the bbox convention can never drop an edge hit) →
+    ONE co-group exchange (blob moves once, never duplicated per
+    point) → vectorized half-open floor-containment lookup with
+    nodata drop. The twin recomputes pixels and the identical IEEE
+    floor chain from the key, so the probe, the prune, the exchange
+    and the pixel indexing are all hash-checked."""
+    from pyrosar_ray.pipelines.tables import load_points
+    from pyrosar_ray.stages.zonal import sample_raster
+
+    return sample_raster(_zonal_rasters(sf_dir), load_points(sf_dir))
 
 
 def q_mgrs_zones(sf_dir: str):
@@ -2304,9 +2327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mgrs_zones": q_mgrs_zones,
         "raster_gradient": q_raster_gradient,
         "zonal_stats": q_zonal_stats,
+        "sample_raster": q_sample_raster,
         "quad_area": q_quad_area,
         "doc_bloom_anti": q_doc_bloom_anti,
-        "spatial_knn_hex": q_spatial_knn_hex,
         "doc_cms": q_doc_cms,
         "doc_chunk": q_doc_chunk,
         "doc_winnow": q_doc_winnow,
@@ -2340,6 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- unchanged since, or rows-only by design)
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "spatial_knn_rtree": q_spatial_knn_rtree,
+        "spatial_knn_hex": q_spatial_knn_hex,
         "spatial_join": q_spatial_join,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -2828,6 +2852,30 @@ _ZONAL_SQL = """
            SUM(v_sum)::BIGINT AS v_sum,
            COUNT(*)::BIGINT AS img_count
     FROM per_img GROUP BY zone_lon, zone_lat
+    """
+
+
+_SAMPLE_RASTER_SQL = """
+    WITH keys AS (
+        SELECT o_orderkey AS k, 8 + o_orderkey % 13 AS w, 6 + o_orderkey % 9 AS h,
+               (o_orderkey % 360 - 180)::DOUBLE AS ulx,
+               (o_orderkey % 120 - 60)::DOUBLE AS uly
+        FROM orders WHERE o_orderkey % 50 = 0
+    ), pts AS (""" + POINTS_SQL + """
+    ), hits AS (
+        -- identical IEEE chain to the lookup kernel: subtract, divide
+        -- by the dyadic res (exact), floor — never a second predicate
+        -- form that could round differently at a boundary
+        SELECT p.point_id, k.k AS image_id, k.w, k.h,
+               FLOOR((p.lon - k.ulx) / 0.125)::BIGINT AS ix,
+               FLOOR((k.uly - p.lat) / 0.25)::BIGINT AS iy
+        FROM pts p CROSS JOIN keys k
+    )
+    SELECT point_id, image_id, ix, iy,
+           ((image_id + 3 * iy + 7 * ix) % 101)::BIGINT AS v
+    FROM hits
+    WHERE ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+      AND (ix + iy + image_id) % 17 <> 0
     """
 
 
@@ -3442,6 +3490,7 @@ def oracle_sql() -> dict[str, str]:
         "mgrs_zones": _mgrs_sql(),
         "raster_gradient": _gradient_sql(),
         "zonal_stats": _ZONAL_SQL,
+        "sample_raster": _SAMPLE_RASTER_SQL,
         "quad_area": _quad_area_sql(),
         "embed_semdedup": _semdedup_sql(),
         "embed_gram": _GRAM_SQL,

@@ -114,3 +114,136 @@ def zonal_stats(
             Sum("img_count", alias_name="img_count"),
         )
     )
+
+
+def sample_raster(
+    rasters: Dataset,
+    points: Dataset,
+    point_cols: tuple[str, str, str] = ("point_id", "lon", "lat"),
+    id_col: str = "image_id",
+    blob_col: str = "blob",
+) -> Dataset:
+    """Point-in-raster pixel sampling (the geospatial "extract values
+    to points" op): each point is matched to every raster whose grid
+    contains it and the covering pixel's value is read out of the
+    decoded band. Output: (point_id, image_id, ix, iy, v) — int64.
+
+    Plan (north-star shape):
+
+    1. **Header probe** — container headers only (raster_info_columns,
+       metadata cost) build a catalog-sized extent table.
+    2. **Broadcast prune** — the extent catalog rides the existing
+       broadcast cell-index spatial join, PADDED one pixel on every
+       side so the join's half-open bbox convention can never drop a
+       true edge hit; the point stream never shuffles here.
+    3. **Co-group exchange** — candidate pairs and raster rows union
+       on a typed schema and co-locate with ONE groupby(image) sort
+       exchange, so each blob moves once and is decoded once per
+       group — never duplicated per point (a pair-side equi-join
+       would copy the blob onto every point row).
+    4. **Vectorized lookup** — exact half-open containment
+       ``ix = floor((lon-ulx)/xres) in [0, samples)`` (top/left edges
+       in, bottom/right out) decides inside the kernel; nodata pixels
+       drop.
+    """
+    from .images import raster_info_columns
+    from .spatial import spatial_join_points
+
+    pid, plon, plat = point_cols
+    headers = raster_info_columns(rasters, blob_col=blob_col, id_col=id_col)
+
+    def _extent(batch: pa.Table) -> pa.Table:
+        ulx = batch["ulx"].to_numpy()
+        uly = batch["uly"].to_numpy()
+        xres = batch["xres"].to_numpy()
+        yres = batch["yres"].to_numpy()
+        w = batch["samples"].to_numpy()
+        h = batch["lines"].to_numpy()
+        return pa.table(
+            {
+                "scene_key": batch[id_col],
+                "xmin": pa.array(ulx - xres),
+                "xmax": pa.array(ulx + (w + 1) * xres),
+                "ymin": pa.array(uly - (h + 1) * yres),
+                "ymax": pa.array(uly + yres),
+            }
+        )
+
+    extents = headers.map_batches(_extent, batch_format="pyarrow")
+    pairs = spatial_join_points(
+        extents, points, point_cols=(pid, plon, plat), strategy="broadcast"
+    )
+
+    def _pair_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                id_col: batch["scene_key"].combine_chunks().cast(pa.int64()),
+                pid: batch[pid].combine_chunks().cast(pa.int64()),
+                plon: batch[plon],
+                plat: batch[plat],
+                blob_col: pa.array([None] * n, type=pa.binary()),
+            }
+        )
+
+    def _raster_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        null_i = pa.array([None] * n, type=pa.int64())
+        null_f = pa.array([None] * n, type=pa.float64())
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                pid: null_i,
+                plon: null_f,
+                plat: null_f,
+                blob_col: batch[blob_col],
+            }
+        )
+
+    unioned = pairs.map_batches(_pair_side, batch_format="pyarrow").union(
+        rasters.map_batches(_raster_side, batch_format="pyarrow")
+    )
+
+    def _lookup(group) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                pid: pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "ix": pa.array([], type=pa.int64()),
+                "iy": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+        blobs = group[blob_col].dropna()
+        pts = group[group[pid].notna()]
+        if not len(blobs) or not len(pts):
+            return empty
+        info = decode_geotiff(blobs.iloc[0])
+        data = info["data"][0]
+        h, w = data.shape
+        lon = pts[plon].to_numpy(dtype=np.float64)
+        lat = pts[plat].to_numpy(dtype=np.float64)
+        ix = np.floor((lon - info["ulx"]) / info["xres"]).astype(np.int64)
+        iy = np.floor((info["uly"] - lat) / info["yres"]).astype(np.int64)
+        ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ix, iy = ix[ok], iy[ok]
+        v = data[iy, ix]
+        if info["nodata"] is not None:
+            valid = v != info["nodata"]
+            ix, iy, v = ix[valid], iy[valid], v[valid]
+            ok[np.flatnonzero(ok)[~valid]] = False
+        return pa.table(
+            {
+                pid: pa.array(pts[pid].to_numpy(dtype=np.int64)[ok]),
+                id_col: pa.array(
+                    np.full(int(ok.sum()), int(group[id_col].iloc[0]), dtype=np.int64)
+                ),
+                "ix": pa.array(ix),
+                "iy": pa.array(iy),
+                "v": pa.array(np.rint(v.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    return unioned.groupby(id_col).map_groups(_lookup, batch_format="pandas")

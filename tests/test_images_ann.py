@@ -438,3 +438,49 @@ def test_raster_gradient_stats_golden():
     assert row.n_interior == 2
     assert (row.gx_max, row.gy_max) == (4, 20)
     assert row.grad_sum == 2 * (4 + 20)
+
+
+def test_sample_raster_boundaries_and_nodata():
+    """Top/left edges in, bottom/right out; nodata drops; misses drop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyrosar_ray.functions.tiff import encode_geotiff
+    from pyrosar_ray.stages.zonal import sample_raster
+
+    # 4x2 raster at ulx=10, uly=20, xres=0.5, yres=0.5 -> spans
+    # lon [10,12), lat (19,20]; v[iy,ix], nodata at (ix,iy)=(1,1)
+    v = np.array([[1, 2, 3, 4], [5, -9, 7, 8]], dtype=np.float32)
+    blob = encode_geotiff(
+        v[None], ulx=10.0, uly=20.0, xres=0.5, yres=0.5, nodata=-9.0, tile=8
+    )
+    rasters = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([42], type=pa.int64()),
+                "blob": pa.array([blob], type=pa.binary()),
+            }
+        )
+    )
+    pts = pa.table(
+        {
+            "point_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "lon": pa.array([10.0, 11.9, 12.0, 10.7, 10.7, 50.0]),
+            "lat": pa.array([20.0, 19.1, 19.5, 19.2, 19.0, 0.0]),
+        }
+    )
+    out = (
+        sample_raster(rasters, ray.data.from_arrow(pts))
+        .to_pandas()
+        .sort_values("point_id", ignore_index=True)
+    )
+    # point 1: exact top-left corner -> pixel (0,0) v=1 (edges in)
+    # point 2: (11.9,19.1) -> ix=3, iy=1 -> v=8
+    # point 3: lon=12.0 right edge -> OUT
+    # point 4: (10.7,19.2) -> ix=1, iy=1 -> nodata, dropped
+    # point 5: lat=19.0 bottom edge -> OUT
+    # point 6: far away -> OUT
+    assert out.point_id.tolist() == [1, 2]
+    assert out.v.tolist() == [1, 8]
+    assert out.ix.tolist() == [0, 3] and out.iy.tolist() == [0, 1]
