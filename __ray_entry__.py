@@ -633,6 +633,22 @@ def q_events_window_users(sf_dir: str):
     return tumbling_distinct(events, width_us=_WINDOW_US)
 
 
+def q_events_resample(sf_dir: str):
+    """Per-user dense hourly resample with zero-filled gaps — the
+    gap-materializing window shape (tumbling emits only occupied
+    windows). One key exchange + vectorized bincount over each user's
+    span; integer-cent exact against the generate_series LEFT JOIN
+    twin."""
+    import ray.data
+
+    from pyrosar_ray.stages.windows import resample_events
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return resample_events(events, width_us=3_600_000_000)
+
+
 def q_events_rolling(sf_dir: str):
     """Per-user 3-row rolling sum ordered by (ts, event_id) — the
     ordered-window analytic, integer-cent exact."""
@@ -2328,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_gradient": q_raster_gradient,
         "zonal_stats": q_zonal_stats,
         "sample_raster": q_sample_raster,
+        "events_resample": q_events_resample,
         "quad_area": q_quad_area,
         "doc_bloom_anti": q_doc_bloom_anti,
         "doc_cms": q_doc_cms,
@@ -2355,9 +2372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "doc_bloom_new": q_doc_bloom_new,
         "scene_rasterize": q_scene_rasterize,
-        "doc_adaptive_filter": q_doc_adaptive_filter,
         # -- regression picks: stages REWRITTEN since their last green check
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_adaptive_filter": q_doc_adaptive_filter,
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven green in r1/r2 with stages
         # ---- unchanged since, or rows-only by design)
@@ -3360,6 +3377,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "events_resample": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), spans AS (
+                SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM e GROUP BY user_id
+            ), grid AS (
+                SELECT user_id, unnest(range(lo, hi + 1))::BIGINT AS b FROM spans
+            ), agg AS (
+                SELECT user_id, b, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s
+                FROM e GROUP BY user_id, b
+            )
+            SELECT g.user_id, g.b * 3600000000 AS bucket_start,
+                   COALESCE(a.n, 0)::BIGINT AS n,
+                   COALESCE(a.s, 0)::BIGINT AS sum_cents
+            FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b
         """,
         "events_window": f"""
             -- per-row cent quantization before the SUM keeps the result

@@ -217,3 +217,50 @@ def tumbling_distinct(
         .groupby("window_start")
         .aggregate(Sum("n_distinct", alias_name="n_distinct"))
     )
+
+
+def resample_events(
+    events: Dataset,
+    width_us: int = 3_600_000_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> Dataset:
+    """Per-key DENSE time-grid resample with zero-fill.
+
+    The gap-materializing member of the window family: each key's
+    event stream becomes one row per grid step between its first and
+    last event — steps with no events emit ``n=0, sum_cents=0`` (the
+    time-series regularization every forecasting/feature pipeline
+    needs; tumbling_window only emits occupied windows).
+
+    One hash exchange on the key, then a vectorized bincount over the
+    dense span per group. Output volume per key = span/width — bounded
+    by the stream's time horizon, not its row count; a key whose span
+    x resolution explodes (years at 1-s steps) is a caller bug, same
+    contract as the hopping window's expansion factor.
+    """
+    if width_us <= 0:
+        raise ValueError("width_us must be positive")
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bucket = us // width_us
+        cents = np.floor(df[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        lo, hi = int(bucket.min()), int(bucket.max())
+        idx = bucket - lo
+        size = hi - lo + 1
+        n = np.bincount(idx, minlength=size).astype(np.int64)
+        s = np.rint(
+            np.bincount(idx, weights=cents.astype(np.float64), minlength=size)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key_col: np.full(size, df[key_col].iloc[0], dtype=np.int64),
+                "bucket_start": (np.arange(lo, hi + 1, dtype=np.int64)) * width_us,
+                "n": n,
+                "sum_cents": s,
+            }
+        )
+
+    return events.groupby(key_col).map_groups(_grid, batch_format="pandas")

@@ -196,3 +196,45 @@ def test_tumbling_distinct_matches_pandas():
         .reset_index(name="n_distinct")
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_resample_events_zero_fill(sf_dir):
+    """Dense grid spans min..max hour per key; gaps carry n=0/sum=0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from pyrosar_ray.stages.windows import resample_events
+
+    H = 3_600_000_000
+    ts = pd.to_datetime(
+        ["2021-01-01 00:10", "2021-01-01 00:50", "2021-01-01 03:30",
+         "2021-01-05 12:00"]
+    )
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "value": pa.array([1.005, 2.0, 0.999, 5.0]),
+            }
+        )
+    )
+    out = (
+        resample_events(events, width_us=H)
+        .to_pandas()
+        .sort_values(["user_id", "bucket_start"], ignore_index=True)
+    )
+    u1 = out[out.user_id == 1]
+    assert len(u1) == 4  # hours 0..3 inclusive
+    assert u1.n.tolist() == [2, 0, 0, 1]
+    # cents: floor(1.005*100+.5)=101 (IEEE: 1.005*100 = 100.49999...),
+    # recomputed the same way the kernel does
+    c0 = int(np.floor(1.005 * 100 + 0.5)) + 200
+    assert u1.sum_cents.tolist() == [c0, 0, 0, int(np.floor(0.999 * 100 + 0.5))]
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2.n.iloc[0] == 1 and u2.sum_cents.iloc[0] == 500
+    with pytest.raises(ValueError):
+        resample_events(events, width_us=0)
