@@ -633,6 +633,52 @@ def q_events_window_users(sf_dir: str):
     return tumbling_distinct(events, width_us=_WINDOW_US)
 
 
+def q_events_asof(sf_dir: str):
+    """Generic backward as-of LEFT join (DuckDB ASOF JOIN semantics):
+    each event picks the latest state row (orders-derived, injective
+    (user, rts) by a prime multiplier mod a 30-day span) with
+    rts <= ts for its user; misses carry null. Broadcast composite
+    searchsorted index, zero exchange on the event stream."""
+    import ray.data
+
+    from pyrosar_ray.stages.asof import asof_join_backward
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def _lts(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": ts_us,
+            }
+        )
+
+    left = events.map_batches(_lts, batch_format="pyarrow")
+    orders = _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def _state(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(k % 150),
+                "rts_us": pa.array(
+                    1704067200000000 + (k * 1000003) % 2592000000000
+                ),
+                "state": pa.array(k),
+            }
+        )
+
+    right = orders.map_batches(_state, batch_format="pyarrow")
+    return asof_join_backward(
+        left, right, on="ts_us", by="user_id", right_on="rts_us",
+        value_cols=("state",),
+    )
+
+
 def q_events_resample(sf_dir: str):
     """Per-user dense hourly resample with zero-filled gaps — the
     gap-materializing window shape (tumbling emits only occupied
@@ -2345,9 +2391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": q_zonal_stats,
         "sample_raster": q_sample_raster,
         "events_resample": q_events_resample,
+        "events_asof": q_events_asof,
         "quad_area": q_quad_area,
         "doc_bloom_anti": q_doc_bloom_anti,
-        "doc_cms": q_doc_cms,
         "doc_chunk": q_doc_chunk,
         "doc_winnow": q_doc_winnow,
         "doc_dup_spans": q_doc_dup_spans,
@@ -2381,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "spatial_knn_rtree": q_spatial_knn_rtree,
         "spatial_knn_hex": q_spatial_knn_hex,
+        "doc_cms": q_doc_cms,
         "spatial_join": q_spatial_join,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -3377,6 +3424,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::BIGINT AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "events_asof": """
+            WITH l AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+            ), r AS (
+                SELECT o_orderkey % 150 AS user_id,
+                       1704067200000000 + (o_orderkey * 1000003) % 2592000000000
+                           AS rts_us,
+                       o_orderkey AS state
+                FROM orders
+            )
+            SELECT l.event_id, l.user_id, l.ts_us, r.state
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.rts_us
         """,
         "events_resample": """
             WITH e AS (

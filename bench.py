@@ -46,6 +46,9 @@ BENCH_QUERIES = (
     "image_features",
     "doc_curate",
     "raster_footprint",
+    "zonal_stats",
+    "sample_raster",
+    "image_patches",
 )
 
 

@@ -249,3 +249,88 @@ def clean_res(files: Dataset, name_col: str = "filename") -> Dataset:
         return batch.filter(pa.array((~drop).fillna(True).to_numpy(dtype=bool)))
 
     return files.map_batches(_keep, batch_format="pyarrow")
+
+
+class _AsofProbe:
+    """Per-actor composite-key searchsorted index for asof_join_backward."""
+
+    def __init__(
+        self, ref, on: str, right_on: str, by: str, value_cols: tuple[str, ...]
+    ):
+        right: pa.Table = ray.get(ref)
+        df = right.to_pandas().sort_values([by, right_on], kind="mergesort")
+        self.keys = np.sort(df[by].unique().astype(np.int64))
+        codes = np.searchsorted(self.keys, df[by].to_numpy(dtype=np.int64))
+        ts = df[right_on].to_numpy(dtype=np.int64)
+        self.tmin = int(ts.min())
+        span = int(ts.max()) - self.tmin + 1
+        self.shift = max(span.bit_length(), 1)
+        if (len(self.keys) << self.shift) < 0:  # pragma: no cover
+            raise ValueError("key cardinality x time span overflows int64")
+        # one globally sorted composite: (key code << shift) | (ts - tmin)
+        self.comp = (codes << self.shift) | (ts - self.tmin)
+        self.vals = {c: df[c].to_numpy() for c in value_cols}
+        self.on, self.by, self.value_cols = on, by, value_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lts = batch[self.on].combine_chunks().cast(pa.int64()).to_numpy()
+        lby = batch[self.by].combine_chunks().cast(pa.int64()).to_numpy()
+        pos = np.searchsorted(self.keys, lby)
+        pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+        known = (self.keys[pos_c] == lby) if len(self.keys) else np.zeros(len(lby), bool)
+        tnorm = np.clip(lts - self.tmin, -1, (1 << self.shift) - 1)
+        probe = (pos_c << self.shift) | np.maximum(tnorm, 0)
+        idx = np.searchsorted(self.comp, probe, side="right") - 1
+        idx_c = np.maximum(idx, 0)
+        # hit iff the found row belongs to the same key and rts <= lts
+        hit = (
+            known
+            & (idx >= 0)
+            & ((self.comp[idx_c] >> self.shift) == pos_c)
+            & (tnorm >= 0)
+        )
+        import pyarrow.compute as pc
+
+        out = {name: batch[name] for name in batch.column_names}
+        hit_arr = pa.array(hit)
+        for c in self.value_cols:
+            arr = pa.array(self.vals[c][idx_c])
+            out[c] = pc.if_else(hit_arr, arr, pa.nulls(len(arr), arr.type))
+        return pa.table(out)
+
+
+def asof_join_backward(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    by: str,
+    right_on: str | None = None,
+    value_cols: tuple[str, ...] = ("state",),
+    concurrency: tuple[int, int] | int = (1, 8),
+) -> Dataset:
+    """Generic backward as-of LEFT join: for every left row, append the
+    value columns of the LATEST right row with ``r[on] <= l[on]`` and
+    the same ``by`` key (DuckDB/pandas ``ASOF JOIN`` semantics);
+    left rows with no predecessor carry nulls.
+
+    Physical plan: the right side is the SMALL state table (device
+    registry, price history, orbit inventory — catalog-sized by
+    contract); it broadcasts once via ``ray.put`` and each actor builds
+    ONE globally-sorted composite index ``(key_code << shift) | ts`` in
+    ``__init__``, so every probe batch is a single vectorized
+    searchsorted — no exchange ever touches the left stream. If the
+    right side outgrows workers, range-partition both sides on ``on``
+    and duplicate each right partition's last-per-key row into the next
+    bucket (same stitch contract as the ranged sessionizer).
+
+    ``on`` columns must be integer (epoch µs); keys must be integers.
+    ``right_on`` names the right side's time column (defaults to ``on``).
+    """
+    ref = ray.put(pa.concat_tables(ray.get(right.to_arrow_refs())))
+    return left.map_batches(
+        _AsofProbe,
+        fn_constructor_args=(ref, on, right_on or on, by, tuple(value_cols)),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=8192,
+    )

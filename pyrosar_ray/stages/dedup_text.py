@@ -343,7 +343,13 @@ def minhash_candidate_pairs(docs: Dataset, combine: str = "auto", **kwargs) -> D
         all_band_rows, ("band", "band_hash"), combine=combine
     )
 
+    from .groups import typed_groups
+
+    @typed_groups({"id_a": pa.int64(), "id_b": pa.int64()})
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # Arrow out (via typed_groups): this stage feeds the distinct
+        # aggregate below, and pandas-format blocks entering an exchange
+        # hit a ~10x slow path (see stages/groups.py).
         ids = sorted(group[id_col].tolist())
         pairs = list(combinations(ids, 2)) if len(ids) > 1 else []
         return pd.DataFrame(
@@ -428,6 +434,9 @@ def jaccard_pairs(
         "jac": pd.Series(dtype="float64"),
     }
 
+    from .groups import typed_groups
+
+    @typed_groups({"id_a": pa.int64(), "id_b": pa.int64(), "jac": pa.float64()})
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(id_col, kind="mergesort")
         ids = group[id_col].to_numpy()
@@ -542,7 +551,13 @@ def _star_round(edges: Dataset, large: bool) -> Dataset:
             }
         )
 
+    from .groups import typed_groups
+
+    @typed_groups({"lo": pa.int64(), "hi": pa.int64()})
     def _star(group: pd.DataFrame) -> pd.DataFrame:
+        # Arrow out: each round's output feeds the NEXT round's
+        # exchange, so pandas blocks would pay the ~10x slow path
+        # once per round (stages/groups.py).
         u = int(group["u"].iloc[0])
         nbrs = np.unique(group["v"].to_numpy())
         if large:
@@ -777,19 +792,36 @@ def dup_ngram_stats(
             gp = ((g * fib) >> np.uint64(40)).astype(np.int64) % nparts
         return batch.append_column("_gp", pa.array(gp))
 
-    def _partials(group: pd.DataFrame) -> pd.DataFrame:
+    def _partials(group: pd.DataFrame) -> pa.Table:
         """Per-doc partials from one gram partition: every gram lives
         wholly here, so per-partition distinct/dup counts SUM to the
         global ones and tot (per-doc constant) merges by Max — all
         three aggregates ride ONE exchange, pairs are computed once,
-        and no join is needed."""
+        and no join is needed.
+
+        Returns a TYPED Arrow table even for the empty groups Ray's
+        range-split hands in: schema-less empty pandas blocks poison
+        the downstream aggregate into a schema-unification slow path
+        (measured 12-27 s instead of ~2 s for the same 38k rows at
+        sf0.1) besides the 'Failed to hash the schemas' warnings."""
+        schema = {
+            id_col: pa.int64(),
+            "tot": pa.int64(),
+            "distinct_grams": pa.int64(),
+            "dup_grams": pa.int64(),
+        }
+        if not len(group):
+            return pa.table({c: pa.array([], type=t) for c, t in schema.items()})
         sizes = group.groupby("g")["g"].transform("size")
         agg = group.assign(_dup=(sizes >= 2).astype(np.int64)).groupby(id_col).agg(
             tot=("tot", "max"),
             distinct_grams=("g", "size"),
             dup_grams=("_dup", "sum"),
         )
-        return agg.reset_index().astype(np.int64)
+        out = agg.reset_index().astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(schema)
+        )
 
     return (
         docs.map_batches(_grams, batch_format="pyarrow")

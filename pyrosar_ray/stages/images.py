@@ -446,8 +446,6 @@ def phash_near_dup_pairs(
     """
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        from itertools import combinations
-
         g = group.sort_values(id_col, kind="mergesort")
         ids = g[id_col].tolist()
         ph = g["phash"].to_numpy().astype(np.uint64)
@@ -535,9 +533,18 @@ def phash_near_dup_pairs(
             .replace_schema_metadata(None)
         )
 
+    from .groups import typed_groups
+
     band_rows = keep_multi_member_buckets(all_band_rows, ("band", "band_key"))
+    # Arrow out at the CALL SITE only (the driver fast-path above reuses
+    # the raw pandas UDF): this stage feeds the distinct aggregate, and
+    # pandas blocks entering an exchange hit a ~10x slow path
+    # (stages/groups.py)
     pairs = band_rows.groupby(["band", "band_key"]).map_groups(
-        _pairs, batch_format="pandas"
+        typed_groups(
+            {"id_a": pa.string(), "id_b": pa.string(), "hamming": pa.int64()}
+        )(_pairs),
+        batch_format="pandas",
     )
     # a pair can surface from several bands → distinct via aggregate
     # (hamming is pair-determined, so Min is the identity); normalize the

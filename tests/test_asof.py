@@ -95,3 +95,45 @@ def test_overlap_mask():
     )
     # touching intervals (start2 == stop1 or stop2 == start1) do NOT overlap
     assert got.tolist() == [True, False, False]
+
+
+def test_asof_join_backward_semantics(sf_dir):
+    """Exact-equal ts hits; earlier-than-all misses; unknown keys null;
+    latest-of-several wins."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pyrosar_ray.stages.asof import asof_join_backward
+
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], type=pa.int64()),
+                "rt": pa.array([100, 200, 50], type=pa.int64()),
+                "state": pa.array([10, 20, 5], type=pa.int64()),
+            }
+        )
+    )
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "k": pa.array([1, 1, 1, 2, 9], type=pa.int64()),
+                "t": pa.array([99, 200, 500, 49, 1000], type=pa.int64()),
+            }
+        )
+    )
+    out = (
+        asof_join_backward(
+            left, right, on="t", by="k", right_on="rt", value_cols=("state",)
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    vals = out["state"].tolist()
+    assert pd.isna(vals[0])          # t=99 before first state at 100
+    assert vals[1] == 20             # exact equality is a hit
+    assert vals[2] == 20             # latest of several
+    assert pd.isna(vals[3])          # key 2 starts at 50, probe at 49
+    assert pd.isna(vals[4])          # unknown key
