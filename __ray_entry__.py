@@ -1075,6 +1075,20 @@ def q_embed_semdedup(sf_dir: str):
     return semdedup(emb, threshold=0.2, ncells=16)
 
 
+def q_embed_pca(sf_dir: str):
+    """Distributed PCA projection (pass 2 of the embed_gram pipeline):
+    exact integer Gram -> driver eigh -> broadcast top-3 components ->
+    one matmul per batch, zero exchange on the corpus. Rows-only by
+    design: eigenvectors are float libm output (the Gram pass itself
+    is the hash-checked half, q embed_gram)."""
+    from pyrosar_ray.stages.ann import pca_project
+
+    emb = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(emb, k=3)
+
+
 def q_embed_gram(sf_dir: str):
     """Distributed Gram matrix of quantized embeddings (the PCA first
     pass): per-batch integer Q^T Q folds merged by a fixed d^2-row
@@ -2480,6 +2494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_slices": q_geocode_slices,
         "audio_features": q_audio_features,
         "embed_kmeans": q_embed_kmeans,
+        "embed_pca": q_embed_pca,
         "image_process": q_image_process,
         "doc_langid": q_doc_langid,
         "image_features": q_image_features,

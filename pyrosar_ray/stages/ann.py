@@ -510,3 +510,61 @@ def gram_to_matrix(gram: pd.DataFrame, dim: int) -> np.ndarray:
     m[i, j] = s
     m[j, i] = s
     return m
+
+
+def pca_project(
+    corpus: Dataset,
+    k: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Distributed PCA projection — the second (and last) pass after
+    :func:`embedding_gram`.
+
+    Pass 1 folds the corpus into the EXACT integer Gram matrix (one
+    dimension-sized exchange); the driver eigendecomposes the d x d
+    matrix (d ~ tens-hundreds: trivial) and broadcasts the top-``k``
+    eigenvectors; pass 2 projects every row with one matmul per batch —
+    zero further exchange, so a 10^12-row corpus streams through at
+    read bandwidth. Scatter-matrix PCA (uncentered) matches the
+    SemDeDup/IVF quantizer convention used elsewhere in the engine.
+
+    Deterministic across cluster sizes: the Gram sums are exact
+    integers, eigh runs once on the driver, and an eigenvector sign
+    convention (largest-|component| entry positive) pins the otherwise
+    arbitrary +/- per component. Output: (id, p0..p{k-1} float64,
+    eigenvalue-descending order). Rows-only by design — eigenvectors
+    are float libm output with no exact SQL twin.
+    """
+    gram = embedding_gram(corpus, emb_col=emb_col).to_pandas()
+    dim = int(gram["i"].max()) + 1 if len(gram) else 0
+    if dim == 0 or k < 1:
+        raise ValueError("empty corpus or k < 1")
+    m = gram_to_matrix(gram, dim)
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][: min(k, dim)]
+    comps = vecs[:, order]  # (d, k)
+    # sign convention: the largest-|entry| coordinate of each component
+    # is made positive, so N and 4N clusters emit identical projections
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[None, :]
+    ref = ray.put(comps)
+
+    class _Project:
+        def __init__(self):
+            self.comps = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = quantize_embeddings(_stack_embeddings(batch, emb_col)).astype(
+                np.float64
+            )
+            proj = q @ self.comps
+            out = {id_col: batch[id_col]}
+            for c in range(proj.shape[1]):
+                out[f"p{c}"] = pa.array(proj[:, c])
+            return pa.table(out)
+
+    return corpus.select_columns([id_col, emb_col]).map_batches(
+        _Project, batch_format="pyarrow", concurrency=(1, 8), batch_size=4096
+    )

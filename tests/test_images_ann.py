@@ -484,3 +484,31 @@ def test_sample_raster_boundaries_and_nodata():
     assert out.point_id.tolist() == [1, 2]
     assert out.v.tolist() == [1, 8]
     assert out.ix.tolist() == [0, 3] and out.iy.tolist() == [0, 1]
+
+
+def test_pca_project_variance_ordering(sf_dir):
+    """Projected variances are eigenvalue-ordered and reconstruct the
+    quantized scatter; projections are deterministic across runs."""
+    from pyrosar_ray.stages.ann import pca_project
+
+    from pyrosar_ray.pipelines.tables import read_parquet_clean
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = (
+        pca_project(emb, k=3)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert list(out.columns) == ["vec_id", "p0", "p1", "p2"]
+    # uncentered scatter along components is non-increasing
+    e0 = (out.p0**2).sum()
+    e1 = (out.p1**2).sum()
+    e2 = (out.p2**2).sum()
+    assert e0 >= e1 >= e2 > 0
+    # deterministic (sign convention pins the eigenvector orientation)
+    again = (
+        pca_project(emb, k=3).to_pandas().sort_values("vec_id", ignore_index=True)
+    )
+    assert np.allclose(out[["p0", "p1", "p2"]], again[["p0", "p1", "p2"]])
