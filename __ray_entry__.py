@@ -2113,6 +2113,24 @@ def q_sample_raster(sf_dir: str):
     return sample_raster(_zonal_rasters(sf_dir), load_points(sf_dir))
 
 
+def q_points_zorder(sf_dir: str):
+    """Morton (Z-order) layout keys for every point — the lakehouse
+    Z-ORDER clustering key (the sort itself is order-insensitive to the
+    gate; the KEY is the checkable artifact). 16 bits per axis, lon at
+    even bit positions; the twin reproduces the interleave as an
+    explicit 32-term bit sum."""
+    from pyrosar_ray.functions.morton import morton_key
+    from pyrosar_ray.pipelines.tables import load_points
+
+    pts = load_points(sf_dir)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        z = morton_key(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        return pa.table({"point_id": batch["point_id"], "z": pa.array(z)})
+
+    return pts.map_batches(_key, batch_format="pyarrow")
+
+
 def q_mgrs_zones(sf_dir: str):
     """MGRS/UTM grid-zone designator per scene (north-star named
     surface: "MGRS/UTM-style processing tiles"): footprint centers are
@@ -2400,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_dirs": q_unique_dirs,
         # -- round-3 operators, never driver-checked --
         "image_patches": q_image_patches,
+        "points_zorder": q_points_zorder,
         "mgrs_zones": q_mgrs_zones,
         "raster_gradient": q_raster_gradient,
         "zonal_stats": q_zonal_stats,
@@ -2408,7 +2427,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "quad_area": q_quad_area,
         "doc_bloom_anti": q_doc_bloom_anti,
-        "doc_chunk": q_doc_chunk,
         "doc_winnow": q_doc_winnow,
         "doc_dup_spans": q_doc_dup_spans,
         "embed_semdedup": q_embed_semdedup,
@@ -2442,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn_rtree": q_spatial_knn_rtree,
         "spatial_knn_hex": q_spatial_knn_hex,
         "doc_cms": q_doc_cms,
+        "doc_chunk": q_doc_chunk,
         "spatial_join": q_spatial_join,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -2817,6 +2836,22 @@ def _winnow_sql(k: int = 4, window: int = 5) -> str:
                      THEN wmin - {m64} ELSE wmin END)::BIGINT AS fp
         FROM valid
         WHERE p <= ng - least({window}, ng)
+        """
+
+
+def _zorder_sql() -> str:
+    """DuckDB twin of q_points_zorder: identical quantization + 32-term
+    bit interleave (functions/morton.py)."""
+    from pyrosar_ray.functions.morton import (
+        morton_interleave_sql,
+        morton_quantize_sql,
+    )
+
+    zx, zy = morton_quantize_sql("lon", "lat")
+    return f"""
+        WITH p AS ({POINTS_SQL}),
+        q AS (SELECT point_id, {zx} AS zx, {zy} AS zy FROM p)
+        SELECT point_id, ({morton_interleave_sql()})::BIGINT AS z FROM q
         """
 
 
@@ -3598,6 +3633,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": _dup_ngram_sql(),
         "doc_winnow": _winnow_sql(),
         "image_patches": _patches_sql(),
+        "points_zorder": _zorder_sql(),
         "mgrs_zones": _mgrs_sql(),
         "raster_gradient": _gradient_sql(),
         "zonal_stats": _ZONAL_SQL,

@@ -615,3 +615,28 @@ def broadcast_polygon_filter(
             return batch.filter(pa.array(keep))
 
     return scenes.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def zorder_layout(
+    ds: "Dataset",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    key_col: str = "z",
+):
+    """Z-ORDER the dataset: append the Morton key and range-sort on it.
+
+    The lakehouse layout optimization: one sort exchange clusters
+    spatial neighbors into the same output blocks, so downstream
+    range/tile reads touch a bounded block subset (write with
+    ``write_parquet`` per block range for the resumable layout). The
+    key itself is hash-checkable (functions/morton.py).
+    """
+    import pyarrow as pa
+
+    from ..functions.morton import morton_key
+
+    def _key(batch: pa.Table) -> pa.Table:
+        z = morton_key(batch[lon_col].to_numpy(), batch[lat_col].to_numpy())
+        return batch.append_column(key_col, pa.array(z))
+
+    return ds.map_batches(_key, batch_format="pyarrow").sort(key_col)

@@ -164,3 +164,39 @@ def test_auto_num_partitions(ray_session, sf_dir):
     # non-file-backed lineage falls back to the caller default
     synth = ray.data.range(10)
     assert auto_num_partitions(synth, points, default=33) == 33
+
+
+def test_morton_key_locality_and_roundtrip():
+    """Bit-interleave matches a slow reference; z-adjacent points are
+    spatially near (shared prefix ⇒ same power-of-two cell)."""
+    import numpy as np
+
+    from pyrosar_ray.functions.morton import morton_key, quantize_lonlat
+
+    rng_lon = np.array([-180.0, -179.99, 0.0, 10.123, 179.994, 180.0])
+    rng_lat = np.array([-90.0, 0.0, 45.5, -45.5, 89.99, 90.0])
+    z = morton_key(rng_lon, rng_lat)
+    x, y = quantize_lonlat(rng_lon, rng_lat)
+
+    def slow(xv, yv):
+        out = 0
+        for b in range(16):
+            out |= ((int(xv) >> b) & 1) << (2 * b)
+            out |= ((int(yv) >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert z.tolist() == [slow(a, b) for a, b in zip(x, y)]
+    # clamping: lon=180 / lat=90 stay in the top cell
+    assert x[-1] == 65535 and y[-1] == 65535
+    # locality: equal top-24-bit prefix => same 2^-12-scaled cell => the
+    # quantized coordinates differ by < 2^4 in each axis
+    lon = np.linspace(-10, 10, 4096)
+    lat = np.linspace(40, 41, 4096)
+    zz = morton_key(lon, lat)
+    order = np.argsort(zz, kind="mergesort")
+    xs, ys = quantize_lonlat(lon, lat)
+    pref = zz[order] >> 8
+    same = pref[1:] == pref[:-1]
+    dx = np.abs(np.diff(xs[order].astype(np.int64)))
+    dy = np.abs(np.diff(ys[order].astype(np.int64)))
+    assert (dx[same] < 16).all() and (dy[same] < 16).all()
