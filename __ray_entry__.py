@@ -1585,7 +1585,12 @@ def q_spatial_knn_partitioned(sf_dir: str):
         .groupby("point_id")
         .aggregate(Min("lon", alias_name="lon"), Min("lat", alias_name="lat"))
     )
-    return partitioned_spatial_knn(load_scenes(sf_dir), points, k=5)
+    # the sampled probe side is ~60x smaller than the catalog here, so
+    # replicate the probes into their halo cells (auto can't see through
+    # the groupby's lineage to compare sizes)
+    return partitioned_spatial_knn(
+        load_scenes(sf_dir), points, k=5, replicate="points"
+    )
 
 
 def q_unique_dirs(sf_dir: str):

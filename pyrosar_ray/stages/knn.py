@@ -293,6 +293,7 @@ def spatial_knn(
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
     concurrency=(1, 8),
     strategy: str = "cells",
+    mode: str = "actors",
 ) -> Dataset:
     """k nearest scene centroids per point: rows (point_id, scene_key, rank).
 
@@ -302,6 +303,11 @@ def spatial_knn(
     expanding rings over the aperture-7 hex cell map (``res`` is the
     hex resolution there). Identical output by construction (same
     metric, same (distance, scene_key) tie-break).
+
+    ``mode='tasks'`` runs the probe as stateless tasks that attach the
+    broadcast index zero-copy per task instead of an actor pool — for
+    small probe sets (e.g. the partitioned plan's fallback tail) the
+    actor-pool ramp dominates the work, while a task starts instantly.
     """
     from .spatial import materialize_small_side
 
@@ -319,7 +325,15 @@ def spatial_knn(
         raise ValueError(
             f"unknown strategy {strategy!r} (expected 'cells'|'rtree'|'hex')"
         )
-    return points.select_columns(list(point_cols)).map_batches(
+    probes = points.select_columns(list(point_cols))
+    if mode == "tasks":
+        cols = tuple(point_cols)
+
+        def _probe_task(batch: pa.Table, _ref=ref, _cls=cls) -> pa.Table:
+            return _cls(_ref, k, cols)(batch)
+
+        return probes.map_batches(_probe_task, batch_format="pyarrow")
+    return probes.map_batches(
         cls,
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -502,30 +516,55 @@ def partitioned_spatial_knn(
     halo: int = 2,
     num_partitions: int | None = None,
     point_cols: tuple[str, ...] = ("point_id", "lon", "lat"),
+    replicate: str = "auto",
 ) -> Dataset:
     """Large-large kNN: co-partition by grid cell with halo replication.
 
-    When the scene side is itself too large to broadcast, each scene
-    centroid replicates to its cell and every cell within Chebyshev
-    radius ``halo`` ((2*halo+1)^2 copies of a 4-column row — centroid
-    tables are tiny relative to imagery); points carry their own cell;
-    both sides co-partition on a salted cell hash and each partition
-    resolves its points against the local halo candidates with the
-    same vectorized rank kernel as :class:`CentroidKNN`.
+    When the scene side is itself too large to broadcast, the
+    **smaller** side replicates to every cell within Chebyshev radius
+    ``halo`` ((2*halo+1)^2 copies of a 4-column row) while the larger
+    side carries only its own cell; both co-partition on a salted cell
+    hash and each partition resolves points against local candidates
+    with the same vectorized rank kernel as :class:`CentroidKNN`.
 
-    Correctness: a point's unseen candidates live in cells at Chebyshev
-    distance > halo, hence >= halo * cell_size away; points whose kth
-    candidate distance exceeds that bound (or with < k candidates) are
-    re-resolved by the broadcast plan — the fallback set is the sparse
-    tail, output-sized, and the union is EXACTLY the broadcast plan's
-    rows (same metric and (distance, scene_key) tie-break; the
-    spatial_knn oracle hash-checks it).
+    ``replicate='scenes'`` (the original plan) suits the
+    points >> scenes regime; ``replicate='points'`` suits
+    scenes >> points and adds a second, output-sized exchange that
+    merges per-partition partial top-ks by point id. ``'auto'`` picks
+    by read-metadata byte estimates and falls back to ``'scenes'``
+    when an input's lineage hides its size (e.g. behind a groupby).
+
+    Correctness (either side): a point's unseen candidates live in
+    cells at Chebyshev distance > halo, hence >= halo * cell_size
+    away; points whose kth candidate distance exceeds that bound (or
+    with < k candidates) are re-resolved by the broadcast plan — the
+    fallback set is the sparse tail, output-sized, and the union is
+    EXACTLY the broadcast plan's rows (same metric and
+    (distance, scene_key) tie-break; the spatial_knn oracle
+    hash-checks it). In probe-replication mode the merged partial
+    top-ks are the exact top-k of all candidates within the halo:
+    every candidate cell of a point is probed by exactly one replica,
+    and a group's merged row count reaches k iff the point saw >= k
+    candidates (each partition emits min(cand, k) rows).
     """
-    from .spatial import _cell_partition, auto_num_partitions, materialize_small_side
+    from .spatial import (
+        _cell_partition,
+        auto_num_partitions,
+        estimate_input_bytes,
+        materialize_small_side,
+    )
 
     if num_partitions is None:
         num_partitions = auto_num_partitions(scenes, points)
     nparts = int(num_partitions)
+    if replicate == "auto":
+        sb = estimate_input_bytes(scenes)
+        pb = estimate_input_bytes(points)
+        replicate = "points" if (sb is not None and pb is not None and pb < sb) else "scenes"
+    if replicate == "points":
+        return _probe_replicated_knn(
+            scenes, points, k, res, halo, nparts, point_cols
+        )
     scale = float(1 << res)
     cell_size = 1.0 / scale
     ncols = int(360 * scale) + 2 * halo + 3
@@ -699,6 +738,278 @@ def partitioned_spatial_knn(
         return resolved
     tail = spatial_knn(
         scenes, tail_pts, k=k, res=res,
-        point_cols=("point_id", "lon", "lat"), strategy="cells",
+        point_cols=("point_id", "lon", "lat"), strategy="cells", mode="tasks",
+    )
+    return resolved.union(tail)
+
+
+def _probe_replicated_knn(
+    scenes: Dataset,
+    points: Dataset,
+    k: int,
+    res: int,
+    halo: int,
+    nparts: int,
+    point_cols: tuple[str, ...],
+) -> Dataset:
+    """Probe-replication plan: points copy to their halo cells, scenes
+    stay in their own cell — the exchange carries (2*halo+1)^2 copies of
+    the SMALL side plus one copy of the large side, instead of 25x the
+    150k-scene catalog for a 2.6k-point probe set (17x fewer rows at
+    the bench shape). A second output-sized exchange merges the
+    per-partition partial top-ks per point id.
+    """
+    from .spatial import _cell_partition
+
+    scale = float(1 << res)
+    cell_size = 1.0 / scale
+    ncols = int(360 * scale) + 2 * halo + 3
+    span = np.arange(-halo, halo + 1, dtype=np.int64)
+    dr = np.repeat(span, 2 * halo + 1)
+    dc = np.tile(span, 2 * halo + 1)
+    nd = len(dr)
+    marker_off = (dr == 0) & (dc == 0)
+    bound2 = (halo * cell_size) ** 2
+    pid_col = point_cols[0]
+
+    def _tag_scenes(batch: pa.Table) -> pa.Table:
+        cx = (batch["xmin"].to_numpy() + batch["xmax"].to_numpy()) / 2.0
+        cy = (batch["ymin"].to_numpy() + batch["ymax"].to_numpy()) / 2.0
+        row = np.floor((cy + 90.0) * scale).astype(np.int64) + halo + 1
+        col = np.floor((cx + 180.0) * scale).astype(np.int64) + halo + 1
+        cells = row * ncols + col
+        n = len(cx)
+        return pa.table(
+            {
+                "_cell": pa.array(cells),
+                "_part": pa.array(_cell_partition(cells, nparts)),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                "point_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "scene_key": pa.array(batch["scene_key"].to_numpy()),
+                "lon": pa.array(cx),
+                "lat": pa.array(cy),
+                "_marker": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def _rep_points(batch: pa.Table) -> pa.Table:
+        lon = batch[point_cols[1]].to_numpy()
+        lat = batch[point_cols[2]].to_numpy()
+        row = np.floor((lat + 90.0) * scale).astype(np.int64) + halo + 1
+        col = np.floor((lon + 180.0) * scale).astype(np.int64) + halo + 1
+        n = len(lon)
+        cells = ((row[:, None] + dr[None, :]) * ncols + (col[:, None] + dc[None, :])).ravel()
+        rep = np.repeat(np.arange(n, dtype=np.int64), nd)
+        return pa.table(
+            {
+                "_cell": pa.array(cells),
+                "_part": pa.array(_cell_partition(cells, nparts)),
+                "_side": pa.array(np.ones(len(cells), dtype=np.int8)),
+                "point_id": pa.array(batch[pid_col].to_numpy()[rep]),
+                "scene_key": pa.array(np.full(len(cells), -1, dtype=np.int64)),
+                "lon": pa.array(lon[rep]),
+                "lat": pa.array(lat[rep]),
+                "_marker": pa.array(np.tile(marker_off, n)),
+            }
+        )
+
+    partial_schema = {
+        "point_id": pa.int64(),
+        "scene_key": pa.int64(),
+        "d2": pa.float64(),
+        "marker": pa.bool_(),
+        "lon": pa.float64(),
+        "lat": pa.float64(),
+    }
+    from .groups import empty_table
+
+    def _local_partial(tab: pa.Table) -> pa.Table:
+        side = tab["_side"].to_numpy()
+        stab = tab.filter(pa.array(side == 0))
+        ptab = tab.filter(pa.array(side == 1))
+        outs = []
+        if len(ptab):
+            mk = ptab["_marker"].to_numpy()
+            if mk.any():
+                mtab = ptab.filter(pa.array(mk))
+                nm = len(mtab)
+                outs.append(
+                    pa.table(
+                        {
+                            "point_id": mtab["point_id"],
+                            "scene_key": pa.array(np.full(nm, -1, dtype=np.int64)),
+                            "d2": pa.array(np.full(nm, np.inf)),
+                            "marker": pa.array(np.ones(nm, dtype=bool)),
+                            "lon": mtab["lon"],
+                            "lat": mtab["lat"],
+                        }
+                    )
+                )
+        if len(ptab) and len(stab):
+            scell = stab["_cell"].to_numpy()
+            order = np.argsort(scell, kind="stable")
+            scell_sorted = scell[order]
+            pcell = ptab["_cell"].to_numpy()
+            lo = np.searchsorted(scell_sorted, pcell, side="left")
+            hi = np.searchsorted(scell_sorted, pcell, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total:
+                n = len(pcell)
+                plon = ptab["lon"].to_numpy()
+                plat = ptab["lat"].to_numpy()
+                pids = ptab["point_id"].to_numpy()
+                rep_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+                run_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                j = np.arange(total, dtype=np.int64) - np.repeat(run_off, counts)
+                entry = order[np.repeat(lo, counts) + j]
+                scx = stab["lon"].to_numpy()[entry]
+                scy = stab["lat"].to_numpy()[entry]
+                skey = stab["scene_key"].to_numpy()[entry]
+                dx = scx - plon[rep_idx]
+                dy = scy - plat[rep_idx]
+                d2 = dx * dx + dy * dy
+                # rank within each REPLICA row (one probed cell each);
+                # capping at k per replica keeps the exact top-k property
+                # of the later merge (see partitioned_spatial_knn doc)
+                osort = np.lexsort((skey, d2, rep_idx))
+                sp, sd2, sk = rep_idx[osort], d2[osort], skey[osort]
+                newgrp = np.empty(len(sp), dtype=bool)
+                newgrp[0] = True
+                np.not_equal(sp[1:], sp[:-1], out=newgrp[1:])
+                grp_start = np.maximum.accumulate(
+                    np.where(newgrp, np.arange(len(sp)), 0)
+                )
+                rank = np.arange(len(sp)) - grp_start
+                keep = rank < k
+                ne = int(keep.sum())
+                outs.append(
+                    pa.table(
+                        {
+                            "point_id": pa.array(pids[sp[keep]]),
+                            "scene_key": pa.array(sk[keep]),
+                            "d2": pa.array(sd2[keep]),
+                            "marker": pa.array(np.zeros(ne, dtype=bool)),
+                            "lon": pa.array(np.zeros(ne)),
+                            "lat": pa.array(np.zeros(ne)),
+                        }
+                    )
+                )
+        if not outs:
+            return empty_table(partial_schema)
+        return pa.concat_tables(outs)
+
+    merge_parts = min(64, nparts)
+
+    def _tag_merge(batch: pa.Table) -> pa.Table:
+        pid = batch["point_id"].to_numpy()
+        return batch.append_column(
+            "_p2", pa.array(_cell_partition(pid, merge_parts))
+        )
+
+    out_schema = {
+        "point_id": pa.int64(),
+        "scene_key": pa.int64(),
+        "rank": pa.int64(),
+        "ok": pa.bool_(),
+        "lon": pa.float64(),
+        "lat": pa.float64(),
+    }
+
+    def _merge(tab: pa.Table) -> pa.Table:
+        mk = tab["marker"].to_numpy()
+        cand = tab.filter(pa.array(~mk))
+        mtab = tab.filter(pa.array(mk))
+        mpid = mtab["point_id"].to_numpy()
+        morder = np.argsort(mpid, kind="stable")
+        mpid_sorted = mpid[morder]
+        mlon = mtab["lon"].to_numpy()[morder]
+        mlat = mtab["lat"].to_numpy()[morder]
+        resolved_mask = np.zeros(len(mpid_sorted), dtype=bool)
+        outs = []
+        if len(cand):
+            pid = cand["point_id"].to_numpy()
+            d2 = cand["d2"].to_numpy()
+            skey = cand["scene_key"].to_numpy()
+            osort = np.lexsort((skey, d2, pid))
+            sp, sd2, sk = pid[osort], d2[osort], skey[osort]
+            newgrp = np.empty(len(sp), dtype=bool)
+            newgrp[0] = True
+            np.not_equal(sp[1:], sp[:-1], out=newgrp[1:])
+            grp_start = np.maximum.accumulate(np.where(newgrp, np.arange(len(sp)), 0))
+            rank = np.arange(len(sp)) - grp_start
+            starts = np.flatnonzero(newgrp)
+            counts = np.diff(np.concatenate([starts, [len(sp)]]))
+            grp_of = np.cumsum(newgrp) - 1
+            kth_rows = rank == np.minimum(counts[grp_of] - 1, k - 1)
+            grp_kth_d2 = sd2[np.flatnonzero(kth_rows)]  # one per group, in order
+            grp_ok = (counts >= k) & (grp_kth_d2 <= bound2)
+            emit = (rank < k) & grp_ok[grp_of]
+            ne = int(emit.sum())
+            outs.append(
+                pa.table(
+                    {
+                        "point_id": pa.array(sp[emit]),
+                        "scene_key": pa.array(sk[emit]),
+                        "rank": pa.array(rank[emit] + 1),
+                        "ok": pa.array(np.ones(ne, dtype=bool)),
+                        "lon": pa.array(np.zeros(ne)),
+                        "lat": pa.array(np.zeros(ne)),
+                    }
+                )
+            )
+            ok_pids = sp[starts[grp_ok]]
+            resolved_mask[np.searchsorted(mpid_sorted, ok_pids)] = True
+        un = np.flatnonzero(~resolved_mask)
+        if len(un):
+            outs.append(
+                pa.table(
+                    {
+                        "point_id": pa.array(mpid_sorted[un]),
+                        "scene_key": pa.array(np.full(len(un), -1, dtype=np.int64)),
+                        "rank": pa.array(np.zeros(len(un), dtype=np.int64)),
+                        "ok": pa.array(np.zeros(len(un), dtype=bool)),
+                        "lon": pa.array(mlon[un]),
+                        "lat": pa.array(mlat[un]),
+                    }
+                )
+            )
+        if not outs:
+            return empty_table(out_schema)
+        return pa.concat_tables(outs)
+
+    tagged = scenes.select_columns(
+        ["scene_key", "xmin", "ymin", "xmax", "ymax"]
+    ).map_batches(_tag_scenes, batch_format="pyarrow").union(
+        points.select_columns(list(point_cols)).map_batches(
+            _rep_points, batch_format="pyarrow"
+        )
+    )
+    pass2 = (
+        tagged.groupby("_part")
+        .map_groups(_local_partial, batch_format="pyarrow")
+        .map_batches(_tag_merge, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(_merge, batch_format="pyarrow")
+        .materialize()  # output-sized (k rows per resolved point + tail probes)
+    )
+
+    def _keep_ok(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["ok"]).select(["point_id", "scene_key", "rank"])
+
+    def _keep_bad(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(batch["ok"].combine_chunks())).select(
+            ["point_id", "lon", "lat"]
+        )
+
+    resolved = pass2.map_batches(_keep_ok, batch_format="pyarrow")
+    tail_pts = pass2.map_batches(_keep_bad, batch_format="pyarrow")
+    if tail_pts.count() == 0:
+        return resolved
+    tail = spatial_knn(
+        scenes, tail_pts, k=k, res=res,
+        point_cols=("point_id", "lon", "lat"), strategy="cells", mode="tasks",
     )
     return resolved.union(tail)

@@ -116,9 +116,12 @@ def test_hex_knn_matches_cells_plan(sf_dir):
     assert a.equals(b)
 
 
-def test_partitioned_knn_matches_broadcast_with_sparse_tail(sf_dir):
+@pytest.mark.parametrize("replicate", ["scenes", "points"])
+def test_partitioned_knn_matches_broadcast_with_sparse_tail(sf_dir, replicate):
     """halo=1 at a coarse res leaves sparse probes unresolved; the
-    broadcast fallback must stitch them to the exact broadcast rows."""
+    broadcast fallback must stitch them to the exact broadcast rows —
+    in both replication modes (scene copies to halo cells vs probe
+    copies + partial-top-k merge)."""
     import numpy as np
     import pyarrow as pa
     import ray
@@ -157,7 +160,9 @@ def test_partitioned_knn_matches_broadcast_with_sparse_tail(sf_dir):
         .sort_values(["point_id", "rank"], ignore_index=True)
     )
     b = (
-        partitioned_spatial_knn(scenes, points, k=5, halo=1, num_partitions=8)
+        partitioned_spatial_knn(
+            scenes, points, k=5, halo=1, num_partitions=8, replicate=replicate
+        )
         .to_pandas()
         .sort_values(["point_id", "rank"], ignore_index=True)
     )
