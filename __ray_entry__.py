@@ -460,6 +460,30 @@ def q_asof_osv(sf_dir: str):
     return matched.select_columns(["scene_key", "osv_id"])
 
 
+def q_osv_interp(sf_dir: str):
+    """Orbit ephemeris interpolation at scene times: asof-matched scenes
+    stream through an actor pool holding the broadcast node-grid
+    ephemeris (built once per actor in __init__), cubic Lagrange on the
+    uniform grid — the engine rendering of SNAP's orbit propagator over
+    pyroSAR's matched OSV files. IEEE-exact twin (identical expression
+    order both sides)."""
+    from pyrosar_ray.derive import osv_from_supplier
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.asof import asof_match
+    from pyrosar_ray.stages.orbit import interpolate_orbit
+
+    inv = osv_from_supplier(
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])["s_suppkey"].to_numpy()
+    )
+
+    def _s1_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["sensor"], value_set=pa.array(["S1A", "S1B"])))
+
+    scenes = load_scenes(sf_dir).map_batches(_s1_only, batch_format="pyarrow")
+    matched = asof_match(_scene_time_seconds(scenes), inv, OSV_DURATION)
+    return interpolate_orbit(matched, inv, OSV_DURATION, dt=300)
+
+
 def q_interval_join(sf_dir: str):
     """Interval-overlap join (generalized OSV.catch): S1 scenes × orbit
     files whose validity window overlaps the 25 s acquisition, matched
@@ -2421,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_grid": q_geo_grid,
         "osv_best": q_osv_best,
         "unique_dirs": q_unique_dirs,
+        "osv_interp": q_osv_interp,
         # -- round-3 operators, never driver-checked --
         "image_patches": q_image_patches,
         "points_zorder": q_points_zorder,
@@ -3434,6 +3459,61 @@ def oracle_sql() -> dict[str, str]:
                          o.publish_sec DESC, o.osv_id
                 LIMIT 1
             ) best ON TRUE
+        """,
+        # interpolation nodes every 300 s over the 604800 s validity →
+        # j = 0..2016; i clipped to [1, 2014]; node state and Lagrange
+        # expressions mirror stages/orbit.py verbatim (same IEEE order)
+        "osv_interp": f"""
+            {_SCENES}, osv AS ({OSV_SQL}),
+            probes AS (
+                SELECT scene_key, sensor,
+                       date_diff('second', TIMESTAMP '2015-01-01',
+                                 strptime(start, '%Y%m%dT%H%M%S')) AS t_sec
+                FROM scenes WHERE sensor IN ('S1A', 'S1B')
+            ),
+            matched AS (
+                SELECT p.scene_key, p.t_sec, best.osv_id, best.start_sec
+                FROM probes p JOIN LATERAL (
+                    SELECT o.osv_id, o.start_sec FROM osv o
+                    WHERE o.sensor = p.sensor
+                      AND o.start_sec <= p.t_sec AND p.t_sec <= o.stop_sec
+                    ORDER BY CASE WHEN o.osv_type = 'POE' THEN 0 ELSE 1 END,
+                             o.publish_sec DESC, o.osv_id
+                    LIMIT 1
+                ) best ON TRUE
+            ),
+            pos AS (
+                SELECT scene_key, osv_id, t_sec - start_sec AS off,
+                       LEAST(GREATEST((t_sec - start_sec) // 300, 1), 2014) AS i
+                FROM matched
+            ),
+            uw AS (
+                SELECT scene_key, osv_id, i,
+                       CAST(off - i * 300 AS DOUBLE) / 300.0 AS u
+                FROM pos
+            ),
+            w AS (
+                SELECT scene_key, osv_id, i,
+                       -u * (u - 1.0) * (u - 2.0) / 6.0 AS wm1,
+                       (u + 1.0) * (u - 1.0) * (u - 2.0) / 2.0 AS w0,
+                       -(u + 1.0) * u * (u - 2.0) / 2.0 AS w1,
+                       (u + 1.0) * u * (u - 1.0) / 6.0 AS w2
+                FROM uw
+            )
+            SELECT scene_key, osv_id,
+                   wm1 * (((osv_id * 2654435761 + (i - 1) * 40503) % 1048576) / 16.0)
+                 + w0  * (((osv_id * 2654435761 + i * 40503) % 1048576) / 16.0)
+                 + w1  * (((osv_id * 2654435761 + (i + 1) * 40503) % 1048576) / 16.0)
+                 + w2  * (((osv_id * 2654435761 + (i + 2) * 40503) % 1048576) / 16.0) AS x,
+                   wm1 * (((osv_id * 97 + (i - 1) * 1000003) % 1048576) / 16.0)
+                 + w0  * (((osv_id * 97 + i * 1000003) % 1048576) / 16.0)
+                 + w1  * (((osv_id * 97 + (i + 1) * 1000003) % 1048576) / 16.0)
+                 + w2  * (((osv_id * 97 + (i + 2) * 1000003) % 1048576) / 16.0) AS y,
+                   wm1 * (((osv_id * 8191 + (i - 1) * 131071) % 1048576) / 16.0)
+                 + w0  * (((osv_id * 8191 + i * 131071) % 1048576) / 16.0)
+                 + w1  * (((osv_id * 8191 + (i + 1) * 131071) % 1048576) / 16.0)
+                 + w2  * (((osv_id * 8191 + (i + 2) * 131071) % 1048576) / 16.0) AS z
+            FROM w
         """,
         "sessionize": f"""
             SELECT user_id, event_id,
