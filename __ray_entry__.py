@@ -632,6 +632,32 @@ def q_events_window(sf_dir: str):
     return tumbling_window(events, width_us=_WINDOW_US)
 
 
+def q_events_rollup(sf_dir: str):
+    """ROLLUP (event_type, day): all three grouping sets from ONE
+    finest-level exchange — coarser levels re-aggregate the bounded
+    finest table, never the base rows (stages/rollup.py)."""
+    from pyrosar_ray.stages.rollup import rollup_aggregate
+
+    events = _read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pa.array(us // 86400000000),
+                "sum_cents": pa.array(cents),
+            }
+        )
+
+    return rollup_aggregate(
+        events.map_batches(_prep, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        sum_cols=["sum_cents"],
+    )
+
+
 def q_events_window_hop(sf_dir: str):
     """Hopping 1-h/15-min window counts (4× in-batch expansion)."""
     import ray.data
@@ -2446,6 +2472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osv_best": q_osv_best,
         "unique_dirs": q_unique_dirs,
         "osv_interp": q_osv_interp,
+        "events_rollup": q_events_rollup,
         # -- round-3 operators, never driver-checked --
         "image_patches": q_image_patches,
         "points_zorder": q_points_zorder,
@@ -3599,6 +3626,13 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*)::BIGINT AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
             FROM events GROUP BY window_start, event_type
+        """,
+        "events_rollup": f"""
+            SELECT event_type,
+                   (epoch_us(ts) // 86400000000) AS day,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+            FROM events GROUP BY ROLLUP(event_type, day)
         """,
         "events_window_hop": f"""
             SELECT window_start, event_type, COUNT(*)::BIGINT AS n

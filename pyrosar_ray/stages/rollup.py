@@ -1,0 +1,112 @@
+"""Multi-level (ROLLUP) aggregation in one finest-level exchange.
+
+SQL's ``GROUP BY ROLLUP(a, b)`` computes the (a, b), (a) and ()
+grouping sets. The scale-correct Ray Data plan runs ONE distributed
+exchange — per-batch partial combine at the finest level feeding a
+``groupby(a, b)`` Sum — and derives every coarser level from that
+already-aggregated, vocabulary-sized result: level (a) is a second
+(bounded) groupby over the finest table, and the grand total is a
+driver-side fold of a scalar aggregate. Re-aggregating base rows once
+per level would multiply the all-to-all cost by the level count for
+identical output.
+
+Collapsed key columns carry typed NULLs, exactly like SQL ROLLUP
+output (the engine's keys are non-null, so NULL is an unambiguous
+level marker; add a GROUPING id column if nullable keys ever appear).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def rollup_aggregate(
+    ds: Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> Dataset:
+    """ROLLUP over ``keys``: one row per grouping set member.
+
+    ``sum_cols`` must be integer columns (quantize floats per row
+    first — see ``tumbling_window``'s cents convention — so sums are
+    independent of distributed combine order). Output columns:
+    ``keys`` (NULL where collapsed) + ``count_col`` + ``sum_cols``.
+    """
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    metrics = [count_col] + list(sum_cols)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + list(sum_cols)).to_pandas()
+        df[count_col] = np.int64(1)
+        part = df.groupby(keys, sort=False, as_index=False)[metrics].sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    finest = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(*[Sum(m, alias_name=m) for m in metrics])
+        # vocabulary-sized; materialized because every coarser level and
+        # the grand total re-consume it (no re-execution of the big scan)
+        .materialize()
+    )
+
+    schema = finest.schema()  # Ray Data Schema: parallel names/types lists
+    key_types = {
+        n: t for n, t in zip(schema.names, schema.types) if n in keys
+    }
+
+    def _with_nulls(tab_ds: Dataset, present: list[str]) -> Dataset:
+        missing = [k for k in keys if k not in present]
+
+        def _pad(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    batch[k]
+                    if k in present
+                    else pa.nulls(len(batch), type=key_types[k])
+                )
+            for m in metrics:
+                cols[m] = batch[m]
+            return pa.table(cols)
+
+        return tab_ds.map_batches(_pad, batch_format="pyarrow") if missing else tab_ds
+
+    levels = [_with_nulls(finest, keys)]
+    for depth in range(len(keys) - 1, 0, -1):
+        sub = keys[:depth]
+
+        def _repart(batch: pa.Table, _sub=tuple(sub)) -> pa.Table:
+            df = batch.select(list(_sub) + metrics).to_pandas()
+            part = df.groupby(list(_sub), sort=False, as_index=False)[metrics].sum()
+            return pa.Table.from_pandas(part, preserve_index=False)
+
+        lvl = (
+            finest.map_batches(_repart, batch_format="pyarrow")
+            .groupby(sub)
+            .aggregate(*[Sum(m, alias_name=m) for m in metrics])
+        )
+        levels.append(_with_nulls(lvl, sub))
+
+    totals = finest.aggregate(*[Sum(m, alias_name=m) for m in metrics])
+    total_tab = pa.table(
+        {
+            **{k: pa.nulls(1, type=key_types[k]) for k in keys},
+            **{
+                m: pa.array([int(totals[m])], type=pa.int64())
+                for m in metrics
+            },
+        }
+    )
+    levels.append(ray.data.from_arrow(total_tab))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

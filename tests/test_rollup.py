@@ -1,0 +1,55 @@
+"""ROLLUP aggregation (stages/rollup.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from pyrosar_ray.stages.rollup import rollup_aggregate
+
+
+def _ds(n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(rng.choice(["x", "y", "z"], n)),
+                "b": pa.array(rng.integers(0, 4, n)),
+                "v": pa.array(rng.integers(-50, 50, n)),
+            }
+        )
+    ).repartition(6)
+
+
+def test_rollup_matches_pandas_reference():
+    ds = _ds()
+    base = ds.to_pandas()
+    got = (
+        rollup_aggregate(ds, keys=["a", "b"], sum_cols=["v"])
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    finest = base.groupby(["a", "b"]).agg(n=("v", "size"), v=("v", "sum"))
+    lvl1 = base.groupby(["a"]).agg(n=("v", "size"), v=("v", "sum"))
+    assert len(got) == len(finest) + len(lvl1) + 1
+    for row in got.itertuples():
+        if pd.isna(row.a):
+            assert pd.isna(row.b)
+            assert row.n == len(base) and row.v == base["v"].sum()
+        elif pd.isna(row.b):
+            assert row.n == lvl1.loc[row.a, "n"] and row.v == lvl1.loc[row.a, "v"]
+        else:
+            key = (row.a, int(row.b))
+            assert row.n == finest.loc[key, "n"] and row.v == finest.loc[key, "v"]
+
+
+def test_rollup_single_key_and_empty_key_rejected():
+    ds = _ds(50)
+    out = rollup_aggregate(ds, keys=["a"], sum_cols=["v"]).to_pandas()
+    base = ds.to_pandas()
+    assert len(out) == base["a"].nunique() + 1
+    total = out[out["a"].isna()]
+    assert int(total["v"].iloc[0]) == base["v"].sum()
+    with pytest.raises(ValueError):
+        rollup_aggregate(ds, keys=[], sum_cols=["v"])
