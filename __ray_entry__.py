@@ -1087,6 +1087,16 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_ngram_stats(docs, k=5)
 
 
+def q_doc_chunk_dedup(sf_dir: str):
+    """C4-style corpus-wide first-wins chunk dedup + in-place document
+    rewrite: one chunk-keyed exchange (winner filter) + one doc-keyed
+    reassembly exchange; fully-deduped docs survive via marker rows."""
+    from pyrosar_ray.stages.dedup_text import chunk_dedup_rewrite
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_dedup_rewrite(docs, k=10)
+
+
 def q_scene_rasterize(sf_dir: str):
     """Vector → raster: burn sampled scenes' convex quad footprints
     into the 0.25° grid by center-sample rasterization (cell covered
@@ -2473,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_dirs": q_unique_dirs,
         "osv_interp": q_osv_interp,
         "events_rollup": q_events_rollup,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
         # -- round-3 operators, never driver-checked --
         "image_patches": q_image_patches,
         "points_zorder": q_points_zorder,
@@ -2483,7 +2494,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample": q_events_resample,
         "events_asof": q_events_asof,
         "quad_area": q_quad_area,
-        "doc_bloom_anti": q_doc_bloom_anti,
         "doc_winnow": q_doc_winnow,
         "doc_dup_spans": q_doc_dup_spans,
         "embed_semdedup": q_embed_semdedup,
@@ -2514,6 +2524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the separately-in-window doc_mixture + doc_pack stages
         "spatial_join_hex": q_spatial_join_hex,
         "doc_curriculum": q_doc_curriculum,
+        # bloom machinery doubly covered in-window by doc_bloom_new
+        "doc_bloom_anti": q_doc_bloom_anti,
         # ---- position 51 starts here: entries below are past the driver's
         # ---- correctness window (proven green in r1/r2 with stages
         # ---- unchanged since, or rows-only by design)
@@ -4316,6 +4328,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'raw' END AS fmt,
                    text AS caption
             FROM documents
+        """,
+        "doc_chunk_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            nums AS (SELECT doc_id, t,
+                            unnest(range((len(t) + 9) // 10)) AS chunk_no
+                     FROM toks),
+            chunks AS (
+                SELECT doc_id, chunk_no,
+                       array_to_string(t[chunk_no*10+1 : chunk_no*10+10], ' ') AS chunk
+                FROM nums
+            ),
+            win AS (SELECT chunk, min(doc_id * 1048576 + chunk_no) AS wk
+                    FROM chunks GROUP BY chunk),
+            kept AS (
+                SELECT c.doc_id, c.chunk_no, c.chunk
+                FROM chunks c JOIN win w
+                  ON c.chunk = w.chunk AND c.doc_id * 1048576 + c.chunk_no = w.wk
+            ),
+            meta AS (SELECT doc_id, (len(t) + 9) // 10 AS nc FROM toks)
+            SELECT m.doc_id,
+                   coalesce(string_agg(k.chunk, ' ' ORDER BY k.chunk_no), '') AS text,
+                   count(k.chunk)::BIGINT AS n_kept,
+                   (any_value(m.nc) - count(k.chunk))::BIGINT AS n_dropped
+            FROM meta m LEFT JOIN kept k USING (doc_id)
+            GROUP BY m.doc_id
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n

@@ -889,3 +889,141 @@ def winnow_fingerprints(
         )
 
     return docs.map_batches(_fps, batch_format="pyarrow")
+
+
+# ------------------------------------------------- chunk dedup + rewrite
+
+
+def chunk_dedup_rewrite(
+    docs: Dataset,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Corpus-wide first-wins chunk dedup with in-place document rewrite
+    (the C4 recipe's "discard repeated spans" step at fixed-chunk
+    granularity): every document splits into consecutive ``k``-token
+    chunks, a chunk occurrence survives iff it is the globally FIRST
+    occurrence of that chunk text (minimum ``doc_id * 2^20 + chunk_no``),
+    and each document is reassembled from its surviving chunks in order.
+
+    Output per input document (every doc appears, even fully-deduped
+    ones): ``(doc_id, text, n_kept, n_dropped)``.
+
+    Plan: one chunk-keyed exchange (rows co-partition on an md5-prefix
+    hash of the chunk text, so each distinct chunk lives wholly in one
+    partition and the winner filter is a vectorized in-partition
+    transform-min) followed by one doc-keyed, output-sized exchange
+    that stitches surviving chunks back into documents; per-doc marker
+    rows bypass the chunk exchange and carry the total chunk count, so
+    fully-deduplicated documents still emit a row. Nothing driver-side,
+    both exchanges bounded by corpus token count.
+    """
+    from .groups import typed_groups
+    from .spatial import _cell_partition, auto_num_partitions
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if num_partitions is None:
+        num_partitions = auto_num_partitions(docs, docs)
+    nparts = int(num_partitions)
+    merge_parts = min(64, nparts)
+    base = docs.select_columns([id_col, text_col])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].to_pylist()
+        out_id, out_no, out_tx = [], [], []
+        for i, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            for j in range(0, (len(toks) + k - 1) // k):
+                out_id.append(ids[i])
+                out_no.append(j)
+                out_tx.append(" ".join(toks[j * k : (j + 1) * k]))
+        part = np.array(
+            [
+                int.from_bytes(hashlib.md5(c.encode("utf-8")).digest()[:8], "big")
+                for c in out_tx
+            ],
+            dtype=np.uint64,
+        ).astype(np.int64, copy=False) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "_p": pa.array(_cell_partition(part, nparts)),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "chunk_no": pa.array(out_no, type=pa.int64()),
+                "chunk": pa.array(out_tx, type=pa.string()),
+            }
+        )
+
+    kept_schema = {
+        id_col: pa.int64(),
+        "chunk_no": pa.int64(),
+        "chunk": pa.string(),
+        "nc": pa.int64(),
+    }
+
+    @typed_groups(kept_schema)
+    def _winners(group):
+        df = group.select([id_col, "chunk_no", "chunk"]).to_pandas()
+        packed = df[id_col].to_numpy() * np.int64(1 << 20) + df["chunk_no"].to_numpy()
+        df["_packed"] = packed
+        keep = df["_packed"] == df.groupby("chunk")["_packed"].transform("min")
+        out = df.loc[keep, [id_col, "chunk_no", "chunk"]].copy()
+        out["nc"] = np.int64(0)
+        return out
+
+    def _markers(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].to_pylist()
+        nc = np.array(
+            [((len((t or "").split(" ")) + k - 1) // k) for t in texts],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "chunk_no": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "chunk": pa.array([""] * len(ids), type=pa.string()),
+                "nc": pa.array(nc),
+            }
+        )
+
+    def _tag_doc(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_p2", pa.array(_cell_partition(batch[id_col].to_numpy(), merge_parts))
+        )
+
+    out_schema = {
+        id_col: pa.int64(),
+        text_col: pa.string(),
+        "n_kept": pa.int64(),
+        "n_dropped": pa.int64(),
+    }
+
+    @typed_groups(out_schema)
+    def _reassemble(group):
+        df = group.select([id_col, "chunk_no", "chunk", "nc"]).to_pandas()
+        marks = df[df["chunk_no"] < 0]
+        chunks = df[df["chunk_no"] >= 0].sort_values([id_col, "chunk_no"])
+        joined = chunks.groupby(id_col)["chunk"].agg(" ".join)
+        kept = chunks.groupby(id_col)["chunk"].size()
+        out = marks[[id_col, "nc"]].copy()
+        out[text_col] = out[id_col].map(joined).fillna("")
+        out["n_kept"] = out[id_col].map(kept).fillna(0).astype(np.int64)
+        out["n_dropped"] = out["nc"] - out["n_kept"]
+        return out[[id_col, text_col, "n_kept", "n_dropped"]]
+
+    kept = (
+        base.map_batches(_explode, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(_winners, batch_format="pyarrow")
+    )
+    markers = base.map_batches(_markers, batch_format="pyarrow")
+    return (
+        kept.union(markers)
+        .map_batches(_tag_doc, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(_reassemble, batch_format="pyarrow")
+    )

@@ -468,3 +468,45 @@ def test_winnow_guarantee_shared_substring(sf_dir):
     assert not (fps[2] & fps[3])
     # fingerprints are distinct within each doc
     assert not out.duplicated(["doc_id", "fp"]).any()
+
+
+def test_chunk_dedup_rewrite_first_wins_and_reassembly():
+    """Cross-doc and within-doc duplicate chunks drop everywhere except
+    their first (doc_id, chunk_no) occurrence; fully-deduped docs still
+    emit a row with empty text."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyrosar_ray.stages.dedup_text import chunk_dedup_rewrite
+
+    A = " ".join(f"a{i}" for i in range(3))   # one 3-token chunk at k=3
+    B = " ".join(f"b{i}" for i in range(3))
+    C = " ".join(f"c{i}" for i in range(3))
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        f"{A} {B}",          # doc0: A,B both first
+                        f"{B} {C} {B}",      # doc1: B dup (cross), B dup (within)
+                        f"{A}",              # doc2: fully deduped
+                        f"{C} tail",         # doc3: C dup, partial chunk kept
+                    ]
+                ),
+            }
+        )
+    ).repartition(3)
+    out = (
+        chunk_dedup_rewrite(docs, k=3, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out["doc_id"]) == [0, 1, 2, 3]
+    assert out.loc[0, "text"] == f"{A} {B}" and out.loc[0, "n_dropped"] == 0
+    assert out.loc[1, "text"] == C and out.loc[1, "n_kept"] == 1
+    assert out.loc[1, "n_dropped"] == 2
+    assert out.loc[2, "text"] == "" and out.loc[2, "n_kept"] == 0
+    assert out.loc[2, "n_dropped"] == 1
+    assert out.loc[3, "text"] == "tail" and out.loc[3, "n_dropped"] == 1
