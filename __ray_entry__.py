@@ -1087,6 +1087,19 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_ngram_stats(docs, k=5)
 
 
+def q_doc_topk_by_source(sf_dir: str):
+    """Top-5 longest docs per source: per-batch local top-k pushdown
+    bounds the exchange at k x keys x blocks rows (stages/topk.py)."""
+    from pyrosar_ray.stages.topk import topk_per_group
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return topk_per_group(
+        docs, key="source", order_col="n_chars", k=5, id_col="doc_id"
+    )
+
+
 def q_doc_chunk_dedup(sf_dir: str):
     """C4-style corpus-wide first-wins chunk dedup + in-place document
     rewrite: one chunk-keyed exchange (winner filter) + one doc-keyed
@@ -2484,6 +2497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osv_interp": q_osv_interp,
         "events_rollup": q_events_rollup,
         "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_topk_by_source": q_doc_topk_by_source,
         # -- round-3 operators, never driver-checked --
         "image_patches": q_image_patches,
         "points_zorder": q_points_zorder,
@@ -4328,6 +4342,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'raw' END AS fmt,
                    text AS caption
             FROM documents
+        """,
+        "doc_topk_by_source": """
+            SELECT source, doc_id, n_chars, rank FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY n_chars DESC, doc_id
+                       )::BIGINT AS rank
+                FROM documents
+            ) WHERE rank <= 5
         """,
         "doc_chunk_dedup": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
