@@ -2513,7 +2513,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_semdedup": q_embed_semdedup,
         "embed_gram": q_embed_gram,
         "spatial_join_s2": q_spatial_join_s2,
-        "spatial_join_poly": q_spatial_join_poly,
         "audio_wav_meta": q_audio_wav_meta,
         "video_mp4_meta": q_video_mp4_meta,
         "doc_curate": q_doc_curate,
@@ -2532,10 +2531,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- regression picks: stages REWRITTEN since their last green check
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_adaptive_filter": q_doc_adaptive_filter,
-        # demoted to fit osv_interp/events_rollup in-window: hex is a
-        # plan twin of the in-window s2/flat joins (hex kernel pinned
-        # by hypothesis tests + the shared oracle), curriculum composes
-        # the separately-in-window doc_mixture + doc_pack stages
+        # demoted to fit osv_interp/events_rollup/doc_topk_by_source
+        # in-window: hex and poly are plan twins of the in-window s2/flat
+        # joins (kernels pinned by hypothesis tests + the shared oracle),
+        # curriculum composes the separately-in-window doc_mixture +
+        # doc_pack stages
+        "spatial_join_poly": q_spatial_join_poly,
         "spatial_join_hex": q_spatial_join_hex,
         "doc_curriculum": q_doc_curriculum,
         # bloom machinery doubly covered in-window by doc_bloom_new
