@@ -20,6 +20,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
+from . import table_from_pandas
+
 
 def mark_duplicates(
     scenes: Dataset, winners_via: str = "driver", materialize_input: bool = True
@@ -54,7 +56,7 @@ def mark_duplicates(
             .aggregate(Min("scene", alias_name="winner"))
         )
         wdf = winners.to_pandas()
-        wtab = pa.Table.from_pandas(wdf, preserve_index=False)
+        wtab = table_from_pandas(wdf)
     else:
         # per-batch partial min → driver merge: the winner table is one
         # row per identity key (catalog metadata), so collecting partials

@@ -23,6 +23,8 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from . import table_from_pandas
+
 
 def _ray_from_arrow(tab: pa.Table) -> Dataset:
     import ray.data as rd
@@ -243,7 +245,7 @@ def keep_multi_member_buckets(
         def _partial(batch: pa.Table) -> pa.Table:
             df = batch.select(list(key_cols)).to_pandas()
             part = df.groupby(list(key_cols), as_index=False).size()
-            return pa.Table.from_pandas(part, preserve_index=False)
+            return table_from_pandas(part)
 
         counts_ds = (
             ds.map_batches(_partial, batch_format="pyarrow")
@@ -337,7 +339,7 @@ def minhash_candidate_pairs(docs: Dataset, combine: str = "auto", **kwargs) -> D
         )
         if pairs_df.empty:
             return _ray_from_arrow(empty)
-        return _ray_from_arrow(pa.Table.from_pandas(pairs_df, preserve_index=False))
+        return _ray_from_arrow(table_from_pandas(pairs_df))
 
     band_rows = keep_multi_member_buckets(
         all_band_rows, ("band", "band_hash"), combine=combine
@@ -690,7 +692,7 @@ def dup_clusters(
         return cc_distributed(pairs_ds)
     blocks = [t for t in ray.get(pairs_ds.to_arrow_refs()) if len(t)]
     out = connected_components(pa.concat_tables(blocks).to_pandas())
-    return _ray_from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    return _ray_from_arrow(table_from_pandas(out))
 
 
 # ------------------------------------------------- exact duplicated spans
@@ -819,7 +821,7 @@ def dup_ngram_stats(
             dup_grams=("_dup", "sum"),
         )
         out = agg.reset_index().astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False).cast(
+        return table_from_pandas(out).cast(
             pa.schema(schema)
         )
 

@@ -19,6 +19,8 @@ from typing import Callable
 import pandas as pd
 import pyarrow as pa
 
+from . import table_from_pandas
+
 
 def empty_table(schema: dict[str, pa.DataType]) -> pa.Table:
     return pa.table({c: pa.array([], type=t) for c, t in schema.items()})
@@ -36,9 +38,8 @@ def typed_groups(schema: dict[str, pa.DataType]) -> Callable:
             if isinstance(out, pd.DataFrame):
                 if not len(out):
                     return empty_table(schema)
-                return pa.Table.from_pandas(
-                    out[list(schema)], preserve_index=False
-                ).cast(pa_schema)
+                return table_from_pandas(
+                    out[list(schema)]).cast(pa_schema)
             if isinstance(out, pa.Table) and not len(out):
                 return empty_table(schema)
             return out

@@ -21,6 +21,8 @@ from ray.data import Dataset
 
 from ..sources.images import average_phash
 
+from . import table_from_pandas
+
 
 def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """bytes → (h, w, 3) uint8. raw, png and baseline jpeg decode natively."""
@@ -503,7 +505,7 @@ def phash_near_dup_pairs(
                 }
             )
             return rd.from_arrow(
-                pa.Table.from_pandas(df, preserve_index=False)
+                table_from_pandas(df)
                 .replace_schema_metadata(None)
             )
         full = pa.concat_tables(blocks).to_pandas()
@@ -529,7 +531,7 @@ def phash_near_dup_pairs(
         # strip the pandas-dtype metadata so downstream to_pandas yields
         # plain object string columns (StringDtype is an internal detail)
         return rd.from_arrow(
-            pa.Table.from_pandas(out, preserve_index=False)
+            table_from_pandas(out)
             .replace_schema_metadata(None)
         )
 

@@ -24,6 +24,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from . import table_from_pandas
+
 
 def rollup_aggregate(
     ds: Dataset,
@@ -46,7 +48,7 @@ def rollup_aggregate(
         df = batch.select(keys + list(sum_cols)).to_pandas()
         df[count_col] = np.int64(1)
         part = df.groupby(keys, sort=False, as_index=False)[metrics].sum()
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return table_from_pandas(part)
 
     finest = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -86,7 +88,7 @@ def rollup_aggregate(
         def _repart(batch: pa.Table, _sub=tuple(sub)) -> pa.Table:
             df = batch.select(list(_sub) + metrics).to_pandas()
             part = df.groupby(list(_sub), sort=False, as_index=False)[metrics].sum()
-            return pa.Table.from_pandas(part, preserve_index=False)
+            return table_from_pandas(part)
 
         lvl = (
             finest.map_batches(_repart, batch_format="pyarrow")

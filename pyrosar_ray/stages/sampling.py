@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+from . import table_from_pandas
+
 #: Knuth multiplicative constant, applied to ids reduced mod 2^32 so the
 #: engine's uint64 math and the SQL twin's HUGEINT math never wrap
 _KNUTH = np.uint64(2654435761)
@@ -72,7 +74,7 @@ def group_cap(
             .groupby(key_col, sort=False)
             .head(cap)
         )
-        return pa.Table.from_pandas(kept, preserve_index=False)
+        return table_from_pandas(kept)
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_col, kind="mergesort").head(cap)

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+from . import table_from_pandas
+
 #: stopword list shared verbatim with the SQL oracle
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
@@ -375,9 +377,8 @@ def top_tf_df_terms(docs: Dataset, k: int = 3, text_col: str = "text",
         )
         top = tf.groupby(id_col, sort=False).head(k).copy()
         top["rank"] = top.groupby(id_col, sort=False).cumcount() + 1
-        return pa.Table.from_pandas(
-            top.astype({"tf": "int64", "df": "int64", "rank": "int64"}),
-            preserve_index=False,
+        return table_from_pandas(
+            top.astype({"tf": "int64", "df": "int64", "rank": "int64"})
         )
 
     return docs.map_batches(_rank, batch_format="pyarrow")
@@ -412,7 +413,7 @@ def token_count_quantiles_by(
         )
         part = df.groupby([key_col, "v"], sort=False, as_index=False).size()
         part = part.rename(columns={"size": "c"})
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return table_from_pandas(part)
 
     hist = (
         docs.map_batches(_partial, batch_format="pyarrow")

@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+from . import table_from_pandas
+
 
 def _local_topk(df: pd.DataFrame, key: str, order_col: str, id_col: str, k: int,
                 descending: bool) -> pd.DataFrame:
@@ -48,7 +50,7 @@ def topk_per_group(
     def _partial(batch: pa.Table) -> pa.Table:
         df = batch.select(cols).to_pandas()
         part = _local_topk(df, key, order_col, id_col, k, descending)
-        out = pa.Table.from_pandas(part, preserve_index=False)
+        out = table_from_pandas(part)
         keys = part[key].to_numpy()
         if keys.dtype.kind not in "iu":  # hash strings deterministically
             import hashlib
@@ -71,7 +73,7 @@ def topk_per_group(
         part = _local_topk(df, key, order_col, id_col, k, descending)
         ranks = part.groupby(key, sort=False).cumcount() + 1
         part = part.assign(rank=ranks.astype(np.int64))
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return table_from_pandas(part)
 
     return (
         ds.map_batches(_partial, batch_format="pyarrow")

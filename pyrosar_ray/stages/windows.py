@@ -34,6 +34,8 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from . import table_from_pandas
+
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Timestamp column → int64 epoch microseconds."""
@@ -77,7 +79,7 @@ def tumbling_window(
         df = pd.DataFrame(frame)
         agg = {"n": "sum"} | ({"sum_cents": "sum"} if value_col else {})
         part = df.groupby(group_cols, sort=False, as_index=False).agg(agg)
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return table_from_pandas(part)
 
     partials = events.map_batches(_partial, batch_format="pyarrow")
     aggs = [Sum("n", alias_name="n")]
@@ -122,7 +124,7 @@ def hopping_window(
             )
         df = pd.DataFrame(frame)
         part = df.groupby(group_cols, sort=False, as_index=False).agg({"n": "sum"})
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return table_from_pandas(part)
 
     partials = events.map_batches(_partial, batch_format="pyarrow")
     return partials.groupby(group_cols).aggregate(Sum("n", alias_name="n"))
@@ -194,7 +196,7 @@ def tumbling_distinct(
                 key_col: batch[key_col].to_pandas().to_numpy(),
             }
         ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df)
 
     pairs = events.map_batches(_pairs, batch_format="pyarrow")
     deduped = pairs.groupby(["window_start", key_col]).aggregate(
@@ -208,9 +210,8 @@ def tumbling_distinct(
             .groupby("window_start", as_index=False)
             .size()
         )
-        return pa.Table.from_pandas(
-            df.rename(columns={"size": "n_distinct"}), preserve_index=False
-        )
+        return table_from_pandas(
+            df.rename(columns={"size": "n_distinct"}))
 
     return (
         deduped.map_batches(_partial, batch_format="pyarrow")

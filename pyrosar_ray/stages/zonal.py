@@ -23,6 +23,8 @@ from ray.data.aggregate import Sum
 
 from ..functions.tiff import decode_geotiff
 
+from . import table_from_pandas
+
 
 def zonal_stats(
     rasters: Dataset,
@@ -103,7 +105,7 @@ def zonal_stats(
             .sum()
             .astype(np.int64)
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return (
         rasters.map_batches(_partials, batch_format="pyarrow", batch_size=64)
