@@ -149,6 +149,15 @@ def q_tile_counts(sf_dir: str):
     return tile_counts(assign_tiles(load_scenes(sf_dir), keep_cols=("scene_key",)))
 
 
+def q_tile_coverage(sf_dir: str):
+    """Per-tile scene count + exact covered area in integer centidegree²
+    (tile-overlap semantics; order-independent Sum → bit-exact twin)."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.tiling import tile_coverage
+
+    return tile_coverage(load_scenes(sf_dir))
+
+
 def q_dem_srtm3(sf_dir: str):
     """SRTM 3Sec CGIAR tile names per scene (inverted 5° grid)."""
     from pyrosar_ray.pipelines.tables import load_scenes
@@ -2552,6 +2561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join": q_spatial_join,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
+        "tile_coverage": q_tile_coverage,
         "archive_select": q_archive_select,
         "archive_select_spatial": q_archive_select_spatial,
         "dedup_data": q_dedup_data,
@@ -3342,6 +3352,41 @@ def oracle_sql() -> dict[str, str]:
                     lpad(abs(lon)::VARCHAR, 3, '0')) AS tile,
                    COUNT(*) AS n_scenes
             FROM lon_exp GROUP BY 1
+        """,
+        "tile_coverage": f"""
+            {_SCENES},
+            cd AS (
+                SELECT round(xmin * 100.0)::BIGINT AS cx0,
+                       round(xmax * 100.0)::BIGINT AS cx1,
+                       round(ymin * 100.0)::BIGINT AS cy0,
+                       round(ymax * 100.0)::BIGINT AS cy1,
+                       xmin, xmax, ymin, ymax
+                FROM scenes
+            ),
+            lat_exp AS (
+                SELECT cx0, cx1, cy0, cy1, xmin, xmax,
+                       unnest(generate_series(floor(ymin)::BIGINT, floor(ymax)::BIGINT)) AS lat
+                FROM cd
+            ),
+            lon_exp AS (
+                SELECT cx0, cx1, cy0, cy1, lat,
+                       unnest(generate_series(floor(xmin)::BIGINT, floor(xmax)::BIGINT)) AS lon
+                FROM lat_exp
+            ),
+            agg AS (
+                SELECT (CASE WHEN lat < 0 THEN 'S' ELSE 'N' END ||
+                        lpad(abs(lat)::VARCHAR, 2, '0') ||
+                        CASE WHEN lon < 0 THEN 'W' ELSE 'E' END ||
+                        lpad(abs(lon)::VARCHAR, 3, '0')) AS tile,
+                       COUNT(*) AS n_scenes,
+                       SUM((LEAST(cx1, (lon + 1) * 100) - GREATEST(cx0, lon * 100)) *
+                           (LEAST(cy1, (lat + 1) * 100) - GREATEST(cy0, lat * 100)))::BIGINT
+                           AS covered_cdeg2
+                FROM lon_exp GROUP BY 1
+            )
+            SELECT tile, n_scenes, covered_cdeg2,
+                   covered_cdeg2 / 10000.0 AS coverage
+            FROM agg
         """,
         "dem_srtm3": f"""
             {_SCENES},

@@ -97,6 +97,79 @@ def tile_counts_indexed(tile_rows: Dataset, col: str = "tile_idx") -> Dataset:
     return ray.data.from_pandas(out[["tile", "n_scenes"]])
 
 
+def tile_coverage(scenes: Dataset, combine: str = "driver") -> Dataset:
+    """Per-tile scene count + EXACT covered area (tile-overlap semantics).
+
+    The planning statistic behind tile-overlap decisions (reference
+    Archive.select / getHGT pick tiles by bbox overlap; a scheduler
+    additionally needs HOW MUCH of each tile is covered): for every
+    (scene bbox, 1° tile) pair from the flat expansion, the rectangle
+    intersection area — in integer CENTIDEGREE² so distributed Sum is
+    order-independent and bit-exact against the SQL twin (scene coords
+    are exact multiples of 0.01°; float summation would hash-diverge
+    between partial orders). ``coverage`` = covered_cdeg2 / 10⁴ — total
+    covered area in tile-area units (exceeds 1 where scenes overlap);
+    one double division AFTER the integer sum keeps it twin-exact.
+
+    Same bounded-key partial-combine plan as :func:`tile_counts`: one
+    (tile, n, area) partial per tile per batch; ``combine='driver'``
+    merges the ≤64800-key partial stream driver-side, ``'shuffle'``
+    runs a groupby-Sum for very high block counts.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        row_idx, lat, lon = expand_bbox_tiles(xmin, xmax, ymin, ymax)
+        # exact centidegree integers (coords are multiples of 0.01)
+        cx0 = np.round(xmin * 100.0).astype(np.int64)[row_idx]
+        cx1 = np.round(xmax * 100.0).astype(np.int64)[row_idx]
+        cy0 = np.round(ymin * 100.0).astype(np.int64)[row_idx]
+        cy1 = np.round(ymax * 100.0).astype(np.int64)[row_idx]
+        w = np.minimum(cx1, (lon + 1) * 100) - np.maximum(cx0, lon * 100)
+        h = np.minimum(cy1, (lat + 1) * 100) - np.maximum(cy0, lat * 100)
+        area = w * h
+        cell = (lat + 90) * 361 + (lon + 180)
+        uniq, inv = np.unique(cell, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        a = np.bincount(inv, weights=area, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "tile": pa.array(tile_names_1deg(uniq // 361 - 90, uniq % 361 - 180)),
+                "n": pa.array(n),
+                "a": pa.array(a),
+            }
+        )
+
+    partials = scenes.select_columns(["xmin", "ymin", "xmax", "ymax"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    if combine == "shuffle":
+        merged = partials.groupby("tile").aggregate(
+            Sum("n", alias_name="n_scenes"), Sum("a", alias_name="covered_cdeg2")
+        )
+
+        def _frac(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "coverage",
+                pa.array(batch["covered_cdeg2"].to_numpy() / 10000.0),
+            )
+
+        return merged.map_batches(_frac, batch_format="pyarrow")
+    import ray.data
+
+    df = partials.to_pandas()
+    out = (
+        df.groupby("tile", as_index=False)[["n", "a"]]
+        .sum()
+        .rename(columns={"n": "n_scenes", "a": "covered_cdeg2"})
+    )
+    out["coverage"] = out["covered_cdeg2"].to_numpy() / 10000.0
+    return ray.data.from_pandas(out)
+
+
 def salted_group_apply(
     ds: Dataset,
     key: str,
