@@ -894,6 +894,17 @@ def q_doc_sample(sf_dir: str):
     return hash_sample(docs, rate_pct=10)
 
 
+def q_doc_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by id hash
+    (row-local, zero exchange; reproducible at any cluster size)."""
+    from pyrosar_ray.stages.sampling import stratified_split
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return stratified_split(docs)
+
+
 def q_doc_domain_cap(sf_dir: str):
     """Per-source quota: 10 lowest doc_ids per source (pre-pruned shuffle)."""
     import ray.data
@@ -2604,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q_events_rolling,
         "events_window_users": q_events_window_users,
         "doc_sample": q_doc_sample,
+        "doc_split": q_doc_split,
         "doc_domain_cap": q_doc_domain_cap,
         "doc_sample_k": q_doc_sample_k,
         "doc_quantiles_by_source": q_doc_quantiles_by_source,
@@ -4343,6 +4355,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761)
                   % 4294967296 % 100 < 10
+        """,
+        "doc_split": """
+            SELECT doc_id, source,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, source,
+                       ((doc_id % 4294967296)::HUGEINT * 2654435761)
+                       % 4294967296 % 100 AS b
+                FROM documents
+            )
         """,
         "doc_domain_cap": """
             SELECT doc_id, source FROM (

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray
 
@@ -162,3 +163,24 @@ def test_epoch_shard_shuffle_rejects_bad_shards():
 
     with pytest.raises(ValueError):
         epoch_shard_shuffle(None, epoch=0, num_shards=0)
+
+
+def test_stratified_split_fractions_and_determinism():
+    import ray
+    from pyrosar_ray.stages.sampling import stratified_split
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(10_000, dtype=np.int64))})
+    ).repartition(5)
+    out = stratified_split(ds).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+    # deterministic: same assignment on re-run and partition-independent
+    out2 = stratified_split(ds.repartition(2)).to_pandas()
+    m = out.set_index("doc_id")["split"]
+    m2 = out2.set_index("doc_id")["split"]
+    assert m.sort_index().equals(m2.sort_index())
+    with pytest.raises(ValueError):
+        stratified_split(ds, fractions={"a": 50, "b": 49})
