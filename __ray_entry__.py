@@ -2107,6 +2107,33 @@ def q_image_meta(sf_dir: str):
     )
 
 
+def q_image_shards(sf_dir: str):
+    """WebDataset-style shard manifest over the image table: shard by
+    the id hash, offset = exclusive prefix sum of the RAW payload size
+    (3*w*h — encoded png/jpeg lengths aren't SQL-computable; the real
+    writer path over actual blob bytes is concat_shards, pytest-pinned
+    by stream digest)."""
+    import pyarrow.compute as pc
+
+    from pyrosar_ray.sources.images import images_from_documents
+    from pyrosar_ray.stages.packing import shard_layout
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        key = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4), pa.int64())
+        nraw = pc.multiply(
+            pc.cast(pc.multiply(batch["w"], batch["h"]), pa.int64()), 3
+        )
+        return pa.table(
+            {"image_id": batch["image_id"], "doc_key": key, "raw_bytes": nraw}
+        )
+
+    prep = images_from_documents(sf_dir).map_batches(_prep, batch_format="pyarrow")
+    return shard_layout(
+        prep, num_shards=16, hash_col="doc_key", id_col="image_id",
+        size_col="raw_bytes",
+    )
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics through the real GeoTIFF codec path: one tiled
     float32 GeoTIFF per sampled order key with a DYADIC geotransform
@@ -2520,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_topk_by_source": q_doc_topk_by_source,
         # -- round-3 operators, never driver-checked --
         "image_patches": q_image_patches,
+        "image_shards": q_image_shards,
         "points_zorder": q_points_zorder,
         "mgrs_zones": q_mgrs_zones,
         "raster_gradient": q_raster_gradient,
@@ -4412,6 +4440,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'raw' END AS fmt,
                    text AS caption
             FROM documents
+        """,
+        "image_shards": """
+            WITH ident AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                            ELSE doc_id END AS ident
+                FROM documents
+            ),
+            imgs AS (
+                SELECT 'img-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
+                       3 * (CASE ident % 3 WHEN 0 THEN 16 WHEN 1 THEN 24
+                            ELSE 32 END)
+                         * (CASE (ident // 3) % 3 WHEN 0 THEN 16
+                            WHEN 1 THEN 24 ELSE 32 END) AS nbytes,
+                       (((doc_id % 4294967296)::HUGEINT * 2654435761)
+                        % 4294967296 % 16)::BIGINT AS shard
+                FROM ident
+            )
+            SELECT shard, image_id, nbytes::BIGINT AS nbytes,
+                   (SUM(nbytes) OVER (PARTITION BY shard ORDER BY image_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - nbytes)::BIGINT AS offset
+            FROM imgs
         """,
         "doc_topk_by_source": """
             SELECT source, doc_id, n_chars, rank FROM (

@@ -90,3 +90,100 @@ def pack_sequences(
     return counted.groupby(keys).map_groups(
         lambda df: _pack_group(df, budget, ids), batch_format="pandas"
     )
+
+
+def shard_layout(
+    items: Dataset,
+    num_shards: int,
+    hash_col: str,
+    id_col: str,
+    size_col: str,
+) -> Dataset:
+    """WebDataset-style shard manifest: byte offsets into packed shards.
+
+    The multimodal analogue of :func:`pack_sequences`: every item is
+    assigned to one of ``num_shards`` archives by the engine-standard
+    multiplicative hash of ``hash_col`` (an int64 column — shard count
+    and assignment are cluster-size independent), then laid out inside
+    its shard in ``id_col`` order with ``offset`` = exclusive prefix sum
+    of ``size_col``. The manifest is what random-access readers need to
+    seek into tar/wds-style shard blobs without decoding them.
+
+    One bounded exchange (rows co-partition on shard); the per-shard
+    layout is a vectorized sort + cumsum. Output: (shard, id, nbytes,
+    offset), one row per item.
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    from . import table_from_pandas
+    from .sampling import hash_bucket
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[hash_col].combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "nbytes": batch[size_col].cast(pa.int64()),
+                "shard": pa.array(hash_bucket(ids, num_shards)),
+            }
+        )
+
+    def _layout(tab: pa.Table) -> pa.Table:
+        df = tab.to_pandas().sort_values(id_col, ignore_index=True)
+        c = df["nbytes"].to_numpy()
+        df["offset"] = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.int64)
+        return table_from_pandas(df)
+
+    return (
+        items.map_batches(_tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_layout, batch_format="pyarrow")
+    )
+
+
+def concat_shards(
+    items: Dataset,
+    num_shards: int,
+    hash_col: str,
+    id_col: str,
+    bytes_col: str,
+) -> Dataset:
+    """Materialize the packed shard blobs described by :func:`shard_layout`.
+
+    Same shard assignment and in-shard order; each group concatenates
+    its payload bytes and emits (shard, n_items, total_bytes, sha256) —
+    the digest pins the exact byte stream a reader would mmap, so the
+    writer is testable without keeping blobs around. Real payloads flow
+    through the object store once (one exchange), never via the driver.
+    """
+    import hashlib
+
+    from .sampling import hash_bucket
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[hash_col].combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "payload": batch[bytes_col],
+                "shard": pa.array(hash_bucket(ids, num_shards)),
+            }
+        )
+
+    def _concat(tab: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(tab[id_col])
+        blob = b"".join(tab["payload"].take(order).to_pylist())
+        return pa.table(
+            {
+                "shard": pa.array([tab["shard"][0].as_py()], pa.int64()),
+                "n_items": pa.array([len(tab)], pa.int64()),
+                "total_bytes": pa.array([len(blob)], pa.int64()),
+                "sha256": pa.array([hashlib.sha256(blob).hexdigest()]),
+            }
+        )
+
+    return (
+        items.map_batches(_tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_concat, batch_format="pyarrow")
+    )
