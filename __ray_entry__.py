@@ -905,6 +905,17 @@ def q_doc_split(sf_dir: str):
     return stratified_split(docs)
 
 
+def q_doc_inverted_index(sf_dir: str):
+    """Posting lists per token (search-index build): distinct (token,
+    doc) partials, one term-keyed exchange, comma-joined ascending ids."""
+    from pyrosar_ray.stages.text import inverted_index
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return inverted_index(docs)
+
+
 def q_doc_domain_cap(sf_dir: str):
     """Per-source quota: 10 lowest doc_ids per source (pre-pruned shuffle)."""
     import ray.data
@@ -2644,6 +2655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_users": q_events_window_users,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
+        "doc_inverted_index": q_doc_inverted_index,
         "doc_domain_cap": q_doc_domain_cap,
         "doc_sample_k": q_doc_sample_k,
         "doc_quantiles_by_source": q_doc_quantiles_by_source,
@@ -4383,6 +4395,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761)
                   % 4294967296 % 100 < 10
+        """,
+        "doc_inverted_index": """
+            SELECT token, COUNT(*)::BIGINT AS df_count,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+            FROM (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id, unnest(str_split(text, ' ')) AS token
+                    FROM documents
+                )
+            )
+            GROUP BY token
         """,
         "doc_split": """
             SELECT doc_id, source,

@@ -701,3 +701,59 @@ def chunk_documents(
         )
 
     return docs.map_batches(_chunks, batch_format="pyarrow")
+
+
+def inverted_index(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> Dataset:
+    """Posting lists: every token → sorted doc ids containing it + df.
+
+    Search-index construction over the corpus: each batch explodes its
+    texts to DISTINCT ``(token, doc_id)`` pairs (within-doc duplicates
+    collapse before the exchange, the same partial pruning as
+    :func:`term_topk`), one groupby co-partitions each term's postings,
+    and the per-term kernel emits ``(token, df, postings)`` with the
+    posting list as a comma-joined ascending id string — a hashable,
+    order-defined surface (list columns defeat the value-hash gate).
+
+    Scale note: a term's postings land on ONE reducer — df for
+    stop-like terms is corpus-sized, so real deployments set ``min_df``
+    > 1 only prunes the tail; cap the HEAD by filtering known stopwords
+    upstream or sharding hot terms by ``doc_id`` range into
+    ``token#shard`` keys (the salted-key pattern in
+    stages/tiling.py:salted_group_apply).
+    """
+    from . import table_from_pandas
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        ids = batch[id_col].to_numpy()
+        ex = s.str.split(" ").explode()
+        df = pd.DataFrame(
+            {"token": ex.to_numpy(), id_col: ids[ex.index.to_numpy()]}
+        ).drop_duplicates()
+        return table_from_pandas(df)
+
+    def _postings(tab: pa.Table) -> pa.Table:
+        df = tab.to_pandas()
+        out = (
+            df.sort_values([ "token", id_col])
+            .groupby("token", sort=False)[id_col]
+            .agg(
+                df_count="size",
+                postings=lambda s: ",".join(map(str, s.to_numpy())),
+            )
+            .reset_index()
+        )
+        out = out[out["df_count"] >= min_df]
+        out["df_count"] = out["df_count"].astype(np.int64)
+        return table_from_pandas(out)
+
+    return (
+        docs.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(_postings, batch_format="pyarrow")
+    )

@@ -510,3 +510,24 @@ def test_chunk_dedup_rewrite_first_wins_and_reassembly():
     assert out.loc[2, "text"] == "" and out.loc[2, "n_kept"] == 0
     assert out.loc[2, "n_dropped"] == 1
     assert out.loc[3, "text"] == "tail" and out.loc[3, "n_dropped"] == 1
+
+
+def test_inverted_index_postings_exact():
+    import ray
+    import pyarrow as pa
+    from pyrosar_ray.stages.text import inverted_index
+
+    texts = ["red blue red", "blue green", "red", "yellow blue yellow", "green green red"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([5, 3, 9, 1, 7], pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(3)
+    out = inverted_index(ds).to_pandas().set_index("token")
+    assert out.loc["red", "postings"] == "5,7,9"
+    assert out.loc["red", "df_count"] == 3
+    assert out.loc["blue", "postings"] == "1,3,5"
+    assert out.loc["yellow", "postings"] == "1"
+    assert out.loc["green", "df_count"] == 2
+    # min_df prunes the tail
+    pruned = inverted_index(ds, min_df=2).to_pandas()
+    assert set(pruned["token"]) == {"red", "blue", "green"}
