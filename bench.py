@@ -35,6 +35,7 @@ BENCH_QUERIES = (
     "doc_dup_spans",
     "tile_assign",
     "tile_counts",
+    "tile_coverage",
     "dedup_data",
     "asof_osv",
     "sessionize",
