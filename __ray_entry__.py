@@ -916,6 +916,18 @@ def q_doc_inverted_index(sf_dir: str):
     return inverted_index(docs)
 
 
+def q_doc_bm25(sf_dir: str):
+    """BM25 relevance of every doc against a broadcast 3-term query:
+    two scalar-sized aggregates + a row-local scoring pass (zero corpus
+    shuffle); float64 scores IEEE-match the twin's expression tree."""
+    from pyrosar_ray.stages.text import bm25_scores
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_scores(docs, query_terms=("join", "scan", "vector"))
+
+
 def q_doc_domain_cap(sf_dir: str):
     """Per-source quota: 10 lowest doc_ids per source (pre-pruned shuffle)."""
     import ray.data
@@ -2656,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
         "doc_inverted_index": q_doc_inverted_index,
+        "doc_bm25": q_doc_bm25,
         "doc_domain_cap": q_doc_domain_cap,
         "doc_sample_k": q_doc_sample_k,
         "doc_quantiles_by_source": q_doc_quantiles_by_source,
@@ -4395,6 +4408,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761)
                   % 4294967296 % 100 < 10
+        """,
+        "doc_bm25": """
+            WITH tf AS (
+                SELECT doc_id,
+                       len(str_split(text, ' '))::BIGINT AS dl,
+                       len(list_filter(str_split(text, ' '), x -> x = 'join'))::BIGINT AS tf_join,
+                       len(list_filter(str_split(text, ' '), x -> x = 'scan'))::BIGINT AS tf_scan,
+                       len(list_filter(str_split(text, ' '), x -> x = 'vector'))::BIGINT AS tf_vector
+                FROM documents
+            ),
+            st AS (
+                SELECT COUNT(*)::BIGINT AS n_docs,
+                       SUM(dl)::BIGINT AS total_dl,
+                       SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::BIGINT AS df_join,
+                       SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END)::BIGINT AS df_scan,
+                       SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)::BIGINT AS df_vector
+                FROM tf
+            )
+            SELECT doc_id,
+                   ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                     * (tf_join * (1.2::DOUBLE + 1.0))
+                     / (tf_join + 1.2::DOUBLE * (1.0 - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (total_dl / n_docs))))
+                   + ln((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+                     * (tf_scan * (1.2::DOUBLE + 1.0))
+                     / (tf_scan + 1.2::DOUBLE * (1.0 - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (total_dl / n_docs))))
+                   + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+                     * (tf_vector * (1.2::DOUBLE + 1.0))
+                     / (tf_vector + 1.2::DOUBLE * (1.0 - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (total_dl / n_docs))))
+                   AS score
+            FROM tf, st
         """,
         "doc_inverted_index": """
             SELECT token, COUNT(*)::BIGINT AS df_count,

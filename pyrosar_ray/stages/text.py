@@ -757,3 +757,84 @@ def inverted_index(
         .groupby("token")
         .map_groups(_postings, batch_format="pyarrow")
     )
+
+
+def bm25_scores(
+    docs: Dataset,
+    query_terms: "tuple[str, ...]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """BM25 relevance of every document against one broadcast query.
+
+    The IR scoring primitive over the corpus: two TINY aggregates (per-
+    term document frequencies + corpus token total, both vocabulary/
+    scalar-sized partial Sums — never a corpus shuffle) feed a row-local
+    scoring pass. idf values are computed once driver-side with
+    ``math.log`` (libm, matching the SQL twin's ``ln`` bit-for-bit;
+    numpy's SIMD log can drift a ulp); the per-term contribution and the
+    fixed ascending-term-order summation mirror the twin's expression
+    tree exactly, so float64 scores hash-match.
+
+    Output: one row per document — (id, score).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    terms = sorted(query_terms)
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        toks = s.str.split(" ")
+        cols = {
+            id_col: batch[id_col],
+            "dl": pa.array((s.str.count(" ") + 1).astype("int64").to_numpy()),
+        }
+        for t in terms:
+            cols[f"tf_{t}"] = pa.array(
+                toks.map(lambda xs, t=t: sum(1 for x in xs if x == t))
+                .astype("int64")
+                .to_numpy()
+            )
+        return pa.table(cols)
+
+    counted = docs.map_batches(_tf, batch_format="pyarrow")
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        out = {
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "total_dl": pa.array([int(np.sum(batch["dl"].to_numpy()))]),
+        }
+        for t in terms:
+            out[f"df_{t}"] = pa.array(
+                [int(np.count_nonzero(batch[f"tf_{t}"].to_numpy()))]
+            )
+        return pa.table(out)
+
+    stats = (
+        counted.map_batches(_partials, batch_format="pyarrow")
+        .sum(["n_docs", "total_dl"] + [f"df_{t}" for t in terms])
+    )
+    n_docs = stats["sum(n_docs)"]
+    avgdl = stats["sum(total_dl)"] / n_docs
+    idf = {
+        t: math.log((n_docs - stats[f"sum(df_{t})"] + 0.5)
+                    / (stats[f"sum(df_{t})"] + 0.5) + 1.0)
+        for t in terms
+    }
+
+    def _score(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy().astype(np.float64)
+        score = np.zeros(len(batch), dtype=np.float64)
+        for t in terms:  # ascending term order = the twin's + chain
+            tf = batch[f"tf_{t}"].to_numpy().astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * (dl / avgdl))
+            score = score + idf[t] * (tf * (k1 + 1.0)) / denom
+        return pa.table({id_col: batch[id_col], "score": pa.array(score)})
+
+    return counted.map_batches(_score, batch_format="pyarrow")

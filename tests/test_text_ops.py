@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data
 
 from pyrosar_ray.stages.dedup_text import (
@@ -531,3 +532,36 @@ def test_inverted_index_postings_exact():
     # min_df prunes the tail
     pruned = inverted_index(ds, min_df=2).to_pandas()
     assert set(pruned["token"]) == {"red", "blue", "green"}
+
+
+def test_bm25_scores_reference():
+    import math
+    import ray
+    import pyarrow as pa
+    from pyrosar_ray.stages.text import bm25_scores
+
+    texts = ["join scan join", "vector scan", "filter sort", "join join join join"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    out = bm25_scores(ds, query_terms=("join", "scan")).to_pandas()
+    out = out.set_index("doc_id")["score"]
+    # hand-computed BM25 (k1=1.2, b=0.75)
+    dls = [3, 2, 2, 4]
+    avgdl = sum(dls) / 4
+    dfs = {"join": 2, "scan": 2}
+    tfs = {1: {"join": 2, "scan": 1}, 2: {"join": 0, "scan": 1},
+           3: {"join": 0, "scan": 0}, 4: {"join": 4, "scan": 0}}
+    for doc, dl in zip([1, 2, 3, 4], dls):
+        want = 0.0
+        for t in ("join", "scan"):
+            idf = math.log((4 - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            tf = tfs[doc][t]
+            want = want + idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        assert out[doc] == pytest.approx(want, abs=0, rel=1e-15)
+    assert out[3] == 0.0
+    # tf saturation: two distinct terms beat four copies of one term
+    assert out[1] > out[4] > out[2]
+    with pytest.raises(ValueError):
+        bm25_scores(ds, query_terms=())
