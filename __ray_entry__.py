@@ -149,6 +149,16 @@ def q_tile_counts(sf_dir: str):
     return tile_counts(assign_tiles(load_scenes(sf_dir), keep_cols=("scene_key",)))
 
 
+def q_scene_name_neardup(sf_dir: str):
+    """FastSS deletion-neighborhood join over scene names: candidate
+    pairs whose 1-deletion neighborhoods intersect + exact Levenshtein
+    (pins the engine's DP against DuckDB's levenshtein())."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.dedup_text import deletion_neighborhood_pairs
+
+    return deletion_neighborhood_pairs(load_scenes(sf_dir), col="outname_base")
+
+
 def q_tile_coverage(sf_dir: str):
     """Per-tile scene count + exact covered area in integer centidegree²
     (tile-overlap semantics; order-independent Sum → bit-exact twin)."""
@@ -2624,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
         "tile_coverage": q_tile_coverage,
+        "scene_name_neardup": q_scene_name_neardup,
         "archive_select": q_archive_select,
         "archive_select_spatial": q_archive_select_spatial,
         "dedup_data": q_dedup_data,
@@ -3417,6 +3428,25 @@ def oracle_sql() -> dict[str, str]:
                     lpad(abs(lon)::VARCHAR, 3, '0')) AS tile,
                    COUNT(*) AS n_scenes
             FROM lon_exp GROUP BY 1
+        """,
+        "scene_name_neardup": f"""
+            {_SCENES},
+            names AS (SELECT DISTINCT outname_base AS s FROM scenes),
+            keys AS (
+                SELECT DISTINCT s, k FROM (
+                    SELECT s, unnest([s] || list_transform(
+                        range(1, len(s) + 1),
+                        i -> substr(s, 1, i - 1) || substr(s, i + 1))) AS k
+                    FROM names)
+            ),
+            cand AS (
+                SELECT DISTINCT a.s AS name_a, b.s AS name_b
+                FROM keys a JOIN keys b USING (k)
+                WHERE a.s < b.s
+            )
+            SELECT name_a, name_b,
+                   levenshtein(name_a, name_b)::BIGINT AS dist
+            FROM cand
         """,
         "tile_coverage": f"""
             {_SCENES},

@@ -1029,3 +1029,121 @@ def chunk_dedup_rewrite(
         .groupby("_p2")
         .map_groups(_reassemble, batch_format="pyarrow")
     )
+
+
+def levenshtein_small(a: str, b: str) -> int:
+    """Exact Levenshtein distance (two-row DP; shared with the SQL
+    twin's ``levenshtein``). Used on CANDIDATE pairs only — volume is
+    bounded by the deletion-key collision count, never the corpus."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def deletion_neighborhood_pairs(
+    strings: Dataset,
+    col: str,
+) -> Dataset:
+    """FastSS deletion-neighborhood join: candidate string pairs whose
+    1-deletion neighborhoods intersect, with exact edit distance.
+
+    The typo-level near-dup family (titles / queries / scene names —
+    strings short enough that one edit matters): every DISTINCT string
+    emits its identity plus its ``len(s)`` one-character deletions as
+    keys (vectorized per length class: one byte matrix + len(s) column
+    drops, no per-string Python loop), candidates co-partition on the
+    key, pairs dedup on one more bounded exchange, and the verify
+    computes exact Levenshtein per candidate pair (pair-volume bounded).
+    Two distinct strings share a deletion key iff they differ by one
+    substitution, insertion or deletion — OR collide coincidentally
+    (e.g. 'ab'/'ba'), which is why the exact distance column exists;
+    filter ``dist <= 1`` downstream for the strict predicate.
+
+    Output: (name_a, name_b, dist), name_a < name_b, one row per pair.
+    """
+    from .groups import typed_groups
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch[col]).astype(object))
+        return pa.table({"s": pa.array(u, pa.string())})
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        ss = np.asarray(batch["s"]).astype(object)
+        out_s: list = []
+        out_k: list = []
+        for length in np.unique([len(s) for s in ss]):
+            group = np.array([s for s in ss if len(s) == length], dtype=object)
+            if length == 0:
+                out_s.extend(group)
+                out_k.extend(group)
+                continue
+            mat = (
+                np.frombuffer("".join(group).encode("utf-8"), dtype=np.uint8)
+                .reshape(len(group), int(length))
+            )  # scene names / tokens are ASCII; non-ASCII would need codepoints
+            keys = [group]  # identity key
+            step = int(length) - 1
+            for i in range(int(length)):
+                dele = np.delete(mat, i, axis=1)
+                if step == 0:
+                    keys.append(np.full(len(group), "", dtype=object))
+                else:
+                    keys.append(
+                        np.char.decode(
+                            dele.view(np.dtype(("S", step))).ravel(), "utf-8"
+                        ).astype(object)
+                    )
+            ks = np.concatenate(keys)
+            srep = np.concatenate([group] * (int(length) + 1))
+            # per-string DISTINCT keys (repeated chars collapse)
+            df = pd.DataFrame({"s": srep, "k": ks}).drop_duplicates()
+            out_s.extend(df["s"].tolist())
+            out_k.extend(df["k"].tolist())
+        return pa.table({"s": pa.array(out_s, pa.string()),
+                         "k": pa.array(out_k, pa.string())})
+
+    @typed_groups({"name_a": pa.string(), "name_b": pa.string()})
+    def _pairs(tab: pa.Table) -> pa.Table:
+        ss = sorted(set(np.asarray(tab["s"]).astype(object)))
+        if len(ss) < 2:
+            return pa.table({"name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string())})
+        pairs = list(combinations(ss, 2))
+        return pa.table({"name_a": pa.array([p[0] for p in pairs]),
+                         "name_b": pa.array([p[1] for p in pairs])})
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["name_a"]).astype(object)
+        b = np.asarray(batch["name_b"]).astype(object)
+        dist = np.fromiter(
+            (levenshtein_small(x, y) for x, y in zip(a, b)),
+            dtype=np.int64, count=len(a),
+        )
+        return pa.table({"name_a": batch["name_a"], "name_b": batch["name_b"],
+                         "dist": pa.array(dist)})
+
+    # distinct strings via a C++ hash aggregate (no per-group UDF calls)
+    distinct = (
+        strings.select_columns([col])
+        .map_batches(_distinct, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    keys = distinct.map_batches(_keys, batch_format="pyarrow").materialize()
+    # deletion-key buckets are overwhelmingly singletons — prefilter
+    # them so the per-group pair emitter only sees real candidates
+    cand_rows = keep_multi_member_buckets(keys, ("k",))
+    pairs = cand_rows.groupby("k").map_groups(_pairs, batch_format="pyarrow")
+    distinct_pairs = (
+        pairs.groupby(["name_a", "name_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return distinct_pairs.map_batches(_verify, batch_format="pyarrow")

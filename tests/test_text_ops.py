@@ -565,3 +565,32 @@ def test_bm25_scores_reference():
     assert out[1] > out[4] > out[2]
     with pytest.raises(ValueError):
         bm25_scores(ds, query_terms=())
+
+
+def test_deletion_neighborhood_pairs():
+    import itertools
+    import pyarrow as pa
+    import ray.data as rd
+    from pyrosar_ray.stages.dedup_text import (
+        deletion_neighborhood_pairs,
+        levenshtein_small,
+    )
+
+    words = ["cat", "cart", "car", "bat", "cat", "dog", "dig", "ab", "ba", "aa", "a"]
+    ds = rd.from_arrow(pa.table({"w": pa.array(words)})).repartition(3)
+    out = deletion_neighborhood_pairs(ds, col="w").to_pandas()
+    got = {(r.name_a, r.name_b): r.dist for r in out.itertuples()}
+    # completeness: every true distance<=1 pair over distinct words is found
+    uniq = sorted(set(words))
+    for a, b in itertools.combinations(uniq, 2):
+        d = levenshtein_small(a, b)
+        if d <= 1:
+            assert got.get((a, b)) == d, (a, b, d)
+    # coincidental collisions carry their exact (larger) distance
+    assert got[("ab", "ba")] == 2
+    # no false distances anywhere
+    for (a, b), d in got.items():
+        assert d == levenshtein_small(a, b)
+    # reference distances sanity
+    assert levenshtein_small("kitten", "sitting") == 3
+    assert levenshtein_small("", "abc") == 3
