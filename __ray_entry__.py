@@ -651,6 +651,20 @@ def q_events_window(sf_dir: str):
     return tumbling_window(events, width_us=_WINDOW_US)
 
 
+def q_events_pivot(sf_dir: str):
+    """Distributed PIVOT: per-user count column per event type — one
+    bincount fold per batch, groupby-Sum of pre-combined partials."""
+    from pyrosar_ray.stages.rollup import pivot_counts
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        events, key_col="user_id", cat_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def q_events_rollup(sf_dir: str):
     """ROLLUP (event_type, day): all three grouping sets from ONE
     finest-level exchange — coarser levels re-aggregate the bounded
@@ -2576,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_dirs": q_unique_dirs,
         "osv_interp": q_osv_interp,
         "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_topk_by_source": q_doc_topk_by_source,
         # -- round-3 operators, never driver-checked --
@@ -3797,6 +3812,15 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*)::BIGINT AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
             FROM events GROUP BY window_start, event_type
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY user_id
         """,
         "events_rollup": f"""
             SELECT event_type,

@@ -112,3 +112,55 @@ def rollup_aggregate(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def pivot_counts(
+    ds: "Dataset",
+    key_col: str,
+    cat_col: str,
+    categories: "list[str] | None" = None,
+) -> "Dataset":
+    """Crosstab reshape: one count column per category value, keyed rows.
+
+    The distributed PIVOT: each batch folds its rows into a
+    (keys-in-batch) × (categories) integer count matrix — one
+    ``bincount`` over ``key_idx * n_cats + cat_idx``, no per-row loop —
+    and the groupby-Sum merges the pre-combined partials, so the
+    exchange carries at most keys × blocks wide rows, never raw events.
+
+    ``categories`` pins the output schema; when omitted, a tiny
+    distinct aggregate discovers the domain first (valid only for
+    bounded-cardinality columns — the same contract as SQL PIVOT).
+    Unknown categories at fold time raise rather than drop rows.
+    """
+    from ray.data.aggregate import Sum
+
+    if categories is None:
+        found = ds.select_columns([cat_col]).groupby(cat_col).count().take_all()
+        categories = sorted(r[cat_col] for r in found)
+    cats = np.asarray(sorted(categories), dtype=object)
+    col_names = [f"n_{c}" for c in cats]
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        cvals = np.asarray(batch[cat_col]).astype(object)
+        cat_idx = np.searchsorted(cats, cvals)
+        cat_idx_c = np.clip(cat_idx, 0, len(cats) - 1)
+        if not (cats[cat_idx_c] == cvals).all():
+            bad = sorted(set(cvals) - set(cats))
+            raise ValueError(f"values outside the pinned categories: {bad[:5]}")
+        uk, key_idx = np.unique(keys, return_inverse=True)
+        flat = np.bincount(
+            key_idx * len(cats) + cat_idx_c, minlength=len(uk) * len(cats)
+        ).reshape(len(uk), len(cats))
+        cols = {key_col: pa.array(uk)}
+        for j, name in enumerate(col_names):
+            cols[name] = pa.array(flat[:, j].astype(np.int64))
+        return pa.table(cols)
+
+    partials = ds.select_columns([key_col, cat_col]).map_batches(
+        _fold, batch_format="pyarrow"
+    )
+    return partials.groupby(key_col).aggregate(
+        *[Sum(name, alias_name=name) for name in col_names]
+    )

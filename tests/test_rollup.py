@@ -53,3 +53,26 @@ def test_rollup_single_key_and_empty_key_rejected():
     assert int(total["v"].iloc[0]) == base["v"].sum()
     with pytest.raises(ValueError):
         rollup_aggregate(ds, keys=[], sum_cols=["v"])
+
+
+def test_pivot_counts_matches_crosstab():
+    from pyrosar_ray.stages.rollup import pivot_counts
+
+    ds = _ds(300, seed=9)
+    base = ds.to_pandas()
+    got = (
+        pivot_counts(ds, key_col="b", cat_col="a")
+        .to_pandas()
+        .sort_values("b", ignore_index=True)
+    )
+    want = pd.crosstab(base["b"], base["a"])
+    for row in got.itertuples():
+        for c in ("x", "y", "z"):
+            assert getattr(row, f"n_{c}") == want.loc[row.b].get(c, 0)
+    # pinned categories add all-zero columns; unknown values raise
+    wide = pivot_counts(ds, key_col="b", cat_col="a",
+                        categories=["x", "y", "z", "missing"]).to_pandas()
+    assert (wide["n_missing"] == 0).all()
+    with pytest.raises(Exception):
+        pivot_counts(ds, key_col="b", cat_col="a",
+                     categories=["x", "y"]).to_pandas()
