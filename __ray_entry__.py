@@ -651,6 +651,32 @@ def q_events_window(sf_dir: str):
     return tumbling_window(events, width_us=_WINDOW_US)
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-type z-scores via integer sufficient statistics: one bounded
+    (key, n, sum, sumsq) exchange, exact bigint variance numerators,
+    broadcast params, row-local scoring — bit-exact vs the twin."""
+    from pyrosar_ray.stages.rollup import keyed_zscores
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    prepped = events.map_batches(_cents, batch_format="pyarrow")
+    return keyed_zscores(
+        prepped, key_col="event_type", cents_col="cents", id_col="event_id"
+    )
+
+
 def q_events_pivot(sf_dir: str):
     """Distributed PIVOT: per-user count column per event type — one
     bincount fold per batch, groupby-Sum of pre-combined partials."""
@@ -2591,6 +2617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osv_interp": q_osv_interp,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
+        "events_zscore": q_events_zscore,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_topk_by_source": q_doc_topk_by_source,
         # -- round-3 operators, never driver-checked --
@@ -3812,6 +3839,26 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*)::BIGINT AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
             FROM events GROUP BY window_start, event_type
+        """,
+        "events_zscore": """
+            WITH ev AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ),
+            st AS (
+                SELECT event_type, COUNT(*)::BIGINT AS n,
+                       SUM(cents)::HUGEINT AS s,
+                       SUM(cents::HUGEINT * cents)::HUGEINT AS ss
+                FROM ev GROUP BY event_type
+            )
+            SELECT event_id, ev.event_type, cents,
+                   CASE WHEN n >= 2 AND (n * ss - s * s) > 0
+                        THEN (cents - (s::DOUBLE / n))
+                             / sqrt((n * ss - s * s)::DOUBLE
+                                    / (n * (n - 1))::DOUBLE)
+                        ELSE 0.0 END AS z
+            FROM ev JOIN st USING (event_type)
         """,
         "events_pivot": """
             SELECT user_id,

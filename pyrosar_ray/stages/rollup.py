@@ -164,3 +164,81 @@ def pivot_counts(
     return partials.groupby(key_col).aggregate(
         *[Sum(name, alias_name=name) for name in col_names]
     )
+
+
+def keyed_zscores(
+    ds: "Dataset",
+    key_col: str,
+    cents_col: str,
+    id_col: str,
+) -> "Dataset":
+    """Per-key z-score of an integer-cents column, bit-exact at scale.
+
+    The sufficient-statistics pattern: each batch folds to per-key
+    ``(n, sum, sumsq)`` int64 partials (a bounded exchange — keys x
+    blocks rows, never events), the merged statistics are combined
+    driver-side into per-key (mean, std) with EXACT integer numerators
+    (``var = (n*sumsq - sum²) / (n*(n-1))``, Python bigints → one
+    double division, ``math.sqrt`` = libm = the SQL twin's ``sqrt``),
+    broadcast, and a row-local pass emits ``z = (c - mean) / std``.
+    Float accumulation order never enters — that's what makes the twin
+    hash-exact where a naive ``(x-mean)/stddev_samp`` over doubles
+    would drift with partition order.
+
+    Keys with n < 2 or zero variance emit z = 0.0 (the twin mirrors).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col]).astype(object)
+        c = batch[cents_col].to_numpy().astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                key_col: pa.array(uk),
+                "n": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+                "s": pa.array(np.bincount(inv, weights=c, minlength=len(uk)).astype(np.int64)),
+                "ss": pa.array(
+                    np.bincount(inv, weights=c * c, minlength=len(uk)).astype(np.int64)
+                ),
+            }
+        )
+
+    stats = (
+        ds.select_columns([key_col, cents_col])
+        .map_batches(_fold, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .take_all()
+    )  # bounded: one row per key
+    params = {}
+    for r in stats:
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        if n < 2:
+            params[r[key_col]] = (s / n if n else 0.0, 0.0)
+            continue
+        var = float(n * ss - s * s) / float(n * (n - 1))
+        params[r[key_col]] = (s / n, math.sqrt(var))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col]).astype(object)
+        c = batch[cents_col].to_numpy().astype(np.float64)
+        mean = np.array([params[k][0] for k in keys])
+        std = np.array([params[k][1] for k in keys])
+        z = np.where(std > 0.0, (c - mean) / np.where(std > 0.0, std, 1.0), 0.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                cents_col: batch[cents_col],
+                "z": pa.array(z),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -76,3 +76,39 @@ def test_pivot_counts_matches_crosstab():
     with pytest.raises(Exception):
         pivot_counts(ds, key_col="b", cat_col="a",
                      categories=["x", "y"]).to_pandas()
+
+
+def test_keyed_zscores_sufficient_statistics():
+    import math
+
+    from pyrosar_ray.stages.rollup import keyed_zscores
+
+    rng = np.random.default_rng(4)
+    keys = rng.choice(["p", "q"], 400)
+    cents = rng.integers(-500, 500, 400).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(400, dtype=np.int64)),
+                  "k": pa.array(keys), "c": pa.array(cents)})
+    ).repartition(6)
+    out = (
+        keyed_zscores(ds, key_col="k", cents_col="c", id_col="id")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    df = pd.DataFrame({"k": keys, "c": cents})
+    for key in ("p", "q"):
+        sub = df[df["k"] == key]["c"]
+        n, s, ss = len(sub), int(sub.sum()), int((sub.astype(object) ** 2).sum())
+        mean = s / n
+        std = math.sqrt(float(n * ss - s * s) / float(n * (n - 1)))
+        mask = out["k"] == key
+        want = (out.loc[mask, "c"].to_numpy().astype(np.float64) - mean) / std
+        assert (out.loc[mask, "z"].to_numpy() == want).all()
+    # degenerate keys emit z = 0
+    one = ray.data.from_arrow(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "k": pa.array(["a", "b", "b"]),
+                  "c": pa.array([7, 5, 5], pa.int64())})
+    )
+    z = keyed_zscores(one, key_col="k", cents_col="c", id_col="id").to_pandas()
+    assert (z["z"] == 0.0).all()  # n=1 and zero-variance keys
