@@ -1011,6 +1011,14 @@ def q_doc_curate(sf_dir: str):
     return curate_corpus(sf_dir)
 
 
+def q_image_caption_curate(sf_dir: str):
+    """Multimodal curation flagship: dimension gate → caption gate →
+    exact caption dedup (digest Min keeper + co-partition equi_join)."""
+    from pyrosar_ray.pipelines.curate import curate_multimodal
+
+    return curate_multimodal(sf_dir)
+
+
 def q_doc_pii_redact(sf_dir: str):
     """PII scrubbing pass: deterministic synthetic PII (email/IPv4/
     phone) is injected into every 3rd document, then redacted with the
@@ -2639,6 +2647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_wav_meta": q_audio_wav_meta,
         "video_mp4_meta": q_video_mp4_meta,
         "doc_curate": q_doc_curate,
+        "image_caption_curate": q_image_caption_curate,
         "doc_pii_redact": q_doc_pii_redact,
         "audio_flac_meta": q_audio_flac_meta,
         "doc_repetition": q_doc_repetition,
@@ -4060,6 +4069,37 @@ def oracle_sql() -> dict[str, str]:
                     - (doc_id % 4 + ((doc_id % 3) * y) // 4) + 1)::BIGINT
                        AS n_valid
             FROM documents, range(24) AS t(y)
+        """,
+        "image_caption_curate": """
+            WITH ident AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                            ELSE doc_id END AS ident
+                FROM documents
+            ),
+            imgs AS (
+                SELECT 'img-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
+                       CAST(CASE ident % 3 WHEN 0 THEN 16 WHEN 1 THEN 24
+                            ELSE 32 END AS INTEGER) AS w,
+                       CAST(CASE (ident // 3) % 3 WHEN 0 THEN 16
+                            WHEN 1 THEN 24 ELSE 32 END AS INTEGER) AS h,
+                       CASE WHEN ident % 7 = 0 THEN 'png'
+                            WHEN ident % 11 = 0 THEN 'jpeg'
+                            ELSE 'raw' END AS fmt,
+                       text AS caption
+                FROM ident
+            ),
+            gated AS (
+                SELECT * FROM imgs
+                WHERE w * h >= 512 AND len(str_split(caption, ' ')) >= 10
+            ),
+            keep AS (
+                SELECT md5(caption) AS d, MIN(image_id) AS keeper
+                FROM gated GROUP BY 1
+            )
+            SELECT image_id, w, h, fmt, caption
+            FROM gated JOIN keep
+              ON md5(gated.caption) = keep.d AND gated.image_id = keep.keeper
         """,
         "doc_curate": rf"""
             WITH scored AS (

@@ -152,3 +152,61 @@ def curate_corpus(sf_dir: str) -> Dataset:
         )
 
     return injected.map_batches(_redact_keep, batch_format="pyarrow")
+
+
+def curate_multimodal(sf_dir: str) -> Dataset:
+    """Image+caption curation — the multimodal twin of :func:`curate_corpus`.
+
+    The standard LAION-style gate chain over the image table:
+
+    1. dimension gate (``w*h >= 512`` — drops thumbnail-class images)
+    2. caption gate (``>= 10`` whitespace tokens — drops alt-text stubs)
+    3. exact caption dedup, first-wins by ``image_id`` (digest groupby
+       Min keeper + the generic co-partition equi_join — the same two
+       bounded exchanges as the text chain; caption bytes never leave
+       their blocks, only 32-char digests and ids shuffle)
+
+    Output: (image_id, w, h, fmt, caption) of the surviving pairs.
+    The ``image_caption_curate`` twin hash-checks every gate and the
+    keeper rule end-to-end.
+    """
+    from ..sources.images import images_from_documents
+
+    import pyarrow.compute as pc
+
+    imgs = images_from_documents(sf_dir).drop_columns(["bytes", "phash"])
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        s = batch["caption"].to_pandas().astype("string")
+        n_tok = (s.str.count(" ") + 1).to_numpy()
+        out = batch.filter(pa.array((w * h >= 512) & (n_tok >= 10)))
+        # int64 join key for the co-partition equi_join (zero-padded
+        # image_id <-> numeric suffix are order-isomorphic)
+        return out.append_column(
+            "img_key", pc.cast(pc.utf8_slice_codeunits(out["image_id"], 4), pa.int64())
+        )
+
+    gated = imgs.map_batches(_gate, batch_format="pyarrow")
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cap_hash": pa.array(md5_digests(batch["caption"].to_pylist())),
+                "img_key": batch["img_key"],
+            }
+        )
+
+    winners = (
+        gated.map_batches(_digest, batch_format="pyarrow")
+        .groupby("cap_hash")
+        .aggregate(Min("img_key", alias_name="keeper"))
+        .map_batches(
+            lambda b: pa.table({"img_key": b["keeper"]}),
+            batch_format="pyarrow",
+        )
+    )
+    return equi_join(gated, winners, on="img_key").select_columns(
+        ["image_id", "w", "h", "fmt", "caption"]
+    )

@@ -512,3 +512,24 @@ def test_pca_project_variance_ordering(sf_dir):
         pca_project(emb, k=3).to_pandas().sort_values("vec_id", ignore_index=True)
     )
     assert np.allclose(out[["p0", "p1", "p2"]], again[["p0", "p1", "p2"]])
+
+
+def test_curate_multimodal_gates_and_dedup(tmp_path):
+    # run over the real sf0.001 fixtures and assert gate/dedup invariants
+    from pyrosar_ray.pipelines.curate import curate_multimodal
+
+    out = curate_multimodal("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["w"].astype(int) * out["h"].astype(int) >= 512).all()
+    assert (out["caption"].str.count(" ") + 1 >= 10).all()
+    # captions unique after first-wins dedup, keeper = min image_id
+    assert out["caption"].is_unique
+    # no gated row is lost except to dedup: row count == distinct gated captions
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    docs["ident"] = docs["doc_id"].where(docs["doc_id"] % 10 != 9, docs["doc_id"] - 1)
+    w = (docs["ident"] % 3).map({0: 16, 1: 24, 2: 32})
+    h = ((docs["ident"] // 3) % 3).map({0: 16, 1: 24, 2: 32})
+    gated = docs[(w * h >= 512) & (docs["text"].str.count(" ") + 1 >= 10)]
+    assert len(out) == gated["text"].nunique()
