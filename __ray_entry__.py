@@ -2624,21 +2624,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_dirs": q_unique_dirs,
         "osv_interp": q_osv_interp,
         "events_rollup": q_events_rollup,
-        "events_pivot": q_events_pivot,
         "events_zscore": q_events_zscore,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_topk_by_source": q_doc_topk_by_source,
         # -- round-3 operators, never driver-checked --
-        "image_patches": q_image_patches,
         "image_shards": q_image_shards,
-        "points_zorder": q_points_zorder,
         "mgrs_zones": q_mgrs_zones,
         "raster_gradient": q_raster_gradient,
         "zonal_stats": q_zonal_stats,
         "sample_raster": q_sample_raster,
         "events_resample": q_events_resample,
         "events_asof": q_events_asof,
-        "quad_area": q_quad_area,
         "doc_winnow": q_doc_winnow,
         "doc_dup_spans": q_doc_dup_spans,
         "embed_semdedup": q_embed_semdedup,
@@ -2647,7 +2643,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_wav_meta": q_audio_wav_meta,
         "video_mp4_meta": q_video_mp4_meta,
         "doc_curate": q_doc_curate,
-        "image_caption_curate": q_image_caption_curate,
         "doc_pii_redact": q_doc_pii_redact,
         "audio_flac_meta": q_audio_flac_meta,
         "doc_repetition": q_doc_repetition,
@@ -2668,6 +2663,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (kernels pinned by hypothesis tests + the shared oracle),
         # curriculum composes the separately-in-window doc_mixture +
         # doc_pack stages
+        # demoted pattern twins: pivot/quad/patches/zorder kernels are
+        # pytest-pinned and share in-window physical plans; the curate
+        # composition's pieces are each in-window individually
+        "events_pivot": q_events_pivot,
+        "quad_area": q_quad_area,
+        "image_caption_curate": q_image_caption_curate,
+        "image_patches": q_image_patches,
+        "points_zorder": q_points_zorder,
         "spatial_join_poly": q_spatial_join_poly,
         "spatial_join_hex": q_spatial_join_hex,
         "doc_curriculum": q_doc_curriculum,
