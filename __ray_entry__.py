@@ -651,6 +651,43 @@ def q_events_window(sf_dir: str):
     return tumbling_window(events, width_us=_WINDOW_US)
 
 
+def q_events_top_type(sf_dir: str):
+    """Modal event type per user (argmax-per-key): per-batch (user,
+    type, n) partials → groupby-Sum → top-1 via the bounded-exchange
+    per-group top-k operator; ties break on type ascending."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages.topk import topk_per_group
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas()
+            .groupby(["user_id", "event_type"], sort=False, as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy()),
+                "event_type": pa.array(df["event_type"].to_numpy()),
+                "n": pa.array(df["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts = (
+        events.map_batches(_fold, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = topk_per_group(
+        counts, key="user_id", order_col="n", k=1, id_col="event_type"
+    )
+    return top.drop_columns(["rank"])
+
+
 def q_events_zscore(sf_dir: str):
     """Per-type z-scores via integer sufficient statistics: one bounded
     (key, n, sum, sumsq) exchange, exact bigint variance numerators,
@@ -2625,6 +2662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osv_interp": q_osv_interp,
         "events_rollup": q_events_rollup,
         "events_zscore": q_events_zscore,
+        "events_top_type": q_events_top_type,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_topk_by_source": q_doc_topk_by_source,
         # -- round-3 operators, never driver-checked --
@@ -3851,6 +3889,19 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*)::BIGINT AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
             FROM events GROUP BY window_start, event_type
+        """,
+        "events_top_type": """
+            SELECT user_id, event_type, n FROM (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type
+                       ) AS r
+                FROM (
+                    SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+                    FROM events GROUP BY user_id, event_type
+                )
+            ) WHERE r = 1
         """,
         "events_zscore": """
             WITH ev AS (
