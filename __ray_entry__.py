@@ -651,6 +651,24 @@ def q_events_window(sf_dir: str):
     return tumbling_window(events, width_us=_WINDOW_US)
 
 
+def q_events_winsorize(sf_dir: str):
+    """Winsorize event values at exact p05/p95 cents quantiles: bounded
+    histogram exchange, driver inversion, broadcast integer cut points,
+    row-local clip."""
+    from pyrosar_ray.stages.rollup import winsorize_cents
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"], "cents": pa.array(cents)})
+
+    prepped = events.map_batches(_cents, batch_format="pyarrow")
+    return winsorize_cents(prepped, cents_col="cents", id_col="event_id")
+
+
 def q_events_top_type(sf_dir: str):
     """Modal event type per user (argmax-per-key): per-batch (user,
     type, n) partials → groupby-Sum → top-1 via the bounded-exchange
@@ -2663,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "events_zscore": q_events_zscore,
         "events_top_type": q_events_top_type,
+        "events_winsorize": q_events_winsorize,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_topk_by_source": q_doc_topk_by_source,
         # -- round-3 operators, never driver-checked --
@@ -3889,6 +3908,27 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*)::BIGINT AS n,
                    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
             FROM events GROUP BY window_start, event_type
+        """,
+        "events_winsorize": """
+            WITH ev AS (
+                SELECT event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ),
+            h AS (SELECT cents AS v, COUNT(*) AS c FROM ev GROUP BY 1),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v)::BIGINT AS cumc FROM h),
+            tot AS (SELECT COUNT(*)::BIGINT AS total FROM ev),
+            lo AS (
+                SELECT MIN(v) AS v FROM cum, tot
+                WHERE cumc >= GREATEST(1, CAST(ceil(0.05 * total) AS BIGINT))
+            ),
+            hi AS (
+                SELECT MIN(v) AS v FROM cum, tot
+                WHERE cumc >= GREATEST(1, CAST(ceil(0.95 * total) AS BIGINT))
+            )
+            SELECT event_id, cents,
+                   GREATEST(lo.v, LEAST(hi.v, cents)) AS clipped
+            FROM ev, lo, hi
         """,
         "events_top_type": """
             SELECT user_id, event_type, n FROM (

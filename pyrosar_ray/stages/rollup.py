@@ -242,3 +242,59 @@ def keyed_zscores(
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def winsorize_cents(
+    ds: "Dataset",
+    cents_col: str,
+    id_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> "Dataset":
+    """Winsorize an integer-cents column at exact corpus quantiles.
+
+    Outlier trimming with EXACT (not sketched) cut points: per-batch
+    value histograms fold into a bounded (distinct cents) exchange, the
+    driver inverts the cumulative histogram under the engine's shared
+    quantile definition — smallest v with cumulative count >= max(1,
+    ceil(q*N)) — and a row-local pass clips. Integer cut points mean
+    the clip is bit-exact against the SQL twin at any partition order.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        c = batch[cents_col].to_numpy().astype(np.int64)
+        v, n = np.unique(c, return_counts=True)
+        return pa.table({"v": pa.array(v), "c": pa.array(n.astype(np.int64))})
+
+    hist = (
+        ds.select_columns([cents_col])
+        .map_batches(_hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .sort("v")
+        .take_all()
+    )  # bounded by the distinct-value domain
+    vs = np.array([r["v"] for r in hist], dtype=np.int64)
+    cum = np.cumsum([r["c"] for r in hist])
+    total = int(cum[-1]) if len(cum) else 0
+
+    def _cut(q: float) -> int:
+        rank = max(1, math.ceil(q * total))
+        return int(vs[np.searchsorted(cum, rank)])
+
+    lo, hi = _cut(q_lo), _cut(q_hi)
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        c = batch[cents_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                cents_col: batch[cents_col],
+                "clipped": pa.array(np.clip(c, lo, hi)),
+            }
+        )
+
+    return ds.map_batches(_clip, batch_format="pyarrow")

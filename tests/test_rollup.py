@@ -112,3 +112,26 @@ def test_keyed_zscores_sufficient_statistics():
     )
     z = keyed_zscores(one, key_col="k", cents_col="c", id_col="id").to_pandas()
     assert (z["z"] == 0.0).all()  # n=1 and zero-variance keys
+
+
+def test_winsorize_cents_exact_cutpoints():
+    from pyrosar_ray.stages.rollup import winsorize_cents
+
+    import math
+    rng = np.random.default_rng(2)
+    cents = rng.integers(0, 1000, 500).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(500, dtype=np.int64)),
+                  "c": pa.array(cents)})
+    ).repartition(5)
+    out = (
+        winsorize_cents(ds, cents_col="c", id_col="id", q_lo=0.1, q_hi=0.9)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    srt = np.sort(cents)
+    lo = srt[max(1, math.ceil(0.1 * 500)) - 1]
+    hi = srt[max(1, math.ceil(0.9 * 500)) - 1]
+    want = np.clip(cents, lo, hi)
+    assert (out["clipped"].to_numpy() == want).all()
+    assert out["clipped"].min() == lo and out["clipped"].max() == hi
