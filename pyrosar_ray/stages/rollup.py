@@ -285,7 +285,7 @@ def winsorize_cents(
         rank = max(1, math.ceil(q * total))
         return int(vs[np.searchsorted(cum, rank)])
 
-    lo, hi = _cut(q_lo), _cut(q_hi)
+    lo, hi = (_cut(q_lo), _cut(q_hi)) if total else (0, 0)
 
     def _clip(batch: pa.Table) -> pa.Table:
         c = batch[cents_col].to_numpy().astype(np.int64)

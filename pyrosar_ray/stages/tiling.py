@@ -161,6 +161,10 @@ def tile_coverage(scenes: Dataset, combine: str = "driver") -> Dataset:
     import ray.data
 
     df = partials.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"tile": pd.Series(dtype="object"),
+                           "n": pd.Series(dtype="int64"),
+                           "a": pd.Series(dtype="int64")})
     out = (
         df.groupby("tile", as_index=False)[["n", "a"]]
         .sum()
