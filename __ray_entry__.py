@@ -2680,8 +2680,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osv_interp": q_osv_interp,
         "events_rollup": q_events_rollup,
         "events_zscore": q_events_zscore,
-        "events_top_type": q_events_top_type,
-        "events_winsorize": q_events_winsorize,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_topk_by_source": q_doc_topk_by_source,
         # -- round-3 operators, never driver-checked --
@@ -2724,6 +2722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-pinned and share in-window physical plans; the curate
         # composition's pieces are each in-window individually
         "events_pivot": q_events_pivot,
+        "events_top_type": q_events_top_type,
+        "events_winsorize": q_events_winsorize,
         "quad_area": q_quad_area,
         "image_caption_curate": q_image_caption_curate,
         "image_patches": q_image_patches,

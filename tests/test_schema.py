@@ -95,3 +95,22 @@ def test_psr2_golden_corners():
     assert rec["spacing"] == (6.25, 6.25)
     assert rec["polarizations"] == ["HH", "HV"]
     validate_record(rec)
+
+
+def test_driver_window_composition():
+    """The driver verifies only the FIRST 50 queries(): every in-window
+    entry must have a hash twin, and the regression picks (stages
+    rewritten since their last green driver check) must sit inside the
+    window — inserting a query above them silently un-verifies them."""
+    import __ray_entry__ as e
+
+    keys = list(e.queries())
+    oracles = e.oracle_sql()
+    window = keys[:50]
+    missing = [k for k in window if k not in oracles]
+    assert not missing, f"in-window queries without twins: {missing}"
+    for pick in ("doc_dup_clusters", "doc_adaptive_filter", "scene_rasterize",
+                 "identify_scenes", "embed_ivf_topk"):
+        assert pick in window, f"{pick} fell out of the 50-query gate window"
+    # every registered query resolves; oracle keys are a subset
+    assert set(oracles) <= set(keys)
