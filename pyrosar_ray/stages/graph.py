@@ -1,0 +1,151 @@
+"""Graph stages over edge Datasets: triangle counting.
+
+Companion to the connected-components rounds in
+``dedup_text.cc_distributed`` — the near-dup pair graph is the engine's
+native edge set (dup clusters, co-occurrence). Triangle counts per node
+are the clustering-coefficient numerator, the standard diagnostic for
+"is this dup cluster a clique or a chain".
+
+Plan (the classic degree-oriented wedge join — compact-forward):
+orient every undirected edge from its (degree, id)-smaller endpoint to
+the larger, so each triangle {x ≺ y ≺ z} is counted exactly once as a
+wedge (x→y, x→z) closed by the oriented edge (y→z). Degree ordering
+bounds every oriented out-degree by O(sqrt(m)) on any graph, which
+bounds the wedge volume — the reason this plan survives skewed dup
+cliques where a naive node-iterator explodes.
+
+Scale shape: degrees are one bounded groupby over edge endpoints
+(node-count rows); orientation is row-local against the broadcast
+degree map (node-count ints — the dup-graph node set is pair-volume
+sized, the same broadcast bound the CC driver kernel documents);
+wedge emission is a per-source co-partition with the singleton
+prefilter (sources with out-degree 1 cannot form wedges); closure is a
+vectorized ``np.isin`` membership probe against the broadcast packed
+edge set. Per-node counts fold per batch before one final
+vocabulary-sized groupby-Sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from . import table_from_pandas
+
+_SHIFT = np.int64(1) << np.int64(32)
+
+
+def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(u, v) int32-ranged pairs → one sortable int64 key."""
+    return u * _SHIFT + v
+
+
+def triangle_counts(
+    edges: Dataset,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    out_col: str = "doc_id",
+) -> Dataset:
+    """Per-node triangle counts over an undirected simple edge set.
+
+    ``edges`` must hold each undirected edge once (``a < b`` rows, int
+    ids below 2^32 — the pair-emitting dedup stages guarantee both).
+    Output: ``(out_col, n_tri)`` for every node in >= 1 triangle.
+    """
+    import ray
+
+    from .dedup_text import keep_multi_member_buckets
+    from .groups import typed_groups
+
+    edges = edges.select_columns([a_col, b_col]).materialize()
+
+    # --- degrees: one bounded exchange over endpoints -------------------
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [batch[a_col].to_numpy(), batch[b_col].to_numpy()]
+        ).astype(np.int64)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    deg_rows = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("d", alias_name="d"))
+        .take_all()
+    )  # node set is pair-volume bounded (documented broadcast contract)
+    node_ids = np.array([r["id"] for r in deg_rows], dtype=np.int64)
+    node_deg = np.array([r["d"] for r in deg_rows], dtype=np.int64)
+    order = np.argsort(node_ids)
+    node_ids, node_deg = node_ids[order], node_deg[order]
+    deg_ref = ray.put((node_ids, node_deg))
+
+    # --- orientation: row-local against the broadcast degrees -----------
+    def _orient(batch: pa.Table) -> pa.Table:
+        ids, degs = ray.get(deg_ref)
+        a = batch[a_col].to_numpy().astype(np.int64)
+        b = batch[b_col].to_numpy().astype(np.int64)
+        da = degs[np.searchsorted(ids, a)]
+        db = degs[np.searchsorted(ids, b)]
+        fwd = (da < db) | ((da == db) & (a < b))
+        u = np.where(fwd, a, b)
+        v = np.where(fwd, b, a)
+        dv = np.where(fwd, db, da)
+        return pa.table(
+            {"u": pa.array(u), "v": pa.array(v), "dv": pa.array(dv)}
+        )
+
+    oriented = edges.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    # --- broadcast packed edge set for the closure probe -----------------
+    packed_blocks = [
+        np.sort(_pack(t["u"].to_numpy().astype(np.int64),
+                      t["v"].to_numpy().astype(np.int64)))
+        for t in ray.get(oriented.to_arrow_refs())
+        if len(t)
+    ]
+    packed = (
+        np.sort(np.concatenate(packed_blocks))
+        if packed_blocks
+        else np.zeros(0, dtype=np.int64)
+    )
+    edge_ref = ray.put(packed)
+
+    # --- wedges per source (singleton sources pruned), closed inline ----
+    wedge_src = keep_multi_member_buckets(oriented, ("u",))
+
+    @typed_groups({"x": pa.int64(), "y": pa.int64(), "z": pa.int64()})
+    def _close(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dv", "v"], ignore_index=True)
+        v = g["v"].to_numpy().astype(np.int64)
+        n = len(v)
+        iu, ju = np.triu_indices(n, k=1)
+        keys = _pack(v[iu], v[ju])
+        hit = np.isin(keys, ray.get(edge_ref), assume_unique=False)
+        return pd.DataFrame(
+            {
+                "x": np.full(int(hit.sum()), g["u"].iloc[0], dtype=np.int64),
+                "y": v[iu][hit],
+                "z": v[ju][hit],
+            }
+        )
+
+    triangles = wedge_src.groupby("u").map_groups(_close, batch_format="pandas")
+
+    # --- per-node fold + final bounded groupby ---------------------------
+    def _node_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [batch["x"].to_numpy(), batch["y"].to_numpy(), batch["z"].to_numpy()]
+        ).astype(np.int64)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {out_col: pa.array(u), "n_tri": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        triangles.map_batches(_node_partial, batch_format="pyarrow")
+        .groupby(out_col)
+        .aggregate(Sum("n_tri", alias_name="n_tri"))
+    )

@@ -1,0 +1,58 @@
+"""Triangle counting (stages/graph.py)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pyrosar_ray.stages.graph import triangle_counts
+
+
+def _edges_ds(edges):
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table({"id_a": pa.array(np.minimum(a, b)),
+                  "id_b": pa.array(np.maximum(a, b))})
+    ).repartition(3)
+
+
+def _reference(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_known_graphs():
+    # K4 (every node in C(3,2)=3 triangles) + a chain + an isolated edge
+    k4 = list(itertools.combinations([10, 11, 12, 13], 2))
+    chain = [(20, 21), (21, 22), (22, 23)]
+    extra = [(30, 31)]
+    edges = k4 + chain + extra
+    out = triangle_counts(_edges_ds(edges)).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_tri"]))
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_triangle_counts_random_vs_reference():
+    rng = np.random.RandomState(7)
+    raw = {tuple(sorted((int(a), int(b))))
+           for a, b in rng.randint(0, 25, size=(120, 2)) if a != b}
+    edges = sorted(raw)
+    out = triangle_counts(_edges_ds(edges)).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_tri"]))
+    assert got == _reference(edges)
+
+
+def test_triangle_counts_no_triangles():
+    out = triangle_counts(_edges_ds([(1, 2), (3, 4), (2, 3)])).to_pandas()
+    assert len(out) == 0
