@@ -1021,6 +1021,15 @@ def q_doc_inverted_index(sf_dir: str):
     return inverted_index(docs)
 
 
+def q_doc_bigram_lm(sf_dir: str):
+    """Bigram LM table: vectorized (w1, w2) folds, vocab²-bounded merge,
+    broadcast context counts, exact int/int conditional probability."""
+    from pyrosar_ray.stages.text import bigram_lm
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_lm(docs)
+
+
 def q_doc_bm25(sf_dir: str):
     """BM25 relevance of every doc against a broadcast 3-term query:
     two scalar-sized aggregates + a row-local scoring pass (zero corpus
@@ -2807,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": q_doc_split,
         "doc_inverted_index": q_doc_inverted_index,
         "doc_bm25": q_doc_bm25,
+        "doc_bigram_lm": q_doc_bigram_lm,
         "doc_domain_cap": q_doc_domain_cap,
         "doc_sample_k": q_doc_sample_k,
         "doc_quantiles_by_source": q_doc_quantiles_by_source,
@@ -4700,6 +4710,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761)
                   % 4294967296 % 100 < 10
+        """,
+        "doc_bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            pairs AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks, unnest(range(1, len(t))) AS r(i)
+            ),
+            big AS (SELECT w1, w2, COUNT(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+            ctx AS (SELECT w1, SUM(n)::BIGINT AS c FROM big GROUP BY 1)
+            SELECT big.w1, w2, n, n / c AS p
+            FROM big JOIN ctx ON big.w1 = ctx.w1
         """,
         "doc_bm25": """
             WITH tf AS (

@@ -838,3 +838,81 @@ def bm25_scores(
         return pa.table({id_col: batch[id_col], "score": pa.array(score)})
 
     return counted.map_batches(_score, batch_format="pyarrow")
+
+
+def bigram_lm(
+    docs: Dataset,
+    text_col: str = "text",
+) -> Dataset:
+    """Bigram language-model table: (w1, w2, n, p) with p = n / count(w1).
+
+    The LM-data primitive (count-based conditional probabilities over
+    the corpus): each batch folds its texts to (w1, w2) partial counts
+    in one vectorized pass (tokens of all docs concatenated, windows
+    straddling doc boundaries masked — no per-doc loop), a
+    vocabulary²-bounded groupby-Sum merges them, and the conditional
+    divides by the broadcast unigram context counts — one exact
+    int/int double division per row, so ``p`` is bit-equal to the twin.
+    Context counts use NON-FINAL token positions (every position that
+    has a successor), i.e. sum of p over w2 given w1 is exactly 1.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        toks = s.str.split(" ")
+        lens = toks.map(len).to_numpy()
+        flat = np.array([t for lst in toks for t in lst], dtype=object)
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ends = np.cumsum(lens)
+        pos = np.arange(len(flat) - 1)
+        doc = np.searchsorted(ends, pos, side="right")
+        valid = pos + 2 <= ends[doc]  # bigram fits inside one doc
+        df = pd.DataFrame({"w1": flat[:-1][valid], "w2": flat[1:][valid]})
+        part = df.groupby(["w1", "w2"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "w1": pa.array(part["w1"].to_numpy(), pa.string()),
+                "w2": pa.array(part["w2"].to_numpy(), pa.string()),
+                "n": pa.array(part["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    merged = (
+        docs.map_batches(_fold, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    # context counts: vocabulary-bounded — derive from the merged table
+    # itself (sum over w2), broadcast
+    def _ctx_partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas().groupby("w1", sort=False, as_index=False)["n"].sum()
+        )
+        return pa.table({"w1": pa.array(df["w1"].to_numpy(), pa.string()),
+                         "c": pa.array(df["n"].to_numpy().astype(np.int64))})
+
+    ctx_rows = (
+        merged.map_batches(_ctx_partial, batch_format="pyarrow")
+        .groupby("w1")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    ctx = {r["w1"]: int(r["c"]) for r in ctx_rows}
+    ctx_ref = ray.put(ctx)
+
+    def _prob(batch: pa.Table) -> pa.Table:
+        table = ray.get(ctx_ref)
+        w1 = np.asarray(batch["w1"]).astype(object)
+        n = batch["n"].to_numpy().astype(np.int64)
+        c = np.array([table[w] for w in w1], dtype=np.int64)
+        return batch.append_column("p", pa.array(n / c))
+
+    return merged.map_batches(_prob, batch_format="pyarrow")

@@ -594,3 +594,22 @@ def test_deletion_neighborhood_pairs():
     # reference distances sanity
     assert levenshtein_small("kitten", "sitting") == 3
     assert levenshtein_small("", "abc") == 3
+
+
+def test_bigram_lm_conditional_probabilities():
+    import pyarrow as pa
+    import ray.data as rd
+    from pyrosar_ray.stages.text import bigram_lm
+
+    ds = rd.from_arrow(
+        pa.table({"text": pa.array(["a b a b c", "b a", "c"])})
+    ).repartition(2)
+    out = bigram_lm(ds).to_pandas().set_index(["w1", "w2"])
+    # bigrams: (a,b)x2 (b,a)x2 (b,c)x1 — "c" alone contributes none
+    assert out.loc[("a", "b"), "n"] == 2 and out.loc[("a", "b"), "p"] == 1.0
+    assert out.loc[("b", "a"), "n"] == 2 and out.loc[("b", "a"), "p"] == 2 / 3
+    assert out.loc[("b", "c"), "p"] == 1 / 3
+    assert len(out) == 3
+    # conditionals normalize per context
+    sums = out.groupby("w1")["p"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0)
