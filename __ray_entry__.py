@@ -1042,6 +1042,18 @@ def q_doc_bm25(sf_dir: str):
     return bm25_scores(docs, query_terms=("join", "scan", "vector"))
 
 
+def q_doc_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (A-ES exponential clocks,
+    deterministic hash uniforms): P ∝ n_chars, k=50, local min-k
+    pushdown bounds the exchange."""
+    from pyrosar_ray.stages.sampling import weighted_sample_k
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample_k(docs, k=50, weight_col="n_chars")
+
+
 def q_doc_domain_cap(sf_dir: str):
     """Per-source quota: 10 lowest doc_ids per source (pre-pruned shuffle)."""
     import ray.data
@@ -2819,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": q_doc_bigram_lm,
         "doc_domain_cap": q_doc_domain_cap,
         "doc_sample_k": q_doc_sample_k,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_quantiles_by_source": q_doc_quantiles_by_source,
         "geocode_grd": q_geocode_grd,
         "geocode_slices": q_geocode_slices,
@@ -4682,6 +4695,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM embeddings e
                 WHERE e.vec_id = d.doc_id AND e.vec_id % 3 = 0
             )
+        """,
+        "doc_weighted_sample": """
+            SELECT doc_id, n_chars,
+                   -ln((((doc_id % 4294967296)::HUGEINT * 2654435761)
+                        % 4294967296 + 1) / 4294967296.0) / n_chars AS key
+            FROM documents
+            ORDER BY key, doc_id LIMIT 50
         """,
         "doc_sample_k": """
             SELECT doc_id,

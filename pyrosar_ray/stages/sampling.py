@@ -232,3 +232,65 @@ def epoch_shard_shuffle(
 
     hashed = ds.map_batches(_hash, batch_format="pyarrow")
     return hashed.groupby("shard").map_groups(_rank, batch_format="pandas")
+
+
+def weighted_sample_k(
+    ds: Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Weighted sampling WITHOUT replacement: k rows, P ∝ weight (A-ES).
+
+    Efraimidis–Spirakis exponential clocks with DETERMINISTIC uniforms:
+    ``u = (knuth_hash(id) + 1) / 2^32`` ∈ (0, 1], ``key = -ln(u) / w``,
+    keep the k smallest keys (ties → id). Fully distributed: each batch
+    reduces LOCALLY to its k smallest (the same partial top-k pushdown
+    as ``hash_sample_k``), so the exchange carries k × blocks rows; the
+    final cut is one tiny sort. ``ln`` is computed per row with the
+    same libm the SQL twin's ``ln()`` uses — keys are float64-exact,
+    so the selected SET and the emitted key column hash-match.
+
+    The reproducible replacement for `ORDER BY random() LIMIT k` with
+    quality weighting — rerunning on the same corpus at any cluster
+    size draws the same sample.
+
+    libm parity detail: numpy's SIMD ``np.log`` drifts up to 1 ulp from
+    libm on some inputs, so batches prune with the fast vectorized key
+    to ``k + 64`` candidates and the exact scalar ``math.log`` (= the
+    twin's ``ln``) is recomputed on the survivors only; a true top-k
+    row can be mispruned only if 65+ batch-mates flip order against it
+    within 1 ulp each — not a reachable state for distinct inputs.
+    """
+    import math
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        w = batch[weight_col].to_numpy().astype(np.float64)
+        reduced = ids.astype(np.uint64) % _M32
+        u = ((reduced * _KNUTH) % _M32 + np.uint64(1)).astype(np.float64) / 4294967296.0
+        fast = -np.log(u) / w
+        if len(ids) > k + 64:  # local partial top-k prune (fast keys)
+            keep = np.sort(np.lexsort((ids, fast))[: k + 64])
+            ids, w, u = ids[keep], w[keep], u[keep]
+            batch = batch.take(pa.array(keep))
+        key = np.fromiter(
+            (-math.log(x) for x in u), dtype=np.float64, count=len(u)
+        ) / w
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                weight_col: batch[weight_col],
+                "key": pa.array(key),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, weight_col])
+        .map_batches(_keys, batch_format="pyarrow")
+        .sort(["key", id_col])
+        .limit(k)
+    )

@@ -184,3 +184,28 @@ def test_stratified_split_fractions_and_determinism():
     assert m.sort_index().equals(m2.sort_index())
     with pytest.raises(ValueError):
         stratified_split(ds, fractions={"a": 50, "b": 49})
+
+
+def test_weighted_sample_k_properties():
+    import math
+
+    from pyrosar_ray.stages.sampling import weighted_sample_k, _KNUTH, _M32
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = (ids % 17 + 1).astype(np.int64) * 10
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    ).repartition(7)
+    out = weighted_sample_k(ds, k=100, weight_col="w").to_pandas()
+    assert len(out) == 100
+    # exact reference: smallest -ln(u)/w with libm log
+    u = ((ids.astype(np.uint64) % _M32) * _KNUTH % _M32 + np.uint64(1)).astype(
+        np.float64
+    ) / 4294967296.0
+    key = np.array([-math.log(x) for x in u]) / w
+    order = np.lexsort((ids, key))[:100]
+    assert set(out["doc_id"]) == set(ids[order])
+    assert (np.sort(out["key"].to_numpy()) == np.sort(key[order])).all()
+    # weighting property: the kept set over-represents heavy weights
+    assert out["w"].mean() > w.mean()
