@@ -1030,6 +1030,15 @@ def q_doc_bigram_lm(sf_dir: str):
     return bigram_lm(docs)
 
 
+def q_doc_pmi(sf_dir: str):
+    """Bigram PMI collocations: bounded count folds + broadcast margins,
+    one exact-int ratio and one libm ln per surviving bigram."""
+    from pyrosar_ray.stages.text import pmi_table
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_table(docs, min_n=2)
+
+
 def q_doc_bm25(sf_dir: str):
     """BM25 relevance of every doc against a broadcast 3-term query:
     two scalar-sized aggregates + a row-local scoring pass (zero corpus
@@ -2829,6 +2838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": q_doc_inverted_index,
         "doc_bm25": q_doc_bm25,
         "doc_bigram_lm": q_doc_bigram_lm,
+        "doc_pmi": q_doc_pmi,
         "doc_domain_cap": q_doc_domain_cap,
         "doc_sample_k": q_doc_sample_k,
         "doc_weighted_sample": q_doc_weighted_sample,
@@ -4730,6 +4740,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761)
                   % 4294967296 % 100 < 10
+        """,
+        "doc_pmi": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            pairs AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks, unnest(range(1, len(t))) AS r(i)
+            ),
+            big AS (SELECT w1, w2, COUNT(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+            lm AS (SELECT w1 AS w, SUM(n)::BIGINT AS c1 FROM big GROUP BY 1),
+            rm AS (SELECT w2 AS w, SUM(n)::BIGINT AS c2 FROM big GROUP BY 1),
+            tot AS (SELECT SUM(n)::BIGINT AS T FROM big)
+            SELECT big.w1, big.w2, n,
+                   ln((n * T)::DOUBLE / (c1 * c2)::DOUBLE) AS pmi
+            FROM big
+            JOIN lm ON lm.w = big.w1
+            JOIN rm ON rm.w = big.w2
+            CROSS JOIN tot
+            WHERE n >= 2
         """,
         "doc_bigram_lm": """
             WITH toks AS (

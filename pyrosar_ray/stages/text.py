@@ -916,3 +916,89 @@ def bigram_lm(
         return batch.append_column("p", pa.array(n / c))
 
     return merged.map_batches(_prob, batch_format="pyarrow")
+
+
+def pmi_table(
+    docs: Dataset,
+    text_col: str = "text",
+    min_n: int = 2,
+) -> Dataset:
+    """Pointwise mutual information per bigram — collocation mining.
+
+    ``pmi(w1, w2) = ln( (n12 * T) / (c1 * c2) )`` over the corpus
+    bigram table (T = total bigrams, c = unigram context/successor
+    totals). All counts are exact int64 from the same bounded folds as
+    :func:`bigram_lm`; the single ``math.log`` per surviving bigram is
+    libm (= the twin's ``ln``), and the argument is one exact-int
+    ratio, so pmi is float64-exact. ``min_n`` prunes hapax bigrams
+    (standard practice — PMI of count-1 pairs is noise).
+
+    c1 counts w1 as a bigram LEFT context, c2 counts w2 as a RIGHT
+    successor — the asymmetric convention that makes rows sum
+    consistently on both sides of the twin.
+    """
+    import math
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        bigram_lm(docs, text_col=text_col)
+        .drop_columns(["p"])
+        .materialize()
+    )
+
+    def _margins(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        left = df.groupby("w1", sort=False, as_index=False)["n"].sum()
+        right = df.groupby("w2", sort=False, as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "w": pa.array(
+                    np.concatenate([left["w1"].to_numpy(), right["w2"].to_numpy()]),
+                    pa.string(),
+                ),
+                "c1": pa.array(
+                    np.concatenate(
+                        [left["n"].to_numpy(), np.zeros(len(right), dtype=np.int64)]
+                    ).astype(np.int64)
+                ),
+                "c2": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(left), dtype=np.int64), right["n"].to_numpy()]
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    margin_rows = (
+        merged.map_batches(_margins, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c1", alias_name="c1"), Sum("c2", alias_name="c2"))
+        .take_all()
+    )  # vocabulary-bounded
+    c1 = {r["w"]: int(r["c1"]) for r in margin_rows}
+    c2 = {r["w"]: int(r["c2"]) for r in margin_rows}
+    total = sum(c1.values())
+    ref = ray.put((c1, c2, total))
+
+    def _pmi(batch: pa.Table) -> pa.Table:
+        lc, rc, T = ray.get(ref)
+        keep = batch.filter(
+            pa.compute.greater_equal(batch["n"], pa.scalar(min_n))
+        )
+        w1 = np.asarray(keep["w1"]).astype(object)
+        w2 = np.asarray(keep["w2"]).astype(object)
+        n = keep["n"].to_numpy().astype(np.int64)
+        pmi = np.fromiter(
+            (
+                math.log(float(int(nn) * T) / float(lc[a] * rc[b]))
+                for a, b, nn in zip(w1, w2, n)
+            ),
+            dtype=np.float64,
+            count=len(n),
+        )
+        return keep.append_column("pmi", pa.array(pmi))
+
+    return merged.map_batches(_pmi, batch_format="pyarrow")
