@@ -625,9 +625,9 @@ def test_pmi_table_reference():
         pa.table({"text": pa.array(["a b a b", "a b c b", "c a c a"])})
     ).repartition(2)
     out = pmi_table(ds, min_n=2).to_pandas().set_index(["w1", "w2"])
-    # bigrams: ab:3 ba:1 bc:1 cb:1 ca:2 ac:2 -> T=10
-    # left: a:5 b:2 c:3 ; right: a:3 b:4 c:3
+    # bigrams: ab:3 ba:1 bc:1 cb:1 ca:2 ac:1 -> T=9
+    # left margins: a:4 b:2 c:3 ; right margins: a:3 b:4 c:2
     assert out.loc[("a", "b"), "n"] == 3
-    assert out.loc[("a", "b"), "pmi"] == math.log(float(3 * 10) / float(5 * 4))
-    assert out.loc[("c", "a"), "pmi"] == math.log(float(2 * 10) / float(3 * 3))
+    assert out.loc[("a", "b"), "pmi"] == math.log(float(3 * 9) / float(4 * 4))
+    assert out.loc[("c", "a"), "pmi"] == math.log(float(2 * 9) / float(3 * 3))
     assert ("b", "a") not in out.index  # min_n prunes count-1 bigrams
