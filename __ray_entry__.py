@@ -1261,6 +1261,20 @@ def q_doc_hll(sf_dir: str):
     return hll_registers(docs, b=8)
 
 
+def q_doc_clustering_coef(sf_dir: str):
+    """Local clustering coefficients over the Jaccard near-dup graph:
+    triangles (wedge join) + bounded degree aggregate, one exact-int
+    ratio per node (stages/graph.py)."""
+    from pyrosar_ray.stages.dedup_text import jaccard_pairs
+    from pyrosar_ray.stages.graph import clustering_coefficients
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    edges = jaccard_pairs(docs, threshold=0.5).drop_columns(["jac"])
+    return clustering_coefficients(edges)
+
+
 def q_doc_triangles(sf_dir: str):
     """Per-node triangle counts over the Jaccard near-dup graph:
     degree-oriented wedge join (compact-forward) — broadcast degree
@@ -2768,6 +2782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composition's pieces are each in-window individually
         "events_pivot": q_events_pivot,
         "doc_triangles": q_doc_triangles,
+        "doc_clustering_coef": q_doc_clustering_coef,
         "events_top_type": q_events_top_type,
         "events_winsorize": q_events_winsorize,
         "quad_area": q_quad_area,
@@ -4143,6 +4158,55 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_pairs": _minhash_sql(),
         "doc_hll": _hll_sql(),
         "doc_cms": _cms_sql(),
+        "doc_clustering_coef": """
+            WITH e AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents) a
+            JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents) b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+            ),
+            deg AS (
+                SELECT id, COUNT(*)::BIGINT AS d FROM (
+                    SELECT id_a AS id FROM e
+                    UNION ALL SELECT id_b AS id FROM e
+                ) GROUP BY id
+            ),
+            o AS (
+                SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.id_a < e.id_b)
+                            THEN e.id_a ELSE e.id_b END AS u,
+                       CASE WHEN da.d < db.d OR (da.d = db.d AND e.id_a < e.id_b)
+                            THEN e.id_b ELSE e.id_a END AS v
+                FROM e
+                JOIN deg da ON da.id = e.id_a
+                JOIN deg db ON db.id = e.id_b
+            ),
+            od AS (SELECT o.u, o.v, deg.d AS dv FROM o JOIN deg ON deg.id = o.v),
+            tri AS (
+                SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM od e1
+                JOIN od e2 ON e1.u = e2.u
+                    AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+                JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+            ),
+            tric AS (
+                SELECT id AS doc_id, COUNT(*)::BIGINT AS n_tri
+                FROM (
+                    SELECT x AS id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY id
+            )
+            SELECT deg.id AS doc_id, deg.d,
+                   COALESCE(n_tri, 0)::BIGINT AS n_tri,
+                   (2 * COALESCE(n_tri, 0))::DOUBLE
+                       / (deg.d * (deg.d - 1))::DOUBLE AS cc
+            FROM deg LEFT JOIN tric ON tric.doc_id = deg.id
+            WHERE deg.d >= 2
+        """,
         "doc_triangles": """
             WITH e AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b

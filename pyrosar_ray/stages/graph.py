@@ -149,3 +149,59 @@ def triangle_counts(
         .groupby(out_col)
         .aggregate(Sum("n_tri", alias_name="n_tri"))
     )
+
+
+def clustering_coefficients(
+    edges: Dataset,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    out_col: str = "doc_id",
+) -> Dataset:
+    """Local clustering coefficient per node: ``2·tri / (d·(d-1))``.
+
+    Composes :func:`triangle_counts` with the same bounded degree
+    aggregate; nodes with degree >= 2 are emitted (zero triangles →
+    cc = 0.0), so the output is the node set of the dup graph minus
+    leaves. The coefficient is one exact-int ratio in one double
+    division — bit-exact against the SQL twin.
+    """
+    import ray
+
+    tri = {
+        r[out_col]: int(r["n_tri"])
+        for r in triangle_counts(edges, a_col, b_col, out_col).take_all()
+    }  # bounded: nodes in triangles (pair-volume contract)
+    tri_ref = ray.put(tri)
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [batch[a_col].to_numpy(), batch[b_col].to_numpy()]
+        ).astype(np.int64)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({out_col: pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    degrees = (
+        edges.select_columns([a_col, b_col])
+        .map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby(out_col)
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    def _cc(batch: pa.Table) -> pa.Table:
+        tri_map = ray.get(tri_ref)
+        ids = batch[out_col].to_numpy().astype(np.int64)
+        d = batch["d"].to_numpy().astype(np.int64)
+        keep = d >= 2
+        ids, d = ids[keep], d[keep]
+        t = np.array([tri_map.get(int(i), 0) for i in ids], dtype=np.int64)
+        cc = (2 * t).astype(np.float64) / (d * (d - 1)).astype(np.float64)
+        return pa.table(
+            {
+                out_col: pa.array(ids),
+                "d": pa.array(d),
+                "n_tri": pa.array(t),
+                "cc": pa.array(cc),
+            }
+        )
+
+    return degrees.map_batches(_cc, batch_format="pyarrow")

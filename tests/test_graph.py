@@ -56,3 +56,18 @@ def test_triangle_counts_random_vs_reference():
 def test_triangle_counts_no_triangles():
     out = triangle_counts(_edges_ds([(1, 2), (3, 4), (2, 3)])).to_pandas()
     assert len(out) == 0
+
+
+def test_clustering_coefficients():
+    from pyrosar_ray.stages.graph import clustering_coefficients
+
+    # K4 plus a path attached at node 13
+    k4 = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = k4 + [(13, 20), (20, 21)]
+    out = clustering_coefficients(_edges_ds(edges)).to_pandas()
+    got = {int(r.doc_id): (int(r.d), int(r.n_tri), float(r.cc))
+           for r in out.itertuples()}
+    assert got[10] == (3, 3, 1.0)  # pure K4 member: all pairs connected
+    assert got[13] == (4, 3, 0.5)  # 3 triangles of C(4,2)=6 pairs
+    assert got[20] == (2, 0, 0.0)  # path middle: no triangle
+    assert 21 not in got  # leaf (d=1) excluded
