@@ -1275,6 +1275,20 @@ def q_doc_clustering_coef(sf_dir: str):
     return clustering_coefficients(edges)
 
 
+def q_doc_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 iterations, d=0.85) over the
+    near-dup graph: block-order-independent integer updates, so the
+    iterative result hash-matches the twin's unrolled CTE chain."""
+    from pyrosar_ray.stages.dedup_text import jaccard_pairs
+    from pyrosar_ray.stages.graph import pagerank_int
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    edges = jaccard_pairs(docs, threshold=0.5).drop_columns(["jac"])
+    return pagerank_int(edges, iters=3)
+
+
 def q_doc_triangles(sf_dir: str):
     """Per-node triangle counts over the Jaccard near-dup graph:
     degree-oriented wedge join (compact-forward) — broadcast degree
@@ -2783,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "doc_triangles": q_doc_triangles,
         "doc_clustering_coef": q_doc_clustering_coef,
+        "doc_pagerank": q_doc_pagerank,
         "events_top_type": q_events_top_type,
         "events_winsorize": q_events_winsorize,
         "quad_area": q_quad_area,
@@ -4206,6 +4221,66 @@ def oracle_sql() -> dict[str, str]:
                        / (deg.d * (deg.d - 1))::DOUBLE AS cc
             FROM deg LEFT JOIN tric ON tric.doc_id = deg.id
             WHERE deg.d >= 2
+        """,
+        "doc_pagerank": """
+            WITH e AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents) a
+            JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents) b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+            ),
+            deg AS (
+                SELECT id, COUNT(*)::BIGINT AS d FROM (
+                    SELECT id_a AS id FROM e
+                    UNION ALL SELECT id_b AS id FROM e
+                ) GROUP BY id
+            ),
+            dir AS (
+                SELECT id_a AS src, id_b AS dst FROM e
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM e
+            ),
+            p0 AS (SELECT id, 1000000::BIGINT AS pr FROM deg),
+            c1 AS (
+                SELECT dst AS id, SUM(pr // d)::BIGINT AS s
+                FROM dir
+                JOIN p0 ON p0.id = dir.src
+                JOIN deg ON deg.id = dir.src
+                GROUP BY dst
+            ),
+            p1 AS (
+                SELECT deg.id,
+                       (150000 + 85 * COALESCE(s, 0) // 100)::BIGINT AS pr
+                FROM deg LEFT JOIN c1 ON c1.id = deg.id
+            ),
+            c2 AS (
+                SELECT dst AS id, SUM(pr // d)::BIGINT AS s
+                FROM dir
+                JOIN p1 ON p1.id = dir.src
+                JOIN deg ON deg.id = dir.src
+                GROUP BY dst
+            ),
+            p2 AS (
+                SELECT deg.id,
+                       (150000 + 85 * COALESCE(s, 0) // 100)::BIGINT AS pr
+                FROM deg LEFT JOIN c2 ON c2.id = deg.id
+            ),
+            c3 AS (
+                SELECT dst AS id, SUM(pr // d)::BIGINT AS s
+                FROM dir
+                JOIN p2 ON p2.id = dir.src
+                JOIN deg ON deg.id = dir.src
+                GROUP BY dst
+            ),
+            p3 AS (
+                SELECT deg.id,
+                       (150000 + 85 * COALESCE(s, 0) // 100)::BIGINT AS pr
+                FROM deg LEFT JOIN c3 ON c3.id = deg.id
+            )
+            SELECT id AS doc_id, pr FROM p3
         """,
         "doc_triangles": """
             WITH e AS (

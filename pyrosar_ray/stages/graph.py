@@ -205,3 +205,87 @@ def clustering_coefficients(
         )
 
     return degrees.map_batches(_cc, batch_format="pyarrow")
+
+
+def pagerank_int(
+    edges: Dataset,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    out_col: str = "doc_id",
+) -> Dataset:
+    """PageRank over an undirected edge set in EXACT fixed-point integers.
+
+    The iterative-algorithm representative: float power iteration is
+    partition-order dependent (sums of doubles), so ranks are kept in
+    integer micro-units and every update is integer arithmetic —
+    ``contrib(j) = pr(j) // deg(j)``, ``pr'(i) = (100 - d)·scale // 100
+    + d · Σ contrib // 100`` — making the result independent of block
+    order, cluster size AND engine (the SQL twin unrolls the same
+    iterations as chained CTEs, bit-for-bit).
+
+    Scale shape per iteration: ranks are a node-count-bounded broadcast
+    (the dup-graph contract shared with :func:`triangle_counts`);
+    contributions fold per batch over the edge Dataset and merge in one
+    bounded groupby-Sum. Dangling nodes cannot exist (every node is an
+    edge endpoint). O(iters) passes over edges — the documented cost.
+    """
+    import ray
+
+    if iters < 0 or not 0 <= damping_pct <= 100:
+        raise ValueError("bad iters/damping")
+    edges = edges.select_columns([a_col, b_col]).materialize()
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [batch[a_col].to_numpy(), batch[b_col].to_numpy()]
+        ).astype(np.int64)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    deg_rows = (
+        edges.map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("d", alias_name="d"))
+        .take_all()
+    )
+    ids = np.sort(np.array([r["id"] for r in deg_rows], dtype=np.int64))
+    deg = np.empty(len(ids), dtype=np.int64)
+    for r in deg_rows:
+        deg[np.searchsorted(ids, r["id"])] = r["d"]
+
+    base = (100 - damping_pct) * scale // 100
+    pr = np.full(len(ids), scale, dtype=np.int64)
+
+    for _ in range(iters):
+        state_ref = ray.put((ids, pr // deg))  # per-node contribution
+
+        def _contrib(batch: pa.Table) -> pa.Table:
+            nids, c = ray.get(state_ref)
+            a = batch[a_col].to_numpy().astype(np.int64)
+            b = batch[b_col].to_numpy().astype(np.int64)
+            dst = np.concatenate([b, a])  # undirected: both directions
+            src = np.concatenate([a, b])
+            w = c[np.searchsorted(nids, src)]
+            u, inv = np.unique(dst, return_inverse=True)
+            s = np.bincount(inv, weights=w, minlength=len(u)).astype(np.int64)
+            return pa.table({"id": pa.array(u), "s": pa.array(s)})
+
+        inc_rows = (
+            edges.map_batches(_contrib, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(Sum("s", alias_name="s"))
+            .take_all()
+        )
+        inc = np.zeros(len(ids), dtype=np.int64)
+        for r in inc_rows:
+            inc[np.searchsorted(ids, r["id"])] = r["s"]
+        pr = base + damping_pct * inc // 100
+
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({out_col: pa.array(ids), "pr": pa.array(pr)})
+    )

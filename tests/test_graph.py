@@ -71,3 +71,24 @@ def test_clustering_coefficients():
     assert got[13] == (4, 3, 0.5)  # 3 triangles of C(4,2)=6 pairs
     assert got[20] == (2, 0, 0.0)  # path middle: no triangle
     assert 21 not in got  # leaf (d=1) excluded
+
+
+def test_pagerank_int_reference():
+    from pyrosar_ray.stages.graph import pagerank_int
+
+    # star: center 0 connected to 1..4
+    edges = [(0, i) for i in range(1, 5)]
+    out = pagerank_int(_edges_ds(edges), iters=3).to_pandas()
+    got = dict(zip(out["doc_id"], out["pr"]))
+    # exact integer reference (same update rule)
+    pr = {n: 1_000_000 for n in range(5)}
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    for _ in range(3):
+        contrib = {n: pr[n] // deg[n] for n in pr}
+        inc = {0: sum(contrib[i] for i in range(1, 5))}
+        for i in range(1, 5):
+            inc[i] = contrib[0]
+        pr = {n: 150_000 + 85 * inc[n] // 100 for n in pr}
+    assert got == pr
+    assert got[0] > got[1]  # hub outranks leaves
+    assert len({got[i] for i in range(1, 5)}) == 1  # symmetric leaves
