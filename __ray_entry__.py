@@ -2560,6 +2560,18 @@ def q_doc_neardup_fp(sf_dir: str):
     return phash_near_dup_pairs(prepped, max_hamming=32, id_col="doc")
 
 
+def q_embed_kmeans_int(sf_dir: str):
+    """Integer-exact spherical k-means (2 Lloyd iterations): exact int
+    dots + floor-integer centroid means make the ITERATIVE clustering
+    hash-twinnable — block-order and cluster-size independent."""
+    from pyrosar_ray.stages.kmeans import kmeans_int
+
+    embeds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_int(embeds, k=8, iters=2)
+
+
 def q_embed_ivf_topk(sf_dir: str):
     """IVF-partitioned inner-product top-k (the ANN scale path), ranked
     by EXACT integer dot products of 1e-6-quantized embeddings so the
@@ -2795,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-pinned and share in-window physical plans; the curate
         # composition's pieces are each in-window individually
         "events_pivot": q_events_pivot,
+        "embed_kmeans_int": q_embed_kmeans_int,
         "doc_triangles": q_doc_triangles,
         "doc_clustering_coef": q_doc_clustering_coef,
         "doc_pagerank": q_doc_pagerank,
@@ -3522,6 +3535,64 @@ def _simhash_sql() -> str:
             )
             SELECT doc_id, {sig} AS simhash FROM agg
         """
+
+
+def _kmeans_int_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of ``stages.kmeans.kmeans_int``: the seed centroid
+    matrix is embedded as literals; each Lloyd iteration unrolls to an
+    assignment CTE (exact integer dots, ties to the smaller cell) and a
+    floor-integer-mean update CTE. DuckDB's ``//`` truncates while the
+    engine floors, so the update uses the identity
+    ``(s - ((s % n + n) % n)) // n`` — exact floor division for any
+    sign. Empty cells keep the previous centroid (LEFT JOIN + CASE)."""
+    from pyrosar_ray.stages.ann import ivf_centroids
+
+    cents = ivf_centroids(k, dim, seed=7)
+    rows = ",\n".join(
+        f"({cell}, [{', '.join(str(v) for v in cv)}]::DOUBLE[])"
+        for cell, cv in enumerate(cents)
+    )
+    parts = [f"""
+        WITH cent0(cell, cv) AS (VALUES {rows}),
+        emb AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * 1000000 + 0.5)) AS qe
+            FROM embeddings
+        )"""]
+    for t in range(iters + 1):
+        parts.append(f""",
+        a{t} AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.qe, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM emb e, cent{t} c
+            ) WHERE rn = 1
+        )""")
+        if t == iters:
+            break
+        parts.append(f""",
+        u{t + 1} AS (
+            SELECT cell, i, SUM(qe[i + 1])::BIGINT AS s, COUNT(*)::BIGINT AS n
+            FROM a{t} JOIN emb USING (vec_id), unnest(range(0, {dim})) AS t(i)
+            GROUP BY cell, i
+        ),
+        cent{t + 1} AS (
+            SELECT c.cell,
+                   CASE WHEN MAX(u.n) IS NULL THEN c.cv
+                        ELSE list(((u.s - ((u.s % u.n + u.n) % u.n)) // u.n)::DOUBLE
+                                  ORDER BY u.i)
+                   END AS cv
+            FROM cent{t} c LEFT JOIN u{t + 1} u ON u.cell = c.cell
+            GROUP BY c.cell, c.cv
+        )""")
+    parts.append(f"""
+        SELECT vec_id, cell::BIGINT AS cell FROM a{iters}
+    """)
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5251,5 +5322,6 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(q.qe, e.ee) >= 0.2
         """,
         "embed_ivf_topk": _ivf_sql(),
+        "embed_kmeans_int": _kmeans_int_sql(),
         "identify_scenes": IDENTIFY_SQL,
     }

@@ -327,3 +327,107 @@ def kmeans_assign(
         )
 
     return embeddings.map_batches(_assign, batch_format="pyarrow")
+
+
+def kmeans_int(
+    embeds: "Dataset",
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 7,
+) -> "Dataset":
+    """Spherical k-means in EXACT integer arithmetic — the hash-twinnable
+    iterative-ML counterexample to "iterative float means are
+    irreducibly rows-only".
+
+    Embeddings quantize via the engine-standard ``floor(x·10⁶ + 0.5)``;
+    assignment is argmax of the exact integer dot product (ties → the
+    smaller cell, matching the twin's ``ORDER BY dot DESC, cell``);
+    the centroid update is the FLOOR integer mean per dimension
+    (``sum // n``, empty cells keep their previous centroid), computed
+    from one bounded ``(cell, dim) → (sum, count)`` exchange per
+    iteration (k·(d+1) rows per block — never the vectors). Every
+    quantity is an exact integer < 2^53, so block order, cluster size
+    and engine all produce identical assignments; the SQL twin unrolls
+    the iterations as chained CTEs with the floor-division identity
+    ``(a - ((a % b + b) % b)) // b`` (DuckDB ``//`` truncates, Python
+    floors).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .ann import ivf_centroids, quantize_embeddings
+
+    if k < 1 or iters < 0:
+        raise ValueError("bad k/iters")
+    probe = embeds.take(1)
+    dim = len(probe[0][emb_col]) if probe else 0
+    cents = ivf_centroids(k, dim, seed=seed)
+
+    def _assign(qe: np.ndarray, c: np.ndarray) -> np.ndarray:
+        dots = qe @ c.T  # exact int64, |dot| < 2^53
+        return np.argmax(dots, axis=1)  # first max = smaller cell
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def _fold(batch: "pa.Table") -> "pa.Table":
+            c = ray.get(cref)
+            qe = quantize_embeddings(
+                np.stack(batch[emb_col].to_pandas().to_numpy())
+            )
+            cell = _assign(qe, c)
+            rows_cd, rows_s = [], []
+            for cc in np.unique(cell):
+                mask = cell == cc
+                sums = qe[mask].sum(axis=0)
+                rows_cd.extend((int(cc) * (dim + 1) + np.arange(dim)).tolist())
+                rows_s.extend(sums.tolist())
+                rows_cd.append(int(cc) * (dim + 1) + dim)  # count slot
+                rows_s.append(int(mask.sum()))
+            return pa.table(
+                {
+                    "cd": pa.array(np.asarray(rows_cd, dtype=np.int64)),
+                    "s": pa.array(np.asarray(rows_s, dtype=np.int64)),
+                }
+            )
+
+        stat_rows = (
+            embeds.map_batches(_fold, batch_format="pyarrow")
+            .groupby("cd")
+            .aggregate(Sum("s", alias_name="s"))
+            .take_all()
+        )  # bounded: k x (dim+1) rows
+        sums = np.zeros((k, dim), dtype=object)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in stat_rows:
+            cd, s = int(r["cd"]), int(r["s"])
+            cc, d = divmod(cd, dim + 1)
+            if d == dim:
+                counts[cc] = s
+            else:
+                sums[cc, d] = s
+        new = cents.copy()
+        for cc in range(k):
+            if counts[cc] > 0:
+                new[cc] = np.array(
+                    [int(sums[cc, d]) // int(counts[cc]) for d in range(dim)],
+                    dtype=np.int64,
+                )
+        cents = new
+
+    cref = ray.put(cents)
+
+    def _final(batch: "pa.Table") -> "pa.Table":
+        c = ray.get(cref)
+        qe = quantize_embeddings(np.stack(batch[emb_col].to_pandas().to_numpy()))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cell": pa.array(_assign(qe, c).astype(np.int64)),
+            }
+        )
+
+    return embeds.map_batches(_final, batch_format="pyarrow")

@@ -101,3 +101,44 @@ def test_kmeans_validation():
         kmeans_fit(ds, k=0)
     with pytest.raises(ValueError):
         kmeans_fit(ds, k=1000)
+
+
+def test_kmeans_int_matches_local_reference_and_partition_independent():
+    import pyarrow as pa
+
+    from pyrosar_ray.stages.ann import ivf_centroids, quantize_embeddings
+    from pyrosar_ray.stages.kmeans import kmeans_int
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 300, 16, 4
+    mat = rng.normal(size=(n, dim))
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    })
+    out = (
+        kmeans_int(ray.data.from_arrow(tab).repartition(5), k=k, iters=2)
+        .to_pandas().sort_values("vec_id", ignore_index=True)
+    )
+    # local integer reference with the identical update rule
+    qe = quantize_embeddings(mat)
+    cents = ivf_centroids(k, dim, seed=7)
+    for _ in range(2):
+        cell = np.argmax(qe @ cents.T, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = cell == c
+            if m.sum():
+                new[c] = np.array(
+                    [int(s) // int(m.sum()) for s in qe[m].sum(axis=0)],
+                    dtype=np.int64)
+        cents = new
+    want = np.argmax(qe @ cents.T, axis=1)
+    assert (out["cell"].to_numpy() == want).all()
+    # partition independence: different block structure, same assignment
+    out2 = (
+        kmeans_int(ray.data.from_arrow(tab).repartition(11), k=k, iters=2)
+        .to_pandas().sort_values("vec_id", ignore_index=True)
+    )
+    assert (out2["cell"].to_numpy() == out["cell"].to_numpy()).all()
