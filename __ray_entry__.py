@@ -706,6 +706,17 @@ def q_events_top_type(sf_dir: str):
     return top.drop_columns(["rank"])
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase): chained strict minima
+    per user, one user co-partition, bounded per-step Sum."""
+    from pyrosar_ray.stages.sessions import funnel_counts
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_counts(events, steps=("view", "click", "purchase"))
+
+
 def q_events_zscore(sf_dir: str):
     """Per-type z-scores via integer sufficient statistics: one bounded
     (key, n, sum, sumsq) exchange, exact bigint variance numerators,
@@ -2813,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pagerank": q_doc_pagerank,
         "events_top_type": q_events_top_type,
         "events_winsorize": q_events_winsorize,
+        "events_funnel": q_events_funnel,
         "quad_area": q_quad_area,
         "image_caption_curate": q_image_caption_curate,
         "image_patches": q_image_patches,
@@ -4092,6 +4104,30 @@ def oracle_sql() -> dict[str, str]:
                     FROM events GROUP BY user_id, event_type
                 )
             ) WHERE r = 1
+        """,
+        "events_funnel": """
+            WITH f AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            t1 AS (
+                SELECT user_id, MIN(us) AS m FROM f
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+                SELECT f.user_id, MIN(us) AS m FROM f JOIN t1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1.m GROUP BY f.user_id
+            ),
+            t3 AS (
+                SELECT f.user_id, MIN(us) AS m FROM f JOIN t2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2.m GROUP BY f.user_id
+            )
+            SELECT 0::BIGINT AS step_idx, 'view' AS step,
+                   (SELECT COUNT(*) FROM t1)::BIGINT AS n_users
+            UNION ALL SELECT 1::BIGINT, 'click',
+                   (SELECT COUNT(*) FROM t2)::BIGINT
+            UNION ALL SELECT 2::BIGINT, 'purchase',
+                   (SELECT COUNT(*) FROM t3)::BIGINT
         """,
         "events_zscore": """
             WITH ev AS (

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from ray.data import Dataset
 
 
@@ -180,3 +181,82 @@ def session_counts(
     return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
         _count, batch_format="pandas"
     )
+
+
+def funnel_counts(
+    events: Dataset,
+    steps: "tuple[str, ...]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> Dataset:
+    """Ordered-funnel completion counts: how many users reach each step.
+
+    The sequence-analytics primitive: a user completes step i when an
+    event of ``steps[i]`` exists STRICTLY after their earliest
+    completion time of step i-1 (chained minima — the standard strict
+    funnel rule, shared exactly with the SQL twin's chained
+    ``MIN(ts) FILTER (...)`` subqueries). Events co-partition by user
+    (one bounded exchange of (user, type, ts) triples — only rows whose
+    type is in the funnel survive the pre-filter); the per-user chain
+    is a vectorized searchsorted walk over its sorted timestamps.
+
+    Output: one row per step — (step_idx, step, n_users), n_users
+    non-increasing with step_idx.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch[type_col], pa.array(list(steps)))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                user_col: t[user_col],
+                "six": pa.array(
+                    np.array([step_ix[x] for x in np.asarray(t[type_col]).astype(object)],
+                             dtype=np.int64)
+                ),
+                "us": t[ts_col].cast(pa.int64()),
+            }
+        )
+
+    def _chain(g: pd.DataFrame) -> pa.Table:
+        reached = np.zeros(len(steps), dtype=np.int64)
+        t_prev = -np.inf
+        for i in range(len(steps)):
+            ts_i = g.loc[g["six"] == i, "us"].to_numpy()
+            ts_i = ts_i[ts_i > t_prev] if i else ts_i
+            if len(ts_i) == 0:
+                break
+            t_prev = ts_i.min()
+            reached[i] = 1
+        return pa.table(
+            {
+                "step_idx": pa.array(np.arange(len(steps), dtype=np.int64)),
+                "reached": pa.array(reached),
+            }
+        )
+
+    per_user = (
+        events.select_columns([user_col, type_col, ts_col])
+        .map_batches(_prefilter, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(_chain, batch_format="pandas")
+    )
+    merged = per_user.groupby("step_idx").aggregate(
+        Sum("reached", alias_name="n_users")
+    )
+
+    def _label(batch: pa.Table) -> pa.Table:
+        ix = batch["step_idx"].to_numpy()
+        return batch.append_column(
+            "step", pa.array(np.array(list(steps), dtype=object)[ix], pa.string())
+        )
+
+    return merged.map_batches(_label, batch_format="pyarrow")

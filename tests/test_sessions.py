@@ -46,3 +46,40 @@ def test_sessionize_and_counts():
     want = _oracle_counts(df)
     got = dict(zip(counts["user_id"], counts["n_sessions"]))
     assert got == want
+
+
+def test_funnel_counts_strict_chaining():
+    import pyarrow as pa
+
+    from pyrosar_ray.stages.sessions import funnel_counts
+
+    def ev(uid, typ, us):
+        return (uid, typ, us)
+
+    rows = [
+        # user 1 completes the funnel in order
+        ev(1, "view", 10), ev(1, "click", 20), ev(1, "purchase", 30),
+        # user 2: click BEFORE the first view → stalls at view
+        ev(2, "click", 5), ev(2, "view", 10),
+        # user 3: view + click, purchase before click → stalls at click
+        ev(3, "purchase", 1), ev(3, "view", 2), ev(3, "click", 3),
+        # user 4: only noise types
+        ev(4, "error", 1), ev(4, "signup", 2),
+        # user 5: simultaneous view/click (strict > excludes the tie)
+        ev(5, "view", 7), ev(5, "click", 7),
+    ]
+    tab = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = (
+        funnel_counts(ray.data.from_arrow(tab).repartition(3),
+                      steps=("view", "click", "purchase"))
+        .to_pandas().sort_values("step_idx", ignore_index=True)
+    )
+    assert out["step"].tolist() == ["view", "click", "purchase"]
+    # view: users 1,2,3,5 -> 4 ; click after view: 1,3 -> 2 ; purchase: 1
+    assert out["n_users"].tolist() == [4, 2, 1]
