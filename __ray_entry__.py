@@ -706,6 +706,17 @@ def q_events_top_type(sf_dir: str):
     return top.drop_columns(["rank"])
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: per-user distinct activity days, one
+    user co-partition, bounded (cohort, offset) Sum."""
+    from pyrosar_ray.stages.sessions import retention_matrix
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_matrix(events)
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase): chained strict minima
     per user, one user co-partition, bounded per-step Sum."""
@@ -2825,6 +2836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_type": q_events_top_type,
         "events_winsorize": q_events_winsorize,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "quad_area": q_quad_area,
         "image_caption_curate": q_image_caption_curate,
         "image_patches": q_image_patches,
@@ -4104,6 +4116,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM events GROUP BY user_id, event_type
                 )
             ) WHERE r = 1
+        """,
+        "events_retention": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            first AS (SELECT user_id, MIN(day) AS c FROM ud GROUP BY user_id)
+            SELECT c AS cohort_day, (day - c)::BIGINT AS day_offset,
+                   COUNT(*)::BIGINT AS n_users
+            FROM ud JOIN first USING (user_id)
+            GROUP BY c, day_offset
         """,
         "events_funnel": """
             WITH f AS (

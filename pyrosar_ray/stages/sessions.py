@@ -260,3 +260,57 @@ def funnel_counts(
         )
 
     return merged.map_batches(_label, batch_format="pyarrow")
+
+
+def retention_matrix(
+    events: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+) -> Dataset:
+    """Cohort retention: users from first-activity-day cohort c active
+    again d days later.
+
+    The funnel's companion analytics op: per batch, (user, day) pairs
+    dedup locally; one user co-partition computes each user's cohort
+    (min day) and emits one (cohort_day, day_offset) row per distinct
+    activity day — a user contributes each offset at most once, so the
+    final bounded groupby-Sum IS the distinct-user count. Day
+    arithmetic is integer (epoch_us // day_us), twin-exact.
+
+    Output: (cohort_day, day_offset, n_users) — offset 0 row equals
+    the cohort size.
+    """
+    from ray.data.aggregate import Sum
+
+    def _days(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {user_col: batch[user_col].to_numpy(), "day": us // day_us}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                user_col: pa.array(df[user_col].to_numpy()),
+                "day": pa.array(df["day"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def _cohort(g: pd.DataFrame) -> pa.Table:
+        days = np.unique(g["day"].to_numpy())
+        first = days[0]
+        return pa.table(
+            {
+                "cohort_day": pa.array(np.full(len(days), first, dtype=np.int64)),
+                "day_offset": pa.array((days - first).astype(np.int64)),
+                "one": pa.array(np.ones(len(days), dtype=np.int64)),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col])
+        .map_batches(_days, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(_cohort, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("one", alias_name="n_users"))
+    )

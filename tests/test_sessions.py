@@ -83,3 +83,26 @@ def test_funnel_counts_strict_chaining():
     assert out["step"].tolist() == ["view", "click", "purchase"]
     # view: users 1,2,3,5 -> 4 ; click after view: 1,3 -> 2 ; purchase: 1
     assert out["n_users"].tolist() == [4, 2, 1]
+
+
+def test_retention_matrix_counts():
+    import pyarrow as pa
+
+    from pyrosar_ray.stages.sessions import retention_matrix
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0), (1, 0), (1, 2),      # user 1: cohort 0, active days 0,2
+        (2, 0), (2, 1),              # user 2: cohort 0, days 0,1
+        (3, 2),                      # user 3: cohort 2, day 2 only
+    ]
+    tab = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * day + 5 for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = retention_matrix(ray.data.from_arrow(tab).repartition(2)).to_pandas()
+    got = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (2, 0): 1}
