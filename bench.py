@@ -33,6 +33,8 @@ BENCH_QUERIES = (
     "spatial_knn_rtree",
     "spatial_knn_partitioned",
     "doc_dup_spans",
+    "doc_triangles",
+    "image_caption_curate",
     "tile_assign",
     "tile_counts",
     "tile_coverage",

@@ -174,7 +174,7 @@ def curate_multimodal(sf_dir: str) -> Dataset:
 
     import pyarrow.compute as pc
 
-    imgs = images_from_documents(sf_dir).drop_columns(["bytes", "phash"])
+    imgs = images_from_documents(sf_dir, with_pixels=False)
 
     def _gate(batch: pa.Table) -> pa.Table:
         w = batch["w"].to_numpy().astype(np.int64)

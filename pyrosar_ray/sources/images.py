@@ -103,9 +103,40 @@ def write_image_table(ds: Dataset, path: str) -> None:
         ds.write_parquet(path)
 
 
-def images_from_documents(sf_dir: str) -> Dataset:
-    """The synthetic image+caption Dataset (one row per document)."""
+def images_from_documents(sf_dir: str, with_pixels: bool = True) -> Dataset:
+    """The synthetic image+caption Dataset (one row per document).
+
+    ``with_pixels=False`` is the metadata-only projection: image_id /
+    w / h / fmt / caption are closed-form in the id, so pipelines that
+    drop the payload (curation gates, shard layout) skip the blob
+    encode entirely — the column-pruning analogue for a GENERATED
+    source, mirroring how a Lance read would push the column list down.
+    """
     docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    if not with_pixels:
+
+        def _meta(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            seeds = np.where(ids % 10 == 9, ids - 1, ids)
+            sizes = np.asarray(_SIZES, dtype=np.int32)
+            w = sizes[seeds % 3]
+            h = sizes[seeds // 3 % 3]
+            fmt = np.where(
+                seeds % 7 == 0, "png", np.where(seeds % 11 == 0, "jpeg", "raw")
+            ).astype(object)
+            image_ids = np.array([f"img-{i:012d}" for i in ids], dtype=object)
+            return pa.table(
+                {
+                    "image_id": pa.array(image_ids, pa.string()),
+                    "w": pa.array(w),
+                    "h": pa.array(h),
+                    "fmt": pa.array(fmt, pa.string()),
+                    "caption": batch["text"],
+                }
+            )
+
+        return docs.map_batches(_meta, batch_format="pyarrow")
 
     def _make(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()

@@ -1,6 +1,7 @@
 """Image plumbing + ANN stages."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -533,3 +534,18 @@ def test_curate_multimodal_gates_and_dedup(tmp_path):
     h = ((docs["ident"] // 3) % 3).map({0: 16, 1: 24, 2: 32})
     gated = docs[(w * h >= 512) & (docs["text"].str.count(" ") + 1 >= 10)]
     assert len(out) == gated["text"].nunique()
+
+
+def test_images_metadata_path_matches_full_source():
+    from pyrosar_ray.sources.images import images_from_documents
+
+    full = (
+        images_from_documents("/root/testdata/sf0.001")
+        .select_columns(["image_id", "w", "h", "fmt", "caption"])
+        .to_pandas().sort_values("image_id", ignore_index=True)
+    )
+    meta = (
+        images_from_documents("/root/testdata/sf0.001", with_pixels=False)
+        .to_pandas().sort_values("image_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(full, meta)
