@@ -2358,7 +2358,9 @@ def q_image_shards(sf_dir: str):
             {"image_id": batch["image_id"], "doc_key": key, "raw_bytes": nraw}
         )
 
-    prep = images_from_documents(sf_dir).map_batches(_prep, batch_format="pyarrow")
+    prep = images_from_documents(sf_dir, with_pixels=False).map_batches(
+        _prep, batch_format="pyarrow"
+    )
     return shard_layout(
         prep, num_shards=16, hash_col="doc_key", id_col="image_id",
         size_col="raw_bytes",
