@@ -717,6 +717,18 @@ def q_events_retention(sf_dir: str):
     return retention_matrix(events)
 
 
+def q_events_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams: one user
+    co-partition, vectorized adjacent pairs, type²-bounded Sum."""
+    from pyrosar_ray.stages.sessions import transition_counts
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return transition_counts(events)
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase): chained strict minima
     per user, one user co-partition, bounded per-step Sum."""
@@ -2839,6 +2851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorize": q_events_winsorize,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_transitions": q_events_transitions,
         "quad_area": q_quad_area,
         "image_caption_curate": q_image_caption_curate,
         "image_patches": q_image_patches,
@@ -4129,6 +4142,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_users
             FROM ud JOIN first USING (user_id)
             GROUP BY c, day_offset
+        """,
+        "events_transitions": """
+            SELECT from_type, to_type, COUNT(*)::BIGINT AS n FROM (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_type,
+                       event_type AS to_type
+                FROM events
+            ) WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
         """,
         "events_funnel": """
             WITH f AS (

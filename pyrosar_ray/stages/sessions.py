@@ -314,3 +314,65 @@ def retention_matrix(
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Sum("one", alias_name="n_users"))
     )
+
+
+def transition_counts(
+    events: Dataset,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> Dataset:
+    """Markov transition counts: (from_type, to_type, n) over per-user
+    event streams ordered by (ts, id).
+
+    The clickstream-analysis primitive: events co-partition by user,
+    each group sorts once by the deterministic (ts, id) total order and
+    emits its adjacent pairs vectorized; per-group partial counts merge
+    in one type²-bounded groupby-Sum. The (ts, id) tie-break is shared
+    with the twin's ``lag() OVER (PARTITION BY user ORDER BY ts, id)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch[user_col],
+                type_col: batch[type_col],
+                "us": batch[ts_col].cast(pa.int64()),
+                id_col: batch[id_col],
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["us", id_col], ignore_index=True)
+        t = g[type_col].to_numpy()
+        if len(t) < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]})
+            .groupby(["from_type", "to_type"], sort=False, as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "from_type": pa.array(df["from_type"].to_numpy(), pa.string()),
+                "to_type": pa.array(df["to_type"].to_numpy(), pa.string()),
+                "n": pa.array(df["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, type_col, ts_col, id_col])
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -106,3 +106,26 @@ def test_retention_matrix_counts():
     got = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
            for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (2, 0): 1}
+
+
+def test_transition_counts_ordered_pairs():
+    import pyarrow as pa
+
+    from pyrosar_ray.stages.sessions import transition_counts
+
+    rows = [
+        (1, "a", 10, 1), (1, "b", 20, 2), (1, "a", 30, 3),
+        (2, "b", 5, 4), (2, "b", 5, 5),  # ts tie broken by event_id
+        (3, "c", 1, 6),                   # single event: no pair
+    ]
+    tab = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    out = transition_counts(ray.data.from_arrow(tab).repartition(2)).to_pandas()
+    got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
