@@ -129,3 +129,34 @@ def test_transition_counts_ordered_pairs():
     out = transition_counts(ray.data.from_arrow(tab).repartition(2)).to_pandas()
     got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_sequence_analytics_invariants_on_fixtures():
+    """Cross-operator invariants over the real events fixture."""
+    import pyarrow.parquet as pq
+
+    from pyrosar_ray.pipelines.tables import read_parquet_clean
+    from pyrosar_ray.stages.sessions import (
+        funnel_counts,
+        retention_matrix,
+        transition_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = read_parquet_clean(f"{sf}/events.parquet",
+                                columns=["user_id", "event_type", "ts", "event_id"])
+    raw = pq.read_table(f"{sf}/events.parquet").to_pandas()
+
+    funnel = (
+        funnel_counts(events, steps=("view", "click", "purchase"))
+        .to_pandas().sort_values("step_idx")
+    )
+    assert (funnel["n_users"].diff().dropna() <= 0).all()  # monotone funnel
+
+    trans = transition_counts(events).to_pandas()
+    per_user = raw.groupby("user_id").size()
+    assert trans["n"].sum() == (per_user - 1).sum()  # every adjacency once
+
+    ret = retention_matrix(events.select_columns(["user_id", "ts"])).to_pandas()
+    day0 = ret[ret["day_offset"] == 0]
+    assert day0["n_users"].sum() == raw["user_id"].nunique()  # cohorts partition users
