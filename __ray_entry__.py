@@ -2767,6 +2767,32 @@ def entry() -> Any:
     return tile_counts(assigned)
 
 
+def q_image_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing for training batches (SDXL-style): each
+    image picks the nearest-aspect bucket from a fixed prototype list,
+    ranked integer-exactly (|w*bh - h*bw| * lcm(bh)/bh so the int64
+    ordering equals the rational |w/h - bw/bh| ordering; ties to the
+    lowest bucket index = the twin's ROW_NUMBER). Metadata projection
+    of the image source, row-local, zero shuffle."""
+    from pyrosar_ray.sources.images import images_from_documents
+    from pyrosar_ray.stages.images import aspect_bucket_assign
+
+    return aspect_bucket_assign(images_from_documents(sf_dir, with_pixels=False))
+
+
+def q_doc_split_leakfree(sf_dir: str):
+    """Leakage-free train/val/test split: the split key is the near-dup
+    CLUSTER label (Jaccard connected components; singletons keep their
+    own id), so duplicate pairs can never straddle splits. One bounded
+    left equi_join exchange + the shared Knuth hash-bucket ranges."""
+    from pyrosar_ray.stages.sampling import leakage_free_split
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return leakage_free_split(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered by driver-verification value.
 
@@ -2935,6 +2961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "image_neardup": q_image_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "image_aspect_buckets": q_image_aspect_buckets,
+        "doc_split_leakfree": q_doc_split_leakfree,
     }
 
 
@@ -5408,4 +5436,79 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_kmeans_int": _kmeans_int_sql(),
         "identify_scenes": IDENTIFY_SQL,
+        "image_aspect_buckets": """
+            WITH ident AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                            ELSE doc_id END AS ident
+                FROM documents
+            ), imgs AS (
+                SELECT 'img-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
+                       (CASE ident % 3 WHEN 0 THEN 16 WHEN 1 THEN 24
+                        ELSE 32 END)::BIGINT AS w,
+                       (CASE (ident // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 24
+                        ELSE 32 END)::BIGINT AS h
+                FROM ident
+            ), buckets(bucket_id, bw, bh, wgt) AS (
+                VALUES (0, 1, 1, 12), (1, 4, 3, 4), (2, 3, 4, 3),
+                       (3, 3, 2, 6), (4, 2, 3, 4), (5, 2, 1, 12),
+                       (6, 1, 2, 6)
+            ), scored AS (
+                SELECT image_id, bucket_id, bw, bh,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY image_id
+                           ORDER BY abs(w * bh - h * bw) * wgt, bucket_id
+                       ) AS rn
+                FROM imgs CROSS JOIN buckets
+            )
+            SELECT image_id, bucket_id::BIGINT AS bucket_id,
+                   bw::BIGINT AS bw, bh::BIGINT AS bh
+            FROM scored WHERE rn = 1
+        """,
+        "doc_split_leakfree": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) a
+                JOIN (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                      (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.5
+            ),
+            und AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            clusters AS (
+                SELECT u::BIGINT AS doc_id,
+                       LEAST(u, MIN(v))::BIGINT AS cluster_id
+                FROM reach GROUP BY u
+            ),
+            keyed AS (
+                SELECT d.doc_id,
+                       COALESCE(c.cluster_id, d.doc_id)::BIGINT AS group_key
+                FROM documents d LEFT JOIN clusters c USING (doc_id)
+            )
+            SELECT doc_id, group_key,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, group_key,
+                       ((group_key % 4294967296)::HUGEINT * 2654435761)
+                       % 4294967296 % 100 AS b
+                FROM keyed
+            )
+        """,
     }

@@ -720,3 +720,54 @@ def raster_gradient_stats(
         return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
 
     return images.map_batches(_stats, batch_format="pyarrow", batch_size=128)
+
+
+#: training-style aspect buckets (bw, bh) — prototypes, not pixel sizes.
+#: The weight column is lcm(bh)/bh so integer scores compare exactly
+#: across buckets (see aspect_bucket_assign).
+ASPECT_BUCKETS = ((1, 1), (4, 3), (3, 4), (3, 2), (2, 3), (2, 1), (1, 2))
+
+
+def aspect_bucket_assign(
+    images: Dataset,
+    buckets: tuple[tuple[int, int], ...] = ASPECT_BUCKETS,
+    id_col: str = "image_id",
+) -> Dataset:
+    """Aspect-ratio bucketing for training batches (SDXL-style): each
+    image is assigned the bucket whose aspect ratio is nearest to w/h.
+
+    The distance |w/h - bw/bh| is ranked integer-exactly: multiplying
+    by h (common to all buckets for one image) and by lcm(bh)/bh gives
+    score = |w*bh - h*bw| * (L/bh) with L = lcm of bucket heights — an
+    int64 whose ordering equals the rational ordering, so the argmin
+    (ties to the lowest bucket index, numpy argmin semantics = SQL
+    ROW_NUMBER) is reproducible bit-for-bit in the DuckDB twin.
+
+    Row-local map_batches, zero shuffle: at 10^12 rows this is pure
+    streaming — the bucket table is a compile-time constant, no
+    broadcast needed.
+    """
+    import math
+
+    bw = np.array([b[0] for b in buckets], dtype=np.int64)
+    bh = np.array([b[1] for b in buckets], dtype=np.int64)
+    L = math.lcm(*[int(x) for x in bh])
+    wgt = L // bh
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        # (n, k) integer score matrix; argmin takes the first minimum,
+        # matching the twin's ORDER BY score, bucket_id.
+        score = np.abs(w[:, None] * bh[None, :] - h[:, None] * bw[None, :]) * wgt[None, :]
+        idx = np.argmin(score, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket_id": pa.array(idx.astype(np.int64)),
+                "bw": pa.array(bw[idx]),
+                "bh": pa.array(bh[idx]),
+            }
+        )
+
+    return images.map_batches(_assign, batch_format="pyarrow")

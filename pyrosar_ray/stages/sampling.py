@@ -294,3 +294,59 @@ def weighted_sample_k(
         .sort(["key", id_col])
         .limit(k)
     )
+
+
+def leakage_free_split(
+    docs: Dataset,
+    fractions: "dict[str, int] | None" = None,
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold: float = 0.5,
+) -> Dataset:
+    """Train/val/test split with near-duplicate leakage control.
+
+    Plain hash splits (:func:`stratified_split`) can place two near-
+    duplicate documents in different splits — a val/test contamination
+    vector. Here the split key is the document's near-dup CLUSTER label
+    (connected components of the Jaccard pair graph,
+    :func:`~pyrosar_ray.stages.dedup_text.dup_clusters`; singletons keep
+    their own id), so every member of a duplicate cluster lands in the
+    same split by construction.
+
+    Plan: cluster labels (volume ∝ near-dup docs, not corpus) left-join
+    back onto the id stream via the co-partitioned
+    :func:`~pyrosar_ray.stages.join.equi_join`, then one row-local pass
+    computes ``group_key = coalesce(cluster_id, doc_id)`` and the same
+    consecutive hash-bucket ranges as the plain split. One bounded
+    exchange total; the labeling itself reuses dup_clusters' cost-based
+    driver/distributed switch.
+    """
+    from .dedup_text import dup_clusters
+    from .join import equi_join
+
+    if fractions is None:
+        fractions = {"train": 90, "val": 5, "test": 5}
+    if sum(fractions.values()) != 100 or min(fractions.values()) < 0:
+        raise ValueError("fractions must be non-negative and sum to 100")
+    labels = np.array(list(fractions), dtype=object)
+    bounds = np.cumsum(list(fractions.values()))[:-1]
+
+    clusters = dup_clusters(docs, block_col=block_col, threshold=threshold)
+    ids = docs.select_columns([id_col])
+    joined = equi_join(ids, clusters, on=id_col, how="left")
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        cl = batch["cluster_id"].combine_chunks().cast(pa.int64())
+        cl_np = np.asarray(cl.fill_null(0))
+        group_key = np.where(np.asarray(cl.is_valid()), cl_np, doc_ids)
+        idx = np.searchsorted(bounds, hash_bucket(group_key), side="right")
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, pa.int64()),
+                "group_key": pa.array(group_key, pa.int64()),
+                "split": pa.array(labels[idx], pa.string()),
+            }
+        )
+
+    return joined.map_batches(_assign, batch_format="pyarrow")

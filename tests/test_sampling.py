@@ -209,3 +209,66 @@ def test_weighted_sample_k_properties():
     assert (np.sort(out["key"].to_numpy()) == np.sort(key[order])).all()
     # weighting property: the kept set over-represents heavy weights
     assert out["w"].mean() > w.mean()
+
+
+def test_leakage_free_split_clusters_share_split():
+    """Near-dup cluster members always land in the same split; singletons
+    split by their own id — identical to stratified_split on the id."""
+    from pyrosar_ray.stages.sampling import leakage_free_split
+
+    # docs 1/2 and 3/4 are exact near-dups (same token set); 5..40 unique
+    rows = []
+    for i in range(1, 41):
+        if i in (1, 2):
+            text = "alpha beta gamma delta"
+        elif i in (3, 4):
+            text = "epsilon zeta eta theta"
+        else:
+            text = f"unique{i} token{i} word{i} item{i}"
+        rows.append({"doc_id": i, "text": text, "source": "s0"})
+    docs = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = leakage_free_split(docs).to_pandas().set_index("doc_id")
+
+    assert len(out) == 40
+    # cluster co-location: same group key AND same split label
+    assert out.loc[1, "group_key"] == out.loc[2, "group_key"] == 1
+    assert out.loc[3, "group_key"] == out.loc[4, "group_key"] == 3
+    assert out.loc[1, "split"] == out.loc[2, "split"]
+    assert out.loc[3, "split"] == out.loc[4, "split"]
+    # singletons keep their own id and the plain hash split
+    labels = np.array(["train", "val", "test"], dtype=object)
+    bounds = np.array([90, 95])
+    for i in range(5, 41):
+        assert out.loc[i, "group_key"] == i
+        expect = labels[np.searchsorted(bounds, hash_bucket(np.array([i]))[0], side="right")]
+        assert out.loc[i, "split"] == expect
+
+    with pytest.raises(ValueError):
+        leakage_free_split(docs, fractions={"train": 50, "val": 10})
+
+
+def test_aspect_bucket_assign_integer_argmin():
+    """Bucket choice equals the exact rational argmin with first-tie wins."""
+    from fractions import Fraction
+
+    from pyrosar_ray.stages.images import ASPECT_BUCKETS, aspect_bucket_assign
+
+    df = pd.DataFrame(
+        {
+            "image_id": [f"img-{i}" for i in range(7)],
+            "w": pd.array([16, 24, 32, 16, 32, 100, 7], dtype="int32"),
+            "h": pd.array([16, 32, 16, 32, 24, 1, 13], dtype="int32"),
+        }
+    )
+    out = (
+        aspect_bucket_assign(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("image_id")
+    )
+    for _, row in df.iterrows():
+        ar = Fraction(int(row.w), int(row.h))
+        dists = [abs(ar - Fraction(bw, bh)) for bw, bh in ASPECT_BUCKETS]
+        best = dists.index(min(dists))  # first minimum = tie rule
+        got = out.loc[row.image_id]
+        assert got["bucket_id"] == best
+        assert (got["bw"], got["bh"]) == ASPECT_BUCKETS[best]
