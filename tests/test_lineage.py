@@ -52,3 +52,32 @@ def test_rerun_is_idempotent(tmp_path):
     write_partitioned(ray.data.from_pandas(_df()), out, "tile").materialize()
     second = {r["key"]: r["fingerprint"] for r in read_manifest(out)}
     assert first == second
+
+
+def test_stage_metrics_structured(tmp_path):
+    """Executed pipeline → one metrics row per physical operator, with
+    rows/bytes/time populated; sidecar appends history across runs."""
+    from pyrosar_ray.state.metrics import read_metrics, stage_metrics, write_metrics
+
+    ds = (
+        ray.data.from_pandas(_df(200))
+        .repartition(4)
+        .map_batches(lambda b: b, batch_format="pyarrow")
+        .materialize()
+    )
+    m = stage_metrics(ds)
+    assert len(m) >= 1
+    assert set(m.columns) >= {"operator", "wall_s", "rows_out", "task_cpu_sum_s"}
+    # the terminal operator emitted all 200 rows and nonzero wall time
+    last = m.iloc[-1]
+    assert last["rows_out"] == 200
+    assert last["wall_s"] > 0
+
+    out = str(tmp_path / "metrics")
+    p1 = write_metrics(ds, out, run_id="a")
+    p2 = write_metrics(ds, out, run_id="b")
+    assert p1 == p2
+    hist = read_metrics(out)
+    assert [h["run_id"] for h in hist] == ["a", "b"]
+    assert hist[0]["stages"][-1]["rows_out"] == 200
+    assert read_metrics(str(tmp_path / "nope")) == []
