@@ -46,4 +46,12 @@ def ingest_tiles(
         tiles = instrument(tiles, "tile_ingest.expand")
     done = completed_keys(out_dir)
     remaining = resume_filter(tiles, "band", done)
-    return write_partitioned(remaining, out_dir, "band")
+    manifest = write_partitioned(remaining, out_dir, "band")
+    if with_metrics:
+        # per-operator cost sidecar next to the lineage manifest, so a
+        # resumed attempt can compare stage cost against prior attempts
+        manifest = manifest.materialize()
+        from ..state.metrics import write_metrics
+
+        write_metrics(manifest, out_dir, run_id=f"attempt-{len(done)}-done")
+    return manifest

@@ -124,4 +124,9 @@ def test_metrics_collector(sf_dir):
     snap = metrics.snapshot()
     assert snap["tile_ingest.expand/rows"] > 0
     assert snap["tile_ingest.expand/batches"] >= 1
+    # the structured per-operator sidecar landed next to the lineage
+    from pyrosar_ray.state.metrics import read_metrics
+
+    runs = read_metrics(out_dir)
+    assert len(runs) == 1 and runs[0]["stages"], runs
     shutil.rmtree(out_dir, ignore_errors=True)
