@@ -130,3 +130,26 @@ def test_metrics_collector(sf_dir):
     runs = read_metrics(out_dir)
     assert len(runs) == 1 and runs[0]["stages"], runs
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_job_module_main(tmp_path, sf_dir):
+    """The `ray job submit` entry point runs inside an existing session
+    (never re-inits), writes the resumable output + both sidecars and
+    returns 0."""
+    import json
+
+    from pyrosar_ray.job import main
+    from pyrosar_ray.state.metrics import read_metrics
+
+    out = str(tmp_path / "job_out")
+    rc = main(["--sf-dir", sf_dir, "--out", out])
+    assert rc == 0
+    assert len(read_metrics(out)) == 1
+    bands = [p for p in os.listdir(out) if p.startswith("key=")]
+    assert bands
+    with open(os.path.join(out, bands[0], "_lineage.json")) as fh:
+        assert json.load(fh)["rows"] > 0
+    # resume: immediate rerun writes nothing new, appends a metrics attempt
+    rc2 = main(["--sf-dir", sf_dir, "--out", out])
+    assert rc2 == 0
+    assert len(read_metrics(out)) == 2
