@@ -200,3 +200,59 @@ def test_morton_key_locality_and_roundtrip():
     dx = np.abs(np.diff(xs[order].astype(np.int64)))
     dy = np.abs(np.diff(ys[order].astype(np.int64)))
     assert (dx[same] < 16).all() and (dy[same] < 16).all()
+
+
+def test_partitioned_join_hot_cell_res_mitigation():
+    """Polar/coastal hotspot shape: EVERY point lands in one 1° cell.
+
+    The partitioned plan documents that the salted partition hash can't
+    split a single ultra-hot CELL — the mitigation is bumping ``res``
+    so the cell divides spatially. This pins both halves: (a) the hot
+    cell produces correct output at res=0 (one giant group, still
+    exact), (b) res=4 splits the same points across many cells while
+    emitting the IDENTICAL pair set, byte-for-byte with broadcast.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from pyrosar_ray.stages.spatial import add_point_cells, spatial_join_points
+
+    rng = np.random.RandomState(7)
+    n_pts = 4000
+    # all points inside the (lon 10..11, lat 70..71) cell — one hot cell
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(n_pts, dtype=np.int64),
+            "lon": 10.0 + rng.uniform(0.001, 0.999, n_pts),
+            "lat": 70.0 + rng.uniform(0.001, 0.999, n_pts),
+        }
+    )
+    # 50 scenes: staggered bboxes all overlapping the hot cell
+    ks = np.arange(50, dtype=np.int64)
+    scenes = pd.DataFrame(
+        {
+            "scene_key": ks,
+            "xmin": 10.0 + (ks % 10) * 0.05,
+            "xmax": 10.4 + (ks % 10) * 0.05,
+            "ymin": 70.0 + (ks // 10) * 0.1,
+            "ymax": 70.5 + (ks // 10) * 0.1,
+        }
+    )
+
+    def run(strategy, res):
+        out = spatial_join_points(
+            rd.from_pandas(scenes).repartition(4),
+            rd.from_pandas(pts).repartition(8),
+            strategy=strategy,
+            res=res,
+            num_partitions=16,
+        ).to_pandas()
+        return set(zip(out["scene_key"], out["point_id"]))
+
+    expect = run("broadcast", 0)
+    assert len(expect) > n_pts  # overlapping scenes → multiple pairs/point
+    assert run("partitioned", 0) == expect  # hot cell, one group, exact
+    assert run("partitioned", 4) == expect  # res bump: same rows
+    # the mitigation actually spreads: at res=4 the points span many cells
+    cells4 = add_point_cells(rd.from_pandas(pts), res=4).to_pandas()["cell"]
+    assert cells4.nunique() >= 200
