@@ -88,15 +88,52 @@ class PlanExecutor:
     ``build_geocode`` emits.
     """
 
+    #: declared kernel-parameter schemas — ops listed here reject unknown
+    #: parameters exactly like ``gpt -e``'s "Unknown element" error
+    #: (reference snap/auxil.py:264-272); unlisted ops carry free-form
+    #: parameters (Write's file/formatName etc.).
+    _KERNEL_PARAMS = {"Multilook": {"rg", "az"}, "Speckle-Filter": {"size"}}
+
     def __init__(
         self,
         plan: Plan,
         spacing: float = 20.0,
         suffix_override: str | None = None,
         passthrough: tuple[str, ...] = (),
+        kernel_exceptions: dict | None = None,
+        repair: bool = True,
     ):
+        """``kernel_exceptions`` maps an operator name to a replacement
+        kernel ``fn(params, arr, row) -> arr`` — the engine twin of the
+        reference's ``gpt_exceptions`` executable override for workflows
+        containing that operator (snap/auxil.py:229-235), applied at the
+        node the operator names. ``repair=True`` reproduces the
+        reference's unknown-element recovery (auxil.py:280-288): a
+        parameter a kernel's schema doesn't declare is removed from the
+        (in-memory) plan with a log line and execution proceeds;
+        ``repair=False`` surfaces the gpt-shaped error instead."""
         if not plan.is_consistent():
             raise ValueError("plan has unresolved source links")
+        self.kernel_exceptions = dict(kernel_exceptions or {})
+        self.repaired: list[tuple[str, str]] = []
+        for node in plan:
+            known = self._KERNEL_PARAMS.get(node.operator)
+            if known is None or node.operator in self.kernel_exceptions:
+                continue
+            for par in [p for p in node.parameters if p not in known]:
+                if not repair:
+                    raise ValueError(
+                        f"Error: [NodeId: {node.id}] Operator "
+                        f"{node.operator!r}: Unknown element {par!r}"
+                    )
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "removing parameter %s:%s and executing modified workflow",
+                    node.id, par,
+                )
+                del node.parameters[par]
+                self.repaired.append((node.id, par))
         for node in plan:
             if len(node.sources) > 1:
                 raise NotImplementedError(
@@ -116,6 +153,8 @@ class PlanExecutor:
 
     # ---- per-operator kernels -----------------------------------------
     def _apply(self, op: str, params: dict, arr: np.ndarray, row: dict) -> np.ndarray:
+        if op in self.kernel_exceptions:
+            return self.kernel_exceptions[op](params, arr, row)
         if op in _METADATA_OPS:
             return arr
         if op == "Remove-GRD-Border-Noise":
@@ -284,6 +323,7 @@ def geocode_images(
     batch_size: int = 32,
     group_col: str = "pass_id",
     order_col: str = "slice_idx",
+    kernel_exceptions: dict | None = None,
 ) -> Dataset:
     """Run a validated geocode Plan over an image Dataset as one fused
     actor stage (bounded ``batch_size`` keeps payload × concurrency in
@@ -300,6 +340,7 @@ def geocode_images(
         return images.map_batches(
             PlanExecutor,
             fn_constructor_args=(plan, spacing),
+            fn_constructor_kwargs={"kernel_exceptions": kernel_exceptions},
             batch_format="pyarrow",
             concurrency=concurrency,
             batch_size=batch_size,
@@ -310,6 +351,7 @@ def geocode_images(
         fn_constructor_kwargs={
             "suffix_override": "",
             "passthrough": (group_col, order_col),
+            "kernel_exceptions": kernel_exceptions,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -320,7 +362,10 @@ def geocode_images(
     return assembled.map_batches(
         PlanExecutor,
         fn_constructor_args=(post, spacing),
-        fn_constructor_kwargs={"suffix_override": full_suffix},
+        fn_constructor_kwargs={
+            "suffix_override": full_suffix,
+            "kernel_exceptions": kernel_exceptions,
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
@@ -337,6 +382,7 @@ def geocode(
     uly: float = 51.0,
     xres: float = 6e-4,
     yres: float = 6e-4,
+    gpt_exceptions: dict | None = None,
     **build_kwargs,
 ) -> Dataset:
     """The reference-spelled entry point: validate + build the plan
@@ -353,7 +399,9 @@ def geocode(
 
     plan = build_geocode(record, spacing=spacing, **build_kwargs)
     suffix = plan.suffix()
-    processed = geocode_images(images, plan, spacing=spacing)
+    processed = geocode_images(
+        images, plan, spacing=spacing, kernel_exceptions=gpt_exceptions
+    )
 
     def _bands(batch: pa.Table) -> pa.Table:
         n = len(batch)

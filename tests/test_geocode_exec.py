@@ -311,3 +311,54 @@ def test_build_geocode_nscenes_inserts_assembly():
     # the per-row executor refuses assembly nodes (grouping stage)
     with pytest.raises(NotImplementedError):
         PlanExecutor(plan)
+
+
+def _ml_plan(extra_param=None):
+    params = {"rg": 2, "az": 2}
+    if extra_param:
+        params[extra_param] = 1
+    return (
+        Plan()
+        .add(Node("Read", "Read", {}, []))
+        .add(Node("Multilook", "Multilook", dict(params), ["Read"]))
+        .add(Node("Write", "Write", {}, ["Multilook"]))
+    )
+
+
+def test_kernel_exceptions_override_operator():
+    """gpt_exceptions twin: the named operator's node runs the override
+    kernel instead of the default (reference snap/auxil.py:229-235)."""
+    import ray.data as rd
+
+    images = rd.from_pandas(_rows(n=2, seed=3))
+    default = geocode_images(images, _ml_plan(), batch_size=2).to_pandas()
+    ident = geocode_images(
+        images,
+        _ml_plan(),
+        batch_size=2,
+        kernel_exceptions={"Multilook": lambda params, arr, row: arr},
+    ).to_pandas()
+    # override skipped the 2x2 block-mean: full-size output, raw pixels
+    src = _rows(n=2, seed=3)
+    assert (ident["w"] == src["w"]).all() and (ident["h"] == src["h"]).all()
+    assert (default["w"] == src["w"] // 2).all()
+    assert ident["bytes"][0] == src["bytes"][0]
+
+
+def test_unknown_parameter_repair_and_strict():
+    """Unknown-element recovery (reference auxil.py:280-288): repair
+    drops the parameter and executes the modified workflow (identical
+    result to the clean plan); repair=False raises the gpt-shaped
+    error."""
+    import ray.data as rd
+
+    ex = PlanExecutor(_ml_plan(extra_param="window"))
+    assert ex.repaired == [("Multilook", "window")]
+
+    images = rd.from_pandas(_rows(n=2, seed=5))
+    clean = geocode_images(images, _ml_plan(), batch_size=2).to_pandas()
+    repaired = geocode_images(images, _ml_plan("window"), batch_size=2).to_pandas()
+    assert (repaired["bytes"] == clean["bytes"]).all()
+
+    with pytest.raises(ValueError, match="Unknown element 'window'"):
+        PlanExecutor(_ml_plan(extra_param="window"), repair=False)
