@@ -8,17 +8,26 @@ the public JPEG specification directly, mirroring the approach of
 
 Scope:
 
-- **Decoder**: baseline sequential Huffman (SOF0), 8-bit samples,
+- **Decoder**: baseline sequential Huffman (SOF0/1), 8-bit samples,
   grayscale or 3-component YCbCr, any sampling factors up to 2×2
   (4:4:4, 4:2:2, 4:4:0, 4:2:0), restart intervals (DRI/RSTn), all
-  tables read from the stream (DQT 8/16-bit, DHT). Progressive (SOF2),
-  arithmetic coding, 12-bit and hierarchical modes raise
-  ``NotImplementedError`` loudly.
+  tables read from the stream (DQT 8/16-bit, DHT) — **plus progressive
+  Huffman (SOF2)**: spectral selection and successive approximation
+  per T.81 Annex G.2 (interleaved/non-interleaved DC first + DC
+  refinement raw bits, per-component AC first with EOBn run coding,
+  AC refinement with correction bits, restart resets of predictors
+  and EOB runs). Arithmetic coding, 12-bit and hierarchical modes
+  raise ``NotImplementedError`` loudly.
 - **Encoder**: baseline sequential, quality-scaled Annex-K quantization
   tables, standard Annex-K Huffman tables, 4:4:4 or 4:2:0, grayscale
   or RGB input. Deterministic bytes for a given input (no RNG, fixed
   tables) — required so re-runs and different cluster sizes produce
-  byte-identical blobs.
+  byte-identical blobs. :func:`encode_jpeg_progressive` emits a
+  multi-scan SOF2 stream (DC first/refine + banded AC first/refine per
+  component, G.1.2.3 EOB-run and correction-bit coding) used to pin
+  the progressive decode paths; lossy fidelity is identical to
+  baseline at the same quality (same DCT + quantization, different
+  entropy layout only).
 
 The Huffman bit-walk is scalar Python (documented trade-off; one actor
 decodes one image at a time inside ``map_batches``); everything after
@@ -265,6 +274,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     comps: list[_Component] = []
     height = width = 0
     restart_interval = 0
+    progressive = False
+    blocks_ready = False
 
     while pos < len(blob):
         if pos + 1 >= len(blob):
@@ -304,20 +315,22 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 i += 17 + n
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported; "
-                f"got SOF marker 0x{marker:02X} (progressive/arithmetic/hierarchical)"
+                "only baseline sequential (SOF0/SOF1) and progressive "
+                f"Huffman (SOF2) JPEG are supported; got SOF marker "
+                f"0x{marker:02X} (lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -330,14 +343,28 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_comps.append(comp)
             pos += seglen
-            pos = _decode_scan(
-                blob, pos, scan_comps, width, height, huff_dc, huff_ac, restart_interval
-            )
+            if progressive:
+                if not blocks_ready:
+                    _alloc_blocks(comps, width, height)
+                    blocks_ready = True
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                pos = _decode_scan_progressive(
+                    blob, pos, scan_comps, comps, width, height,
+                    huff_dc, huff_ac, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                )
+            else:
+                pos = _decode_scan(
+                    blob, pos, scan_comps, width, height,
+                    huff_dc, huff_ac, restart_interval,
+                )
             continue
         pos += seglen
 
     if not comps or height == 0:
         raise ValueError("corrupt JPEG: no frame decoded")
+    if any(getattr(c, "blocks", None) is None for c in comps):
+        raise ValueError("corrupt JPEG: frame header but no scan data")
     planes = [_assemble_plane(c, qtables, width, height, comps) for c in comps]
     if len(planes) == 1:
         return planes[0]
@@ -350,21 +377,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
 
 
-def _decode_scan(blob, pos, scan_comps, width, height, huff_dc, huff_ac, restart_interval):
-    """Entropy-decode one interleaved baseline scan; returns new position."""
-    hmax = max(c.h for c in scan_comps)
-    vmax = max(c.v for c in scan_comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    nmcu = mcus_x * mcus_y
-    for c in scan_comps:
-        c.nblk_x = mcus_x * c.h
-        c.nblk_y = mcus_y * c.v
-        c.blocks = np.zeros((c.nblk_y * c.nblk_x, 64), dtype=np.int32)
-        c.dc_pred = 0
-
-    # slice entropy bytes up to the next non-RST marker, strip 0xFF00
-    # stuffing, split at RSTn boundaries
+def _entropy_segments(blob: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Slice entropy bytes up to the next non-RST marker: strip 0xFF00
+    stuffing, split at RSTn boundaries. Returns (segments, end_pos)."""
     segments: list[bytes] = []
     cur = bytearray()
     i = pos
@@ -385,6 +400,187 @@ def _decode_scan(blob, pos, scan_comps, width, height, huff_dc, huff_ac, restart
         cur.append(byte)
         i += 1
     segments.append(bytes(cur))
+    return segments, i
+
+
+def _alloc_blocks(comps, width, height) -> None:
+    """Allocate the MCU-padded per-component coefficient arrays once;
+    progressive scans accumulate into them across SOS segments."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c.nblk_x = mcus_x * c.h
+        c.nblk_y = mcus_y * c.v
+        c.blocks = np.zeros((c.nblk_y * c.nblk_x, 64), dtype=np.int32)
+        c.dc_pred = 0
+
+
+def _noninterleaved_grid(comp, comps, width, height) -> tuple[int, int]:
+    """Block grid of one component in a non-interleaved scan (A.2.2):
+    ceil over the component's OWN sample dimensions, not the MCU pad."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    cw = -(-width * comp.h // hmax)
+    ch = -(-height * comp.v // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan_progressive(
+    blob, pos, scan_comps, comps, width, height, huff_dc, huff_ac,
+    restart_interval, ss, se, ah, al,
+):
+    """Entropy-decode one progressive scan (T.81 G.2) into the
+    accumulated coefficient arrays; returns the new stream position.
+
+    Four scan kinds, keyed on (ss, ah): DC first (ss=0, ah=0 — Huffman
+    size + diff bits, value << al), DC refinement (ss=0, ah>0 — one raw
+    bit per block ORed at al), AC first (ss>0, ah=0 — run/size with EOBn
+    end-of-band run coding), AC refinement (ss>0, ah>0 — newly-nonzero
+    coefficients plus one correction bit per already-nonzero
+    coefficient). Restart markers reset DC predictors and the EOB run.
+    """
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("corrupt JPEG: DC progressive scan with Se != 0")
+    if not dc_scan and len(scan_comps) != 1:
+        raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+
+    if len(scan_comps) > 1 or dc_scan:
+        # MCU-interleaved traversal (DC scans; a 1-component DC scan of a
+        # 1-component frame degenerates to the same order)
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        if len(scan_comps) == 1 and len(comps) > 1:
+            # non-interleaved single-component DC scan
+            c = scan_comps[0]
+            gby, gbx = _noninterleaved_grid(c, comps, width, height)
+            units = [(c, by * c.nblk_x + bx) for by in range(gby) for bx in range(gbx)]
+        else:
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for c in scan_comps:
+                        for v in range(c.v):
+                            for h in range(c.h):
+                                units.append(
+                                    (c, (my * c.v + v) * c.nblk_x + (mx * c.h + h))
+                                )
+    else:
+        c = scan_comps[0]
+        gby, gbx = _noninterleaved_grid(c, comps, width, height)
+        units = [(c, by * c.nblk_x + bx) for by in range(gby) for bx in range(gbx)]
+
+    segments, end = _entropy_segments(blob, pos)
+    p1 = 1 << al
+    m1 = -p1
+
+    unit = 0
+    nunits = len(units)
+    for segment in segments:
+        if unit >= nunits:
+            break
+        reader = _BitReader(segment)
+        for c in scan_comps:
+            c.dc_pred = 0  # predictor reset at restart boundaries
+        eobrun = 0
+        limit = min(nunits, unit + restart_interval) if restart_interval else nunits
+        while unit < limit:
+            comp, blk_i = units[unit]
+            coef = comp.blocks[blk_i]
+            if dc_scan and ah == 0:  # DC first
+                size = reader.decode(huff_dc[comp.td])
+                diff = _extend(reader.read_bits(size), size)
+                comp.dc_pred += diff
+                coef[0] = comp.dc_pred << al
+            elif dc_scan:  # DC refinement: one raw bit
+                if reader.read_bit():
+                    coef[0] = int(coef[0]) | p1
+            elif ah == 0:  # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    ac_tab = huff_ac[comp.ta]
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break  # EOBn: this block is run member 1
+                        k += r
+                        if k > se:
+                            raise ValueError("corrupt JPEG: AC run past band end")
+                        coef[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+            else:  # AC refinement (G.2.2)
+                ac_tab = huff_ac[comp.ta]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break  # correction tail handled below
+                            s_val = 0  # ZRL: skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "corrupt JPEG: AC refinement size != 1"
+                                )
+                            s_val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            v = int(coef[k])
+                            if v != 0:
+                                if reader.read_bit() and (v & p1) == 0:
+                                    coef[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s_val and k <= se:
+                            coef[k] = s_val
+                        k += 1
+                if eobrun > 0:
+                    # EOB run: only correction bits through the band end
+                    while k <= se:
+                        v = int(coef[k])
+                        if v != 0:
+                            if reader.read_bit() and (v & p1) == 0:
+                                coef[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            unit += 1
+    return end
+
+
+def _decode_scan(blob, pos, scan_comps, width, height, huff_dc, huff_ac, restart_interval):
+    """Entropy-decode one interleaved baseline scan; returns new position."""
+    hmax = max(c.h for c in scan_comps)
+    vmax = max(c.v for c in scan_comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    nmcu = mcus_x * mcus_y
+    for c in scan_comps:
+        c.nblk_x = mcus_x * c.h
+        c.nblk_y = mcus_y * c.v
+        c.blocks = np.zeros((c.nblk_y * c.nblk_x, 64), dtype=np.int32)
+        c.dc_pred = 0
+
+    segments, i = _entropy_segments(blob, pos)
 
     mcu = 0
     for seg_idx, segment in enumerate(segments):
@@ -507,14 +703,10 @@ def _pad_to(arr: np.ndarray, my: int, mx: int) -> np.ndarray:
     return np.pad(arr, ((0, -h % my), (0, -w % mx)), mode="edge")
 
 
-def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
-) -> bytes:
-    """Encode an 8-bit image to baseline JPEG bytes.
-
-    ``arr``: (h, w) grayscale or (h, w, 3) RGB uint8.
-    ``subsampling``: '4:4:4' (default, highest fidelity) or '4:2:0'.
-    """
+def _prepare_components(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, subsampling, FDCT +
+    quantization over the MCU-padded grid. Returns
+    (comp_blocks, comp_nblk, factors, mcus, size, qtables, gray)."""
     if arr.dtype != np.uint8:
         raise ValueError(f"encode_jpeg wants uint8, got {arr.dtype}")
     if subsampling not in ("4:4:4", "4:2:0"):
@@ -564,6 +756,24 @@ def encode_jpeg(
         qt = luma_q if len(comp_blocks) == 0 else chroma_q
         comp_blocks.append(_fdct_quant(padded, qt))
         comp_nblk.append((nby, nbx))
+    return (
+        comp_blocks, comp_nblk, factors, (mcus_y, mcus_x), (h, w),
+        (luma_q, chroma_q), gray,
+    )
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Encode an 8-bit image to baseline JPEG bytes.
+
+    ``arr``: (h, w) grayscale or (h, w, 3) RGB uint8.
+    ``subsampling``: '4:4:4' (default, highest fidelity) or '4:2:0'.
+    """
+    (
+        comp_blocks, comp_nblk, factors, (mcus_y, mcus_x), (h, w),
+        (luma_q, chroma_q), gray,
+    ) = _prepare_components(arr, quality, subsampling)
 
     dc_tabs = [_build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_tabs = [_build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -572,7 +782,7 @@ def encode_jpeg(
         ac_tabs.append(_build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
 
     writer = _BitWriter()
-    dc_pred = [0] * len(planes)
+    dc_pred = [0] * len(factors)
     for mcu_y in range(mcus_y):
         for mcu_x in range(mcus_x):
             for ci, (fh, fv) in enumerate(factors):
@@ -662,3 +872,238 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ----------------------------------------------------- progressive encoder
+
+#: flat AC Huffman table for progressive scans: every RS byte 0..254 at
+#: 8 bits, 255 at 9 bits (canonical; the all-ones 8-bit pattern stays a
+#: reserved prefix per C.2). Frequency-blind — entropy coding is
+#: lossless, so fidelity is unchanged; only the byte count pays.
+_FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_AC_VALS = list(range(256))
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Encode an 8-bit image as a progressive (SOF2) JPEG stream.
+
+    Scan script (exercises every T.81 G.2 decode path): interleaved DC
+    first at Al=1 → per-component AC first over bands 1-5 and 6-63 at
+    Al=2 (EOBn runs + ZRL) → interleaved DC refinement (raw bits) →
+    per-component AC refinement passes (Ah=2→Al=1, then Ah=1→Al=0) with
+    G.1.2.3 correction-bit buffering. Pixel fidelity equals
+    :func:`encode_jpeg` at the same quality: identical DCT +
+    quantization, only the entropy-layer layout differs.
+    """
+    (
+        comp_blocks, comp_nblk, factors, (mcus_y, mcus_x), (h, w),
+        (luma_q, chroma_q), gray,
+    ) = _prepare_components(arr, quality, subsampling)
+    ncomp = len(factors)
+    vmax = max(f[1] for f in factors)
+    hmax = max(f[0] for f in factors)
+
+    dc_enc = [_build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    if not gray:
+        dc_enc.append(_build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    ac_flat = _build_encode_table(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    def _grid(ci: int) -> tuple[int, int, int]:
+        fh, fv = factors[ci]
+        ch = -(-h * fv // vmax)  # component sample dims (ceil)
+        cw = -(-w * fh // hmax)
+        return -(-ch // 8), -(-cw // 8), comp_nblk[ci][1]
+
+    # ---- scan emitters (each returns flushed entropy bytes)
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (fh, fv) in enumerate(factors):
+                    tab = dc_enc[0 if ci == 0 else 1]
+                    nbx = comp_nblk[ci][1]
+                    for v in range(fv):
+                        for hh in range(fh):
+                            blk = comp_blocks[ci][(my * fv + v) * nbx + (mx * fh + hh)]
+                            val = int(blk[0]) >> al  # arithmetic shift (spec pt. transform)
+                            diff = val - pred[ci]
+                            pred[ci] = val
+                            size = _csize(diff)
+                            code, length = tab[size]
+                            wtr.write(code, length)
+                            if size:
+                                amp = diff if diff >= 0 else diff + (1 << size) - 1
+                                wtr.write(amp, size)
+        return wtr.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (fh, fv) in enumerate(factors):
+                    nbx = comp_nblk[ci][1]
+                    for v in range(fv):
+                        for hh in range(fh):
+                            blk = comp_blocks[ci][(my * fv + v) * nbx + (mx * fh + hh)]
+                            wtr.write((int(blk[0]) >> al) & 1, 1)
+        return wtr.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_flat[nbits << 4]
+                wtr.write(code, length)
+                if nbits:
+                    wtr.write(eobrun, nbits)  # low bits = eobrun - (1 << nbits)
+                eobrun = 0
+
+        gby, gbx, nbx = _grid(ci)
+        for by in range(gby):
+            for bx in range(gbx):
+                blk = comp_blocks[ci][by * nbx + bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    av = abs(v) >> al  # magnitude shift (G.1.2.2)
+                    if av == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        code, length = ac_flat[0xF0]
+                        wtr.write(code, length)
+                        r -= 16
+                    size = av.bit_length()
+                    sv = av if v >= 0 else -av
+                    code, length = ac_flat[(r << 4) | size]
+                    wtr.write(code, length)
+                    amp = sv if sv >= 0 else sv + (1 << size) - 1
+                    wtr.write(amp, size)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        return wtr.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits buffered until the next symbol
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_flat[nbits << 4]
+                wtr.write(code, length)
+                if nbits:
+                    wtr.write(eobrun, nbits)
+                eobrun = 0
+            for b in be:
+                wtr.write(b, 1)
+            be.clear()
+
+        p1 = 1 << al
+        gby, gbx, nbx = _grid(ci)
+        for by in range(gby):
+            for bx in range(gbx):
+                blk = comp_blocks[ci][by * nbx + bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # 1-based offset just past the last newly-nonzero coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                r = 0
+                br: list[int] = []  # this block's pending correction bits
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
+                        flush_eobrun()
+                        code, length = ac_flat[0xF0]
+                        wtr.write(code, length)
+                        r -= 16
+                        for b in br:
+                            wtr.write(b, 1)
+                        br.clear()
+                    if t > 1:  # already nonzero: buffer its correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eobrun()
+                    code, length = ac_flat[(r << 4) | 1]
+                    wtr.write(code, length)
+                    wtr.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                    for b in br:
+                        wtr.write(b, 1)
+                    br.clear()
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF or len(be) > 900:
+                        flush_eobrun()
+        flush_eobrun()
+        return wtr.flush()
+
+    # ---- assemble the stream
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def _dqt(tq: int, table: np.ndarray) -> bytes:
+        return (
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+            + bytes(int(x) for x in table[_ZIGZAG])
+        )
+
+    out += _dqt(0, luma_q)
+    if not gray:
+        out += _dqt(1, chroma_q)
+
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def _dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += _dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    if not gray:
+        out += _dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    out += _dht(1, 0, _FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    def _sos(specs: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int, entropy: bytes):
+        nonlocal out
+        hdr = bytearray([len(specs)])
+        for cid, td, ta in specs:
+            hdr += bytes([cid, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + entropy
+
+    all_specs = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    _sos(all_specs, 0, 0, 0, 1, dc_first_scan(1))
+    for ci in range(ncomp):
+        spec = [(ci + 1, 0, 0)]
+        _sos(spec, 1, 5, 0, 2, ac_first_scan(ci, 1, 5, 2))
+        _sos(spec, 6, 63, 0, 2, ac_first_scan(ci, 6, 63, 2))
+    _sos(all_specs, 0, 0, 1, 0, dc_refine_scan(0))
+    for ci in range(ncomp):
+        spec = [(ci + 1, 0, 0)]
+        _sos(spec, 1, 5, 2, 1, ac_refine_scan(ci, 1, 5, 1))
+        _sos(spec, 6, 63, 2, 1, ac_refine_scan(ci, 6, 63, 1))
+        _sos(spec, 1, 5, 1, 0, ac_refine_scan(ci, 1, 5, 0))
+        _sos(spec, 6, 63, 1, 0, ac_refine_scan(ci, 6, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)

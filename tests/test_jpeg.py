@@ -86,15 +86,19 @@ def test_quality_scales_size_and_fidelity():
     assert psnr(arr, decode_jpeg(lo)) < psnr(arr, decode_jpeg(hi))
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_lossless():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # craft SOI + a minimal SOF2 (progressive) frame header
     import struct
 
-    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"
+    # SOF3 (lossless) still raises; SOF2 (progressive) is now decoded,
+    # so a progressive frame header WITHOUT scan data is a corrupt-file
+    # ValueError rather than NotImplementedError
+    hdr = struct.pack(">H", 11) + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"
     with pytest.raises(NotImplementedError):
-        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+        decode_jpeg(b"\xff\xd8" + b"\xff\xc3" + hdr + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8" + b"\xff\xc2" + hdr + b"\xff\xd9")
 
 
 def test_extend_and_csize():
@@ -122,3 +126,74 @@ def test_decode_image_gate_handles_jpeg():
     out = decode_image(blob, 16, 16, "jpeg")
     assert out.shape == (16, 16, 3)
     assert psnr(arr, out) >= 40.0
+
+
+# ---------------------------------------------------------------- progressive
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    """Progressive (SOF2) and baseline (SOF0) streams of the same image
+    at the same quality decode to IDENTICAL pixels: both layouts carry
+    the same quantized coefficients, so any entropy-layer bug (EOB
+    runs, ZRL, successive-approximation bits) breaks equality."""
+    from pyrosar_ray.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((16, 16), "4:4:4", 90),
+        ((24, 40, 3), "4:4:4", 85),
+        ((30, 50, 3), "4:2:0", 75),
+        ((17, 23, 3), "4:2:0", 95),  # odd dims + padded chroma grid
+        ((8, 8), "4:4:4", 50),
+    ]
+    for shape, sub, q in cases:
+        arr = rng.randint(0, 256, shape).astype(np.float64)
+        for _ in range(2):  # slight blur → realistic spectra
+            arr = (arr + np.roll(arr, 1, 0) + np.roll(arr, 1, 1)) / 3.0
+        arr = arr.astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(arr, quality=q, subsampling=sub))
+        blob = encode_jpeg_progressive(arr, quality=q, subsampling=sub)
+        assert blob[2:4] != b"\xff\xc0" and b"\xff\xc2" in blob[:200]  # SOF2
+        assert np.array_equal(base, decode_jpeg(blob)), (shape, sub, q)
+
+
+def test_progressive_adversarial_spectra():
+    """Shapes chosen to force each G.2 code path: constant images
+    (corpus-length EOB runs), impulses (ZRL), checkerboard (highest-k
+    coefficient only), dense noise at q=95 (correction bits everywhere)
+    and q=10 (heavy quantization)."""
+    from pyrosar_ray.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(3)
+    imp = np.full((48, 48), 128, np.uint8)
+    imp[::7, ::5] = 255
+    cases = [
+        (np.full((64, 128, 3), 130, np.uint8), "4:2:0", 75),
+        (np.full((40, 40), 200, np.uint8), "4:4:4", 90),
+        (rng.randint(0, 256, (56, 72, 3)).astype(np.uint8), "4:2:0", 95),
+        (rng.randint(0, 256, (56, 72, 3)).astype(np.uint8), "4:4:4", 10),
+        (imp, "4:4:4", 90),
+        ((np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8), "4:4:4", 50),
+    ]
+    for arr, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(arr, quality=q, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(arr, quality=q, subsampling=sub))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_psnr_and_decode_image_path():
+    """Progressive blobs meet the same ≥40 dB bar as baseline at q=98
+    and flow through the stage-level decode_image dispatcher."""
+    from pyrosar_ray.functions.jpeg import encode_jpeg_progressive, psnr
+    from pyrosar_ray.stages.images import decode_image
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (32, 48, 3)).astype(np.float64)
+    for _ in range(3):
+        arr = (arr + np.roll(arr, 1, 0) + np.roll(arr, 1, 1)) / 3.0
+    arr = arr.astype(np.uint8)
+    blob = encode_jpeg_progressive(arr, quality=98)
+    out = decode_jpeg(blob)
+    assert psnr(arr, out) >= 40.0
+    via_stage = decode_image(blob, 48, 32, "jpeg")
+    assert np.array_equal(via_stage, out)
