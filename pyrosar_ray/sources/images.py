@@ -153,10 +153,19 @@ def images_from_documents(sf_dir: str, with_pixels: bool = True) -> Dataset:
 
                 blobs.append(encode_png(arr))
                 fmts.append("png")
-            elif seed % 11 == 0:  # lossy compressed slice (baseline jpeg)
-                from ..functions.jpeg import decode_jpeg, encode_jpeg
+            elif seed % 11 == 0:  # lossy compressed slice (jpeg)
+                from ..functions.jpeg import (
+                    decode_jpeg,
+                    encode_jpeg,
+                    encode_jpeg_progressive,
+                )
 
-                blob = encode_jpeg(arr, quality=98)
+                # half the slice is progressive (SOF2), keyed on the
+                # SEED so near-dup partners keep byte-identical blobs;
+                # fmt stays 'jpeg' — downstream dispatch is container-
+                # driven, exactly like real mixed-layout corpora
+                enc = encode_jpeg_progressive if (seed // 11) % 2 == 0 else encode_jpeg
+                blob = enc(arr, quality=98)
                 blobs.append(blob)
                 fmts.append("jpeg")
                 # phash describes the STORED image: recompute from the
