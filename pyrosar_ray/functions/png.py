@@ -3,16 +3,19 @@
 Un-stubs the engine's compressed-image path: the reference hands
 png/quicklook encoding to GDAL/PIL (pyroSAR/drivers.py:2083-2132 writes
 a quicklook PNG into a KMZ); this container ships neither, so the codec
-is implemented from the PNG spec directly. Scope: 8-bit greyscale /
-grey+alpha / RGB / RGBA, all five scanline filters, non-interlaced —
-exactly what the engine's quicklook and image stages emit. Palette,
-16-bit and Adam7 inputs raise ``NotImplementedError`` loudly.
+is implemented from the PNG spec directly. Scope: 8-bit AND 16-bit
+greyscale / grey+alpha / RGB / RGBA, all five scanline filters,
+non-interlaced and Adam7-interlaced streams (each of the seven passes
+is an independently-filtered sub-image, per spec §8.2). Palette inputs
+raise ``NotImplementedError`` loudly.
 
-Decode is vectorized per scanline (filters None/Sub/Up are fully
-numpy; Average/Paeth walk pixels along x with numpy channel vectors).
-Encode applies one fixed filter per image (deterministic bytes for a
-given input — required so re-runs and different cluster sizes produce
-byte-identical blobs).
+Filtering operates on byte groups of ``bpp = channels * depth/8`` bytes
+per pixel (the spec's "bpp" distance), so the same filter kernels serve
+both depths. Decode is vectorized per scanline (filters None/Sub/Up are
+fully numpy; Average/Paeth walk pixels along x with numpy channel
+vectors). Encode applies one fixed filter per image (deterministic
+bytes for a given input — required so re-runs and different cluster
+sizes produce byte-identical blobs).
 """
 
 from __future__ import annotations
@@ -28,31 +31,26 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels → color type
 
+#: Adam7 pass geometry: (x0, y0, dx, dy) per spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
 
-def encode_png(arr: np.ndarray, *, filter_type: int = 1, level: int = 6) -> bytes:
-    """Encode an 8-bit image array to PNG bytes.
+def _filter_rows(data: np.ndarray, filter_type: int) -> np.ndarray:
+    """Apply one fixed filter to every scanline.
 
-    ``arr``: (h, w) greyscale, or (h, w, c) with c in {1, 2, 3, 4}.
-    ``filter_type``: the per-scanline filter applied to EVERY row
-    (0=None 1=Sub 2=Up 3=Average 4=Paeth); fixed per image for
-    deterministic output.
+    ``data``: (h, w, bpp) uint8 byte groups. Returns (h, 1 + w*bpp)
+    uint8 rows with the leading filter-type byte.
     """
-    if arr.dtype != np.uint8:
-        raise ValueError(f"encode_png wants uint8, got {arr.dtype}")
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    if arr.ndim != 3 or arr.shape[2] not in _COLOR_TYPE:
-        raise ValueError(f"unsupported array shape {arr.shape}")
-    h, w, c = arr.shape
-    if not 0 <= filter_type <= 4:
-        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
-
-    data = arr.astype(np.int16)  # room for the filter subtractions
+    h, w, bpp = data.shape
+    data = data.astype(np.int16)  # room for the filter subtractions
     left = np.zeros_like(data)
     left[:, 1:] = data[:, :-1]
     up = np.zeros_like(data)
@@ -72,13 +70,66 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 1, level: int = 6) -> byte
         pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
         pred = np.where((pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul))
         filt = data - pred
-    rows = (filt & 0xFF).astype(np.uint8).reshape(h, w * c)
-    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+    rows = (filt & 0xFF).astype(np.uint8).reshape(h, w * bpp)
+    raw = np.empty((h, 1 + w * bpp), dtype=np.uint8)
     raw[:, 0] = filter_type
     raw[:, 1:] = rows
+    return raw
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
-    idat = zlib.compress(raw.tobytes(), level)
+
+def _to_bytes_plane(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(h, w, c) uint8/uint16 → ((h, w, bpp) uint8 byte groups, depth, c)."""
+    h, w, c = arr.shape
+    if arr.dtype == np.uint8:
+        return arr, 8, c
+    # 16-bit samples are big-endian byte pairs in the stream
+    return (
+        np.ascontiguousarray(arr.astype(">u2")).view(np.uint8).reshape(h, w, c * 2),
+        16,
+        c,
+    )
+
+
+def encode_png(
+    arr: np.ndarray, *, filter_type: int = 1, level: int = 6, interlace: bool = False
+) -> bytes:
+    """Encode an image array to PNG bytes.
+
+    ``arr``: (h, w) greyscale, or (h, w, c) with c in {1, 2, 3, 4};
+    dtype uint8 (depth 8) or uint16 (depth 16, big-endian samples).
+    ``filter_type``: the per-scanline filter applied to EVERY row
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth); fixed per image for
+    deterministic output. ``interlace=True`` writes an Adam7 stream
+    (seven independently-filtered passes).
+    """
+    if arr.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"encode_png wants uint8 or uint16, got {arr.dtype}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in _COLOR_TYPE:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w, c = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+
+    data, depth, _ = _to_bytes_plane(arr)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = data[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no bytes
+            parts.append(_filter_rows(sub, filter_type).tobytes())
+        raw = b"".join(parts)
+    else:
+        raw = _filter_rows(data, filter_type).tobytes()
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, _COLOR_TYPE[c], 0, 0, 1 if interlace else 0
+    )
+    idat = zlib.compress(raw, level)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -87,13 +138,15 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 1, level: int = 6) -> byte
     )
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
-    """Reverse per-scanline filtering. raw: (h, 1 + w*c) uint8."""
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering. raw: (h, 1 + w*bpp) uint8;
+    returns (h, w, bpp) byte groups (the spec filters at bpp-byte
+    pixel-group granularity, identical for 8- and 16-bit samples)."""
     ftypes = raw[:, 0]
-    out = np.zeros((h, w, c), dtype=np.uint8)
-    prev = np.zeros((w, c), dtype=np.uint8)
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    prev = np.zeros((w, bpp), dtype=np.uint8)
     for y in range(h):
-        row = raw[y, 1:].reshape(w, c).astype(np.int16)
+        row = raw[y, 1:].reshape(w, bpp).astype(np.int16)
         f = int(ftypes[y])
         if f == 0:
             recon = row
@@ -102,16 +155,16 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
         elif f == 2:  # Up
             recon = (row + prev) & 0xFF
         elif f == 3:  # Average — left dependency forces an x walk
-            recon = np.empty((w, c), dtype=np.int16)
-            left = np.zeros(c, dtype=np.int16)
+            recon = np.empty((w, bpp), dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
             pv = prev.astype(np.int16)
             for x in range(w):
                 left = (row[x] + (left + pv[x]) // 2) & 0xFF
                 recon[x] = left
         elif f == 4:  # Paeth
-            recon = np.empty((w, c), dtype=np.int16)
-            left = np.zeros(c, dtype=np.int16)
-            ul = np.zeros(c, dtype=np.int16)
+            recon = np.empty((w, bpp), dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
             pv = prev.astype(np.int16)
             for x in range(w):
                 u = pv[x]
@@ -130,12 +183,23 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     return out
 
 
-def decode_png(blob: bytes, *, verify_crc: bool = True) -> np.ndarray:
-    """Decode PNG bytes → (h, w) or (h, w, c) uint8 array.
+def _from_bytes_plane(groups: np.ndarray, depth: int, c: int) -> np.ndarray:
+    """(h, w, bpp) byte groups → (h, w, c) uint8 or uint16 samples."""
+    if depth == 8:
+        return groups
+    h, w, _ = groups.shape
+    return (
+        np.ascontiguousarray(groups).view(">u2").reshape(h, w, c).astype(np.uint16)
+    )
 
-    Supports bit depth 8, color types 0/2/4/6, non-interlaced. Raises
-    ``ValueError`` on malformed bytes or CRC mismatch and
-    ``NotImplementedError`` on palette/16-bit/interlaced inputs.
+
+def decode_png(blob: bytes, *, verify_crc: bool = True) -> np.ndarray:
+    """Decode PNG bytes → (h, w) or (h, w, c) array (uint8 or uint16).
+
+    Supports bit depths 8 and 16, color types 0/2/4/6, non-interlaced
+    and Adam7-interlaced streams. Raises ``ValueError`` on malformed
+    bytes or CRC mismatch and ``NotImplementedError`` on palette or
+    sub-byte depths.
     """
     if blob[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
@@ -162,18 +226,39 @@ def decode_png(blob: bytes, *, verify_crc: bool = True) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} unsupported (8 only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"bit depth {depth} unsupported (8/16 only)")
     if ctype not in _CHANNELS:
         raise NotImplementedError(f"color type {ctype} unsupported (palette?)")
-    if interlace:
-        raise NotImplementedError("Adam7 interlacing unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad IHDR interlace method {interlace}")
     if comp or filt:
         raise ValueError("bad IHDR compression/filter method")
     c = _CHANNELS[ctype]
+    bpp = c * (depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    expect = h * (1 + w * c)
-    if len(raw) != expect:
-        raise ValueError(f"decompressed size {len(raw)} != expected {expect}")
-    out = _unfilter(raw.reshape(h, 1 + w * c), h, w, c)
+
+    if interlace:
+        groups = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            n = ph * (1 + pw * bpp)
+            part = raw[off : off + n]
+            if len(part) != n:
+                raise ValueError("truncated Adam7 pass data")
+            off += n
+            groups[y0::dy, x0::dx] = _unfilter(part.reshape(ph, 1 + pw * bpp), ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError(f"Adam7 stream has {len(raw) - off} trailing bytes")
+    else:
+        expect = h * (1 + w * bpp)
+        if len(raw) != expect:
+            raise ValueError(f"decompressed size {len(raw)} != expected {expect}")
+        groups = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)
+
+    out = _from_bytes_plane(groups, depth, c)
     return out[:, :, 0] if c == 1 else out

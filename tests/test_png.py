@@ -43,9 +43,11 @@ def test_decode_rejects_unsupported():
 
     from pyrosar_ray.functions.png import _SIGNATURE, _chunk
 
-    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    # 16-bit and Adam7 are now decoded; sub-byte depths and palette
+    # color remain loud NotImplementedErrors
+    ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError):
-        decode_png(_SIGNATURE + _chunk(b"IHDR", ihdr16))
+        decode_png(_SIGNATURE + _chunk(b"IHDR", ihdr4))
     ihdr_pal = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
     with pytest.raises(NotImplementedError):
         decode_png(_SIGNATURE + _chunk(b"IHDR", ihdr_pal))
@@ -75,3 +77,30 @@ def test_export_kmz_real_zip(tmp_path):
     assert (arr[0, :, 3] == 0).all()  # black row transparent
     assert (arr[1:, :, 3] == 255).all()
     assert np.array_equal(arr[1:, :, :3], rgb[1:])
+
+
+def test_adam7_and_16bit_roundtrip_exhaustive():
+    """Lossless identity across depth (8/16) x filter (0-4) x layout
+    (plain/Adam7) x shapes incl. single-row/column and sub-8px images
+    whose late Adam7 passes are empty."""
+    rng = np.random.RandomState(9)
+    for shape in [(1, 1), (7, 3), (8, 8), (9, 17, 3), (16, 5, 4), (2, 2, 2), (1, 13, 3)]:
+        for dt in (np.uint8, np.uint16):
+            hi = 256 if dt == np.uint8 else 65536
+            arr = rng.randint(0, hi, shape).astype(dt)
+            for ft in range(5):
+                for il in (False, True):
+                    out = decode_png(encode_png(arr, filter_type=ft, interlace=il))
+                    assert out.dtype == arr.dtype and np.array_equal(out, arr), (
+                        shape, dt, ft, il,
+                    )
+
+
+def test_adam7_matches_plain_layout():
+    """Interlaced and sequential streams of one image decode identically
+    (pixel permutation only — any pass-geometry bug breaks this)."""
+    rng = np.random.RandomState(10)
+    arr = rng.randint(0, 65536, (21, 34, 4)).astype(np.uint16)
+    a = decode_png(encode_png(arr, interlace=True, filter_type=4))
+    b = decode_png(encode_png(arr, filter_type=2))
+    assert np.array_equal(a, b)
