@@ -3,11 +3,12 @@
 Un-stubs the engine's compressed-image path: the reference hands
 png/quicklook encoding to GDAL/PIL (pyroSAR/drivers.py:2083-2132 writes
 a quicklook PNG into a KMZ); this container ships neither, so the codec
-is implemented from the PNG spec directly. Scope: 8-bit AND 16-bit
-greyscale / grey+alpha / RGB / RGBA, all five scanline filters,
-non-interlaced and Adam7-interlaced streams (each of the seven passes
-is an independently-filtered sub-image, per spec §8.2). Palette inputs
-raise ``NotImplementedError`` loudly.
+is implemented from the PNG spec directly. Scope: the full color-type
+table — greyscale at every legal depth (1/2/4/8/16, sub-byte scaled to
+8-bit on decode), grey+alpha / RGB / RGBA at 8/16-bit, and palette
+(PLTE, any legal index depth, tRNS alpha → RGBA) — all five scanline
+filters, non-interlaced and Adam7-interlaced streams (each of the
+seven passes is an independently-filtered sub-image, per spec §8.2).
 
 Filtering operates on byte groups of ``bpp = channels * depth/8`` bytes
 per pixel (the spec's "bpp" distance), so the same filter kernels serve
@@ -193,19 +194,46 @@ def _from_bytes_plane(groups: np.ndarray, depth: int, c: int) -> np.ndarray:
     )
 
 
+def _decode_region(raw: np.ndarray, h: int, w: int, depth: int, c: int) -> np.ndarray:
+    """Unfilter + unpack one image region (the whole image, or one Adam7
+    pass) → (h, w, c) samples. Sub-byte depths (1/2/4) unfilter at the
+    spec's bpp=1 byte granularity, then unpack MSB-first bit chunks and
+    truncate each scanline's pad bits."""
+    if depth >= 8:
+        bpp = c * (depth // 8)
+        groups = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)
+        return _from_bytes_plane(groups, depth, c)
+    rowbytes = (w * depth * c + 7) // 8
+    groups = _unfilter(raw.reshape(h, 1 + rowbytes), h, rowbytes, 1)
+    bits = np.unpackbits(groups.reshape(h, rowbytes), axis=1)
+    nchunk = rowbytes * 8 // depth
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits[:, : nchunk * depth].reshape(h, nchunk, depth) * weights).sum(axis=2)
+    return vals[:, : w * c].reshape(h, w, c).astype(np.uint8)
+
+
+def _region_raw_len(h: int, w: int, depth: int, c: int) -> int:
+    if depth >= 8:
+        return h * (1 + w * c * (depth // 8))
+    return h * (1 + (w * depth * c + 7) // 8)
+
+
 def decode_png(blob: bytes, *, verify_crc: bool = True) -> np.ndarray:
     """Decode PNG bytes → (h, w) or (h, w, c) array (uint8 or uint16).
 
-    Supports bit depths 8 and 16, color types 0/2/4/6, non-interlaced
-    and Adam7-interlaced streams. Raises ``ValueError`` on malformed
-    bytes or CRC mismatch and ``NotImplementedError`` on palette or
-    sub-byte depths.
+    Supports every legal IHDR combination: color types 0/2/3/4/6 at
+    their legal bit depths, non-interlaced and Adam7. Palette images
+    decode to RGB (RGBA when a tRNS chunk is present); sub-byte
+    greyscale scales to the full 8-bit range. Raises ``ValueError`` on
+    malformed bytes or CRC mismatch.
     """
     if blob[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(blob):
         (length,) = struct.unpack_from(">I", blob, pos)
         tag = blob[pos + 4 : pos + 8]
@@ -220,45 +248,74 @@ def decode_png(blob: bytes, *, verify_crc: bool = True) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
             idat.extend(payload)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif tag == b"IEND":
             break
         pos += 12 + length
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(f"bit depth {depth} unsupported (8/16 only)")
-    if ctype not in _CHANNELS:
-        raise NotImplementedError(f"color type {ctype} unsupported (palette?)")
+    paletted = ctype == 3
+    if paletted:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette bit depth {depth}")
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        c = 1
+    else:
+        if ctype not in _CHANNELS:
+            raise NotImplementedError(f"color type {ctype} unsupported")
+        c = _CHANNELS[ctype]
+        if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ctype != 0):
+            raise NotImplementedError(
+                f"bit depth {depth} unsupported for color type {ctype}"
+            )
     if interlace not in (0, 1):
         raise ValueError(f"bad IHDR interlace method {interlace}")
     if comp or filt:
         raise ValueError("bad IHDR compression/filter method")
-    c = _CHANNELS[ctype]
-    bpp = c * (depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
 
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
     if interlace:
-        groups = np.zeros((h, w, bpp), dtype=np.uint8)
+        samples = np.zeros((h, w, c), dtype=sample_dtype)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            n = ph * (1 + pw * bpp)
+            n = _region_raw_len(ph, pw, depth, c)
             part = raw[off : off + n]
             if len(part) != n:
                 raise ValueError("truncated Adam7 pass data")
             off += n
-            groups[y0::dy, x0::dx] = _unfilter(part.reshape(ph, 1 + pw * bpp), ph, pw, bpp)
+            samples[y0::dy, x0::dx] = _decode_region(part, ph, pw, depth, c)
         if off != len(raw):
             raise ValueError(f"Adam7 stream has {len(raw) - off} trailing bytes")
     else:
-        expect = h * (1 + w * bpp)
+        expect = _region_raw_len(h, w, depth, c)
         if len(raw) != expect:
             raise ValueError(f"decompressed size {len(raw)} != expected {expect}")
-        groups = _unfilter(raw.reshape(h, 1 + w * bpp), h, w, bpp)
+        samples = _decode_region(raw, h, w, depth, c)
 
-    out = _from_bytes_plane(groups, depth, c)
-    return out[:, :, 0] if c == 1 else out
+    if paletted:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if depth < 8:  # sub-byte greyscale: scale to full 8-bit range
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return samples[:, :, 0] if c == 1 else samples

@@ -43,14 +43,16 @@ def test_decode_rejects_unsupported():
 
     from pyrosar_ray.functions.png import _SIGNATURE, _chunk
 
-    # 16-bit and Adam7 are now decoded; sub-byte depths and palette
-    # color remain loud NotImplementedErrors
-    ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    # every legal IHDR decodes now; illegal combinations stay loud
+    ihdr_rgb4 = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)  # sub-byte RGB: illegal
     with pytest.raises(NotImplementedError):
-        decode_png(_SIGNATURE + _chunk(b"IHDR", ihdr4))
-    ihdr_pal = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+        decode_png(_SIGNATURE + _chunk(b"IHDR", ihdr_rgb4))
+    ihdr_ct5 = struct.pack(">IIBBBBB", 4, 4, 8, 5, 0, 0, 0)  # color type 5: illegal
     with pytest.raises(NotImplementedError):
-        decode_png(_SIGNATURE + _chunk(b"IHDR", ihdr_pal))
+        decode_png(_SIGNATURE + _chunk(b"IHDR", ihdr_ct5))
+    ihdr_pal = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # palette sans PLTE
+    with pytest.raises(ValueError):
+        decode_png(_SIGNATURE + _chunk(b"IHDR", ihdr_pal) + _chunk(b"IDAT", b"") + _chunk(b"IEND", b""))
 
 
 def test_sub_filter_compresses_ramp():
@@ -104,3 +106,79 @@ def test_adam7_matches_plain_layout():
     a = decode_png(encode_png(arr, interlace=True, filter_type=4))
     b = decode_png(encode_png(arr, filter_type=2))
     assert np.array_equal(a, b)
+
+
+def _hand_png(w, h, depth, ctype, rows_payload, extra_chunks=(), interlace=0):
+    """Assemble a PNG from hand-built (already filtered) scanline bytes."""
+    import struct
+    import zlib
+
+    from pyrosar_ray.functions.png import _SIGNATURE, _chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    for tag, payload in extra_chunks:
+        out += _chunk(tag, payload)
+    out += _chunk(b"IDAT", zlib.compress(rows_payload)) + _chunk(b"IEND", b"")
+    return out
+
+
+def test_palette_decode_with_and_without_trns():
+    """Hand-built 4-bit palette image: indices pack MSB-first two per
+    byte; PLTE lookup yields RGB, tRNS extends to RGBA."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])  # 4 entries
+    # 3x2 image, indices: row0 = 0,1,2  row1 = 3,0,1 (pad nibble = 0)
+    rows = bytes([0, 0x01, 0x20]) + bytes([0, 0x30, 0x10])
+    blob = _hand_png(3, 2, 4, 3, rows, [(b"PLTE", plte)])
+    out = decode_png(blob)
+    assert out.shape == (2, 3, 3)
+    assert out[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert out[1].tolist() == [[7, 8, 9], [255, 0, 0], [0, 255, 0]]
+    # with tRNS: entry 0 transparent, others default opaque
+    blob_a = _hand_png(3, 2, 4, 3, rows, [(b"PLTE", plte), (b"tRNS", bytes([0]))])
+    out_a = decode_png(blob_a)
+    assert out_a.shape == (2, 3, 4)
+    assert out_a[0, 0, 3] == 0 and out_a[0, 1, 3] == 255
+    assert np.array_equal(out_a[:, :, :3], out)
+    # out-of-range index is a loud error
+    bad = _hand_png(3, 2, 4, 3, bytes([0, 0xF1, 0x20, 0, 0x30, 0x10]), [(b"PLTE", plte)])
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_subbyte_greyscale_scales_to_8bit():
+    """1-bit greyscale: bits unpack MSB-first, 1 → 255; Sub filter on
+    the byte stream still applies."""
+    # 10x2: row0 = 1010101010 (0xAA, 0x80), row1 = all ones (0xFF, 0xC0)
+    rows = bytes([0, 0xAA, 0x80]) + bytes([0, 0xFF, 0xC0])
+    out = decode_png(_hand_png(10, 2, 1, 0, rows))
+    assert out.shape == (2, 10)
+    assert out[0].tolist() == [255, 0] * 5
+    assert (out[1] == 255).all()
+    # 2-bit: values 0..3 scale to 0/85/170/255
+    rows2 = bytes([0, 0b00011011])  # 4px: 0,1,2,3
+    out2 = decode_png(_hand_png(4, 1, 2, 0, rows2))
+    assert out2.tolist() == [[0, 85, 170, 255]]
+
+
+def test_palette_adam7_interleave():
+    """8-bit palette + Adam7: pass geometry must hold for indexed rows."""
+    import zlib
+
+    from pyrosar_ray.functions.png import _ADAM7
+
+    rng = np.random.RandomState(4)
+    w, h = 9, 6
+    idx = rng.randint(0, 4, (h, w)).astype(np.uint8)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in sub:
+            parts.append(bytes([0]) + r.tobytes())
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    blob = _hand_png(w, h, 8, 3, b"".join(parts), [(b"PLTE", plte)], interlace=1)
+    out = decode_png(blob)
+    lut = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    assert np.array_equal(out, lut[idx])
