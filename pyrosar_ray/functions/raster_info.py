@@ -137,6 +137,42 @@ def png_info(blob: bytes) -> dict:
     }
 
 
+def jpeg_info(blob: bytes) -> dict:
+    """SOF probe of a JPEG blob: marker walk to the frame header —
+    size, band count, precision and entropy layout (baseline vs
+    progressive) at header-only cost, no entropy decode."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            break  # EOI / entropy data before any SOF
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        if marker in (0xC0, 0xC1, 0xC2):
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", blob, pos + 2)
+            return {
+                "driver": "JPEG",
+                "samples": w,
+                "lines": h,
+                "bands": ncomp,
+                "dtype": f"uint{precision}",
+                "projection": None,
+                "gcps": [],
+                "geotransform": None,
+                "nodata": None,
+                "band_names": None,
+                "extra": {"progressive": marker == 0xC2},
+            }
+        pos += seglen
+    raise ValueError("corrupt JPEG: no frame header found")
+
+
 def envi_info(hdr_text: str) -> dict:
     """Header probe of an ENVI raster (``functions.sar.envi_hdr`` grammar)."""
     from .sar import parse_envi_hdr
@@ -186,6 +222,10 @@ def raster_info(blob: bytes | None = None, hdr_text: str | None = None) -> dict:
         return tiff_info(blob)
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return png_info(blob)
+    if blob[:2] == b"\xff\xd8":
+        return jpeg_info(blob)
     if blob[:4] == b"ENVI":
         return envi_info(blob.decode("utf-8", "replace"))
-    raise ValueError("unrecognized raster container (expected TIFF, PNG or ENVI)")
+    raise ValueError(
+        "unrecognized raster container (expected TIFF, PNG, JPEG or ENVI)"
+    )

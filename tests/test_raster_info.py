@@ -103,3 +103,25 @@ def test_raster_info_columns_stage():
     row = out.iloc[0]
     assert row["ulx"] == 11.0 and row["yres"] == 0.02 and row["nodata"] == -99.0
     assert np.isnan(out.iloc[1]["ulx"]) and np.isnan(out.iloc[1]["nodata"])
+
+
+def test_jpeg_probe_header_only():
+    """raster_info sniffs JPEG blobs: size/bands/precision plus the
+    progressive flag, without entropy decode."""
+    import numpy as np
+
+    from pyrosar_ray.functions.jpeg import encode_jpeg, encode_jpeg_progressive
+    from pyrosar_ray.functions.raster_info import raster_info
+
+    arr = np.random.RandomState(0).randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    info = raster_info(encode_jpeg(arr, quality=80))
+    assert (info["driver"], info["samples"], info["lines"], info["bands"]) == (
+        "JPEG", 40, 24, 3,
+    )
+    assert info["dtype"] == "uint8" and info["extra"]["progressive"] is False
+    pinfo = raster_info(encode_jpeg_progressive(arr[:, :, 0], quality=80))
+    assert (pinfo["bands"], pinfo["extra"]["progressive"]) == (1, True)
+    import pytest
+
+    with pytest.raises(ValueError):
+        raster_info(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
