@@ -1415,8 +1415,9 @@ def q_embed_pca(sf_dir: str):
     """Distributed PCA projection (pass 2 of the embed_gram pipeline):
     exact integer Gram -> driver eigh -> broadcast top-3 components ->
     one matmul per batch, zero exchange on the corpus. Rows-only by
-    design: eigenvectors are float libm output (the Gram pass itself
-    is the hash-checked half, q embed_gram)."""
+    design: eigenvectors are float libm output (the Gram pass is
+    hash-checked as embed_gram, and the top eigenvector itself is
+    hash-checked in integer fixed point as embed_power_iter)."""
     from pyrosar_ray.stages.ann import pca_project
 
     emb = _read_parquet(
@@ -2767,6 +2768,51 @@ def entry() -> Any:
     return tile_counts(assigned)
 
 
+def q_embed_power_iter(sf_dir: str):
+    """Distributed-PCA top eigenvector, hash-checked: the corpus pass is
+    the integer Gram exchange (embed_gram); the d×d power iteration runs
+    in exact integers with truncating division (DuckDB's ``//``
+    semantics), so the iterative eigenvector is reproducible bit-for-bit
+    by the twin's unrolled HUGEINT CTE chain — upgrading PCA from
+    rows-only (float LAPACK) to oracle-checked."""
+    from pyrosar_ray.stages.ann import embedding_gram, power_iteration_int
+
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return power_iteration_int(embedding_gram(emb), dim=64, iters=4)
+
+
+def _power_iter_sql(dim: int = 64, iters: int = 4, scale: int = 1 << 20) -> str:
+    """Unrolled twin of q_embed_power_iter: the _GRAM_SQL upper triangle
+    mirrored, then `iters` chained (w = G·v; v' = w*scale // max|w|)
+    CTEs in HUGEINT (// truncates toward zero — matched in Python)."""
+    cte = f"""
+        WITH tri AS ({_GRAM_SQL}),
+        g AS (
+            SELECT i, j, s FROM tri
+            UNION ALL
+            SELECT j AS i, i AS j, s FROM tri WHERE i < j
+        ),
+        v0 AS (
+            SELECT unnest(range({dim}))::BIGINT AS idx,
+                   CAST({scale} AS HUGEINT) AS v
+        )"""
+    prev = "v0"
+    for t in range(1, iters + 1):
+        cte += f""",
+        w{t} AS (
+            SELECT g.i AS idx, SUM(g.s::HUGEINT * {prev}.v) AS w
+            FROM g JOIN {prev} ON g.j = {prev}.idx GROUP BY g.i
+        ),
+        m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),
+        v{t} AS (
+            SELECT idx, (w * {scale}) // m AS v FROM w{t}, m{t}
+        )"""
+        prev = f"v{t}"
+    return cte + f"""
+        SELECT idx::BIGINT AS dim_idx, v::BIGINT AS v FROM {prev}
+    """
+
+
 def q_image_aspect_buckets(sf_dir: str):
     """Aspect-ratio bucketing for training batches (SDXL-style): each
     image picks the nearest-aspect bucket from a fixed prototype list,
@@ -2963,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_aspect_buckets": q_image_aspect_buckets,
         "doc_split_leakfree": q_doc_split_leakfree,
+        "embed_power_iter": q_embed_power_iter,
     }
 
 
@@ -5465,6 +5512,7 @@ def oracle_sql() -> dict[str, str]:
                    bw::BIGINT AS bw, bh::BIGINT AS bh
             FROM scored WHERE rn = 1
         """,
+        "embed_power_iter": _power_iter_sql(),
         "doc_split_leakfree": """
             WITH RECURSIVE pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b

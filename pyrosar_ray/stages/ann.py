@@ -568,3 +568,57 @@ def pca_project(
     return corpus.select_columns([id_col, emb_col]).map_batches(
         _Project, batch_format="pyarrow", concurrency=(1, 8), batch_size=4096
     )
+
+
+def power_iteration_int(
+    gram: Dataset, dim: int, iters: int = 4, scale: int = 1 << 20
+) -> pa.Table:
+    """Top-eigenvector power iteration over the distributed Gram matrix
+    in EXACT integers — the hash-twinnable face of distributed PCA.
+
+    The corpus-sized work is :func:`embedding_gram` (bounded d²-row
+    exchange); the iteration itself is dimension-bounded driver math
+    (d×d ≤ 64×64 here), exactly like ``gram_to_matrix`` + ``eigh`` in
+    the float path — but every update is integer arithmetic, so the
+    result is independent of block order, cluster size and engine:
+
+        w = G @ v            (exact big-int: |w| ≲ d·n·10¹²·scale)
+        v' = trunc(w·scale / max|w|)   (truncation toward zero — the
+                                        semantics of DuckDB's ``//``)
+
+    Sign is pinned by the all-positive start vector and identical
+    iterations on both sides; no canonicalization step is needed. The
+    SQL twin unrolls the same iterations as chained CTEs in HUGEINT.
+    Python ints are arbitrary precision, so no overflow on this side;
+    the twin's HUGEINT bound (1.7e38) holds past 10¹⁸-row corpora.
+    """
+    import pandas as pd
+
+    from . import table_from_pandas
+
+    if iters < 1 or dim < 1 or scale < 1:
+        raise ValueError("bad iters/dim/scale")
+    rows = gram.take_all()  # d²/2 rows — dimension-bounded by contract
+    g = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        g[i][j] = s
+        if i != j:
+            g[j][i] = s
+
+    def tdiv(a: int, b: int) -> int:  # truncation toward zero (SQL //)
+        return -((-a) // b) if a < 0 else a // b
+
+    v = [scale] * dim
+    for _ in range(iters):
+        w = [sum(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError("zero Gram matrix: power iteration undefined")
+        v = [tdiv(x * scale, m) for x in w]
+
+    return table_from_pandas(
+        pd.DataFrame(
+            {"dim_idx": np.arange(dim, dtype=np.int64), "v": np.array(v, dtype=np.int64)}
+        )
+    )

@@ -549,3 +549,34 @@ def test_images_metadata_path_matches_full_source():
         .to_pandas().sort_values("image_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(full, meta)
+
+
+def test_power_iteration_int_converges_and_is_exact():
+    """Integer power iteration on a known Gram: converges to the top
+    eigenvector direction; truncating division matches SQL // semantics."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pyrosar_ray.stages.ann import power_iteration_int
+
+    # G = diag-dominant 3x3 with top eigenvector ~ e0 + 0.5 e1
+    full = np.array([[8, 4, 0], [4, 5, 1], [0, 1, 1]], dtype=np.int64)
+    rows = [
+        {"i": i, "j": j, "s": int(full[i, j])}
+        for i in range(3)
+        for j in range(i, 3)
+    ]
+    out = power_iteration_int(rd.from_pandas(pd.DataFrame(rows)), dim=3, iters=30)
+    v = out.to_pandas().sort_values("dim_idx")["v"].to_numpy().astype(np.float64)
+    ev = np.linalg.eigh(full.astype(np.float64))[1][:, -1]
+    ev = ev / np.abs(ev).max()
+    got = v / np.abs(v).max()
+    if np.sign(got[np.argmax(np.abs(got))]) != np.sign(ev[np.argmax(np.abs(ev))]):
+        ev = -ev
+    assert np.allclose(got, ev, atol=1e-4)
+    # truncation semantics: a negative-heavy Gram exercises tdiv < 0
+    # (asymmetric diagonal so the all-ones start isn't an eigenvector)
+    neg = [{"i": 0, "j": 0, "s": 1}, {"i": 0, "j": 1, "s": -5}, {"i": 1, "j": 1, "s": 2}]
+    out2 = power_iteration_int(rd.from_pandas(pd.DataFrame(neg)), dim=2, iters=10)
+    vals = out2.to_pandas().sort_values("dim_idx")["v"].tolist()
+    assert min(vals) < 0 < max(vals)  # mixed-sign dominant eigenvector
