@@ -2768,6 +2768,63 @@ def entry() -> Any:
     return tile_counts(assigned)
 
 
+def q_doc_langid_int(sf_dir: str):
+    """Integer-exact trigram language ID: corpus-trained per-language
+    bucket profiles (ONE bounded langs×2^14 exchange), floor-quantized
+    weights broadcast once, row-local integer dot + argmax(score desc,
+    lang asc). The float lang-ID (doc_langid) stays rows-only; this
+    twin-checked variant proves the lang-ID chain end-to-end."""
+    from pyrosar_ray.stages.text import lang_id_int
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return lang_id_int(docs)
+
+
+def _langid_int_sql(buckets: int = 1 << 14, norm_scale: int = 1_000_000) -> str:
+    """DuckDB twin of q_doc_langid_int: the same byte-trigram hash (text
+    is ASCII, so character arithmetic == the kernel's utf-8 bytes), the
+    same floor-quantized profiles and the same argmax tie-break."""
+    return f"""
+        WITH tri AS (
+            SELECT doc_id, lang,
+                   ((ascii(substr(text, i, 1)) * 1000003
+                     + ascii(substr(text, i + 1, 1)) * 10007
+                     + ascii(substr(text, i + 2, 1))) % {buckets}) AS b
+            FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+            WHERE length(text) >= 3
+        ),
+        pcnt AS (
+            SELECT lang, b, COUNT(*)::HUGEINT AS p FROM tri GROUP BY lang, b
+        ),
+        tot AS (SELECT lang, SUM(p) AS tp FROM pcnt GROUP BY lang),
+        q AS (
+            SELECT pcnt.lang, b, (p * {norm_scale}) // tp AS qv
+            FROM pcnt JOIN tot USING (lang)
+        ),
+        dcnt AS (
+            SELECT doc_id, b, COUNT(*)::HUGEINT AS c FROM tri GROUP BY doc_id, b
+        ),
+        scores AS (
+            SELECT d.doc_id, l.lang,
+                   COALESCE(SUM(dc.c * q.qv), 0)::BIGINT AS score
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+            LEFT JOIN dcnt dc ON dc.doc_id = d.doc_id
+            LEFT JOIN q ON q.lang = l.lang AND q.b = dc.b
+            GROUP BY d.doc_id, l.lang
+        )
+        SELECT doc_id, lang AS pred_lang, score FROM (
+            SELECT doc_id, lang, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, lang
+                   ) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    """
+
+
 def q_embed_power_iter(sf_dir: str):
     """Distributed-PCA top eigenvector, hash-checked: the corpus pass is
     the integer Gram exchange (embed_gram); the d×d power iteration runs
@@ -3010,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_aspect_buckets": q_image_aspect_buckets,
         "doc_split_leakfree": q_doc_split_leakfree,
         "embed_power_iter": q_embed_power_iter,
+        "doc_langid_int": q_doc_langid_int,
     }
 
 
@@ -5513,6 +5571,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn = 1
         """,
         "embed_power_iter": _power_iter_sql(),
+        "doc_langid_int": _langid_int_sql(),
         "doc_split_leakfree": """
             WITH RECURSIVE pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -98,22 +98,7 @@ class LangID:
         and window positions that straddle a document boundary are
         masked out — no per-document Python loop.
         """
-        n = len(texts)
-        out = np.zeros((n, LangID.BUCKETS), dtype=np.float32)
-        encoded = [t.encode("utf-8", "ignore") for t in texts]
-        lens = np.array([len(b) for b in encoded], dtype=np.int64)
-        total = int(lens.sum())
-        if total >= 3:
-            a = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
-            tri = (a[:-2] * 1_000_003 + a[1:-1] * 10_007 + a[2:]) % LangID.BUCKETS
-            ends = np.cumsum(lens)
-            starts = ends - lens
-            # window at global position p belongs to doc i iff it fits
-            # entirely inside [starts[i], ends[i])
-            pos = np.arange(total - 2)
-            doc = np.searchsorted(ends, pos, side="right")
-            valid = pos + 3 <= ends[doc]
-            np.add.at(out, (doc[valid], tri[valid]), 1.0)
+        out = _trigram_counts_int(texts).astype(np.float32)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return out / norms
@@ -156,6 +141,110 @@ def lang_id(docs: Dataset, profiles: dict[str, np.ndarray], concurrency=(1, 2)) 
     ref = ray.put(profiles)
     return docs.map_batches(
         LangID, batch_format="pyarrow", concurrency=concurrency, fn_constructor_args=(ref,)
+    )
+
+
+def _trigram_counts_int(texts: "pd.Series") -> np.ndarray:
+    """(n_docs, BUCKETS) RAW int64 trigram-bucket counts — the integer
+    core of :meth:`LangID.trigram_counts` (same hash, no normalize)."""
+    n = len(texts)
+    out = np.zeros((n, LangID.BUCKETS), dtype=np.int64)
+    encoded = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(b) for b in encoded], dtype=np.int64)
+    total = int(lens.sum())
+    if total >= 3:
+        a = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
+        tri = (a[:-2] * 1_000_003 + a[1:-1] * 10_007 + a[2:]) % LangID.BUCKETS
+        ends = np.cumsum(lens)
+        pos = np.arange(total - 2)
+        doc = np.searchsorted(ends, pos, side="right")
+        valid = pos + 3 <= ends[doc]
+        np.add.at(out, (doc[valid], tri[valid]), 1)
+    return out
+
+
+def lang_id_int(
+    docs: Dataset,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    norm_scale: int = 1_000_000,
+) -> Dataset:
+    """Integer-exact trigram language ID — the hash-twinnable lang-ID.
+
+    The float classifier (:class:`LangID`) is rows-only (float32 dots);
+    this variant keeps the whole chain in integers so a DuckDB twin
+    reproduces it bit-for-bit. Profiles are corpus-trained: per-language
+    trigram-bucket counts fold per batch and merge in ONE bounded
+    groupby-Sum (≤ langs × 2¹⁴ rows at any corpus size), are quantized
+    per bucket to ``q = (count · norm_scale) // lang_total`` (≤
+    norm_scale — this pre-normalization also caps the scoring dot at
+    doc_trigrams × norm_scale, int64-safe at any scale), broadcast once,
+    and scoring is one row-local integer matmul per batch with
+    argmax(score desc, lang asc). Byte-level trigrams == the twin's
+    character arithmetic on ASCII corpora (this table's contract).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _profile_partial(batch: pa.Table) -> pa.Table:
+        counts = _trigram_counts_int(batch[text_col].to_pandas())
+        langs = np.asarray(batch[lang_col].to_pylist(), dtype=object)
+        out_lang, out_b, out_c = [], [], []
+        for lang in np.unique(langs):
+            v = counts[langs == lang].sum(axis=0)
+            nz = np.flatnonzero(v)
+            out_lang.extend([str(lang)] * len(nz))
+            out_b.append(nz)
+            out_c.append(v[nz])
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, type=pa.string()),
+                "b": pa.array(
+                    np.concatenate(out_b) if out_b else np.array([], np.int64)
+                ),
+                "c": pa.array(
+                    np.concatenate(out_c) if out_c else np.array([], np.int64)
+                ),
+            }
+        )
+
+    prof_rows = (
+        docs.select_columns([text_col, lang_col])
+        .map_batches(_profile_partial, batch_format="pyarrow")
+        .groupby(["lang", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    langs = sorted({r["lang"] for r in prof_rows})
+    lang_ix = {lang: i for i, lang in enumerate(langs)}
+    prof = np.zeros((len(langs), LangID.BUCKETS), dtype=np.int64)
+    for r in prof_rows:
+        prof[lang_ix[r["lang"]], int(r["b"])] = int(r["c"])
+    totals = prof.sum(axis=1)
+    totals[totals == 0] = 1
+    # per-bucket quantized weights (floor division; all operands >= 0,
+    # so Python // == SQL // here)
+    q = (prof * norm_scale) // totals[:, None]
+    q_ref = ray.put((langs, q))
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        lgs, qm = ray.get(q_ref)
+        counts = _trigram_counts_int(batch[text_col].to_pandas())
+        scores = counts @ qm.T  # (n, L) int64
+        best = scores.argmax(axis=1)  # first max = smallest lang (sorted)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pred_lang": pa.array(
+                    np.asarray(lgs, dtype=object)[best], type=pa.string()
+                ),
+                "score": pa.array(scores[np.arange(len(best)), best]),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _classify, batch_format="pyarrow"
     )
 
 

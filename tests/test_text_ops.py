@@ -631,3 +631,42 @@ def test_pmi_table_reference():
     assert out.loc[("a", "b"), "pmi"] == math.log(float(3 * 9) / float(4 * 4))
     assert out.loc[("c", "a"), "pmi"] == math.log(float(2 * 9) / float(3 * 3))
     assert ("b", "a") not in out.index  # min_n prunes count-1 bigrams
+
+
+def test_lang_id_int_accuracy_and_repartition_invariance():
+    """Integer lang-ID: corpus-trained profiles classify the corpus
+    itself with high accuracy, and the result is identical at any
+    partitioning (bounded profile exchange + row-local scoring)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyrosar_ray.stages.text import lang_id_int
+
+    tab = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    out1 = lang_id_int(rd.from_arrow(tab)).to_pandas()
+    out8 = lang_id_int(rd.from_arrow(tab).repartition(8)).to_pandas()
+    a = out1.sort_values("doc_id", ignore_index=True)
+    b = out8.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)  # partition-count invariance (the hash-twin property)
+    assert (a["score"] >= 0).all()
+    # NOTE: the synthetic corpus's lang labels are random over one shared
+    # vocabulary (even the float classifier scores ~0.37 on it), so
+    # accuracy is asserted on a corpus with real trigram differences:
+    import pandas as pd
+
+    rows = []
+    phrases = {
+        "xx": "zxqj vwkq xx jzx qzv wxj",
+        "aa": "aaa aab aba baa ab aa ba",
+        "oo": "ooo oon ono noo on oo no",
+    }
+    for i in range(60):
+        lang = ["xx", "aa", "oo"][i % 3]
+        rows.append({"doc_id": i, "text": (phrases[lang] + " ") * 4, "lang": lang})
+    toy = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    got = lang_id_int(toy).to_pandas()
+    truth = {r["doc_id"]: r["lang"] for r in rows}
+    assert (got["pred_lang"] == got["doc_id"].map(truth)).all()
