@@ -138,3 +138,44 @@ def test_equi_join_outer():
     assert out["k"].tolist() == [1, 2, 3]
     assert out["a"].isna().tolist() == [False, False, True]
     assert out["b"].isna().tolist() == [True, False, False]
+
+
+def test_equi_join_extreme_key_skew():
+    """Adversarial skew: 95% of both sides share ONE key. The hot key
+    co-locates in one partition (correct by construction — pair
+    explosion is inherent to the join semantics, 4k·20 rows here);
+    output matches pandas exactly and cold keys are unaffected."""
+    n_hot, n_cold = 4000, 50
+    left = pd.DataFrame(
+        {
+            "k": np.concatenate(
+                [np.full(n_hot, 7, np.int64), np.arange(100, 100 + n_cold)]
+            ),
+            "a": np.arange(n_hot + n_cold, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.concatenate(
+                [np.full(20, 7, np.int64), np.arange(100, 100 + n_cold)]
+            ),
+            "b": np.arange(20 + n_cold, dtype=np.int64),
+        }
+    )
+    out = (
+        equi_join(
+            ray.data.from_pandas(left).repartition(8),
+            ray.data.from_pandas(right).repartition(8),
+            on="k",
+            right_on="rk",
+            num_partitions=16,
+        )
+        .to_pandas()
+        .sort_values(["k", "a", "b"], ignore_index=True)
+    )
+    exp = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "a", "b"]]
+        .sort_values(["k", "a", "b"], ignore_index=True)
+    )
+    assert len(out) == n_hot * 20 + n_cold
+    pd.testing.assert_frame_equal(out[["k", "a", "b"]], exp)
