@@ -224,6 +224,10 @@ def raster_info(blob: bytes | None = None, hdr_text: str | None = None) -> dict:
         return png_info(blob)
     if blob[:2] == b"\xff\xd8":
         return jpeg_info(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_info
+
+        return gif_info(blob)
     if blob[:4] == b"ENVI":
         return envi_info(blob.decode("utf-8", "replace"))
     raise ValueError(

@@ -25,13 +25,16 @@ from . import table_from_pandas
 
 
 def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """bytes → (h, w, 3) uint8. raw, png and baseline jpeg decode natively."""
+    """bytes → (h, w, 3) uint8. raw, png (full color-type table), jpeg
+    (baseline + progressive) and gif decode natively."""
     if fmt == "raw":
         return np.frombuffer(blob, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "png":
         from ..functions.png import decode_png
 
         arr = decode_png(blob)
+        if arr.dtype == np.uint16:
+            arr = (arr >> 8).astype(np.uint8)
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         return arr[:, :, :3]
@@ -42,6 +45,10 @@ def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         return arr
+    if fmt == "gif":
+        from ..functions.gif import decode_gif
+
+        return decode_gif(blob)
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -51,7 +58,7 @@ def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     except ImportError as err:  # pragma: no cover
         raise NotImplementedError(
             f"decode of fmt={fmt!r} requires an imaging library (PIL/opencv); "
-            "raw, png and baseline jpeg decode natively in this sandbox"
+            "raw, png, jpeg and gif decode natively in this sandbox"
         ) from err
 
 
