@@ -4696,6 +4696,7 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 1 THEN 24 ELSE 32 END AS INTEGER) AS h,
                        CASE WHEN ident % 7 = 0 THEN 'png'
                             WHEN ident % 11 = 0 THEN 'jpeg'
+                            WHEN ident % 13 = 0 THEN 'gif'
                             ELSE 'raw' END AS fmt,
                        text AS caption
                 FROM ident
@@ -5295,6 +5296,8 @@ def oracle_sql() -> dict[str, str]:
                               ELSE doc_id END) % 7 = 0 THEN 'png'
                         WHEN (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
                               ELSE doc_id END) % 11 = 0 THEN 'jpeg'
+                        WHEN (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                              ELSE doc_id END) % 13 = 0 THEN 'gif'
                         ELSE 'raw' END AS fmt,
                    text AS caption
             FROM documents

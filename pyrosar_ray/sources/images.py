@@ -123,7 +123,13 @@ def images_from_documents(sf_dir: str, with_pixels: bool = True) -> Dataset:
             w = sizes[seeds % 3]
             h = sizes[seeds // 3 % 3]
             fmt = np.where(
-                seeds % 7 == 0, "png", np.where(seeds % 11 == 0, "jpeg", "raw")
+                seeds % 7 == 0,
+                "png",
+                np.where(
+                    seeds % 11 == 0,
+                    "jpeg",
+                    np.where(seeds % 13 == 0, "gif", "raw"),
+                ),
             ).astype(object)
             image_ids = np.array([f"img-{i:012d}" for i in ids], dtype=object)
             return pa.table(
@@ -171,6 +177,17 @@ def images_from_documents(sf_dir: str, with_pixels: bool = True) -> Dataset:
                 # phash describes the STORED image: recompute from the
                 # decoded pixels so decode→rehash is exact downstream
                 arr = decode_jpeg(blob)
+            elif seed % 13 == 0:  # palettized slice (gif)
+                from ..functions.gif import decode_gif, encode_gif
+
+                # GIF is palette-bound: posterize to 4 levels/channel
+                # (≤ 64 colors) — the deterministic stand-in for a real
+                # pipeline's quantizer; phash reflects the STORED image
+                arr = ((arr // 64) * 64 + 32).astype(np.uint8)
+                blob = encode_gif(arr)
+                blobs.append(blob)
+                fmts.append("gif")
+                arr = decode_gif(blob)  # lossless here; keeps the contract
             else:
                 blobs.append(arr.tobytes())
                 fmts.append("raw")
