@@ -290,11 +290,22 @@ class FrameSampler:
                     blobs.append(blob[off[f] : off[f] + sz[f]])
                     caps.append(cap)
                 continue
+            if fmt == "gif":
+                from ..functions.gif import gif_frames
+
+                for f, frame in enumerate(gif_frames(blob)):
+                    if f % self.step:
+                        continue
+                    ids.append(vid)
+                    frames.append(f)
+                    blobs.append(np.ascontiguousarray(frame).tobytes())
+                    caps.append(cap)
+                continue
             if fmt != "rawvideo":
                 raise NotImplementedError(
                     f"frame sampling of fmt={fmt!r} requires a video codec; "
-                    "fmt='rawvideo' and fmt='mp4' (raw sample entries) "
-                    "decode in this sandbox"
+                    "fmt='rawvideo', fmt='mp4' (raw sample entries) and "
+                    "fmt='gif' (animated) decode in this sandbox"
                 )
             frame_bytes = int(w) * int(h) * 3
             n = len(blob) // frame_bytes

@@ -111,3 +111,33 @@ def test_encode_deterministic():
     arr = _paletted((16, 16), 12, seed=6)
     assert encode_gif(arr) == encode_gif(arr)
     assert encode_gif(arr, interlace=True) == encode_gif(arr, interlace=True)
+
+
+def test_frame_sampler_gif_container():
+    """Animated GIF flows through the video frame-sampling stage: every
+    step-th full canvas emits as a raw RGB frame row."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from pyrosar_ray.stages.images import FrameSampler
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [9, 9, 9]], np.uint8)
+    rng = np.random.RandomState(7)
+    fr = [pal[rng.randint(0, 4, (6, 8))] for _ in range(5)]
+    blob = encode_gif(fr)
+    df = pd.DataFrame(
+        [{"image_id": "vid-0", "bytes": blob, "w": 8, "h": 6, "fmt": "gif",
+          "caption": "anim"}]
+    )
+    out = (
+        rd.from_pandas(df)
+        .map_batches(FrameSampler, batch_format="pyarrow", concurrency=1,
+                     fn_constructor_kwargs={"step": 2})
+        .to_pandas()
+        .sort_values("frame", ignore_index=True)
+    )
+    assert out["frame"].tolist() == [0, 2, 4]
+    for _, row in out.iterrows():
+        got = np.frombuffer(row["bytes"], np.uint8).reshape(6, 8, 3)
+        assert np.array_equal(got, fr[row["frame"]])
