@@ -2217,6 +2217,68 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(_checksum, batch_format="pyarrow")
 
 
+def q_video_gif_frames(sf_dir: str):
+    """Frame sampling through the REAL GIF codec: constant-fill frames
+    encode as animated GIF (LZW, palette = the fills), decode back to
+    full canvases in FrameSampler, every 2nd kept, per-frame byte
+    checksum. The twin recomputes checksums closed-form from the id —
+    a wrong LZW table width, interlace order or composition step breaks
+    the hash. Same fill arithmetic as video_frames, so the two queries
+    pin the rawvideo and gif container paths against ONE ground truth."""
+    import ray.data
+
+    from pyrosar_ray.stages.images import sample_frames
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    W, H = 8, 6
+
+    def _make(batch: pa.Table) -> pa.Table:
+        from pyrosar_ray.functions.gif import encode_gif
+
+        ids = batch["doc_id"].to_pylist()
+        rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": [], "caption": []}
+        for i in ids:
+            n = 4 + i % 5
+            frames = [
+                np.full((H, W, 3), (i + f) % 251, dtype=np.uint8)
+                for f in range(n)
+            ]
+            rows["image_id"].append(f"gifv-{i:012d}")
+            rows["bytes"].append(encode_gif(frames))
+            rows["w"].append(W)
+            rows["h"].append(H)
+            rows["fmt"].append("gif")
+            rows["caption"].append("")
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "bytes": pa.array(rows["bytes"], type=pa.binary()),
+                "w": pa.array(rows["w"], type=pa.int32()),
+                "h": pa.array(rows["h"], type=pa.int32()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "caption": pa.array(rows["caption"], type=pa.string()),
+            }
+        )
+
+    vids = docs.map_batches(_make, batch_format="pyarrow", batch_size=64)
+    frames = sample_frames(vids, step=2)
+
+    def _checksum(batch: pa.Table) -> pa.Table:
+        sums = [
+            int(np.frombuffer(b, dtype=np.uint8).sum())
+            for b in batch["bytes"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "frame": batch["frame"],
+                "checksum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return frames.map_batches(_checksum, batch_format="pyarrow")
+
+
 def q_video_mp4_meta(sf_dir: str):
     """Real ISO-BMFF parse over synthetic MP4 containers: box-tree walk,
     tkhd 16.16 dimensions, stts/stsc/stsz/stco sample-table resolution
@@ -3068,6 +3130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_leakfree": q_doc_split_leakfree,
         "embed_power_iter": q_embed_power_iter,
         "doc_langid_int": q_doc_langid_int,
+        "video_gif_frames": q_video_gif_frames,
     }
 
 
@@ -4645,6 +4708,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "video_frames": """
             SELECT 'vid-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
+                   f::INTEGER AS frame,
+                   (144 * ((doc_id + f) % 251))::BIGINT AS checksum
+            FROM documents, range(9) AS t(f)
+            WHERE f < (4 + doc_id % 5) AND f % 2 = 0
+        """,
+        "video_gif_frames": """
+            SELECT 'gifv-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
                    f::INTEGER AS frame,
                    (144 * ((doc_id + f) % 251))::BIGINT AS checksum
             FROM documents, range(9) AS t(f)
