@@ -52,6 +52,8 @@ BENCH_QUERIES = (
     "zonal_stats",
     "sample_raster",
     "image_patches",
+    "doc_langid_int",
+    "video_gif_frames",
 )
 
 
