@@ -2217,6 +2217,31 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(_checksum, batch_format="pyarrow")
 
 
+def q_join_sample(sf_dir: str):
+    """Uniform sampling over a join WITHOUT materializing it (streaming
+    sampling-over-joins, EDBT'23 shape): 200 (event_a, event_b) pairs
+    drawn uniformly from the 677k-tuple self-join of events on user_id.
+    Two bounded count exchanges + driver prefix sums + one rank-targeted
+    pass per side — the join itself never exists. Deterministic draws →
+    the twin reproduces the exact sample."""
+    from pyrosar_ray.stages.join import equi_join_sample
+
+    ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def _rn(name):
+        def _f(batch: pa.Table) -> pa.Table:
+            return pa.table({"user_id": batch["user_id"], name: batch["event_id"]})
+
+        return _f
+
+    left = ev.map_batches(_rn("event_a"), batch_format="pyarrow")
+    right = ev.map_batches(_rn("event_b"), batch_format="pyarrow")
+    return equi_join_sample(
+        left, right, on="user_id", n_samples=200,
+        left_id="event_a", right_id="event_b",
+    )
+
+
 def q_video_gif_frames(sf_dir: str):
     """Frame sampling through the REAL GIF codec: constant-fill frames
     encode as animated GIF (LZW, palette = the fills), decode back to
@@ -3131,6 +3156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_power_iter": q_embed_power_iter,
         "doc_langid_int": q_doc_langid_int,
         "video_gif_frames": q_video_gif_frames,
+        "join_sample": q_join_sample,
     }
 
 
@@ -4719,6 +4745,45 @@ def oracle_sql() -> dict[str, str]:
                    (144 * ((doc_id + f) % 251))::BIGINT AS checksum
             FROM documents, range(9) AS t(f)
             WHERE f < (4 + doc_id % 5) AND f % 2 = 0
+        """,
+        "join_sample": """
+            WITH ca AS (
+                SELECT user_id AS k, COUNT(*)::BIGINT AS ca
+                FROM events GROUP BY 1
+            ),
+            w AS (SELECT k, ca, (ca * ca)::BIGINT AS w FROM ca),
+            ord AS (
+                SELECT k, ca, w,
+                       (SUM(w) OVER (ORDER BY k) - w)::BIGINT AS lo
+                FROM w
+            ),
+            tot AS (SELECT SUM(w)::BIGINT AS tw FROM w),
+            draws AS (
+                SELECT s::BIGINT AS s,
+                       (((s + 1) * 2654435761) % 4294967296)
+                           % (SELECT tw FROM tot) AS u
+                FROM range(200) t(s)
+            ),
+            hit AS (
+                SELECT d.s, o.k, o.ca, (d.u - o.lo)::BIGINT AS off
+                FROM draws d
+                JOIN ord o ON d.u >= o.lo AND d.u < o.lo + o.w
+            ),
+            pick AS (
+                SELECT s, k, (off % ca) AS ia, (off // ca) AS ib FROM hit
+            ),
+            ar AS (
+                SELECT user_id AS k, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                       ) - 1 AS r
+                FROM events
+            )
+            SELECT p.s AS sample_id, p.k AS key,
+                   a.event_id AS event_a, b.event_id AS event_b
+            FROM pick p
+            JOIN ar a ON a.k = p.k AND a.r = p.ia
+            JOIN ar b ON b.k = p.k AND b.r = p.ib
         """,
         "raster_info": """
             SELECT o_orderkey AS image_id,

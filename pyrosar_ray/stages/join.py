@@ -127,3 +127,112 @@ def equi_join(
         return out.select(all_cols)
 
     return tagged.groupby(_PART).map_groups(_local, batch_format="pyarrow")
+
+
+def equi_join_sample(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    n_samples: int,
+    left_id: str,
+    right_id: str,
+    right_on: str | None = None,
+) -> "pa.Table":
+    """Uniform sample of ``n_samples`` tuples from the equi-join
+    ``left ⋈ right`` WITHOUT materializing the join (the streaming
+    sampling-over-joins pattern, e.g. EDBT'23 "Streaming Weighted
+    Sampling over Join Queries").
+
+    A join tuple under key k is a pair (a ∈ A_k, b ∈ B_k); the join has
+    W = Σ_k |A_k|·|B_k| tuples. Instead of producing W rows and
+    sampling, the plan is:
+
+    1. ONE bounded count exchange per side (key-cardinality-sized).
+    2. Driver: prefix sums over w_k = |A_k|·|B_k| (exact Python ints);
+       ``n_samples`` deterministic draws u_s = ((s+1)·2654435761 mod
+       2³²) mod W (the engine's shared Knuth mix — hash-uniform with
+       mod bias ≤ W/2³²; W < 2³² is the documented domain, chain a
+       second mix past it) locate (key, i_a = off mod |A_k|,
+       i_b = off div |A_k|) by binary search.
+    3. Each side streams ONCE: broadcast target-key filter, per-key
+       rank by the id column (mergesort on the sampled keys only),
+       emit the ranked rows — the exchange is bounded by the rows of
+       SAMPLED keys, never W.
+
+    Deterministic end-to-end → the DuckDB twin reproduces the exact
+    sample; output (sample_id, key, left_id, right_id), n_samples rows.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from . import table_from_pandas
+
+    right_on = right_on or on
+    ca_rows = left.groupby(on).aggregate(Count()).take_all()
+    cb_rows = right.groupby(right_on).aggregate(Count()).take_all()
+    ca = {int(r[on]): int(r["count()"]) for r in ca_rows}
+    cb = {int(r[right_on]): int(r["count()"]) for r in cb_rows}
+    keys = sorted(k for k in ca if k in cb)
+    if not keys:
+        raise ValueError("empty join: no shared keys")
+    w = [ca[k] * cb[k] for k in keys]
+    prefix = np.cumsum([0] + w)
+    total = int(prefix[-1])
+    if total >= 1 << 32:
+        raise NotImplementedError(
+            f"join size {total} exceeds the 2^32 draw domain; chain a "
+            "second mix stage for larger joins"
+        )
+
+    targets_a: dict[int, list[tuple[int, int]]] = {}
+    targets_b: dict[int, list[tuple[int, int]]] = {}
+    picks = []
+    for s in range(n_samples):
+        u = int(((s + 1) * 2654435761) % (1 << 32)) % total
+        ki = int(np.searchsorted(prefix, u, side="right")) - 1
+        k = keys[ki]
+        off = u - int(prefix[ki])
+        ia = off % ca[k]
+        ib = off // ca[k]
+        targets_a.setdefault(k, []).append((s, ia))
+        targets_b.setdefault(k, []).append((s, ib))
+        picks.append((s, k))
+
+    def _ranked(ds: Dataset, key_col: str, id_col: str, targets: dict) -> pd.DataFrame:
+        import ray
+
+        tref = ray.put(targets)
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            tgt = ray.get(tref)
+            keys_np = batch[key_col].to_numpy()
+            mask = np.isin(keys_np, np.fromiter(tgt.keys(), dtype=np.int64))
+            return batch.filter(pa.array(mask))
+
+        def _pick(group: pd.DataFrame) -> pd.DataFrame:
+            tgt = ray.get(tref)
+            k = int(group[key_col].iloc[0])
+            ordered = group[id_col].sort_values(kind="mergesort").to_numpy()
+            rows = [
+                {"s": s, "key": k, id_col: int(ordered[rank])}
+                for s, rank in tgt.get(k, [])
+            ]
+            return pd.DataFrame(rows, columns=["s", "key", id_col])
+
+        out = (
+            ds.select_columns([key_col, id_col])
+            .map_batches(_filter, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(_pick, batch_format="pandas")
+            .to_pandas()  # n_samples rows — bounded epilogue
+        )
+        return out
+
+    a = _ranked(left, on, left_id, targets_a)
+    b = _ranked(right, right_on, right_id, targets_b)
+    merged = a.merge(b[["s", right_id]], on="s").sort_values("s", ignore_index=True)
+    merged = merged.rename(columns={"s": "sample_id"})
+    return table_from_pandas(
+        merged[["sample_id", "key", left_id, right_id]].astype(np.int64)
+    )

@@ -179,3 +179,47 @@ def test_equi_join_extreme_key_skew():
     )
     assert len(out) == n_hot * 20 + n_cold
     pd.testing.assert_frame_equal(out[["k", "a", "b"]], exp)
+
+
+def test_equi_join_sample_uniform_without_materializing():
+    """Sampling over a join: every sampled pair is a REAL join tuple,
+    the draw sequence is deterministic, and the sample matches a
+    brute-force materialized-join reference exactly."""
+    from pyrosar_ray.stages.join import equi_join_sample
+
+    rng = np.random.RandomState(0)
+    n = 300
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 12, n), "a_id": np.arange(1000, 1000 + n, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.randint(0, 12, n), "b_id": np.arange(5000, 5000 + n, dtype=np.int64)}
+    )
+    out = equi_join_sample(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(4),
+        on="k",
+        n_samples=50,
+        left_id="a_id",
+        right_id="b_id",
+    ).to_pandas()
+    assert len(out) == 50 and out["sample_id"].tolist() == list(range(50))
+
+    # brute-force reference: enumerate the join, replay the same draws
+    keys = sorted(set(left["k"]) & set(right["k"]))
+    ca = left.groupby("k").size().to_dict()
+    cb = right.groupby("k").size().to_dict()
+    w = [ca[k] * cb[k] for k in keys]
+    prefix = np.cumsum([0] + w)
+    total = int(prefix[-1])
+    a_sorted = {k: sorted(left[left["k"] == k]["a_id"]) for k in keys}
+    b_sorted = {k: sorted(right[right["k"] == k]["b_id"]) for k in keys}
+    for s in range(50):
+        u = int(((s + 1) * 2654435761) % (1 << 32)) % total
+        ki = int(np.searchsorted(prefix, u, side="right")) - 1
+        k = keys[ki]
+        off = u - int(prefix[ki])
+        row = out.iloc[s]
+        assert row["key"] == k
+        assert row["a_id"] == a_sorted[k][off % ca[k]]
+        assert row["b_id"] == b_sorted[k][off // ca[k]]
