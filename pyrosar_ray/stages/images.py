@@ -49,6 +49,15 @@ def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from ..functions.gif import decode_gif
 
         return decode_gif(blob)
+    if fmt in ("tiff", "tif"):
+        from ..functions.tiff import decode_geotiff
+
+        arr = np.moveaxis(decode_geotiff(blob)["data"], 0, 2)
+        if arr.dtype != np.uint8:  # image use: clip numeric bands to 8-bit
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        if arr.shape[2] == 1:
+            return np.repeat(arr, 3, axis=2)
+        return arr[:, :, :3]
     try:  # pragma: no cover - PIL absent in this container
         import io
 

@@ -147,3 +147,24 @@ def test_write_rasters_gtiff(ray_session, tmp_path):
     got = decode_geotiff(open(manifest["path"][0], "rb").read())
     assert np.array_equal(got["data"][0], data.reshape(12, 8))
     assert got["nodata"] == -32768.0
+
+
+def test_decode_image_dispatches_tiff():
+    """uint8 multi-band GeoTIFF rows decode through the image stage."""
+    import numpy as np
+
+    from pyrosar_ray.functions.tiff import encode_geotiff
+    from pyrosar_ray.stages.images import decode_image
+
+    rng = np.random.RandomState(8)
+    arr = rng.randint(0, 256, (3, 12, 20)).astype(np.uint8)  # (bands, h, w)
+    blob = encode_geotiff(arr, ulx=0.0, uly=0.0, xres=1.0, yres=1.0)
+    out = decode_image(blob, 20, 12, "tiff")
+    assert out.shape == (12, 20, 3)
+    assert np.array_equal(out, np.moveaxis(arr, 0, 2))
+    # single-band float32 rasters clip + replicate to RGB
+    f = (rng.rand(6, 7) * 300).astype(np.float32)
+    blob2 = encode_geotiff(f[None], ulx=0.0, uly=0.0, xres=1.0, yres=1.0)
+    out2 = decode_image(blob2, 7, 6, "tif")
+    assert out2.shape == (6, 7, 3)
+    assert np.array_equal(out2[:, :, 0], np.clip(f, 0, 255).astype(np.uint8))
