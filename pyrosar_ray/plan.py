@@ -131,48 +131,65 @@ class Plan:
 
 
 def group_by_workers(plan: Plan, n: int = 2) -> list[list[str]]:
-    """Chunk the worker chain into groups of ≤ n workers, reproducing the
-    reference's co-location and Read/Write/BandSelect attachment rules."""
+    """Partition the worker chain into execution groups of ≤ n workers
+    with the reference's semantics (groupbyWorkers, snap/auxil.py:699):
+    co-located operators never START a group, and each group carries the
+    Read/Write/BandSelect nodes it touches.
+
+    The algorithm here is boundary advancement over the chain (not the
+    reference's list surgery): chunk boundaries start at multiples of
+    ``n``; for each co-locate class, in declared order, every boundary
+    slides forward past the run of that class sitting on it (sliding a
+    boundary = moving those workers into the preceding group — in a
+    chain their source IS the chain predecessor, asserted below).
+    Boundaries that reach the end or collide simply vanish (empty
+    groups drop). BandSelect nodes then splice in after their source,
+    readers before their consumer, writers after theirs.
+    """
     workers = [x.id for x in plan if x.operator not in _PASSTHROUGH]
-    readers = [x.id for x in plan if x.operator == "Read"]
+    if not workers:
+        return []
+    readers = {x.id for x in plan if x.operator == "Read"}
     writers = [x.id for x in plan if x.operator == "Write"]
     selects = [x.id for x in plan if x.operator == "BandSelect"]
-    groups = [workers[i : i + n] for i in range(0, len(workers), n)]
+    chain_pos = {wid: i for i, wid in enumerate(workers)}
 
-    def move_group(operator: str) -> None:
-        i = 0
-        while i < len(groups):
-            if groups[i][0].startswith(operator):
-                source = plan[groups[i][0]].sources[0]
-                source_group = [source in g for g in groups].index(True)
-                groups[source_group].append(groups[i][0])
-                del groups[i][0]
-            if len(groups[i]) == 0:
-                del groups[i]
-            else:
-                i += 1
+    bounds = list(range(n, len(workers), n))
+    for op_class in CO_LOCATE:
+        moved = []
+        for b in bounds:
+            while b < len(workers) and workers[b].startswith(op_class):
+                src = plan[workers[b]].sources[0]
+                if chain_pos.get(src) != b - 1:
+                    raise NotImplementedError(
+                        f"co-located {workers[b]!r} does not follow its "
+                        "source in the worker chain; branched co-location "
+                        "needs the general grouping"
+                    )
+                b += 1
+            if b < len(workers):
+                moved.append(b)
+        bounds = sorted(set(moved))
 
-    for operator in CO_LOCATE:
-        move_group(operator)
+    cuts = [0, *bounds, len(workers)]
+    groups = [list(workers[a:b]) for a, b in zip(cuts, cuts[1:])]
 
-    for item in selects:
-        source = plan[item].sources[0]
+    for sel in selects:
+        src = plan[sel].sources[0]
         for group in groups:
-            if source in group:
-                group.insert(group.index(source) + 1, item)
+            if src in group:
+                group.insert(group.index(src) + 1, sel)
 
-    out = []
+    out: list[list[str]] = []
     for group in groups:
-        newgroup: list[str] = []
-        for worker in group:
-            newgroup.append(worker)
-            for src in plan[worker].sources:
+        assembled: list[str] = []
+        for wid in group:
+            for src in plan[wid].sources:
                 if src in readers:
-                    newgroup.insert(newgroup.index(worker), src)
-            for writer in writers:
-                if plan[writer].sources == [worker]:
-                    newgroup.append(writer)
-        out.append(newgroup)
+                    assembled.append(src)
+            assembled.append(wid)
+            assembled.extend(w for w in writers if plan[w].sources == [wid])
+        out.append(assembled)
     return out
 
 
