@@ -61,3 +61,72 @@ def test_mp4_frames_roundtrip_any_sizes(frames, fps, spc):
     assert info["n_frames"] == len(frames)
     assert info["n_chunks"] == (len(frames) + spc - 1) // spc
     assert extract_frames(blob, range(len(frames))) == frames
+
+
+# ------------------------------------------------------------ image codecs
+
+_dims = st.integers(min_value=1, max_value=40)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _dims, _dims,
+    st.sampled_from([1, 2, 3, 4]),
+    st.sampled_from(["uint8", "uint16"]),
+    st.integers(min_value=0, max_value=4),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_lossless_any_shape_depth_filter_layout(h, w, c, dt, ft, il, seed):
+    """PNG identity law: any shape × channels × depth × filter ×
+    interlace round-trips exactly."""
+    from pyrosar_ray.functions.png import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    hi = 256 if dt == "uint8" else 65536
+    arr = rng.randint(0, hi, (h, w, c)).astype(dt)
+    out = decode_png(encode_png(arr, filter_type=ft, interlace=il))
+    want = arr[:, :, 0] if c == 1 else arr
+    assert out.dtype == want.dtype and np.array_equal(out, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _dims, _dims,
+    st.integers(min_value=1, max_value=256),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_lossless_any_palette(h, w, ncolors, il, seed):
+    """GIF identity law: any ≤256-color image round-trips exactly in
+    both scan layouts (exercises LZW width growth on large palettes)."""
+    from pyrosar_ray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3)).astype(np.uint8)
+    arr = pal[rng.randint(0, ncolors, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(arr, interlace=il)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=33),
+    st.integers(min_value=1, max_value=33),
+    st.sampled_from(["4:4:4", "4:2:0"]),
+    st.integers(min_value=5, max_value=98),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_any_input(h, w, sub, q, seed):
+    """JPEG layout-equivalence law: for ANY input and quality, the
+    progressive and baseline streams decode to identical pixels."""
+    from pyrosar_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(arr, quality=q, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(arr, quality=q, subsampling=sub))
+    assert np.array_equal(base, prog)
