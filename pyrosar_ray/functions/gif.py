@@ -33,17 +33,25 @@ def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
-    # bit reader: LSB-first within bytes
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
-    pos = 0
+    # classic LSB-first bit accumulator (a numpy slice per code is ~4x
+    # slower at GIF's typical 3-9 bit widths)
+    buf = 0
+    nbits = 0
+    bytepos = 0
+    nbytes = len(data)
 
     def read_code() -> int:
-        nonlocal pos
-        chunk = bits[pos : pos + width]
-        pos += width
-        if len(chunk) == 0:
+        nonlocal buf, nbits, bytepos
+        while nbits < width and bytepos < nbytes:
+            buf |= data[bytepos] << nbits
+            bytepos += 1
+            nbits += 8
+        if nbits == 0:
             return eoi  # truncated stream: treat as end
-        return int((chunk * (1 << np.arange(len(chunk)))).sum())
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits = max(0, nbits - width)
+        return code
 
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     out = bytearray()
