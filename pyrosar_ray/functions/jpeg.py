@@ -204,45 +204,68 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int
 
 
 class _BitReader:
-    """MSB-first reader over stuffing-stripped entropy bytes."""
+    """MSB-first reader over stuffing-stripped entropy bytes.
 
-    __slots__ = ("bits", "pos")
+    Classic byte-fed bit accumulator — ~3x faster than indexing an
+    unpacked numpy bit array one scalar at a time (the Huffman walk is
+    the scalar-Python hot spot of the decoder)."""
+
+    __slots__ = ("data", "nbytes", "bytepos", "buf", "nbits")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
+        self.data = data
+        self.nbytes = len(data)
+        self.bytepos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need and self.bytepos < self.nbytes:
+            self.buf = (self.buf << 8) | self.data[self.bytepos]
+            self.bytepos += 1
+            self.nbits += 8
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
-            return 0  # past-the-end pad bits (spec: fill with 1s; 0 also safe here)
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
+        if self.nbits == 0:
+            self._fill(1)
+            if self.nbits == 0:
+                return 0  # past-the-end pad (spec: 1s; 0 also safe here)
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
-        end = self.pos + n
-        chunk = self.bits[self.pos : end]
-        self.pos = end
-        v = 0
-        for b in chunk:
-            v = (v << 1) | int(b)
-        v <<= max(0, n - len(chunk))
+        self._fill(n)
+        if self.nbits >= n:
+            self.nbits -= n
+            return (self.buf >> self.nbits) & ((1 << n) - 1)
+        # stream end: take what's left, zero-pad at the low end
+        v = (self.buf & ((1 << self.nbits) - 1)) << (n - self.nbits)
+        self.buf = 0
+        self.nbits = 0
         return v
 
     def decode(self, table: _HuffDecoder) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            if table.maxcode[length] >= code >= self.mn(table, length):
-                return table.vals[table.valptr[length] + code - table.mincode[length]]
+        # peek 16 bits once and walk lengths arithmetically (F.2.2.3):
+        # one fill + integer compares instead of a read_bit call per bit
+        self._fill(16)
+        avail = self.nbits
+        if avail >= 16:
+            window = (self.buf >> (avail - 16)) & 0xFFFF
+        else:
+            window = (self.buf << (16 - avail)) & 0xFFFF  # zero-pad past end
+        maxcode = table.maxcode
+        mincode = table.mincode
+        for length in range(1, 17):
+            code = window >> (16 - length)
+            mc = maxcode[length]
+            if mc >= 0 and mincode[length] <= code <= mc:
+                take = min(length, avail)
+                self.nbits = avail - take
+                self.buf &= (1 << self.nbits) - 1
+                return table.vals[table.valptr[length] + code - mincode[length]]
         raise ValueError("corrupt JPEG: Huffman code longer than 16 bits")
-
-    @staticmethod
-    def mn(table: _HuffDecoder, length: int) -> int:
-        return table.mincode[length] if table.maxcode[length] >= 0 else 1 << 30
 
 
 def _extend(v: int, size: int) -> int:
