@@ -126,34 +126,48 @@ class BitReader:
     """Bit reader over an unpacked bit array (fast unary via argmax)."""
 
     def __init__(self, data: bytes, start_byte: int = 0):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.data = data
+        self.nbits_total = len(data) * 8
         self.pos = start_byte * 8
-        self._ones = np.flatnonzero(self.bits)
+        self._ones = np.flatnonzero(
+            np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        ).tolist()
+        self._cur = 0  # amortized unary cursor (pos only ever advances)
 
     def read(self, nbits: int) -> int:
+        # one int.from_bytes window per call (the per-bit Python loop was
+        # the rice-residual hot path); works for any width
         if nbits == 0:
             return 0
-        chunk = self.bits[self.pos : self.pos + nbits]
-        if len(chunk) < nbits:
+        pos = self.pos
+        end = pos + nbits
+        if end > self.nbits_total:
             raise ValueError("flac: bitstream exhausted")
-        self.pos += nbits
-        val = 0
-        for b in chunk.tolist():
-            val = (val << 1) | b
-        return val
+        first = pos >> 3
+        last = (end + 7) >> 3
+        window = int.from_bytes(self.data[first:last], "big")
+        self.pos = end
+        return (window >> ((last << 3) - end)) & ((1 << nbits) - 1)
 
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
         return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
 
     def read_unary(self) -> int:
-        i = np.searchsorted(self._ones, self.pos)
-        if i >= len(self._ones):
+        # cursor walk instead of a searchsorted per call: pos only
+        # advances, so the total walk is O(#one-bits) per stream
+        ones = self._ones
+        cur = self._cur
+        n = len(ones)
+        pos = self.pos
+        while cur < n and ones[cur] < pos:
+            cur += 1
+        if cur >= n:
             raise ValueError("flac: unary ran off stream")
-        t = int(self._ones[i])
-        q = t - self.pos
+        t = ones[cur]
+        self._cur = cur + 1
         self.pos = t + 1
-        return q
+        return t - pos
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
