@@ -155,28 +155,37 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
             recon = np.cumsum(row, axis=0, dtype=np.int64) & 0xFF
         elif f == 2:  # Up
             recon = (row + prev) & 0xFF
-        elif f == 3:  # Average — left dependency forces an x walk
-            recon = np.empty((w, bpp), dtype=np.int16)
-            left = np.zeros(bpp, dtype=np.int16)
-            pv = prev.astype(np.int16)
-            for x in range(w):
-                left = (row[x] + (left + pv[x]) // 2) & 0xFF
-                recon[x] = left
-        elif f == 4:  # Paeth
-            recon = np.empty((w, bpp), dtype=np.int16)
-            left = np.zeros(bpp, dtype=np.int16)
-            ul = np.zeros(bpp, dtype=np.int16)
-            pv = prev.astype(np.int16)
-            for x in range(w):
-                u = pv[x]
-                p = left + u - ul
-                pa_, pb, pc_ = np.abs(p - left), np.abs(p - u), np.abs(p - ul)
-                pred = np.where(
-                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, u, ul)
-                )
-                left = (row[x] + pred) & 0xFF
-                recon[x] = left
-                ul = u
+        elif f == 3:  # Average — left dependency forces a byte walk;
+            # flat Python ints are ~20x faster than per-pixel numpy
+            # scalars (the spec's filters are byte-wise at bpp offsets)
+            rl = row.ravel().tolist()
+            pv = prev.ravel().tolist()
+            nb = w * bpp
+            out_row = [0] * nb
+            for x in range(nb):
+                a = out_row[x - bpp] if x >= bpp else 0
+                out_row[x] = (rl[x] + ((a + pv[x]) >> 1)) & 0xFF
+            recon = np.array(out_row, dtype=np.int16).reshape(w, bpp)
+        elif f == 4:  # Paeth — same flat byte walk
+            rl = row.ravel().tolist()
+            pv = prev.ravel().tolist()
+            nb = w * bpp
+            out_row = [0] * nb
+            for x in range(nb):
+                a = out_row[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                cc = pv[x - bpp] if x >= bpp else 0
+                pa_ = abs(b - cc)          # |p - a| with p = a + b - c
+                pb_ = abs(a - cc)          # |p - b|
+                pc_ = abs(a + b - 2 * cc)  # |p - c|
+                if pa_ <= pb_ and pa_ <= pc_:
+                    pred = a
+                elif pb_ <= pc_:
+                    pred = b
+                else:
+                    pred = cc
+                out_row[x] = (rl[x] + pred) & 0xFF
+            recon = np.array(out_row, dtype=np.int16).reshape(w, bpp)
         else:
             raise ValueError(f"bad PNG filter type {f} on row {y}")
         prev = recon.astype(np.uint8)
