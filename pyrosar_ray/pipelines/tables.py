@@ -45,6 +45,15 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kw) -> Dat
     ``ray.data.read_parquet``.
     """
     kw.setdefault("_block_udf", _strip_block_metadata)
+    # GRAFT_READ_BLOCKS forces the read's block count — the
+    # determinism-harness knob: every hash-twin query must produce the
+    # identical canonical hash at ANY block count (cluster-size
+    # independence, tested in tests/test_determinism.py)
+    import os
+
+    ov = os.environ.get("GRAFT_READ_BLOCKS")
+    if ov and "override_num_blocks" not in kw:
+        kw["override_num_blocks"] = int(ov)
     return ray.data.read_parquet(path, columns=columns, **kw)
 
 

@@ -1,0 +1,53 @@
+"""Engine-wide block-count determinism harness.
+
+The hash-twin contract implies a stronger property than matching DuckDB
+once: every query's canonical result must be IDENTICAL at any input
+partitioning — that is what makes N-node and 4N-node clusters produce
+the same answer. This harness forces two different read block counts
+through the engine-wide read entry point (GRAFT_READ_BLOCKS, honored by
+``read_parquet_clean``) and compares canonical value hashes across a
+sample of queries covering the main physical patterns: bounded groupby
+(tile_counts), corpus top-k (doc_term_topk), sessionization stitch
+(sessionize), join + row-local hash split (doc_split_leakfree),
+row-local argmin (image_aspect_buckets) and integer sufficient
+statistics (events_zscore).
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+QUERIES = [
+    "tile_counts",
+    "doc_term_topk",
+    "sessionize",
+    "doc_split_leakfree",
+    "image_aspect_buckets",
+    "events_zscore",
+]
+
+
+def _canonical_hash(result) -> int:
+    df = result.to_pandas() if hasattr(result, "to_pandas") else result
+    df = df[sorted(df.columns)].sort_values(
+        list(sorted(df.columns)), ignore_index=True
+    )
+    from pandas.util import hash_pandas_object
+
+    return int(hash_pandas_object(df, index=False).sum())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_hash_is_block_count_invariant(name, sf_dir):
+    import __ray_entry__ as entry
+
+    q = entry.queries()[name]
+    hashes = {}
+    for blocks in ("2", "16"):
+        os.environ["GRAFT_READ_BLOCKS"] = blocks
+        try:
+            hashes[blocks] = _canonical_hash(q(sf_dir))
+        finally:
+            os.environ.pop("GRAFT_READ_BLOCKS", None)
+    assert hashes["2"] == hashes["16"], (name, hashes)
