@@ -5,6 +5,9 @@ contract's tones: these run a few hundred random cases per law with
 shrinking, complementing the closed-form goldens.
 """
 
+import struct
+import zlib
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -130,3 +133,75 @@ def test_jpeg_progressive_equals_baseline_any_input(h, w, sub, q, seed):
     base = decode_jpeg(encode_jpeg(arr, quality=q, subsampling=sub))
     prog = decode_jpeg(encode_jpeg_progressive(arr, quality=q, subsampling=sub))
     assert np.array_equal(base, prog)
+
+
+# ------------------------------------------------------- corrupt-blob fuzz
+
+_CONTROLLED = (ValueError, NotImplementedError, KeyError, IndexError,
+               EOFError, OverflowError, MemoryError, struct.error, zlib.error)
+
+
+def _decoders():
+    from pyrosar_ray.functions.flac import decode_flac
+    from pyrosar_ray.functions.gif import decode_gif
+    from pyrosar_ray.functions.jpeg import decode_jpeg
+    from pyrosar_ray.functions.mp4 import parse_mp4
+    from pyrosar_ray.functions.png import decode_png
+    from pyrosar_ray.functions.wav import decode_wav
+
+    return {
+        "png": decode_png,
+        "jpeg": decode_jpeg,
+        "gif": decode_gif,
+        "flac": decode_flac,
+        "wav": decode_wav,
+        "mp4": parse_mp4,
+    }
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.sampled_from(
+    ["png", "jpeg", "gif", "flac", "wav", "mp4"]))
+def test_decoders_reject_random_bytes_loudly(blob, which):
+    """At corpus scale corrupt blobs are a certainty: every decoder must
+    either parse or raise a CONTROLLED exception — never hang, crash the
+    interpreter, or loop."""
+    try:
+        _decoders()[which](blob)
+    except _CONTROLLED:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from(["png", "jpeg", "gif", "flac", "wav"]),
+    st.floats(min_value=0.05, max_value=0.98),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_decoders_survive_truncation(which, frac, seed):
+    """Truncating a VALID stream anywhere either decodes (tail pad
+    semantics) or raises controlled — the half-written-object-store
+    case."""
+    rng = np.random.RandomState(seed)
+    if which == "png":
+        from pyrosar_ray.functions.png import encode_png
+
+        blob = encode_png(rng.randint(0, 256, (9, 7, 3)).astype(np.uint8))
+    elif which == "jpeg":
+        from pyrosar_ray.functions.jpeg import encode_jpeg
+
+        blob = encode_jpeg(rng.randint(0, 256, (9, 7, 3)).astype(np.uint8))
+    elif which == "gif":
+        from pyrosar_ray.functions.gif import encode_gif
+
+        pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+        blob = encode_gif(pal[rng.randint(0, 4, (9, 7))])
+    elif which == "flac":
+        blob = encode_flac(rng.randint(-999, 999, 300).astype(np.int16), 8000)
+    else:
+        blob = encode_wav(rng.randint(-999, 999, 300).astype(np.int16), 8000)
+    cut = blob[: max(1, int(len(blob) * frac))]
+    try:
+        _decoders()[which](cut)
+    except _CONTROLLED:
+        pass
