@@ -95,27 +95,53 @@ class ImageFeatures:
     Stateful setup (the thumbnail geometry) happens once per actor; each
     __call__ handles one Arrow batch. Output keeps ``caption``
     unchanged — the per-row caption byte-equality invariant.
+
+    ``on_error='skip'`` is the corpus-scale policy (the reference's
+    ``identify`` swallow-failures contract, drivers.py:69-120): a
+    corrupt blob drops its ROW instead of killing the task→retry→job
+    chain, and every skip is counted on the cluster-wide metrics
+    collector under ``image_features/corrupt_rows``. The default stays
+    strict — correctness gates must not mask decode bugs as skips.
     """
 
-    def __init__(self, thumb: int = 8):
+    def __init__(self, thumb: int = 8, on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be 'raise' or 'skip'")
         self.thumb = thumb
+        self.skip = on_error == "skip"
+        self.collector = None
+        if self.skip:
+            from ..state.metrics import get_collector
+
+            self.collector = get_collector()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         fmts = batch["fmt"].to_pylist()
-        means, stds, phashes, thumbs = [], [], [], []
-        for blob, w, h, fmt in zip(blobs, ws, hs, fmts):
-            arr = decode_image(blob, int(w), int(h), fmt)
+        means, stds, phashes, thumbs, keep = [], [], [], [], []
+        n_bad = 0
+        for i, (blob, w, h, fmt) in enumerate(zip(blobs, ws, hs, fmts)):
+            try:
+                arr = decode_image(blob, int(w), int(h), fmt)
+            except Exception:
+                if not self.skip:
+                    raise
+                n_bad += 1
+                continue
+            keep.append(i)
             means.append(float(arr.mean()))
             stds.append(float(arr.std()))
             phashes.append(average_phash(arr))
             thumbs.append(block_mean_resize(arr, self.thumb, self.thumb).tobytes())
+        if n_bad and self.collector is not None:
+            self.collector.add.remote("image_features", "corrupt_rows", float(n_bad))
+        base = batch if not self.skip else batch.take(keep)
         return pa.table(
             {
-                "image_id": batch["image_id"],
-                "caption": batch["caption"],
+                "image_id": base["image_id"],
+                "caption": base["caption"],
                 "mean_px": pa.array(means, type=pa.float64()),
                 "std_px": pa.array(stds, type=pa.float64()),
                 "phash": pa.array(phashes, type=pa.int64()),
@@ -124,13 +150,19 @@ class ImageFeatures:
         )
 
 
-def image_features(images: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+def image_features(
+    images: Dataset,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    on_error: str = "raise",
+) -> Dataset:
     """Run the decode/feature stage as an actor pool (setup once per actor)."""
     return images.map_batches(
         ImageFeatures,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
+        fn_constructor_kwargs={"on_error": on_error},
     )
 
 

@@ -580,3 +580,45 @@ def test_power_iteration_int_converges_and_is_exact():
     out2 = power_iteration_int(rd.from_pandas(pd.DataFrame(neg)), dim=2, iters=10)
     vals = out2.to_pandas().sort_values("dim_idx")["v"].tolist()
     assert min(vals) < 0 < max(vals)  # mixed-sign dominant eigenvector
+
+
+def test_image_features_skip_policy_counts_corrupt_rows(sf_dir):
+    """on_error='skip': poisoned blobs drop their rows (job survives)
+    and the cluster-wide collector counts them; default stays strict."""
+    import ray
+
+    from pyrosar_ray.sources.images import images_from_documents
+    from pyrosar_ray.stages.images import image_features
+    from pyrosar_ray.state import metrics
+
+    imgs = images_from_documents(sf_dir).limit(40)
+
+    def _poison(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = [
+            b"\x89PNG\r\n\x1a\ngarbage" if int(i[4:]) % 5 == 0 else b
+            for i, b in zip(ids, batch["bytes"].to_pylist())
+        ]
+        fmts = [
+            "png" if int(i[4:]) % 5 == 0 else f
+            for i, f in zip(ids, batch["fmt"].to_pylist())
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("bytes"), "bytes",
+            pa.array(blobs, type=pa.binary()),
+        ).set_column(
+            batch.schema.get_field_index("fmt"), "fmt",
+            pa.array(fmts, type=pa.string()),
+        )
+
+    poisoned = imgs.map_batches(_poison, batch_format="pyarrow")
+    metrics.reset()
+    out = image_features(poisoned, on_error="skip").to_pandas()
+    n_bad = sum(1 for i in range(1, 41) if i % 5 == 0)
+    assert len(out) == 40 - n_bad
+    assert metrics.snapshot()["image_features/corrupt_rows"] == n_bad
+    # strict default: the same corpus raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        image_features(poisoned).to_pandas()
