@@ -17,15 +17,39 @@ from ..sources.audio import decode_audio
 
 
 class AudioFeatures:
-    """Actor-pool stage: decode → duration / peak / RMS / zero-crossings."""
+    """Actor-pool stage: decode → duration / peak / RMS / zero-crossings.
+
+    ``on_error='skip'`` mirrors the image stage's corpus-scale policy:
+    a corrupt clip drops its row (counted under
+    ``audio_features/corrupt_rows`` on the cluster-wide collector)
+    instead of failing the job; the default stays strict.
+    """
+
+    def __init__(self, on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be 'raise' or 'skip'")
+        self.skip = on_error == "skip"
+        self.collector = None
+        if self.skip:
+            from ..state.metrics import get_collector
+
+            self.collector = get_collector()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         rates = batch["rate"].to_pylist()
-        n_samples, duration_ms, peak, rms, zcr = [], [], [], [], []
-        for blob, fmt, rate in zip(blobs, fmts, rates):
-            pcm = decode_audio(blob, fmt).astype(np.float64)
+        n_samples, duration_ms, peak, rms, zcr, keep = [], [], [], [], [], []
+        n_bad = 0
+        for i, (blob, fmt, rate) in enumerate(zip(blobs, fmts, rates)):
+            try:
+                pcm = decode_audio(blob, fmt).astype(np.float64)
+            except Exception:
+                if not self.skip:
+                    raise
+                n_bad += 1
+                continue
+            keep.append(i)
             n = len(pcm)
             n_samples.append(n)
             duration_ms.append(n * 1000.0 / rate)
@@ -33,9 +57,12 @@ class AudioFeatures:
             rms.append(float(np.sqrt((pcm**2).mean())) if n else 0.0)
             signs = np.signbit(pcm)
             zcr.append(int((signs[1:] != signs[:-1]).sum()) if n > 1 else 0)
+        if n_bad and self.collector is not None:
+            self.collector.add.remote("audio_features", "corrupt_rows", float(n_bad))
+        base = batch if not self.skip else batch.take(keep)
         return pa.table(
             {
-                "audio_id": batch["audio_id"],
+                "audio_id": base["audio_id"],
                 "n_samples": pa.array(n_samples, type=pa.int64()),
                 "duration_ms": pa.array(duration_ms, type=pa.float64()),
                 "peak": pa.array(peak, type=pa.float64()),
@@ -45,13 +72,19 @@ class AudioFeatures:
         )
 
 
-def audio_features(clips: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+def audio_features(
+    clips: Dataset,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    on_error: str = "raise",
+) -> Dataset:
     """Per-clip audio features over a binary PCM column."""
     return clips.map_batches(
         AudioFeatures,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
+        fn_constructor_kwargs={"on_error": on_error},
     )
 
 

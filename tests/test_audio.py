@@ -74,3 +74,41 @@ def test_frame_energies_fanout():
     # matches a direct per-frame computation
     direct = np.round((pcm.astype(np.float64)[:1024] ** 2).mean(), 4)
     assert out["energy"].iloc[0] == direct
+
+
+def test_audio_features_skip_policy(sf_dir):
+    """on_error='skip': corrupt clips drop and count; default raises."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from pyrosar_ray.sources.audio import audio_from_documents
+    from pyrosar_ray.stages.audio import audio_features
+    from pyrosar_ray.state import metrics
+
+    clips = audio_from_documents(sf_dir).limit(30)
+
+    def _poison(batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"].to_pylist()
+        fmts = [
+            "flac" if int(i.split("-")[-1]) % 6 == 0 else f
+            for i, f in zip(ids, batch["fmt"].to_pylist())
+        ]
+        blobs = [
+            b"fLaCgarbage" if int(i.split("-")[-1]) % 6 == 0 else b
+            for i, b in zip(ids, batch["bytes"].to_pylist())
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("bytes"), "bytes",
+            pa.array(blobs, type=pa.binary()),
+        ).set_column(
+            batch.schema.get_field_index("fmt"), "fmt",
+            pa.array(fmts, type=pa.string()),
+        )
+
+    poisoned = clips.map_batches(_poison, batch_format="pyarrow")
+    metrics.reset()
+    out = audio_features(poisoned, on_error="skip").to_pandas()
+    n_bad = metrics.snapshot().get("audio_features/corrupt_rows", 0)
+    assert n_bad >= 1 and len(out) == 30 - n_bad
+    with _pytest.raises(Exception):
+        audio_features(poisoned).to_pandas()
