@@ -205,3 +205,17 @@ def test_decoders_survive_truncation(which, frac, seed):
         _decoders()[which](cut)
     except _CONTROLLED:
         pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(min_value=0.05, max_value=0.98),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_mp4_parse_survives_truncation(frac, seed):
+    rng = np.random.RandomState(seed)
+    frames = [rng.bytes(40) for _ in range(4)]
+    blob = encode_mp4(frames, 4, 2, 10)
+    cut = blob[: max(1, int(len(blob) * frac))]
+    try:
+        parse_mp4(cut)
+    except _CONTROLLED:
+        pass
