@@ -2217,6 +2217,32 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(_checksum, batch_format="pyarrow")
 
 
+def q_embed_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: each query's top-10 most
+    similar OTHER-class neighbors (corpus rows sharing the query's
+    label are masked before ranking). Same broadcast + one matmul per
+    batch as embed_topk, one extra int compare per pair — the standard
+    contrastive-training data op, hash-checked."""
+    import pyarrow.parquet as _pq
+
+    from pyrosar_ray.stages.ann import brute_force_topk
+
+    tab = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = tab["vec_id"].to_numpy()
+    keep = ids % 50 == 0
+    emb = np.asarray(tab["embedding"].combine_chunks().flatten()).reshape(len(ids), -1)
+    labels = tab["label"].to_numpy().astype(np.int64)
+    corpus = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return brute_force_topk(
+        corpus, ids[keep], emb[keep].astype(np.float64), k=10,
+        query_labels=labels[keep],
+    )
+
+
 def q_join_sample(sf_dir: str):
     """Uniform sampling over a join WITHOUT materializing it (streaming
     sampling-over-joins, EDBT'23 shape): 200 (event_a, event_b) pairs
@@ -3157,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid_int": q_doc_langid_int,
         "video_gif_frames": q_video_gif_frames,
         "join_sample": q_join_sample,
+        "embed_hard_negatives": q_embed_hard_negatives,
     }
 
 
@@ -5661,6 +5688,24 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY list_cosine_similarity(q.qe, e.ee) DESC, e.vec_id
                        ) AS rank
                 FROM q, e WHERE e.vec_id <> q.query_id
+            ) WHERE rank <= 10
+        """,
+        "embed_hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, label AS ql,
+                       embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id % 50 = 0
+            ), e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, e.ee) DESC, e.vec_id
+                       ) AS rank
+                FROM q, e
+                WHERE e.vec_id <> q.query_id AND e.label <> q.ql
             ) WHERE rank <= 10
         """,
         "embed_neardup": """

@@ -42,18 +42,29 @@ def brute_force_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exclude_self: bool = True,
+    query_labels: np.ndarray | None = None,
+    label_col: str = "label",
 ) -> Dataset:
     """Cosine top-k neighbors per query: rows (query_id, neighbor_id, rank).
 
     Ties broken by ascending neighbor id (deterministic across cluster
     sizes). Returns exactly k rows per query (fewer if the corpus is
     smaller).
+
+    ``query_labels`` turns the search into HARD-NEGATIVE MINING for
+    contrastive training: corpus rows sharing the query's label are
+    masked out, so the result is each query's most similar
+    OTHER-class neighbors — same broadcast + one-matmul-per-batch plan,
+    one extra int compare per (row, query) pair.
     """
-    qref = ray.put((np.asarray(query_ids, dtype=np.int64), _normalize(query_matrix)))
+    qlab = None if query_labels is None else np.asarray(query_labels, dtype=np.int64)
+    qref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), _normalize(query_matrix), qlab)
+    )
 
     class _Partial:
         def __init__(self):
-            self.qids, self.qmat = ray.get(qref)
+            self.qids, self.qmat, self.qlabels = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
@@ -69,6 +80,9 @@ def brute_force_topk(
             sims = emb @ self.qmat.T  # (batch, nq)
             if exclude_self:
                 sims[ids[:, None] == self.qids[None, :]] = -np.inf
+            if self.qlabels is not None:
+                lab = batch[label_col].to_numpy().astype(np.int64)
+                sims[lab[:, None] == self.qlabels[None, :]] = -np.inf
             kk = min(k, sims.shape[0])
             # per-query partial top-k within this batch
             part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
@@ -86,7 +100,8 @@ def brute_force_topk(
                 }
             )
 
-    partials = corpus.select_columns([id_col, emb_col]).map_batches(
+    cols = [id_col, emb_col] + ([label_col] if query_labels is not None else [])
+    partials = corpus.select_columns(cols).map_batches(
         _Partial, batch_format="pyarrow", concurrency=(1, 4)
     )
 

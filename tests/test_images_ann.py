@@ -622,3 +622,38 @@ def test_image_features_skip_policy_counts_corrupt_rows(sf_dir):
 
     with _pytest.raises(Exception):
         image_features(poisoned).to_pandas()
+
+
+def test_hard_negative_mining_excludes_same_label():
+    """Label masking: no returned neighbor shares the query's label, and
+    among other-class rows the ranking equals plain brute force."""
+    from pyrosar_ray.stages.ann import brute_force_topk, _normalize
+
+    rng = np.random.RandomState(4)
+    n, dim = 120, 8
+    mat = rng.standard_normal((n, dim))
+    labels = (np.arange(n) % 3).astype(np.int64)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+            "label": pa.array(labels),
+        }
+    )
+    qids = np.array([0, 31], dtype=np.int64)
+    out = (
+        brute_force_topk(
+            ray.data.from_arrow(tab).repartition(4), qids, mat[qids], k=5,
+            query_labels=labels[qids],
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    norm = _normalize(mat)
+    for q in qids:
+        got = out[out["query_id"] == q]["neighbor_id"].to_numpy()
+        assert all(labels[g] != labels[q] for g in got)
+        sims = norm @ norm[q]
+        cand = [i for i in range(n) if labels[i] != labels[q]]
+        want = sorted(cand, key=lambda i: (-sims[i], i))[:5]
+        assert got.tolist() == want
