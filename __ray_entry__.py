@@ -2402,6 +2402,19 @@ def q_audio_flac_meta(sf_dir: str):
     return flac_meta(flac_audio_from_documents(sf_dir))
 
 
+def q_audio_adpcm_meta(sf_dir: str):
+    """IMA-ADPCM (WAVE 0x0011) parse + full 4-bit quantizer decode per
+    clip. The twin recomputes container/block arithmetic from the
+    synthesis contract; ``recon_ok`` compares decoded PCM against the
+    encoder's embedded reconstruction MD5 — the lossy-codec analogue of
+    FLAC's STREAMINFO check, TRUE only when the step-table state machine
+    is bit-exact."""
+    from pyrosar_ray.sources.audio import adpcm_audio_from_documents
+    from pyrosar_ray.stages.audio import adpcm_meta
+
+    return adpcm_meta(adpcm_audio_from_documents(sf_dir))
+
+
 def q_audio_features(sf_dir: str):
     """Full per-clip features (peak/RMS/zero-crossings). No SQL twin:
     the waveform reductions are float libm math — rows-only by design."""
@@ -3184,6 +3197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_gif_frames": q_video_gif_frames,
         "join_sample": q_join_sample,
         "embed_hard_negatives": q_embed_hard_negatives,
+        "audio_adpcm_meta": q_audio_adpcm_meta,
     }
 
 
@@ -5044,6 +5058,21 @@ def oracle_sql() -> dict[str, str]:
                          WHEN 2 THEN 15 ELSE 10 END)::DOUBLE AS duration_ms,
                    (144 * ((doc_id * 31) % 251))::BIGINT AS frame0_sum
             FROM documents
+        """,
+        "audio_adpcm_meta": """
+            SELECT 'ima-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,
+                   'ima_adpcm' AS codec,
+                   4::BIGINT AS bits,
+                   64::BIGINT AS block_align,
+                   ((8000 + (doc_id % 37) * 160 + 120) // 121)::BIGINT
+                       AS n_blocks,
+                   (8000 + (doc_id % 37) * 160)::BIGINT AS n_samples,
+                   (8000 + (doc_id % 37) * 160)::BIGINT AS n_decoded,
+                   TRUE AS recon_ok,
+                   (84 + 64 * ((8000 + (doc_id % 37) * 160 + 120) // 121))::BIGINT
+                       AS container_bytes,
+                   (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "audio_wav_meta": """
             SELECT 'wav-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,

@@ -30,8 +30,14 @@ import numpy as np
 WAVE_PCM = 0x0001
 WAVE_ALAW = 0x0006
 WAVE_ULAW = 0x0007
+WAVE_IMA_ADPCM = 0x0011
 
-_FMT_NAMES = {WAVE_PCM: "pcm", WAVE_ALAW: "alaw", WAVE_ULAW: "ulaw"}
+_FMT_NAMES = {
+    WAVE_PCM: "pcm",
+    WAVE_ALAW: "alaw",
+    WAVE_ULAW: "ulaw",
+    WAVE_IMA_ADPCM: "ima_adpcm",
+}
 
 # --------------------------------------------------------------------------
 # G.711 companding (µ-law BIAS 0x84 / 14-bit, A-law 13-bit segment law)
@@ -88,16 +94,35 @@ def encode_wav(
     rate: int,
     codec: str = "pcm16",
     extra_chunk: bytes | None = None,
+    ima_block: int = 64,
 ) -> bytes:
     """int16 mono PCM → WAV bytes in the requested on-disk codec.
 
-    ``codec``: ``pcm16`` | ``pcm8`` (unsigned, 8-bit) | ``ulaw`` | ``alaw``.
-    Compressed/8-bit forms carry the spec-required ``fact`` chunk
-    (dwSampleLength) and the 18-byte fmt chunk with cbSize=0.
+    ``codec``: ``pcm16`` | ``pcm8`` (unsigned, 8-bit) | ``ulaw`` | ``alaw``
+    | ``ima`` (IMA/DVI ADPCM, format 0x0011, ``ima_block`` bytes per
+    block). Compressed/8-bit forms carry the spec-required ``fact``
+    chunk (dwSampleLength) and the 18-byte fmt chunk with cbSize=0; IMA
+    uses the 20-byte fmt (cbSize=2, wSamplesPerBlock).
     ``extra_chunk``, when given, is inserted verbatim before ``data`` to
     exercise reader skip logic (a fully-formed chunk incl. header).
     """
     pcm = np.asarray(pcm, dtype=np.int16)
+    if codec == "ima":
+        from .adpcm import adpcm_encode, samples_per_block
+
+        payload, _ = adpcm_encode(pcm, ima_block)
+        spb = samples_per_block(ima_block)
+        byte_rate = (rate * ima_block + spb - 1) // spb
+        fmt_chunk = struct.pack(
+            "<4sIHHIIHHHH",
+            b"fmt ", 20, WAVE_IMA_ADPCM, 1, rate, byte_rate, ima_block, 4, 2, spb,
+        )
+        fact = struct.pack("<4sII", b"fact", 4, len(pcm))
+        data = struct.pack("<4sI", b"data", len(payload)) + payload
+        if len(payload) % 2:
+            data += b"\x00"
+        body = b"WAVE" + fmt_chunk + fact + (extra_chunk or b"") + data
+        return struct.pack("<4sI", b"RIFF", len(body)) + body
     if codec == "pcm16":
         fmt_code, bits, payload = WAVE_PCM, 16, pcm.astype("<i2").tobytes()
     elif codec == "pcm8":
@@ -170,6 +195,10 @@ def parse_wav(blob: bytes) -> dict:
             )
         elif cid == b"fact":
             info["fact_samples"] = struct.unpack_from("<I", blob, body)[0]
+        elif cid == b"md5 ":
+            # engine sidecar: digest of the decoded PCM (lossy-codec
+            # bit-exactness pin, the FLAC STREAMINFO-MD5 analogue)
+            info["md5"] = blob[body : body + csize]
         elif cid == b"data":
             info["data_offset"] = body
             info["data_size"] = csize
@@ -179,7 +208,15 @@ def parse_wav(blob: bytes) -> dict:
         raise ValueError("missing fmt chunk")
     if "data_offset" not in info:
         raise ValueError("missing data chunk")
-    info["n_samples"] = info["data_size"] // info["block_align"]
+    if info["fmt_code"] == WAVE_IMA_ADPCM:
+        from .adpcm import samples_per_block
+
+        carried = info["data_size"] // info["block_align"] * samples_per_block(
+            info["block_align"]
+        )
+        info["n_samples"] = info.get("fact_samples", carried)
+    else:
+        info["n_samples"] = info["data_size"] // info["block_align"]
     return info
 
 
@@ -202,6 +239,15 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         pcm = ulaw_expand(np.frombuffer(raw, dtype=np.uint8))
     elif code == WAVE_ALAW:
         pcm = alaw_expand(np.frombuffer(raw, dtype=np.uint8))
+    elif code == WAVE_IMA_ADPCM:
+        from .adpcm import adpcm_decode
+
+        if info["channels"] != 1:
+            raise ValueError("IMA ADPCM decode is mono-only here")
+        return (
+            adpcm_decode(raw, info["block_align"], info.get("fact_samples")),
+            info["rate"],
+        )
     else:
         raise ValueError(f"unsupported wav format code 0x{code:04x} / {bits} bits")
     if info["channels"] != 1:

@@ -150,6 +150,50 @@ def flac_audio_from_documents(sf_dir: str):
     return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
 
 
+ADPCM_BLOCK = 64
+
+
+def synth_adpcm(doc_id: int) -> bytes:
+    """Deterministic IMA-ADPCM WAV for an id: the synth tone compressed
+    4:1 with a ``md5 `` sidecar chunk carrying the digest of the
+    decoder's expected PCM — the lossy-codec analogue of FLAC's
+    STREAMINFO MD5, so the correctness gate pins decode bit-exactness
+    even though the codec itself is lossy."""
+    import hashlib
+
+    from ..functions.adpcm import adpcm_encode
+    from ..functions.wav import encode_wav
+
+    pcm = synth_audio(doc_id)
+    _, recon = adpcm_encode(pcm, ADPCM_BLOCK)
+    digest = hashlib.md5(recon.astype("<i2").tobytes()).digest()
+    sidecar = b"md5 " + (16).to_bytes(4, "little") + digest
+    return encode_wav(pcm, SAMPLE_RATE, "ima", extra_chunk=sidecar, ima_block=ADPCM_BLOCK)
+
+
+def adpcm_audio_from_documents(sf_dir: str):
+    """One IMA-ADPCM WAV row per ODD document id (the even ids carry the
+    FLAC slice — together the two compressed codecs tile the corpus)."""
+    import pyarrow.compute as pc
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 1))
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "audio_id": pa.array([f"ima-{i:012d}" for i in ids], type=pa.string()),
+                "bytes": pa.array([synth_adpcm(i) for i in ids], type=pa.binary()),
+                "rate": pa.array([SAMPLE_RATE] * len(ids), type=pa.int32()),
+                "fmt": pa.array(["wav"] * len(ids), type=pa.string()),
+                "caption": batch["text"],
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
+
+
 def wav_audio_from_documents(sf_dir: str):
     """One synthetic WAV-container row per document (audio_id, bytes,
     fmt='wav', caption) — the real-container twin of

@@ -179,6 +179,63 @@ class FlacMeta:
         )
 
 
+class AdpcmMeta:
+    """Actor-pool stage: IMA-ADPCM WAV parse + full decode per clip.
+
+    ``recon_ok`` compares the decoded PCM's MD5 against the stream's
+    ``md5 `` sidecar chunk (written by the encoder from its internal
+    reconstruction) — any quantizer/step-table/nibble-order bug flips a
+    hash-checked boolean even though the codec is lossy.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..functions.wav import decode_wav, parse_wav
+
+        cols = {k: [] for k in (
+            "codec", "bits", "block_align", "n_blocks", "n_samples",
+            "n_decoded", "recon_ok", "container_bytes", "duration_ms",
+        )}
+        for blob in batch["bytes"].to_pylist():
+            info = parse_wav(blob)
+            pcm, rate = decode_wav(blob)
+            digest = hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+            cols["codec"].append(info["codec"])
+            cols["bits"].append(info["bits"])
+            cols["block_align"].append(info["block_align"])
+            cols["n_blocks"].append(info["data_size"] // info["block_align"])
+            cols["n_samples"].append(info["n_samples"])
+            cols["n_decoded"].append(len(pcm))
+            cols["recon_ok"].append(digest == info.get("md5"))
+            cols["container_bytes"].append(len(blob))
+            cols["duration_ms"].append(len(pcm) * 1000.0 / rate)
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "codec": pa.array(cols["codec"], type=pa.string()),
+                "bits": pa.array(cols["bits"], type=pa.int64()),
+                "block_align": pa.array(cols["block_align"], type=pa.int64()),
+                "n_blocks": pa.array(cols["n_blocks"], type=pa.int64()),
+                "n_samples": pa.array(cols["n_samples"], type=pa.int64()),
+                "n_decoded": pa.array(cols["n_decoded"], type=pa.int64()),
+                "recon_ok": pa.array(cols["recon_ok"], type=pa.bool_()),
+                "container_bytes": pa.array(cols["container_bytes"], type=pa.int64()),
+                "duration_ms": pa.array(cols["duration_ms"], type=pa.float64()),
+            }
+        )
+
+
+def adpcm_meta(clips: Dataset, concurrency=(1, 8), batch_size: int = 64) -> Dataset:
+    """Per-clip IMA-ADPCM verification + metadata."""
+    return clips.map_batches(
+        AdpcmMeta,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 def flac_meta(clips: Dataset, concurrency=(1, 8), batch_size: int = 64) -> Dataset:
     """Per-clip FLAC stream verification + metadata."""
     return clips.map_batches(
