@@ -4873,6 +4873,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN ident % 7 = 0 THEN 'png'
                             WHEN ident % 11 = 0 THEN 'jpeg'
                             WHEN ident % 13 = 0 THEN 'gif'
+                            WHEN ident % 17 = 0 THEN 'qoi'
                             ELSE 'raw' END AS fmt,
                        text AS caption
                 FROM ident
@@ -5489,6 +5490,8 @@ def oracle_sql() -> dict[str, str]:
                               ELSE doc_id END) % 11 = 0 THEN 'jpeg'
                         WHEN (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
                               ELSE doc_id END) % 13 = 0 THEN 'gif'
+                        WHEN (CASE WHEN doc_id % 10 = 9 THEN doc_id - 1
+                              ELSE doc_id END) % 17 = 0 THEN 'qoi'
                         ELSE 'raw' END AS fmt,
                    text AS caption
             FROM documents

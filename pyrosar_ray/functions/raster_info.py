@@ -228,6 +228,23 @@ def raster_info(blob: bytes | None = None, hdr_text: str | None = None) -> dict:
         from .gif import gif_info
 
         return gif_info(blob)
+    if blob[:4] == b"qoif":
+        from .qoi import parse_qoi_header
+
+        q = parse_qoi_header(blob)
+        return {
+            "driver": "QOI",
+            "samples": q["w"],
+            "lines": q["h"],
+            "bands": q["channels"],
+            "dtype": "uint8",
+            "projection": None,
+            "gcps": [],
+            "geotransform": None,
+            "nodata": None,
+            "band_names": None,
+            "extra": {"colorspace": q["colorspace"]},
+        }
     if blob[:4] == b"ENVI":
         return envi_info(blob.decode("utf-8", "replace"))
     raise ValueError(

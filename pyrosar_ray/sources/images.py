@@ -128,7 +128,11 @@ def images_from_documents(sf_dir: str, with_pixels: bool = True) -> Dataset:
                 np.where(
                     seeds % 11 == 0,
                     "jpeg",
-                    np.where(seeds % 13 == 0, "gif", "raw"),
+                    np.where(
+                        seeds % 13 == 0,
+                        "gif",
+                        np.where(seeds % 17 == 0, "qoi", "raw"),
+                    ),
                 ),
             ).astype(object)
             image_ids = np.array([f"img-{i:012d}" for i in ids], dtype=object)
@@ -188,6 +192,11 @@ def images_from_documents(sf_dir: str, with_pixels: bool = True) -> Dataset:
                 blobs.append(blob)
                 fmts.append("gif")
                 arr = decode_gif(blob)  # lossless here; keeps the contract
+            elif seed % 17 == 0:  # modern-lossless slice (qoi)
+                from ..functions.qoi import encode_qoi
+
+                blobs.append(encode_qoi(arr))
+                fmts.append("qoi")
             else:
                 blobs.append(arr.tobytes())
                 fmts.append("raw")

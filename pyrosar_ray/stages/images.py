@@ -49,6 +49,11 @@ def decode_image(blob: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from ..functions.gif import decode_gif
 
         return decode_gif(blob)
+    if fmt == "qoi":
+        from ..functions.qoi import decode_qoi
+
+        arr = decode_qoi(blob)
+        return arr[:, :, :3]
     if fmt in ("tiff", "tif"):
         from ..functions.tiff import decode_geotiff
 
