@@ -2402,6 +2402,23 @@ def q_audio_flac_meta(sf_dir: str):
     return flac_meta(flac_audio_from_documents(sf_dir))
 
 
+def q_doc_bpe(sf_dir: str):
+    """Real BPE tokenizer (Sennrich 2016): distributed word-frequency
+    reduction (partial counts → one vocab-sized groupby-Sum → bounded
+    top-V) → driver-side merge training on the bounded table → broadcast
+    ranks → actor-pool segmentation with per-worker word caches. No SQL
+    twin: the rank-priority iterative merge grammar is not expressible
+    in SQL (rows-only; the trainer and encoder are pinned by
+    hand-walked goldens and a single-process reference equality in
+    tests/test_bpe.py)."""
+    from pyrosar_ray.pipelines.tables import read_parquet_clean
+    from pyrosar_ray.stages.bpe import bpe_encode, learn_merges
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = learn_merges(docs, n_merges=150, max_vocab=20_000, sample_mod=3)
+    return bpe_encode(docs, merges)
+
+
 def q_audio_adpcm_meta(sf_dir: str):
     """IMA-ADPCM (WAVE 0x0011) parse + full 4-bit quantizer decode per
     clip. The twin recomputes container/block arithmetic from the
@@ -3198,6 +3215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_sample": q_join_sample,
         "embed_hard_negatives": q_embed_hard_negatives,
         "audio_adpcm_meta": q_audio_adpcm_meta,
+        "doc_bpe": q_doc_bpe,
     }
 
 
