@@ -2768,6 +2768,26 @@ def q_embed_ivf_topk(sf_dir: str):
     return ivf_topk(corpus, qids, qmat, k=10, ncells=16, nprobe=4)
 
 
+def q_embed_ivf_recall(sf_dir: str):
+    """Recall@10 of the IVF index against exact brute-force cosine —
+    the index-quality gate a production ANN deployment runs after a
+    build. Distributed end-to-end: both neighbor tables stream into the
+    engine's co-partitioned equi-join on a packed (query, neighbor)
+    key; the twin composes the two hash-checked neighbor SQLs with the
+    same LEFT JOIN + per-query count."""
+    import ray.data
+
+    from pyrosar_ray.stages.ann import ann_recall, brute_force_topk, ivf_topk
+
+    qids, qmat = _load_queries_matrix(sf_dir)
+    corpus = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = brute_force_topk(corpus, qids, qmat, k=10)
+    approx = ivf_topk(corpus, qids, qmat, k=10, ncells=16, nprobe=4)
+    return ann_recall(exact, approx, k=10)
+
+
 def q_ann_lsh_topk(sf_dir: str):
     """LSH-bucketed approximate cosine top-k. Rows-only: float32 hyperplanes."""
     import ray.data
@@ -3216,6 +3236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_hard_negatives": q_embed_hard_negatives,
         "audio_adpcm_meta": q_audio_adpcm_meta,
         "doc_bpe": q_doc_bpe,
+        "embed_ivf_recall": q_embed_ivf_recall,
     }
 
 
@@ -3917,7 +3938,32 @@ def _kmeans_int_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = "['the','a','of','and','to','in']"
+    exact_topk = """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id % 50 = 0
+            ), e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, e.ee) DESC, e.vec_id
+                       ) AS rank
+                FROM q, e WHERE e.vec_id <> q.query_id
+            ) WHERE rank <= 10
+    """
     return {
+        "embed_ivf_recall": f"""
+            WITH ex AS ({exact_topk}), iv AS ({_ivf_sql()})
+            SELECT ex.query_id,
+                   count(iv.neighbor_id)::BIGINT AS n_hits,
+                   count(iv.neighbor_id) / 10.0 AS recall
+            FROM ex LEFT JOIN iv
+              ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+            GROUP BY ex.query_id
+        """,
         "spatial_join": f"""
             {_SCENES}, points AS ({POINTS_SQL})
             SELECT s.scene_key, p.point_id

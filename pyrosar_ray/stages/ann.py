@@ -637,3 +637,76 @@ def power_iteration_int(
             {"dim_idx": np.arange(dim, dtype=np.int64), "v": np.array(v, dtype=np.int64)}
         )
     )
+
+
+def ann_recall(
+    exact: "Dataset",
+    approx: "Dataset",
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> "Dataset":
+    """Recall@k of an approximate neighbor table against the exact one.
+
+    Both inputs are (query_id, neighbor_id, ...) rank tables. The
+    intersection is computed with the engine's co-partitioned equi-join
+    on a packed (query, neighbor) key — ids must fit 31 bits each (the
+    engine's id convention; the pack is checked). Output: one row per
+    query, ``n_hits`` = |approx ∩ exact| and ``recall`` = n_hits / k.
+    Queries where the approximate index missed everything keep a row
+    with n_hits = 0 (left join from the exact side).
+
+    This is the index-quality gate a production ANN deployment runs
+    after building an IVF/LSH index: distributed, never materializes
+    either neighbor table on the driver.
+    """
+    import pyarrow.compute as pc
+
+    from .join import equi_join
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        q = batch[query_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch[neighbor_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(q) and (
+            q.max() >= 1 << 31 or n.max() >= 1 << 31 or q.min() < 0 or n.min() < 0
+        ):
+            raise ValueError("ann_recall packed key needs ids in [0, 2^31)")
+        return pa.table({"key": pa.array((q << 31) | n, type=pa.int64())})
+
+    def _pack_left(batch: pa.Table) -> pa.Table:
+        packed = _pack(batch)
+        return packed.append_column(query_col, batch[query_col])
+
+    def _pack_right(batch: pa.Table) -> pa.Table:
+        packed = _pack(batch)
+        return packed.append_column(
+            "hit", pa.array(np.ones(len(packed), dtype=np.int64))
+        )
+
+    left = exact.map_batches(_pack_left, batch_format="pyarrow")
+    right = approx.map_batches(_pack_right, batch_format="pyarrow")
+    joined = equi_join(left, right, on="key", how="left")
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        hit = pc.fill_null(batch["hit"], 0)
+        return pa.table({query_col: batch[query_col], "hit": hit})
+
+    from ray.data.aggregate import Sum
+
+    per_query = (
+        joined.map_batches(_fill, batch_format="pyarrow")
+        .groupby(query_col)
+        .aggregate(Sum("hit", alias_name="n_hits"))
+    )
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        n = batch["n_hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                query_col: batch[query_col],
+                "n_hits": pa.array(n, type=pa.int64()),
+                "recall": pa.array(n / float(k), type=pa.float64()),
+            }
+        )
+
+    return per_query.map_batches(_ratio, batch_format="pyarrow")
