@@ -1903,6 +1903,19 @@ def q_spatial_knn_hex(sf_dir: str):
     return spatial_knn(load_scenes(sf_dir), points, k=5, strategy="hex", res=1)
 
 
+def q_scene_overlap_area(sf_dir: str):
+    """Pairwise scene-footprint overlap areas in exact centidegree² —
+    the mosaicking/stack-planning statistic. One groupby(cell) exchange
+    over the bounded tile expansion; a pair spanning several tiles is
+    emitted exactly once by the tile owning the intersection's min
+    corner. Twin: the quadratic self-join with LEAST/GREATEST
+    centidegree arithmetic."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.spatial import footprint_overlap_pairs
+
+    return footprint_overlap_pairs(load_scenes(sf_dir))
+
+
 def q_spatial_knn_partitioned(sf_dir: str):
     """Large-large kNN: halo-replicated centroid co-partition + local
     rank kernel, broadcast fallback for the sparse unresolved tail —
@@ -3237,6 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_adpcm_meta": q_audio_adpcm_meta,
         "doc_bpe": q_doc_bpe,
         "embed_ivf_recall": q_embed_ivf_recall,
+        "scene_overlap_area": q_scene_overlap_area,
     }
 
 
@@ -3955,6 +3969,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
     """
     return {
+        "scene_overlap_area": f"""
+            {_SCENES}, c AS (
+                SELECT scene_key,
+                       CAST(round(xmin * 100) AS BIGINT) AS x0,
+                       CAST(round(xmax * 100) AS BIGINT) AS x1,
+                       CAST(round(ymin * 100) AS BIGINT) AS y0,
+                       CAST(round(ymax * 100) AS BIGINT) AS y1
+                FROM scenes
+            )
+            SELECT a.scene_key AS scene_a, b.scene_key AS scene_b,
+                   (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+                   * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS overlap_cd2
+            FROM c a JOIN c b ON a.scene_key < b.scene_key
+             AND a.x0 < b.x1 AND b.x0 < a.x1
+             AND a.y0 < b.y1 AND b.y0 < a.y1
+        """,
         "embed_ivf_recall": f"""
             WITH ex AS ({exact_topk}), iv AS ({_ivf_sql()})
             SELECT ex.query_id,

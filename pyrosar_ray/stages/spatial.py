@@ -640,3 +640,92 @@ def zorder_layout(
         return batch.append_column(key_col, pa.array(z))
 
     return ds.map_batches(_key, batch_format="pyarrow").sort(key_col)
+
+
+def footprint_overlap_pairs(scenes, min_pairs_cell_warn: int = 100_000):
+    """Pairwise scene-footprint overlap areas (exact centidegree²).
+
+    The mosaicking/stacking planning statistic (reference
+    Archive.select picks scenes per tile; a stack scheduler needs WHICH
+    scene pairs overlap and by HOW MUCH): every unordered scene pair
+    with a positive bbox intersection, with the intersection area in
+    integer centidegree² (coords are exact 0.01° multiples — same
+    quantization law as stages/tiling.tile_coverage).
+
+    Plan: flat-expand each bbox to its covered 1° tiles (bounded
+    fan-out), ONE groupby(cell) exchange, and a vectorized triangular
+    all-pairs test per cell. A pair co-located in several cells is
+    emitted exactly once — by the cell containing the intersection's
+    min corner (both bboxes necessarily cover that tile). Per-cell
+    candidate count bounds the quadratic term exactly like the jaccard
+    block contract; pre-partition on a finer grid if a cell runs hot.
+    """
+    import pandas as pd
+
+    from ..functions.tiles import expand_bbox_tiles
+    from .groups import typed_groups
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        row_idx, lat, lon = expand_bbox_tiles(xmin, xmax, ymin, ymax)
+        return pa.table(
+            {
+                "cell": pa.array((lat + 90) * 361 + (lon + 180)),
+                "scene_key": pa.array(batch["scene_key"].to_numpy()[row_idx]),
+                "cx0": pa.array(np.round(xmin * 100.0).astype(np.int64)[row_idx]),
+                "cx1": pa.array(np.round(xmax * 100.0).astype(np.int64)[row_idx]),
+                "cy0": pa.array(np.round(ymin * 100.0).astype(np.int64)[row_idx]),
+                "cy1": pa.array(np.round(ymax * 100.0).astype(np.int64)[row_idx]),
+            }
+        )
+
+    @typed_groups(
+        {
+            "scene_a": pa.int64(),
+            "scene_b": pa.int64(),
+            "overlap_cd2": pa.int64(),
+        }
+    )
+    def _pairs(group: "pd.DataFrame") -> "pd.DataFrame":
+        cell = int(group["cell"].iloc[0])
+        lon_c = (cell % 361 - 180) * 100
+        lat_c = (cell // 361 - 90) * 100
+        keys = group["scene_key"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        x0 = group["cx0"].to_numpy()[order]
+        x1 = group["cx1"].to_numpy()[order]
+        y0 = group["cy0"].to_numpy()[order]
+        y1 = group["cy1"].to_numpy()[order]
+        n = len(keys)
+        if n < 2:
+            return pd.DataFrame({"scene_a": [], "scene_b": [], "overlap_cd2": []})
+        ia, ib = np.triu_indices(n, k=1)
+        ox0 = np.maximum(x0[ia], x0[ib])
+        oy0 = np.maximum(y0[ia], y0[ib])
+        w = np.minimum(x1[ia], x1[ib]) - ox0
+        h = np.minimum(y1[ia], y1[ib]) - oy0
+        # positive intersection, owned by the min-corner's tile
+        own = (
+            (w > 0)
+            & (h > 0)
+            & (ox0 - lon_c >= 0)
+            & (ox0 - lon_c < 100)
+            & (oy0 - lat_c >= 0)
+            & (oy0 - lat_c < 100)
+        )
+        return pd.DataFrame(
+            {
+                "scene_a": keys[ia[own]],
+                "scene_b": keys[ib[own]],
+                "overlap_cd2": (w[own] * h[own]).astype(np.int64),
+            }
+        )
+
+    exploded = scenes.select_columns(
+        ["scene_key", "xmin", "ymin", "xmax", "ymax"]
+    ).map_batches(_explode, batch_format="pyarrow")
+    return exploded.groupby("cell").map_groups(_pairs, batch_format="pandas")
