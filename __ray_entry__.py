@@ -1916,6 +1916,38 @@ def q_scene_overlap_area(sf_dir: str):
     return footprint_overlap_pairs(load_scenes(sf_dir))
 
 
+def q_doc_global_rank(sf_dir: str):
+    """Exact corpus-wide ROW_NUMBER by (n_chars, doc_id) — the
+    curriculum-ordering / quality-percentile primitive — with NO global
+    sort: one bounded (score, id-range-bucket) count exchange whose
+    prefix sums broadcast as base offsets, then one rank exchange whose
+    group size is bounded at 2^shift BY CONSTRUCTION (an id-range
+    bucket preserves within-score order where a hash salt would not),
+    so a single dominant score value cannot create a hot group."""
+    from pyrosar_ray.stages.rank import global_rank
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return global_rank(docs, "n_chars", "doc_id", shift=8)
+
+
+def q_doc_checksums(sf_dir: str):
+    """Per-source order-insensitive content checksum — the anti-entropy
+    audit primitive behind resumable writes: XOR of per-row md5 lower-64
+    (DuckDB md5_number_lower parity), split into 32-bit halves so both
+    sides stay in non-negative BIGINT. XOR is block-structure- and
+    retry-order-independent and cannot overflow at any row count. The
+    merge runs through a custom AggregateFn (the engine's aggregate
+    extension point), block-vectorized over bounded per-batch partials."""
+    from pyrosar_ray.stages.checksum import source_checksums
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_checksums(docs, "source", "text")
+
+
 def q_spatial_knn_partitioned(sf_dir: str):
     """Large-large kNN: halo-replicated centroid co-partition + local
     rank kernel, broadcast fallback for the sparse unresolved tail —
@@ -3251,6 +3283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe": q_doc_bpe,
         "embed_ivf_recall": q_embed_ivf_recall,
         "scene_overlap_area": q_scene_overlap_area,
+        "doc_global_rank": q_doc_global_rank,
+        "doc_checksums": q_doc_checksums,
     }
 
 
@@ -3969,6 +4003,18 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
     """
     return {
+        "doc_checksums": """
+            SELECT source, COUNT(*) AS n,
+                   CAST(bit_xor(md5_number_lower(text) >> 32) AS BIGINT) AS xh,
+                   CAST(bit_xor(md5_number_lower(text) & 4294967295) AS BIGINT)
+                       AS xl
+            FROM documents GROUP BY source
+        """,
+        "doc_global_rank": """
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank
+            FROM documents
+        """,
         "scene_overlap_area": f"""
             {_SCENES}, c AS (
                 SELECT scene_key,
