@@ -159,6 +159,28 @@ def write_rasters(
     return rasters.map_batches(_write, batch_format="pyarrow")
 
 
+def mosaic_vrt(manifest: Dataset, vrtfile: str, extent: dict, **vrt_kwargs) -> str:
+    """VRT epilogue over a ``write_rasters(fmt='gtiff')`` manifest: one
+    small XML windowing every written tile into ``extent`` (the
+    reference builds exactly this after its tile downloads,
+    auxdata.py:532). Driver-side by design — a mosaic's manifest is
+    bounded by its tile count, and the reference's gdalbuildvrt call is
+    a driver epilogue too. Skipped (resumed) rows are included: their
+    files exist by the sink's idempotency contract.
+    """
+    from ..functions.vrt import build_vrt
+
+    rows = sorted(manifest.take_all(), key=lambda r: r["name"])
+    paths = [r["path"] for r in rows]
+    bad = [p for p in paths if not p.endswith(".tif")]
+    if bad:
+        raise ValueError(
+            f"mosaic_vrt needs a gtiff manifest; got {bad[0]!r} — "
+            "write_rasters(fmt='gtiff')"
+        )
+    return build_vrt(paths, vrtfile, extent, **vrt_kwargs)
+
+
 def write_products(
     bands: Dataset,
     out_dir: str,
