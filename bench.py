@@ -54,6 +54,8 @@ BENCH_QUERIES = (
     "image_patches",
     "doc_langid_int",
     "video_gif_frames",
+    "scene_overlap_area",
+    "doc_global_rank",
 )
 
 
