@@ -1948,6 +1948,42 @@ def q_doc_checksums(sf_dir: str):
     return source_checksums(docs, "source", "text")
 
 
+def q_join_skew_salted(sf_dir: str):
+    """Hot-key hybrid join under total skew: every event carries one of
+    50 cohort keys (each ~2% of the corpus — ALL heavy), so the plain
+    co-partition plan would stack the corpus onto 50 partitions. With
+    ``skew_threshold`` the probe rows salt round-robin across every
+    partition and the 50 build rows replicate — identical output rows
+    (the twin is the plain SQL join), balanced placement."""
+    from pyrosar_ray.stages.join import equi_join
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def _cohort(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "cohort": pa.array(batch["user_id"].to_numpy() % 50),
+            }
+        )
+
+    left = events.map_batches(_cohort, batch_format="pyarrow")
+    right = left.groupby("cohort").count().map_batches(
+        lambda b: pa.table(
+            {
+                "rcohort": b["cohort"],
+                "cohort_n": b["count()"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return equi_join(
+        left, right, on="cohort", right_on="rcohort", skew_threshold=1000
+    )
+
+
 def q_spatial_knn_partitioned(sf_dir: str):
     """Large-large kNN: halo-replicated centroid co-partition + local
     rank kernel, broadcast fallback for the sparse unresolved tail —
@@ -3285,6 +3321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_overlap_area": q_scene_overlap_area,
         "doc_global_rank": q_doc_global_rank,
         "doc_checksums": q_doc_checksums,
+        "join_skew_salted": q_join_skew_salted,
     }
 
 
@@ -4003,6 +4040,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
     """
     return {
+        "join_skew_salted": """
+            WITH e AS (
+                SELECT event_id, user_id % 50 AS cohort FROM events
+            ), d AS (
+                SELECT cohort, COUNT(*) AS cohort_n FROM e GROUP BY cohort
+            )
+            SELECT e.event_id, e.cohort, d.cohort_n
+            FROM e JOIN d USING (cohort)
+        """,
         "doc_checksums": """
             SELECT source, COUNT(*) AS n,
                    CAST(bit_xor(md5_number_lower(text) >> 32) AS BIGINT) AS xh,

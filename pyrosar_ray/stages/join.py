@@ -23,6 +23,47 @@ _SIDE = "__join_side"
 _PART = "__join_part"
 
 
+def detect_heavy_keys(
+    ds: Dataset, on: str, threshold: int, candidate_min: int | None = None
+) -> np.ndarray:
+    """Keys whose row count exceeds ``threshold`` (sorted int64 array).
+
+    Detection is a bounded two-stage sieve: each batch emits only keys
+    it sees at least ``candidate_min`` times (default ``threshold//64
+    + 1``), and a small groupby-Sum confirms the global count. A key
+    heavy overall but diluted below ``candidate_min`` in every batch
+    escapes detection — which degrades BALANCE, never correctness
+    (undetected keys just stay on the plain co-partition path), so the
+    sieve may be biased cheap. The confirmed exchange carries only
+    candidate keys, not the key domain.
+    """
+    from ray.data.aggregate import Sum
+
+    cmin = max(1, (threshold // 64) + 1 if candidate_min is None else candidate_min)
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[on].combine_chunks().cast(pa.int64()))
+        uk, counts = np.unique(keys, return_counts=True)
+        keep = counts >= cmin
+        return pa.table(
+            {"k": pa.array(uk[keep]), "n": pa.array(counts[keep].astype(np.int64))}
+        )
+
+    rows = (
+        ds.select_columns([on])
+        .map_batches(_cand, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    return np.sort(
+        np.array(
+            [int(r["k"]) for r in rows if int(r["n"]) > threshold],
+            dtype=np.int64,
+        )
+    )
+
+
 def equi_join(
     left: Dataset,
     right: Dataset,
@@ -30,6 +71,7 @@ def equi_join(
     right_on: str | None = None,
     num_partitions: int | None = None,
     how: str = "inner",
+    skew_threshold: int | None = None,
 ) -> Dataset:
     """Equi-join on one key column; output = key + both sides' columns.
 
@@ -49,9 +91,24 @@ def equi_join(
     misses; ``how='outer'`` keeps both sides' unmatched rows the same
     way. Dtypes survive exactly — a miss is an Arrow null, which only
     becomes NaN/float64 if the caller converts to pandas.
+
+    ``skew_threshold=N`` turns on the hybrid salted plan for hot keys:
+    left keys with more than N rows (bounded heuristic detection —
+    see :func:`detect_heavy_keys`) are salted round-robin across every
+    partition while the matching RIGHT rows replicate to all
+    partitions, so one dominant key costs each partition 1/nparts of
+    its probe rows plus one copy of its (assumed bounded) build rows —
+    instead of one partition holding the key's entire probe side.
+    Output rows are identical with or without salting; inner/left/anti
+    only (an outer join's unmatched replicated build row would emit
+    once per partition).
     """
     if how not in ("inner", "anti", "left", "outer"):
         raise ValueError("how must be 'inner', 'anti', 'left' or 'outer'")
+    if skew_threshold is not None and how == "outer":
+        # a replicated right row would emit its unmatched copy once per
+        # salt partition; outer keeps the plain co-partition plan
+        raise ValueError("skew salting supports inner/left/anti only")
     if num_partitions is None:
         from pyrosar_ray.stages.spatial import auto_num_partitions
 
@@ -76,23 +133,39 @@ def equi_join(
 
     mix = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci-hash partition spread
     n_parts = int(num_partitions)
+    hot = (
+        detect_heavy_keys(left, on, skew_threshold)
+        if skew_threshold is not None
+        else np.empty(0, dtype=np.int64)
+    )
 
-    def _part_ids(key_col: pa.ChunkedArray) -> pa.Array:
-        keys = np.asarray(key_col.combine_chunks().cast(pa.int64())).astype(
-            np.uint64
-        )
+    def _part_np(keys: np.ndarray) -> np.ndarray:
         with np.errstate(over="ignore"):
-            return pa.array(
-                ((keys * mix) >> np.uint64(40)).astype(np.int64)
-                % np.int64(n_parts)
-            )
+            return (
+                (keys.astype(np.uint64) * mix) >> np.uint64(40)
+            ).astype(np.int64) % np.int64(n_parts)
+
+    def _hot_mask(keys: np.ndarray) -> np.ndarray:
+        if not len(hot):
+            return np.zeros(len(keys), dtype=bool)
+        pos = np.searchsorted(hot, keys)
+        pos_c = np.minimum(pos, len(hot) - 1)
+        return hot[pos_c] == keys
 
     def _tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in l_cols}
         for c in r_value_cols:
             cols[c] = pa.nulls(len(batch), type=r_types[c])
         cols[_SIDE] = pa.array([0] * len(batch), type=pa.int8())
-        cols[_PART] = _part_ids(batch[on])
+        keys = np.asarray(batch[on].combine_chunks().cast(pa.int64()))
+        parts = _part_np(keys)
+        hm = _hot_mask(keys)
+        if hm.any():
+            # salt: spread a heavy key's probe rows round-robin across
+            # every partition (assignment never changes output rows,
+            # only placement, so any deterministic spread is valid)
+            parts[hm] = (keys[hm] + np.arange(int(hm.sum()))) % n_parts
+        cols[_PART] = pa.array(parts)
         return pa.table(cols)
 
     def _tag_right(batch: pa.Table) -> pa.Table:
@@ -103,8 +176,26 @@ def equi_join(
         for c in r_value_cols:
             cols[c] = batch[c]
         cols[_SIDE] = pa.array([1] * len(batch), type=pa.int8())
-        cols[_PART] = _part_ids(cols[on])
-        return pa.table({c: cols[c] for c in all_cols + [_SIDE, _PART]})
+        tab = pa.table({c: cols[c] for c in all_cols + [_SIDE]})
+        keys = np.asarray(tab[on].combine_chunks().cast(pa.int64()))
+        parts = _part_np(keys)
+        hm = _hot_mask(keys)
+        if not hm.any():
+            return tab.append_column(_PART, pa.array(parts))
+        # a heavy key's build rows replicate to EVERY salt partition so
+        # each salted probe row still sees the key's full build side
+        cold_idx = np.flatnonzero(~hm)
+        hot_idx = np.flatnonzero(hm)
+        take = np.concatenate([cold_idx, np.repeat(hot_idx, n_parts)])
+        parts_out = np.concatenate(
+            [
+                parts[cold_idx],
+                np.tile(np.arange(n_parts, dtype=np.int64), len(hot_idx)),
+            ]
+        )
+        return tab.take(pa.array(take)).append_column(
+            _PART, pa.array(parts_out)
+        )
 
     tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
         right.map_batches(_tag_right, batch_format="pyarrow")

@@ -223,3 +223,66 @@ def test_equi_join_sample_uniform_without_materializing():
         assert row["key"] == k
         assert row["a_id"] == a_sorted[k][off % ca[k]]
         assert row["b_id"] == b_sorted[k][off // ca[k]]
+
+
+def test_equi_join_salted_skew_exact():
+    """skew_threshold: the hot key's probe rows salt across partitions,
+    build rows replicate — output identical to the plain plan and to
+    pandas, for inner/left/anti."""
+    n_hot, n_cold = 3000, 60
+    left = pd.DataFrame(
+        {
+            "k": np.concatenate(
+                [np.full(n_hot, 7, np.int64), np.arange(100, 100 + n_cold)]
+            ),
+            "a": np.arange(n_hot + n_cold, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.concatenate(
+                [np.full(5, 7, np.int64), np.arange(130, 130 + n_cold)]
+            ),
+            "b": np.arange(5 + n_cold, dtype=np.int64),
+        }
+    )
+    lds = ray.data.from_pandas(left).repartition(8)
+    rds = ray.data.from_pandas(right).repartition(8)
+    for how in ("inner", "left", "anti"):
+        plain = (
+            equi_join(lds, rds, on="k", right_on="rk",
+                      num_partitions=6, how=how)
+            .to_pandas()
+            .sort_values(list(left.columns), ignore_index=True)
+        )
+        salted = (
+            equi_join(lds, rds, on="k", right_on="rk",
+                      num_partitions=6, how=how, skew_threshold=500)
+            .to_pandas()
+            .sort_values(list(left.columns), ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            salted.sort_index(axis=1), plain.sort_index(axis=1)
+        )
+
+
+def test_equi_join_salted_outer_rejected():
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "a": [1]}))
+    rs = ray.data.from_pandas(pd.DataFrame({"rk": [1], "b": [1]}))
+    with pytest.raises(ValueError, match="inner/left/anti"):
+        equi_join(ds, rs, on="k", right_on="rk", how="outer",
+                  skew_threshold=10)
+
+
+def test_detect_heavy_keys_sieve():
+    from pyrosar_ray.stages.join import detect_heavy_keys
+
+    df = pd.DataFrame(
+        {"k": np.concatenate([np.full(900, 3, np.int64),
+                              np.arange(50, dtype=np.int64)])}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    heavy = detect_heavy_keys(ds, "k", threshold=100)
+    assert list(heavy) == [3]
+    # below-threshold keys never detected
+    assert list(detect_heavy_keys(ds, "k", threshold=2000)) == []
