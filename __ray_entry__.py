@@ -1984,6 +1984,62 @@ def q_join_skew_salted(sf_dir: str):
     )
 
 
+def q_events_stats_incremental(sf_dir: str):
+    """Warehouse refresh: per-type stats folded from STORED partial
+    state + one pass over only the delta rows (event_id % 3 == 0), not
+    a corpus recompute — exact because the state is integer sufficient
+    statistics, whose merge is order-independent. The twin recomputes
+    over ALL events; equality proves agg(state ⊎ delta) == agg(all)
+    through the persisted-state path (atomic epoch parquet, idempotent
+    rerun)."""
+    import hashlib as _hl
+
+    from pyrosar_ray.stages.incremental import (
+        incremental_stats,
+        keyed_stats_partials,
+        write_state,
+    )
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    prepped = events.map_batches(_cents, batch_format="pyarrow")
+
+    def _old(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["event_id"].to_numpy() % 3 != 0))
+
+    def _new(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["event_id"].to_numpy() % 3 == 0))
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    state = write_state(
+        keyed_stats_partials(
+            prepped.map_batches(_old, batch_format="pyarrow"),
+            "event_type",
+            "cents",
+        ),
+        f"/tmp/pyrosar_ray_state/events_stats_{tag}.parquet",
+    )
+    return incremental_stats(
+        [state],
+        prepped.map_batches(_new, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+    )
+
+
 def q_spatial_knn_partitioned(sf_dir: str):
     """Large-large kNN: halo-replicated centroid co-partition + local
     rank kernel, broadcast fallback for the sparse unresolved tail —
@@ -3322,6 +3378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_global_rank": q_doc_global_rank,
         "doc_checksums": q_doc_checksums,
         "join_skew_salted": q_join_skew_salted,
+        "events_stats_incremental": q_events_stats_incremental,
     }
 
 
@@ -4040,6 +4097,17 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
     """
     return {
+        "events_stats_incremental": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sum_c,
+                   MIN(c) AS min_c, MAX(c) AS max_c
+            FROM e GROUP BY event_type
+        """,
         "join_skew_salted": """
             WITH e AS (
                 SELECT event_id, user_id % 50 AS cohort FROM events
