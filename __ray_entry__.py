@@ -2040,6 +2040,39 @@ def q_events_stats_incremental(sf_dir: str):
     )
 
 
+def q_join_bloom_inner(sf_dir: str):
+    """Runtime-filtered selective join: ~1% of users form the dim side,
+    so a fixed-size bloom over the build keys (broadcast once, no false
+    negatives) drops ~99% of probe rows BEFORE the co-partition
+    exchange — the shuffle carries survivors only. The twin is the
+    plain SQL join: exactness is the contract, the bloom only moves
+    the filter ahead of the exchange."""
+    from pyrosar_ray.stages.membership import bloom_inner_join
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def _vip(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["user_id"].to_numpy() % 97 == 0))
+
+    dim = (
+        events.map_batches(_vip, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "user_n": b["count()"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return bloom_inner_join(events, dim, on="user_id")
+
+
 def q_spatial_knn_partitioned(sf_dir: str):
     """Large-large kNN: halo-replicated centroid co-partition + local
     rank kernel, broadcast fallback for the sparse unresolved tail —
@@ -3379,6 +3412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_checksums": q_doc_checksums,
         "join_skew_salted": q_join_skew_salted,
         "events_stats_incremental": q_events_stats_incremental,
+        "join_bloom_inner": q_join_bloom_inner,
     }
 
 
@@ -4097,6 +4131,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
     """
     return {
+        "join_bloom_inner": """
+            WITH d AS (
+                SELECT user_id, COUNT(*) AS user_n FROM events
+                WHERE user_id % 97 = 0 GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id, d.user_n
+            FROM events e JOIN d USING (user_id)
+        """,
         "events_stats_incremental": """
             WITH e AS (
                 SELECT event_type,

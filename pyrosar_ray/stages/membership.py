@@ -77,20 +77,27 @@ def build_bloom(
 
 class BloomFilterNew:
     """Actor stage: keep rows whose id is GUARANTEED absent from the
-    reference set (at least one of its k bits unset)."""
+    reference set (at least one of its k bits unset) — or, with
+    ``keep='maybe'``, the complement (rows that MIGHT be members; the
+    inner-join runtime-filter side, where dropping a provable
+    non-member is exact and a false positive just rides along)."""
 
-    def __init__(self, bloom_ref, id_col: str):
+    def __init__(self, bloom_ref, id_col: str, keep: str = "absent"):
+        if keep not in ("absent", "maybe"):
+            raise ValueError("keep must be 'absent' or 'maybe'")
         b = ray.get(bloom_ref)
         self.bits = b["bits"]
         self.m_bits = b["m_bits"]
         self.k = b["k"]
         self.id_col = id_col
+        self.keep_maybe = keep == "maybe"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].combine_chunks().cast(pa.int64()))
         pos = bloom_positions(ids, self.m_bits, self.k)
         maybe_member = self.bits[pos].all(axis=1)
-        return batch.filter(pa.array(~maybe_member))
+        keep = maybe_member if self.keep_maybe else ~maybe_member
+        return batch.filter(pa.array(keep))
 
 
 def bloom_new_rows(
@@ -157,4 +164,45 @@ def bloom_anti_join(
     cand_cols = [c for c in (candidates.schema().names or [])]
     return sure_new.select_columns(cand_cols).union(
         verified_new.select_columns(cand_cols)
+    )
+
+
+def bloom_inner_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: "str | None" = None,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    num_partitions: "int | None" = None,
+    concurrency=(1, 8),
+) -> Dataset:
+    """EXACT inner join with a runtime bloom filter on the probe side —
+    the Spark-runtime-filter / sideways-information-passing shape.
+
+    The build side's keys fold to a fixed-size bit set (broadcast
+    once); probe rows whose key is PROVABLY absent (≥1 unset bit) drop
+    before the co-partition exchange, so the shuffle carries only rows
+    that might match. Bloom filters have no false negatives, hence no
+    matching row is ever dropped; false positives ride into the exact
+    join and miss there. Wins whenever the join is selective (dim-table
+    joins, id-subset enrichment): the exchange shrinks from |probe| to
+    ~|matching| + ε·|probe|.
+    """
+    from .join import equi_join
+
+    right_key = right_on or on
+    bloom_ref, _ = build_bloom(
+        right.select_columns([right_key]), right_key, m_bits, k
+    )
+    filtered = left.map_batches(
+        BloomFilterNew,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(bloom_ref, on),
+        fn_constructor_kwargs={"keep": "maybe"},
+    )
+    return equi_join(
+        filtered, right, on=on, right_on=right_on,
+        num_partitions=num_partitions, how="inner",
     )

@@ -63,3 +63,62 @@ def test_bloom_anti_join_is_exact_even_with_tiny_filter(sf_dir):
     want = base[base["doc_id"] % 3 != 0].sort_values("doc_id", ignore_index=True)
     got = out.sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bloom_inner_join_exact_and_prunes():
+    import pandas as pd
+
+    from pyrosar_ray.stages.join import equi_join
+    from pyrosar_ray.stages.membership import (
+        BloomFilterNew,
+        bloom_inner_join,
+        build_bloom,
+    )
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 10_000, size=5_000).astype(np.int64),
+            "a": np.arange(5_000, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {"k": np.arange(0, 10_000, 250, dtype=np.int64)}
+    ).assign(b=lambda d: d.k * 2)
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right)
+    got = (
+        bloom_inner_join(lds, rds, on="k")
+        .to_pandas()
+        .sort_values(["k", "a"], ignore_index=True)
+    )
+    want = (
+        equi_join(lds, rds.map_batches(
+            lambda t: t.rename_columns(["rk", "b"]), batch_format="pyarrow"
+        ), on="k", right_on="rk")
+        .to_pandas()
+        .sort_values(["k", "a"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.sort_index(axis=1), want.sort_index(axis=1))
+
+    # the runtime filter actually prunes: survivors << probe rows
+    bloom_ref, _ = build_bloom(rds, "k")
+    kept = lds.map_batches(
+        BloomFilterNew,
+        batch_format="pyarrow",
+        concurrency=1,
+        fn_constructor_args=(bloom_ref, "k"),
+        fn_constructor_kwargs={"keep": "maybe"},
+    ).count()
+    assert kept < len(left) * 0.2  # 40/10000 keys + epsilon fp
+    assert kept >= len(got)  # no false negatives: every match survives
+
+
+def test_bloom_keep_param_validated():
+    import pytest as _pytest
+
+    from pyrosar_ray.stages.membership import BloomFilterNew, build_bloom
+
+    ref, _ = build_bloom(ray.data.range(10), "id", m_bits=64)
+    with _pytest.raises(ValueError, match="absent.*maybe"):
+        BloomFilterNew(ref, "id", keep="bogus")
