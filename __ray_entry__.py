@@ -780,6 +780,26 @@ def q_events_pivot(sf_dir: str):
     )
 
 
+def q_events_unpivot(sf_dir: str):
+    """UNPIVOT — the melt inverse of events_pivot: the wide per-user
+    count columns fold back to (user_id, event_type, n) rows including
+    the explicit zero cells the wide form materializes.  Row-local
+    repeat/tile expansion over the pivot output, no extra exchange."""
+    from pyrosar_ray.stages.rollup import pivot_counts, unpivot
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    cats = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_counts(
+        events, key_col="user_id", cat_col="event_type", categories=cats
+    )
+    return unpivot(
+        wide, ["user_id"], [f"n_{c}" for c in cats], "event_type", "n",
+        labels=cats,
+    )
+
+
 def q_events_rollup(sf_dir: str):
     """ROLLUP (event_type, day): all three grouping sets from ONE
     finest-level exchange — coarser levels re-aggregate the bounded
@@ -1730,6 +1750,33 @@ def q_doc_embed_join(sf_dir: str):
 
     emb_q = emb.map_batches(_q, batch_format="pyarrow")
     return equi_join(docs, emb_q, on="doc_id", right_on="vec_id")
+
+
+def q_doc_embed_bjoin(sf_dir: str):
+    """Broadcast (map-side) plan of the doc⋈embedding join: the small
+    quantized-embedding table ships ONCE via ray.put and each probe
+    batch runs one Arrow hash join — zero exchange.  Same rows as the
+    co-partition plan (pytest pins the plan equivalence; the twin is
+    the same SQL as doc_embed_join)."""
+    from pyrosar_ray.stages.join import broadcast_equi_join
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    emb = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _q(batch: pa.Table) -> pa.Table:
+        flat = np.asarray(batch["embedding"].combine_chunks().flatten())
+        mat = flat.reshape(len(batch), -1).astype(np.float64)
+        q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64).sum(axis=1)
+        return pa.table(
+            {"vec_id": batch["vec_id"], "emb_sum_q": pa.array(q)}
+        )
+
+    emb_q = emb.map_batches(_q, batch_format="pyarrow")
+    return broadcast_equi_join(docs, emb_q, on="doc_id", right_on="vec_id")
 
 
 def q_doc_embed_anti(sf_dir: str):
@@ -3305,6 +3352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-pinned and share in-window physical plans; the curate
         # composition's pieces are each in-window individually
         "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
+        "doc_embed_bjoin": q_doc_embed_bjoin,
         "embed_kmeans_int": q_embed_kmeans_int,
         "doc_triangles": q_doc_triangles,
         "doc_clustering_coef": q_doc_clustering_coef,
@@ -4765,6 +4814,20 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
             FROM events GROUP BY user_id
         """,
+        "events_unpivot": """
+            SELECT u.user_id, c.event_type,
+                   COALESCE(e.n, 0)::BIGINT AS n
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (
+                VALUES ('click'), ('error'), ('purchase'),
+                       ('signup'), ('view')
+            ) c(event_type)
+            LEFT JOIN (
+                SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+                FROM events GROUP BY user_id, event_type
+            ) e ON e.user_id = u.user_id
+               AND e.event_type = c.event_type
+        """,
         "events_rollup": f"""
             SELECT event_type,
                    (epoch_us(ts) // 86400000000) AS day,
@@ -5588,6 +5651,12 @@ def oracle_sql() -> dict[str, str]:
             FROM pack
         """,
         "doc_embed_join": """
+            SELECT d.doc_id, d.n_chars,
+                   (SELECT SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+                    FROM unnest(e.embedding::DOUBLE[]) AS t(x))::BIGINT AS emb_sum_q
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        """,
+        "doc_embed_bjoin": """
             SELECT d.doc_id, d.n_chars,
                    (SELECT SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT))
                     FROM unnest(e.embedding::DOUBLE[]) AS t(x))::BIGINT AS emb_sum_q

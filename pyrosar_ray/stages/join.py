@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 _SIDE = "__join_side"
@@ -326,4 +327,52 @@ def equi_join_sample(
     merged = merged.rename(columns={"s": "sample_id"})
     return table_from_pandas(
         merged[["sample_id", "key", left_id, right_id]].astype(np.int64)
+    )
+
+
+def broadcast_equi_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: "str | None" = None,
+    how: str = "inner",
+    concurrency=(1, 8),
+) -> Dataset:
+    """Map-side equi-join against a SMALL right side — ZERO shuffle.
+
+    The other half of the engine's join policy (the spatial join has
+    had both plans since round 1): when the build side fits a broadcast
+    (dimension tables, per-key aggregates), ship it ONCE via ``ray.put``
+    and run one Arrow hash join per probe batch inside map_batches —
+    the probe side streams, nothing is exchanged. Same column contract
+    and inner/left/anti semantics as :func:`equi_join`; output rows are
+    identical (callers can gate-check one against the other).
+    """
+    if how not in ("inner", "anti", "left"):
+        raise ValueError("broadcast join supports inner/left/anti")
+    from .spatial import materialize_small_side
+
+    right_key = right_on or on
+    r_schema = right.schema()
+    r_cols = [right_key] + [c for c in r_schema.names if c != right_key]
+    small = materialize_small_side(right, r_cols)
+    if right_key != on:
+        small = small.rename_columns([on] + r_cols[1:])
+    small_ref = ray.put(small.combine_chunks())
+    join_type = {"inner": "inner", "left": "left outer", "anti": "left anti"}[how]
+    l_names = [c for c in left.schema().names]
+    out_cols = l_names + (
+        [] if how == "anti" else [c for c in r_cols[1:]]
+    )
+
+    class _Probe:
+        def __init__(self):
+            self.small = ray.get(small_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = batch.join(self.small, keys=on, join_type=join_type)
+            return out.select(out_cols)
+
+    return left.map_batches(
+        _Probe, batch_format="pyarrow", concurrency=concurrency
     )

@@ -298,3 +298,43 @@ def winsorize_cents(
         )
 
     return ds.map_batches(_clip, batch_format="pyarrow")
+
+
+def unpivot(
+    ds: "Dataset",
+    key_cols: "list[str]",
+    value_cols: "list[str]",
+    var_col: str,
+    value_name: str,
+    labels: "list | None" = None,
+) -> "Dataset":
+    """Melt wide columns into (key, variable, value) rows — PIVOT's
+    inverse, row-local (one repeat/tile expansion per batch, ZERO
+    shuffle; output rows = input rows × len(value_cols)).
+
+    ``labels`` renames each wide column in the ``var_col`` output
+    (default: the column name itself) — e.g. the ``n_<cat>`` columns a
+    :func:`pivot_counts` emits melt back to their category values, and
+    ``unpivot(pivot_counts(ds, k, c)) == counts(ds, [k, c])`` plus the
+    explicit zero rows the wide form materializes.
+    """
+    labels = list(labels) if labels is not None else list(value_cols)
+    if len(labels) != len(value_cols):
+        raise ValueError("labels must pair 1:1 with value_cols")
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {}
+        for kc in key_cols:
+            arr = batch[kc].combine_chunks()
+            # n rows repeated once per value column, column-major order
+            cols[kc] = pa.concat_arrays([arr] * len(value_cols))
+        var_chunks, val_chunks = [], []
+        for lab, vc in zip(labels, value_cols):
+            var_chunks.append(pa.array([lab] * n))
+            val_chunks.append(batch[vc].combine_chunks())
+        cols[var_col] = pa.concat_arrays(var_chunks)
+        cols[value_name] = pa.concat_arrays(val_chunks)
+        return pa.table(cols)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")

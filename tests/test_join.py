@@ -286,3 +286,71 @@ def test_detect_heavy_keys_sieve():
     assert list(heavy) == [3]
     # below-threshold keys never detected
     assert list(detect_heavy_keys(ds, "k", threshold=2000)) == []
+
+
+def test_broadcast_equi_join_matches_shuffle_plan():
+    """The zero-shuffle broadcast plan and the co-partition exchange
+    plan are output-identical on all three supported modes."""
+    from pyrosar_ray.stages.join import broadcast_equi_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, 300).astype(np.int64),
+            "a": rng.integers(-99, 99, 300).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.arange(0, 60, 2, dtype=np.int64),
+            "b": np.arange(30, dtype=np.int64) * 7,
+        }
+    )
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(2)
+    for how in ("inner", "left", "anti"):
+        cols = ["k", "a"] + ([] if how == "anti" else ["b"])
+        got = (
+            broadcast_equi_join(lds, rds, on="k", right_on="rk", how=how)
+            .to_pandas()
+            .sort_values(cols, ignore_index=True)
+        )
+        want = (
+            equi_join(lds, rds, on="k", right_on="rk", how=how,
+                      num_partitions=4)
+            .to_pandas()
+            .sort_values(cols, ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got[cols], want[cols])
+
+
+def test_broadcast_equi_join_keeps_int_dtype_on_left():
+    """Arrow hash join keeps misses as typed nulls — no float64 upcast
+    of the build side's int columns (the pandas-merge artifact the
+    shuffle plan documents)."""
+    import pyarrow as pa
+
+    from pyrosar_ray.stages.join import broadcast_equi_join
+
+    lds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64())})
+    )
+    rds = ray.data.from_arrow(
+        pa.table({"k": pa.array([2], pa.int64()),
+                  "n": pa.array([9], pa.int64())})
+    )
+    out = broadcast_equi_join(lds, rds, on="k", how="left")
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    assert tbl.schema.field("n").type == pa.int64()
+    got = tbl.to_pandas().sort_values("k", ignore_index=True)
+    assert got["n"].isna().tolist() == [True, False]
+
+
+def test_broadcast_equi_join_rejects_outer():
+    lds = ray.data.from_pandas(pd.DataFrame({"k": [1], "a": [1]}))
+    with pytest.raises(ValueError, match="inner/left/anti"):
+        from pyrosar_ray.stages.join import broadcast_equi_join
+
+        broadcast_equi_join(lds, lds, on="k", how="outer")

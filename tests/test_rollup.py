@@ -135,3 +135,48 @@ def test_winsorize_cents_exact_cutpoints():
     want = np.clip(cents, lo, hi)
     assert (out["clipped"].to_numpy() == want).all()
     assert out["clipped"].min() == lo and out["clipped"].max() == hi
+
+
+def test_unpivot_golden_and_labels():
+    from pyrosar_ray.stages.rollup import unpivot
+
+    ds = ray.data.from_arrow(
+        pa.table({"g": ["a", "b"], "n_x": [1, 2], "n_y": [3, 4]})
+    )
+    out = (
+        unpivot(ds, ["g"], ["n_x", "n_y"], "cat", "cnt",
+                labels=["x", "y"])
+        .to_pandas()
+        .sort_values(["g", "cat"], ignore_index=True)
+    )
+    assert out["g"].tolist() == ["a", "a", "b", "b"]
+    assert out["cat"].tolist() == ["x", "y", "x", "y"]
+    assert out["cnt"].tolist() == [1, 3, 2, 4]
+    with pytest.raises(ValueError, match="pair 1:1"):
+        unpivot(ds, ["g"], ["n_x", "n_y"], "cat", "cnt", labels=["x"])
+
+
+def test_unpivot_inverts_pivot_counts():
+    """unpivot(pivot_counts(ds)) == groupby counts plus the explicit
+    zero cells the wide form materializes."""
+    from pyrosar_ray.stages.rollup import pivot_counts, unpivot
+
+    ds = _ds(300, seed=9)
+    base = ds.to_pandas()
+    cats = ["x", "y", "z"]
+    wide = pivot_counts(ds, key_col="b", cat_col="a", categories=cats)
+    tall = (
+        unpivot(wide, ["b"], [f"n_{c}" for c in cats], "a", "n",
+                labels=cats)
+        .to_pandas()
+        .sort_values(["b", "a"], ignore_index=True)
+    )
+    want = (
+        base.groupby(["b", "a"]).size().rename("n")
+        .reindex(pd.MultiIndex.from_product(
+            [sorted(base["b"].unique()), cats], names=["b", "a"]),
+            fill_value=0)
+        .reset_index()
+    )
+    assert tall["n"].tolist() == want["n"].tolist()
+    assert (len(tall) == base["b"].nunique() * len(cats))
