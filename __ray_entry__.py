@@ -1979,6 +1979,37 @@ def q_doc_global_rank(sf_dir: str):
     return global_rank(docs, "n_chars", "doc_id", shift=8)
 
 
+def q_events_cumsum(sf_dir: str):
+    """Exact corpus-wide running total — SUM(cents) OVER (ORDER BY ts,
+    event_id) — via the distributed prefix-sum scan (stages/rank.py
+    global_cumsum): one bounded (ts, id-range) sum exchange whose
+    prefix sums broadcast as base offsets, then one scan exchange with
+    group size bounded at 2^shift by construction.  No global sort."""
+    from pyrosar_ray.stages.rank import global_cumsum
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        cents = np.floor(
+            batch["value"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": pa.array(us),
+                "cents": pa.array(cents),
+            }
+        )
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return global_cumsum(
+        prepped, "ts_us", "event_id", "cents", shift=8, out_col="run_cents"
+    )
+
+
 def q_doc_checksums(sf_dir: str):
     """Per-source order-insensitive content checksum — the anti-entropy
     audit primitive behind resumable writes: XOR of per-row md5 lower-64
@@ -3458,6 +3489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_ivf_recall": q_embed_ivf_recall,
         "scene_overlap_area": q_scene_overlap_area,
         "doc_global_rank": q_doc_global_rank,
+        "events_cumsum": q_events_cumsum,
         "doc_checksums": q_doc_checksums,
         "join_skew_salted": q_join_skew_salted,
         "events_stats_incremental": q_events_stats_incremental,
@@ -4219,6 +4251,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank
             FROM documents
+        """,
+        "events_cumsum": """
+            SELECT event_id, epoch_us(ts) AS ts_us,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS run_cents
+            FROM events
         """,
         "scene_overlap_area": f"""
             {_SCENES}, c AS (

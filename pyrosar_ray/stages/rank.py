@@ -45,7 +45,8 @@ def _get_offsets(ref) -> dict:
     key = ref.hex()
     table = _OFFSET_CACHE.get(key)
     if table is None:
-        _OFFSET_CACHE.clear()  # at most one live table per worker
+        if len(_OFFSET_CACHE) >= 4:  # a scan holds up to 3 live tables
+            _OFFSET_CACHE.clear()
         table = ray.get(ref)
         _OFFSET_CACHE[key] = table
     return table
@@ -129,4 +130,170 @@ def global_rank(
         .map_batches(_with_bucket, batch_format="pyarrow")
         .groupby([score_col, "_bucket"])
         .map_groups(_rank, batch_format="pandas")
+    )
+
+
+def global_cumsum(
+    ds: Dataset,
+    order_col: str,
+    id_col: str,
+    value_col: str,
+    order_shift: int = 32,
+    shift: int = 16,
+    split_threshold: int = 1 << 18,
+    out_col: str = "run_sum",
+) -> Dataset:
+    """Exact global running total — SQL's ``SUM(v) OVER (ORDER BY
+    order_col, id_col ROWS UNBOUNDED PRECEDING)`` — as the distributed
+    prefix-sum scan (no global sort-then-stitch), with cost-based
+    hot-value splitting:
+
+    1. a *sum* exchange over coarse order-range cells
+       (``order >> order_shift``) whose per-cell row counts + value
+       totals the driver reads (bounded: one row per non-empty range);
+    2. cells larger than ``split_threshold`` — a hot order value, e.g.
+       one timestamp covering most of the corpus — get ONE extra
+       bounded exchange over their rows only, keyed
+       ``(order_low, id >> shift)``: exact-order + id-range subcells of
+       ≤ 2**shift rows by id uniqueness, exactly :func:`global_rank`'s
+       skew armor.  No heavy cells (the common case) → the pass is
+       skipped entirely;
+    3. the driver prefix-sums the cells (subcells nested in
+       ``(order_low, id-range)`` order inside their coarse cell) into
+       exclusive base sums, broadcast once;
+    4. a *scan* exchange groups rows by their final cell, lex-sorts
+       ``(order, id)`` locally and emits ``base + local_cumsum``.
+
+    Range cells compose because they are disjoint order intervals;
+    split subcells compose because they pin one exact order value and
+    an id range (order within a coarse cell never interleaves across
+    them).  All three columns must be integers; ids unique.  Output:
+    ``id_col, order_col, out_col`` (inclusive running total).
+    """
+    import pandas as pd
+
+    from . import table_from_pandas
+
+    projected = ds.select_columns([order_col, id_col, value_col])
+
+    def _coarse_sums(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].to_numpy().astype(np.int64)
+        v = batch[value_col].to_numpy().astype(np.int64)
+        c = o >> order_shift
+        uniq, inv = np.unique(c, return_inverse=True)
+        # int64 scatter-add (bincount's float64 weights would cap
+        # exactness at 2**53)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, v)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"c": pa.array(uniq), "n": pa.array(counts), "v": pa.array(sums)}
+        )
+
+    coarse = (
+        projected.map_batches(_coarse_sums, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+        .sort("c")
+        .take_all()
+    )  # bounded: one row per non-empty order range
+    heavy = {int(r["c"]) for r in coarse if int(r["n"]) > split_threshold}
+
+    sub_sums: dict[int, list] = {}
+    if heavy:
+        heavy_ref = ray.put(np.array(sorted(heavy), dtype=np.int64))
+
+        def _sub_sums(batch: pa.Table) -> pa.Table:
+            hs = _get_offsets(heavy_ref)
+            o = batch[order_col].to_numpy().astype(np.int64)
+            c = o >> order_shift
+            mask = np.isin(c, hs)
+            if not mask.any():
+                return pa.table(
+                    {
+                        "c": pa.array([], pa.int64()),
+                        "o2": pa.array([], pa.int64()),
+                        "b2": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.int64()),
+                    }
+                )
+            o, c = o[mask], c[mask]
+            o2 = o - (c << order_shift)  # in [0, 2**order_shift)
+            b2 = batch[id_col].to_numpy().astype(np.int64)[mask] >> shift
+            v = batch[value_col].to_numpy().astype(np.int64)[mask]
+            key = np.stack([c, o2, b2], axis=1)
+            uniq, inv = np.unique(key, axis=0, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, v)
+            return pa.table(
+                {
+                    "c": pa.array(uniq[:, 0]),
+                    "o2": pa.array(uniq[:, 1]),
+                    "b2": pa.array(uniq[:, 2]),
+                    "v": pa.array(sums),
+                }
+            )
+
+        subs = (
+            projected.map_batches(_sub_sums, batch_format="pyarrow")
+            .groupby(["c", "o2", "b2"])
+            .aggregate(Sum("v", alias_name="v"))
+            .sort(["c", "o2", "b2"])
+            .take_all()
+        )  # bounded: distinct orders + rows/2**shift inside heavy cells
+        for r in subs:
+            sub_sums.setdefault(int(r["c"]), []).append(
+                (int(r["o2"]), int(r["b2"]), int(r["v"]))
+            )
+
+    # exclusive prefix over the composed cell sequence
+    offsets: dict[tuple, int] = {}
+    running = 0
+    for r in coarse:
+        c = int(r["c"])
+        if c in heavy:
+            for o2, b2, v in sub_sums.get(c, []):  # already (o2, b2)-sorted
+                offsets[(c, o2, b2)] = running
+                running += v
+        else:
+            offsets[(c, -1, -1)] = running
+            running += int(r["v"])
+    offsets_ref = ray.put(offsets)
+    heavy_arr_ref = ray.put(np.array(sorted(heavy), dtype=np.int64))
+
+    def _with_cell(batch: pa.Table) -> pa.Table:
+        hs = _get_offsets(heavy_arr_ref)
+        o = batch[order_col].to_numpy().astype(np.int64)
+        c = o >> order_shift
+        o2 = np.full(len(o), -1, dtype=np.int64)
+        b2 = np.full(len(o), -1, dtype=np.int64)
+        if len(hs):
+            m = np.isin(c, hs)
+            o2[m] = o[m] - (c[m] << order_shift)
+            b2[m] = batch[id_col].to_numpy().astype(np.int64)[m] >> shift
+        return batch.append_column("_c", pa.array(c)).append_column(
+            "_o2", pa.array(o2)
+        ).append_column("_b2", pa.array(b2))
+
+    def _scan(group: pd.DataFrame) -> pa.Table:
+        table = _get_offsets(offsets_ref)
+        key = (
+            int(group["_c"].iloc[0]),
+            int(group["_o2"].iloc[0]),
+            int(group["_b2"].iloc[0]),
+        )
+        ids = group[id_col].to_numpy().astype(np.int64)
+        ords = group[order_col].to_numpy().astype(np.int64)
+        vals = group[value_col].to_numpy().astype(np.int64)
+        pos = np.lexsort((ids, ords))
+        run = np.empty(len(ids), dtype=np.int64)
+        run[pos] = table[key] + np.cumsum(vals[pos])
+        return table_from_pandas(
+            pd.DataFrame({id_col: ids, order_col: ords, out_col: run})
+        )
+
+    return (
+        projected.map_batches(_with_cell, batch_format="pyarrow")
+        .groupby(["_c", "_o2", "_b2"])
+        .map_groups(_scan, batch_format="pandas")
     )

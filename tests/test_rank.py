@@ -62,3 +62,91 @@ def test_empty():
                       "score": pd.Series([], dtype="int64")})
     )
     assert global_rank(ds, "score", "doc_id").count() == 0
+
+
+def test_global_cumsum_matches_lexsort_scan():
+    from pyrosar_ray.stages.rank import global_cumsum
+
+    rng = np.random.RandomState(3)
+    ids = rng.permutation(600).astype(np.int64)
+    ts = rng.randint(0, 25, size=600).astype(np.int64)
+    vals = rng.randint(-500, 500, size=600).astype(np.int64)
+    df = pd.DataFrame({"event_id": ids, "ts": ts, "cents": vals})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (
+        global_cumsum(ds, "ts", "event_id", "cents", shift=4)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    order = np.lexsort((ids, ts))
+    run = np.empty(len(ids), dtype=np.int64)
+    run[order] = np.cumsum(vals[order])
+    expect = pd.DataFrame(
+        {"event_id": ids, "ts": ts, "run_sum": run}
+    ).sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out[["event_id", "ts", "run_sum"]].astype("int64"),
+        expect.astype("int64"),
+    )
+
+
+def test_global_cumsum_hot_order_value_bucket_bounded():
+    # one ts value for every row: cells are id ranges of <= 2^shift,
+    # scan still exact and totals at the last row equal the full sum
+    from pyrosar_ray.stages.rank import global_cumsum
+
+    ids = np.arange(800, dtype=np.int64)
+    vals = np.full(800, 3, dtype=np.int64)
+    df = pd.DataFrame({"event_id": ids, "ts": np.zeros(800, np.int64),
+                       "cents": vals})
+    ds = ray.data.from_pandas(df).repartition(4)
+    # split_threshold forces the heavy-cell path: the single hot ts
+    # splits into (order_low, id-range) subcells of <= 2^shift rows
+    out = (
+        global_cumsum(ds, "ts", "event_id", "cents", shift=5,
+                      split_threshold=100)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert out["run_sum"].tolist() == (3 * (np.arange(800) + 1)).tolist()
+
+
+def test_global_cumsum_mixed_heavy_and_light_cells():
+    # one hot order value next to a spread tail: split subcells and
+    # range cells must compose into one exact global scan
+    from pyrosar_ray.stages.rank import global_cumsum
+
+    rng = np.random.RandomState(9)
+    hot_ts = np.zeros(400, dtype=np.int64)
+    tail_ts = rng.randint(1 << 6, 1 << 12, size=300).astype(np.int64)
+    ts = np.concatenate([hot_ts, tail_ts])
+    ids = rng.permutation(700).astype(np.int64)
+    vals = rng.randint(-50, 50, size=700).astype(np.int64)
+    df = pd.DataFrame({"event_id": ids, "ts": ts, "cents": vals})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = (
+        global_cumsum(ds, "ts", "event_id", "cents", order_shift=6,
+                      shift=4, split_threshold=64)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    order = np.lexsort((ids, ts))
+    run = np.empty(len(ids), dtype=np.int64)
+    run[order] = np.cumsum(vals[order])
+    expect = pd.DataFrame(
+        {"event_id": ids, "ts": ts, "run_sum": run}
+    ).sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out[["event_id", "ts", "run_sum"]].astype("int64"),
+        expect.astype("int64"),
+    )
+
+
+def test_global_cumsum_empty():
+    from pyrosar_ray.stages.rank import global_cumsum
+
+    df = pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                       "ts": pd.array([], dtype="int64"),
+                       "cents": pd.array([], dtype="int64")})
+    ds = ray.data.from_pandas(df)
+    assert global_cumsum(ds, "ts", "event_id", "cents").count() == 0
