@@ -2010,6 +2010,82 @@ def q_events_cumsum(sf_dir: str):
     )
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Star join with aggregate pushdown BELOW the join: revenue per
+    nation computes as (1) per-batch pre-combined (custkey, cents, n)
+    partials, (2) one groupby(custkey) exchange bounded by the customer
+    domain — not the order count, (3) a zero-shuffle broadcast join
+    against the customer⋈nation dimension (itself a map-side join of
+    the tiny nation table onto customer), (4) a nation-sized final
+    exchange.  The fact table is never joined row-by-row."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages.join import broadcast_equi_join
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = _read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uniq),
+                "cents": pa.array(s),
+                "n": pa.array(n),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+    )
+    # both dimension sides are small by the broadcast contract — the
+    # customer⋈nation dim builds as ONE local Arrow join of the two
+    # materialized small tables (no second pipeline stage)
+    import ray.data
+
+    from pyrosar_ray.stages.spatial import materialize_small_side
+
+    cust_t = materialize_small_side(cust, ["c_custkey", "c_nationkey"])
+    nation_t = materialize_small_side(nation, ["n_nationkey", "n_name"])
+    dim_t = cust_t.join(
+        nation_t, keys="c_nationkey", right_keys="n_nationkey",
+        join_type="inner",
+    ).select(["c_custkey", "n_name"])
+    dim = ray.data.from_arrow(dim_t)
+    enriched = broadcast_equi_join(
+        per_cust, dim, on="o_custkey", right_on="c_custkey"
+    )
+
+    def _nation_partial(batch: pa.Table) -> pa.Table:
+        df = batch.group_by("n_name").aggregate(
+            [("cents", "sum"), ("n", "sum")]
+        )
+        return df.rename_columns(["n_name", "cents", "n"])
+
+    out = (
+        enriched.map_batches(_nation_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("cents", alias_name="rev_cents"), Sum("n", alias_name="n_orders"))
+    )
+    return out.select_columns(["n_name", "n_orders", "rev_cents"])
+
+
 def q_doc_checksums(sf_dir: str):
     """Per-source order-insensitive content checksum — the anti-entropy
     audit primitive behind resumable writes: XOR of per-row md5 lower-64
@@ -2116,6 +2192,44 @@ def q_events_stats_incremental(sf_dir: str):
         "event_type",
         "cents",
     )
+
+
+def q_doc_incremental_dedup(sf_dir: str):
+    """Streaming-ingest dedup: odd-id docs (the delta) dedup first-wins
+    within themselves, then anti-join their content digests against the
+    STORED seen-digest state written by the even-id epoch — one delta
+    pass + one digest-sized co-partition exchange, no corpus rescan.
+    The twin recomputes both epochs from the raw table."""
+    import hashlib as _hl
+    import shutil
+
+    from pyrosar_ray.stages.incremental import (
+        digest_winners,
+        incremental_dedup,
+        write_dedup_state,
+    )
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _old(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 2 == 0))
+
+    def _new(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 2 == 1))
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    state_dir = f"/tmp/pyrosar_ray_state/dedup_{tag}"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    write_dedup_state(
+        digest_winners(docs.map_batches(_old, batch_format="pyarrow")),
+        state_dir,
+    )
+    out = incremental_dedup(
+        state_dir, docs.map_batches(_new, batch_format="pyarrow")
+    )
+    return out.select_columns(["keeper", "n"])
 
 
 def q_join_bloom_inner(sf_dir: str):
@@ -3490,9 +3604,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_overlap_area": q_scene_overlap_area,
         "doc_global_rank": q_doc_global_rank,
         "events_cumsum": q_events_cumsum,
+        "orders_by_nation": q_orders_by_nation,
         "doc_checksums": q_doc_checksums,
         "join_skew_salted": q_join_skew_salted,
         "events_stats_incremental": q_events_stats_incremental,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "join_bloom_inner": q_join_bloom_inner,
     }
 
@@ -4231,6 +4347,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(c) AS min_c, MAX(c) AS max_c
             FROM e GROUP BY event_type
         """,
+        "doc_incremental_dedup": """
+            WITH d AS (
+                SELECT md5_number_lower(text) AS h, doc_id
+                FROM documents WHERE doc_id % 2 = 1
+            ), st AS (
+                SELECT DISTINCT md5_number_lower(text) AS h
+                FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT MIN(doc_id)::BIGINT AS keeper, COUNT(*)::BIGINT AS n
+            FROM d WHERE h NOT IN (SELECT h FROM st)
+            GROUP BY h
+        """,
         "join_skew_salted": """
             WITH e AS (
                 SELECT event_id, user_id % 50 AS cohort FROM events
@@ -4251,6 +4379,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank
             FROM documents
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name, COUNT(*)::BIGINT AS n_orders,
+                   SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       )::BIGINT AS rev_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name
         """,
         "events_cumsum": """
             SELECT event_id, epoch_us(ts) AS ts_us,

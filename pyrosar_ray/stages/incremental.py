@@ -118,3 +118,80 @@ def incremental_stats(
         )
 
     return merged.map_batches(_finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------- incremental dedup
+
+def digest_winners(
+    docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """First-wins winners per distinct content digest: ``(h64, keeper,
+    n)`` with ``h64`` the signed view of DuckDB's md5_number_lower —
+    the digest-sized dedup view (shuffles 8-byte keys + ids only)."""
+    from ray.data.aggregate import Count, Min
+
+    from .checksum import row_digest64
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        h = row_digest64(batch[text_col].to_pylist()).view(np.int64)
+        return pa.table({"h64": pa.array(h), id_col: batch[id_col]})
+
+    hashed = docs.select_columns([id_col, text_col]).map_batches(
+        _hash, batch_format="pyarrow"
+    )
+    agg = hashed.groupby("h64").aggregate(
+        Min(id_col, alias_name="keeper"), Count(alias_name="n")
+    )
+
+    def _typed(batch: pa.Table) -> pa.Table:
+        # hash-aggregate empty splits carry null-typed columns; pin the
+        # schema so a downstream join partition never sees type null
+        return pa.table(
+            {c: batch[c].cast(pa.int64()) for c in ("h64", "keeper", "n")}
+        )
+
+    return agg.map_batches(_typed, batch_format="pyarrow")
+
+
+def write_dedup_state(winners: Dataset, dir_path: str) -> str:
+    """Persist the seen-digest set as PARTITIONED parquet (a dataset
+    write, never a driver materialization — the state is corpus-sized
+    at scale, unlike the keys-sized aggregate state above)."""
+    winners.select_columns(["h64"]).write_parquet(dir_path)
+    return dir_path
+
+
+def incremental_dedup(
+    state_paths: "list[str] | str",
+    delta: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Streaming-ingest dedup: the delta's first-wins winners whose
+    content digest is NOT already in the stored state — one delta pass
+    plus ONE co-partition anti-join against the state dataset (both
+    sides digest-sized; the raw corpus is never rescanned).  Appending
+    the result's ``h64`` to the state directory makes the next epoch's
+    call see this epoch's content — the Archive.insert dedup contract
+    as an incremental corpus operation.
+    """
+    import ray.data
+
+    from .join import equi_join
+
+    if isinstance(state_paths, str):
+        state_paths = [state_paths]
+    # read_parquet treats list entries as files — expand directories
+    files: list[str] = []
+    for p in state_paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    new_w = digest_winners(delta, text_col, id_col)
+    state = ray.data.read_parquet(files).select_columns(["h64"])
+    return equi_join(new_w, state, on="h64", how="anti")

@@ -209,12 +209,31 @@ def equi_join(
         "anti": "left anti",
     }[how]
 
+    out_cols = l_cols if how == "anti" else all_cols
+    out_types = {**l_types, **r_types}
+
+    def _empty() -> pa.Table:
+        # sort-boundary groups arrive EMPTY with null-typed columns;
+        # Acero rejects null-typed non-key fields even on empty input,
+        # so short-circuit with a typed empty (typed_groups convention)
+        return pa.table(
+            {c: pa.array([], type=out_types[c]) for c in out_cols}
+        )
+
     def _local(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _empty()
         side = group[_SIDE]
         lhs = group.filter(pc.equal(side, 0)).select(l_cols)
         rhs = group.filter(pc.equal(side, 1)).select([on] + r_value_cols)
         if how == "anti":
+            if len(lhs) == 0:
+                return _empty()
+            if len(rhs) == 0:
+                return lhs
             return lhs.join(rhs.select([on]), keys=on, join_type=join_type)
+        if len(lhs) == 0 and how in ("inner", "left"):
+            return _empty()
         out = lhs.join(rhs, keys=on, join_type=join_type)
         return out.select(all_cols)
 
