@@ -3421,6 +3421,68 @@ def q_doc_split_leakfree(sf_dir: str):
     return leakage_free_split(docs)
 
 
+def q_cust_semi_orders(sf_dir: str):
+    """Left-SEMI join: customers with at least one order. Distinct
+    semantics from inner+project — o_custkey repeats per customer, so
+    an inner join would replicate the probe row per matching order
+    while semi emits it AT MOST once (reference archive.select
+    existence filtering, archive.py:1058-1073). The build side is the
+    (o_orderkey % 5 == 0) order slice so the filter discriminates:
+    1286 of 1500 customers survive over 3000 build rows at sf0.01
+    (1714 duplicate build keys — inner would emit 3000 rows). Shuffle
+    plan: one co-partition exchange, per-partition Acero left-semi."""
+    from pyrosar_ray.stages.join import equi_join
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _slice(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["o_orderkey"].combine_chunks())
+        return batch.filter(pa.array(ids % 5 == 0)).select(["o_custkey"])
+
+    return equi_join(
+        cust,
+        orders.map_batches(_slice, batch_format="pyarrow"),
+        on="c_custkey",
+        right_on="o_custkey",
+        how="semi",
+    )
+
+
+def q_cust_semi_orders_b(sf_dir: str):
+    """Broadcast (map-side, zero-shuffle) plan of cust_semi_orders:
+    the build side collapses to its DISTINCT key set before ray.put,
+    so the shipped table is keys-only however many orders repeat a
+    customer. Same SQL twin as the shuffle plan — plan equivalence is
+    the gate."""
+    from pyrosar_ray.stages.join import broadcast_equi_join
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _slice(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["o_orderkey"].combine_chunks())
+        return batch.filter(pa.array(ids % 5 == 0)).select(["o_custkey"])
+
+    return broadcast_equi_join(
+        cust,
+        orders.map_batches(_slice, batch_format="pyarrow"),
+        on="c_custkey",
+        right_on="o_custkey",
+        how="semi",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered by driver-verification value.
 
@@ -3563,6 +3625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": q_doc_tokens,
         "doc_embed_anti": q_doc_embed_anti,
         "doc_embed_left": q_doc_embed_left,
+        "cust_semi_orders": q_cust_semi_orders,
+        "cust_semi_orders_b": q_cust_semi_orders_b,
         "dem_getasse30": q_dem_getasse30,
         "dedup_duplicates": q_dedup_duplicates,
         "session_counts": q_session_counts,
@@ -5866,6 +5930,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM embeddings e
                 WHERE e.vec_id = d.doc_id AND e.vec_id % 3 = 0
+            )
+        """,
+        "cust_semi_orders": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 5 = 0
+            )
+        """,
+        "cust_semi_orders_b": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 5 = 0
             )
         """,
         "doc_weighted_sample": """

@@ -104,8 +104,10 @@ def equi_join(
     only (an outer join's unmatched replicated build row would emit
     once per partition).
     """
-    if how not in ("inner", "anti", "left", "outer"):
-        raise ValueError("how must be 'inner', 'anti', 'left' or 'outer'")
+    if how not in ("inner", "anti", "left", "outer", "semi"):
+        raise ValueError(
+            "how must be 'inner', 'anti', 'left', 'outer' or 'semi'"
+        )
     if skew_threshold is not None and how == "outer":
         # a replicated right row would emit its unmatched copy once per
         # salt partition; outer keeps the plain co-partition plan
@@ -207,9 +209,10 @@ def equi_join(
         "left": "left outer",
         "outer": "full outer",
         "anti": "left anti",
+        "semi": "left semi",
     }[how]
 
-    out_cols = l_cols if how == "anti" else all_cols
+    out_cols = l_cols if how in ("anti", "semi") else all_cols
     out_types = {**l_types, **r_types}
 
     def _empty() -> pa.Table:
@@ -226,11 +229,11 @@ def equi_join(
         side = group[_SIDE]
         lhs = group.filter(pc.equal(side, 0)).select(l_cols)
         rhs = group.filter(pc.equal(side, 1)).select([on] + r_value_cols)
-        if how == "anti":
+        if how in ("anti", "semi"):
             if len(lhs) == 0:
                 return _empty()
             if len(rhs) == 0:
-                return lhs
+                return lhs if how == "anti" else _empty()
             return lhs.join(rhs.select([on]), keys=on, join_type=join_type)
         if len(lhs) == 0 and how in ("inner", "left"):
             return _empty()
@@ -367,8 +370,8 @@ def broadcast_equi_join(
     and inner/left/anti semantics as :func:`equi_join`; output rows are
     identical (callers can gate-check one against the other).
     """
-    if how not in ("inner", "anti", "left"):
-        raise ValueError("broadcast join supports inner/left/anti")
+    if how not in ("inner", "anti", "left", "semi"):
+        raise ValueError("broadcast join supports inner/left/anti/semi")
     from .spatial import materialize_small_side
 
     right_key = right_on or on
@@ -377,11 +380,20 @@ def broadcast_equi_join(
     small = materialize_small_side(right, r_cols)
     if right_key != on:
         small = small.rename_columns([on] + r_cols[1:])
+    if how == "semi":
+        # semi keeps each probe row AT MOST once however many build
+        # rows share its key — ship only the distinct key set
+        small = small.select([on]).group_by(on).aggregate([])
     small_ref = ray.put(small.combine_chunks())
-    join_type = {"inner": "inner", "left": "left outer", "anti": "left anti"}[how]
+    join_type = {
+        "inner": "inner",
+        "left": "left outer",
+        "anti": "left anti",
+        "semi": "left semi",
+    }[how]
     l_names = [c for c in left.schema().names]
     out_cols = l_names + (
-        [] if how == "anti" else [c for c in r_cols[1:]]
+        [] if how in ("anti", "semi") else [c for c in r_cols[1:]]
     )
 
     class _Probe:

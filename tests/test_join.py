@@ -66,6 +66,87 @@ def test_equi_join_anti():
         equi_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", how="full")
 
 
+def test_equi_join_semi():
+    """Semi keeps each probe row AT MOST once: build-key duplicates
+    (k=2 twice) must not replicate the probe row the way inner would."""
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [2, 2, 4], "b": [1.0, 2.0, 3.0]})
+    out = (
+        equi_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(2),
+            on="k",
+            how="semi",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(out.columns) == ["k", "a"]
+    assert out["k"].tolist() == [2, 4]
+    assert out["a"].tolist() == [20, 40]
+    assert out["a"].dtype == np.int64
+
+
+def test_equi_join_semi_salted_matches_plain():
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {"k": np.repeat([1, 2, 3], [50, 5, 5]), "a": np.arange(60)}
+    )
+    right = pd.DataFrame({"k": rng.choice([1, 2, 9], 30), "b": np.arange(30)})
+    plain = (
+        equi_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            how="semi",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "a"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        equi_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            how="semi",
+            num_partitions=4,
+            skew_threshold=10,
+        )
+        .to_pandas()
+        .sort_values(["k", "a"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+    exp = left[left["k"].isin(right["k"].unique())]
+    assert sorted(plain["a"].tolist()) == sorted(exp["a"].tolist())
+
+
+def test_broadcast_equi_join_semi_matches_shuffle():
+    from pyrosar_ray.stages.join import broadcast_equi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "a": [10, 20, 30, 40, 50]})
+    right = pd.DataFrame({"rk": [2, 2, 5, 7], "b": [0.1, 0.2, 0.3, 0.4]})
+    lds = ray.data.from_pandas(left).repartition(2)
+    rds = ray.data.from_pandas(right)
+    bout = (
+        broadcast_equi_join(lds, rds, on="k", right_on="rk", how="semi")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    sout = (
+        equi_join(lds, rds, on="k", right_on="rk", how="semi", num_partitions=3)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bout, sout)
+    assert bout["k"].tolist() == [2, 5]
+
+
 def test_equi_join_left():
     left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
     right = pd.DataFrame({"k": [2], "b": [200.0]})
