@@ -3421,6 +3421,22 @@ def q_doc_split_leakfree(sf_dir: str):
     return leakage_free_split(docs)
 
 
+def q_events_latest(sf_dir: str):
+    """CDC compaction: the latest full event row per user (argmax over
+    (ts, event_id)). Per-batch vectorized keep-last combiner shrinks
+    the exchange to each batch's distinct-user count before ONE hash
+    co-partition — the upsert/changelog compaction a 100 TB ingest
+    needs (reference parallel: Archive re-registration promotion,
+    archive.py:300-333)."""
+    from pyrosar_ray.stages.compact import latest_by_key
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return latest_by_key(events, key="user_id", seq="ts", tiebreak="event_id")
+
+
 def q_cust_semi_orders(sf_dir: str):
     """Left-SEMI join: customers with at least one order. Distinct
     semantics from inner+project — o_custkey repeats per customer, so
@@ -3627,6 +3643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_left": q_doc_embed_left,
         "cust_semi_orders": q_cust_semi_orders,
         "cust_semi_orders_b": q_cust_semi_orders_b,
+        "events_latest": q_events_latest,
         "dem_getasse30": q_dem_getasse30,
         "dedup_duplicates": q_dedup_duplicates,
         "session_counts": q_session_counts,
@@ -5947,6 +5964,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 5 = 0
             )
+        """,
+        "events_latest": """
+            SELECT event_id, ts, user_id, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "doc_weighted_sample": """
             SELECT doc_id, n_chars,
