@@ -3421,6 +3421,36 @@ def q_doc_split_leakfree(sf_dir: str):
     return leakage_free_split(docs)
 
 
+def q_embed_pq_codes(sf_dir: str):
+    """Product-quantization encode (Jégou PQ): 64-dim embeddings
+    collapse to one packed int64 of 8 × 4-bit codes + the exact integer
+    reconstruction error — the 64x memory compression that lets a
+    10^12-row ANN index fit a cluster. Deterministic integer codebooks
+    (stages/ann.pq_codebooks) make every code and error bit-exact in
+    SQL. Row-local, zero shuffle."""
+    from pyrosar_ray.stages.ann import pq_codes
+
+    corpus = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_codes(corpus, m=8, ksub=16)
+
+
+def q_embed_pq_adc(sf_dir: str):
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query ships
+    ONE (8 × 16) integer LUT of squared distances to every codeword;
+    scoring a database row is 8 vectorized gathers — no decode, no
+    64-dim arithmetic per candidate. Exchange = O(queries × batches ×
+    k) partials, merged per query."""
+    from pyrosar_ray.stages.ann import pq_adc_topk
+
+    qids, qmat = _load_queries_matrix(sf_dir)
+    corpus = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_adc_topk(corpus, qids, qmat, k=10, m=8, ksub=16)
+
+
 def q_events_latest(sf_dir: str):
     """CDC compaction: the latest full event row per user (argmax over
     (ts, event_id)). Per-batch vectorized keep-last combiner shrinks
@@ -3644,6 +3674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_semi_orders": q_cust_semi_orders,
         "cust_semi_orders_b": q_cust_semi_orders_b,
         "events_latest": q_events_latest,
+        "embed_pq_codes": q_embed_pq_codes,
+        "embed_pq_adc": q_embed_pq_adc,
         "dem_getasse30": q_dem_getasse30,
         "dedup_duplicates": q_dedup_duplicates,
         "session_counts": q_session_counts,
@@ -4218,6 +4250,93 @@ def _cms_sql(depth: int = 4, lw: int = 10) -> str:
             FROM h32 CROSS JOIN rows r
             GROUP BY 1, 2
         """
+
+
+def _pq_centd_values(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
+    """Flattened (sub, code, dim, value) literals of the deterministic
+    PQ codebooks — the SQL-side copy of stages/ann.pq_codebooks."""
+    from pyrosar_ray.stages.ann import pq_codebooks
+
+    books = pq_codebooks(m, ksub, dsub)
+    return ",".join(
+        f"({s},{c},{j},{books[s, c, j]})"
+        for s in range(m)
+        for c in range(ksub)
+        for j in range(dsub)
+    )
+
+
+_PQ_BASE_SQL = """
+        centd(sub, code, j, c) AS (VALUES {values}),
+        emb AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * 1000000 + 0.5)) AS qe
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT vec_id, CAST((d-1)//{dsub} AS INT) AS sub,
+                   CAST((d-1)%{dsub} AS INT) AS j, qe[d] AS v
+            FROM emb, UNNEST(generate_series(1, {dim})) AS t(d)
+        ),
+        dist AS (
+            SELECT vec_id, dims.sub, code, SUM((v - c)*(v - c)) AS d2
+            FROM dims JOIN centd ON centd.sub = dims.sub AND centd.j = dims.j
+            GROUP BY vec_id, dims.sub, code
+        ),
+        best AS (
+            SELECT vec_id, sub, code, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, sub ORDER BY d2, code
+                ) AS rn FROM dist
+            ) WHERE rn = 1
+        )"""
+
+
+def _pq_sql(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
+    """DuckDB twin of ``stages.ann.pq_codes``: codebook literals,
+    per-(vec, sub, code) exact integer L2, argmin via ROW_NUMBER, 4-bit
+    packing in exact DOUBLE arithmetic (bits*m = 32 < 53)."""
+    bits = int(ksub - 1).bit_length()
+    base = _PQ_BASE_SQL.format(
+        values=_pq_centd_values(m, ksub, dsub), dsub=dsub, dim=m * dsub
+    )
+    return f"""
+        WITH {base}
+        SELECT vec_id,
+               SUM(code * (2.0 ** ({bits}*({m - 1}-sub))))::BIGINT AS pq_code,
+               SUM(d2)::BIGINT AS recon_err
+        FROM best GROUP BY vec_id
+    """
+
+
+def _pq_adc_sql(
+    m: int = 8, ksub: int = 16, dsub: int = 8, k: int = 10, modulus: int = 50
+) -> str:
+    """DuckDB twin of ``stages.ann.pq_adc_topk``: the query LUT is the
+    same dist CTE restricted to query vectors; ADC = per-(query,
+    neighbor) SUM of the LUT entry at the neighbor's best code."""
+    base = _PQ_BASE_SQL.format(
+        values=_pq_centd_values(m, ksub, dsub), dsub=dsub, dim=m * dsub
+    )
+    return f"""
+        WITH {base},
+        lut AS (
+            SELECT vec_id AS query_id, sub, code, d2 FROM dist
+            WHERE vec_id % {modulus} = 0
+        ),
+        adc AS (
+            SELECT l.query_id, b.vec_id AS neighbor_id, SUM(l.d2) AS dist
+            FROM best b JOIN lut l ON l.sub = b.sub AND l.code = b.code
+            WHERE b.vec_id != l.query_id
+            GROUP BY l.query_id, b.vec_id
+        )
+        SELECT query_id, neighbor_id, rn AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id
+            ) AS rn FROM adc
+        ) WHERE rn <= {k}
+    """
 
 
 def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3) -> str:
@@ -6402,6 +6521,8 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(q.qe, e.ee) >= 0.2
         """,
         "embed_ivf_topk": _ivf_sql(),
+        "embed_pq_codes": _pq_sql(),
+        "embed_pq_adc": _pq_adc_sql(),
         "embed_kmeans_int": _kmeans_int_sql(),
         "identify_scenes": IDENTIFY_SQL,
         "image_aspect_buckets": """

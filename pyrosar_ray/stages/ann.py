@@ -31,6 +31,9 @@ def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(arr, pa.ExtensionArray):
+        # Ray tensor extension (fixed-shape ndarray column) → (n, d)
+        return np.asarray(arr.to_numpy(zero_copy_only=False))
     return np.asarray(arr.flatten()).reshape(len(batch), -1)
 
 
@@ -710,3 +713,183 @@ def ann_recall(
         )
 
     return per_query.map_batches(_ratio, batch_format="pyarrow")
+
+
+# ------------------------------------------------- product quantization
+
+
+def pq_codebooks(
+    m: int = 8, ksub: int = 16, dsub: int = 8, seed: int = 13
+) -> np.ndarray:
+    """Deterministic integer PQ codebooks, shape (m, ksub, dsub), values
+    multiples of 1000 in [-1e6, 1e6] — the 1e-6-quantized embedding
+    scale, so per-dim residuals and their squares stay exact int64 and
+    DOUBLE-representable (same rationale as :func:`ivf_centroids`; a
+    float-trained codebook would flip argmins on last-ulp ties)."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-1000, 1001, size=(m, ksub, dsub)).astype(np.int64) * 1000
+
+
+def _pq_assign(emb: np.ndarray, books: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-subspace nearest codeword (ties → lowest code) by exact
+    integer L2. Returns (codes (n, m) int64, d2min (n, m) int64)."""
+    n = emb.shape[0]
+    m, ksub, dsub = books.shape
+    sub = emb.reshape(n, m, dsub)
+    x2 = np.einsum("nmd,nmd->nm", sub, sub)[:, :, None]
+    c2 = np.einsum("mkd,mkd->mk", books, books)[None]
+    xc = np.einsum("nmd,mkd->nmk", sub, books)
+    d2 = x2 + c2 - 2 * xc  # (n, m, ksub), exact: |terms| < 2^47
+    codes = d2.argmin(axis=2).astype(np.int64)  # first = lowest code
+    d2min = np.take_along_axis(d2, codes[:, :, None], axis=2)[:, :, 0]
+    return codes, d2min
+
+
+def pq_pack(codes: np.ndarray, ksub: int) -> np.ndarray:
+    """Pack (n, m) codes into one int64 per row, ``bits = ceil(log2
+    ksub)`` per code, subspace 0 highest. bits*m must stay < 53 so the
+    SQL twin can reproduce the packing in exact DOUBLE arithmetic."""
+    bits = int(ksub - 1).bit_length()
+    m = codes.shape[1]
+    if bits * m >= 53:
+        raise ValueError(f"packed width {bits * m} exceeds exact-DOUBLE range")
+    shifts = (bits * (m - 1 - np.arange(m))).astype(np.int64)
+    return (codes << shifts[None, :]).sum(axis=1)
+
+
+def pq_codes(
+    corpus: Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 13,
+) -> Dataset:
+    """Product-quantization encode (Jégou et al., TPAMI 2011): each
+    embedding splits into ``m`` subvectors, each mapped to its nearest
+    integer codeword — 64 dims × 8 B collapse to one packed int64 (the
+    memory path that lets a 10^12-row ANN index fit a cluster: 64x
+    compression here). Row-local, ZERO shuffle; codebooks are
+    deterministic integers so codes and reconstruction errors are
+    bit-reproducible at any parallelism (hash-twinnable in SQL).
+
+    Output: ``(vec_id, pq_code, recon_err)`` — recon_err the exact
+    integer squared reconstruction distance Σ_sub ||x_sub - c||².
+    """
+
+    class _Encode:
+        def __init__(self):
+            self.books = pq_codebooks(m, ksub, 0, seed)  # dsub fixed below
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "pq_code": pa.array([], type=pa.int64()),
+                        "recon_err": pa.array([], type=pa.int64()),
+                    }
+                )
+            emb = quantize_embeddings(_stack_embeddings(batch, emb_col))
+            if self.books.shape[2] == 0:
+                dsub = emb.shape[1] // m
+                self.books = pq_codebooks(m, ksub, dsub, seed)
+            codes, d2min = _pq_assign(emb, self.books)
+            return pa.table(
+                {
+                    id_col: batch[id_col].cast(pa.int64()),
+                    "pq_code": pa.array(pq_pack(codes, ksub)),
+                    "recon_err": pa.array(d2min.sum(axis=1)),
+                }
+            )
+
+    return corpus.select_columns([id_col, emb_col]).map_batches(
+        _Encode, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def pq_adc_topk(
+    corpus: Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+    seed: int = 13,
+) -> Dataset:
+    """Asymmetric-distance top-k over PQ codes (ADC): each query builds
+    ONE (m × ksub) integer LUT of squared distances to every codeword,
+    and a database row's distance is m LUT lookups — no decode, no
+    d-dim arithmetic per candidate. Rows: (query_id, neighbor_id, rank),
+    rank by ascending ADC distance, ties → ascending neighbor id.
+
+    Scale shape = :func:`ivf_topk`: LUTs broadcast once via ray.put
+    (nq × m × ksub ints), per-batch work is one encode + m vectorized
+    gathers, the exchange carries O(queries × batches × k) partials.
+    """
+    qmat = quantize_embeddings(query_matrix)
+    dsub = qmat.shape[1] // m
+    books = pq_codebooks(m, ksub, dsub, seed)
+    # LUT[q, sub, code] = ||q_sub - codeword||², exact int64
+    qsub = qmat.reshape(len(qmat), m, dsub)
+    q2 = np.einsum("nmd,nmd->nm", qsub, qsub)[:, :, None]
+    c2 = np.einsum("mkd,mkd->mk", books, books)[None]
+    qc = np.einsum("nmd,mkd->nmk", qsub, books)
+    lut = q2 + c2 - 2 * qc  # (nq, m, ksub)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), lut, books))
+
+    class _Partial:
+        def __init__(self):
+            self.qids, self.lut, self.books = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "dist": pa.array([], type=pa.int64()),
+                }
+            )
+            if len(batch) == 0:
+                return empty
+            emb = quantize_embeddings(_stack_embeddings(batch, emb_col))
+            ids = batch[id_col].to_numpy()
+            codes, _ = _pq_assign(emb, self.books)
+            nq = len(self.qids)
+            dists = np.zeros((nq, len(ids)), dtype=np.int64)
+            for s in range(m):  # m gathers, each vectorized over (nq, batch)
+                dists += self.lut[:, s, codes[:, s]]
+            BIG = np.int64(2**62)
+            if exclude_self:
+                dists = np.where(
+                    self.qids[:, None] == ids[None, :], BIG, dists
+                )
+            kk = min(k, dists.shape[1])
+            part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+            out_q = np.repeat(self.qids, kk)
+            flat = part.reshape(-1)
+            out_d = dists[np.repeat(np.arange(nq), kk), flat]
+            keep = out_d != BIG
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q[keep]),
+                    "neighbor_id": pa.array(ids[flat][keep]),
+                    "dist": pa.array(out_d[keep]),
+                }
+            )
+
+    partials = corpus.select_columns([id_col, emb_col]).map_batches(
+        _Partial, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["dist", "neighbor_id"], ascending=[True, True], kind="mergesort"
+        ).head(k)
+        group = group.assign(rank=np.arange(1, len(group) + 1, dtype=np.int64))
+        return group[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")

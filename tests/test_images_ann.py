@@ -657,3 +657,81 @@ def test_hard_negative_mining_excludes_same_label():
         cand = [i for i in range(n) if labels[i] != labels[q]]
         want = sorted(cand, key=lambda i: (-sims[i], i))[:5]
         assert got.tolist() == want
+
+
+def test_pq_assign_matches_bruteforce():
+    """PQ code = the true argmin codeword per subspace, ties → lowest."""
+    import numpy as np
+
+    from pyrosar_ray.stages.ann import _pq_assign, pq_codebooks
+
+    rng = np.random.default_rng(5)
+    books = pq_codebooks(4, 8, 4, seed=13)
+    emb = rng.integers(-(10**6), 10**6, size=(50, 16)).astype(np.int64)
+    codes, d2min = _pq_assign(emb, books)
+    for i in range(len(emb)):
+        for s in range(4):
+            sub = emb[i, s * 4 : (s + 1) * 4]
+            dists = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
+            assert codes[i, s] == int(np.argmin(dists))
+            assert d2min[i, s] == int(dists.min())
+
+
+def test_pq_pack_width_guard_and_order():
+    import numpy as np
+    import pytest
+
+    from pyrosar_ray.stages.ann import pq_pack
+
+    codes = np.array([[1, 2, 3]], dtype=np.int64)
+    # 4-bit codes, subspace 0 highest: 0x123
+    assert pq_pack(codes, 16)[0] == 0x123
+    with pytest.raises(ValueError, match="exceeds exact-DOUBLE"):
+        pq_pack(np.zeros((1, 8), dtype=np.int64), 1 << 60)
+
+
+def test_pq_adc_equals_lut_free_distance():
+    """ADC rank == rank by exact ||q_sub - codeword(code)||² computed
+    the long way (decode the code, measure) — the LUT is lossless."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from pyrosar_ray.stages.ann import (
+        _pq_assign,
+        pq_adc_topk,
+        pq_codebooks,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d, m, ksub = 80, 16, 4, 8
+    mat = rng.uniform(-1, 1, size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    qids = ids[:5]
+    out = (
+        pq_adc_topk(
+            ray.data.from_pandas(df).repartition(3),
+            qids,
+            mat[:5],
+            k=4,
+            m=m,
+            ksub=ksub,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # reference: decode codes, exact distance, same tie rule
+    books = pq_codebooks(m, ksub, d // m)
+    emb = quantize_embeddings(mat)
+    codes, _ = _pq_assign(emb, books)
+    recon = books[np.arange(m)[None, :], codes].reshape(n, d)
+    qsub = quantize_embeddings(mat[:5])
+    for qi, q in zip(qids, qsub):
+        dist = ((recon - q[None, :]) ** 2).sum(axis=1)
+        dist[qi] = np.iinfo(np.int64).max  # exclude self
+        order = np.lexsort((ids, dist))[:4]
+        got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"]
+        assert got.tolist() == ids[order].tolist()
