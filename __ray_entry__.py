@@ -3421,6 +3421,21 @@ def q_doc_split_leakfree(sf_dir: str):
     return leakage_free_split(docs)
 
 
+def q_doc_warc_ingest(sf_dir: str):
+    """Web-crawl ingestion through the REAL container stack: documents
+    are packed into .warc.gz shards (one gzip member per record — the
+    Common Crawl layout — with warcinfo/request members interleaved),
+    then extracted back by multi-member gunzip → WARC record walk →
+    keep-by-WARC-Type → HTTP/1.1 parse → Content-Length body slice.
+    The twin reproduces member indices and framing overhead closed-form
+    from (doc_id, text), so one flipped byte anywhere in the chain
+    hash-fails. Only exchange: the shard-build groupby (a production
+    run reads shards off storage — pure streaming scan)."""
+    from pyrosar_ray.stages.warc import warc_ingest
+
+    return warc_ingest(sf_dir)
+
+
 def q_embed_pq_codes(sf_dir: str):
     """Product-quantization encode (Jégou PQ): 64-dim embeddings
     collapse to one packed int64 of 8 × 4-bit codes + the exact integer
@@ -3723,6 +3738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats_incremental": q_events_stats_incremental,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "join_bloom_inner": q_join_bloom_inner,
+        "doc_warc_ingest": q_doc_warc_ingest,
     }
 
 
@@ -6556,6 +6572,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_power_iter": _power_iter_sql(),
         "doc_langid_int": _langid_int_sql(),
+        "doc_warc_ingest": """
+            -- closed-form twin of the WARC framing arithmetic:
+            -- member_index = 1 (warcinfo) + members of earlier docs in
+            -- the shard + own request member; content_length = HTTP
+            -- framing overhead + body octets (status line length keys
+            -- on the 404 rule, Content-Length digits on body size)
+            WITH d AS (
+                SELECT doc_id, text,
+                       doc_id // 50 AS shard_id,
+                       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS req,
+                       CASE WHEN doc_id % 23 = 0 THEN 404 ELSE 200 END AS status,
+                       octet_length(encode(text)) AS body_len
+                FROM documents
+            )
+            SELECT doc_id, shard_id,
+                   CAST(1 + COALESCE(SUM(1 + req) OVER (
+                            PARTITION BY shard_id ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) + req AS INT) AS member_index,
+                   CAST(status AS INT) AS status,
+                   (CASE WHEN status = 404 THEN 24 ELSE 17 END
+                    + 41 + 16 + length(CAST(body_len AS VARCHAR)) + 2 + 2
+                    + body_len)::BIGINT AS content_length,
+                   text
+            FROM d
+        """,
         "doc_split_leakfree": """
             WITH RECURSIVE pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b
