@@ -3436,6 +3436,23 @@ def q_doc_warc_ingest(sf_dir: str):
     return warc_ingest(sf_dir)
 
 
+def q_embed_sq_rerank(sf_dir: str):
+    """Retrieve-and-rerank cascade over SQ8 scalar quantization — the
+    production ANN serving shape: per-dim min/max from ONE bounded
+    stats exchange, int8 codes (8x memory cut: the first pass at 10^12
+    rows is bandwidth-bound), symmetric code dots retrieve a
+    3k-candidate shortlist, and only shortlist rows get exact integer
+    dots in a second streamed pass. Integer-exact end to end, so even
+    WHICH candidates survive stage 1 is reproduced in SQL."""
+    from pyrosar_ray.stages.ann import sq_rerank_topk
+
+    qids, qmat = _load_queries_matrix(sf_dir)
+    corpus = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return sq_rerank_topk(corpus, qids, qmat, k=10, candidates=30)
+
+
 def q_embed_pq_codes(sf_dir: str):
     """Product-quantization encode (Jégou PQ): 64-dim embeddings
     collapse to one packed int64 of 8 × 4-bit codes + the exact integer
@@ -3739,6 +3756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "join_bloom_inner": q_join_bloom_inner,
         "doc_warc_ingest": q_doc_warc_ingest,
+        "embed_sq_rerank": q_embed_sq_rerank,
     }
 
 
@@ -6539,6 +6557,58 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "embed_sq_rerank": """
+            -- SQ8 cascade twin: per-dim min/max over the quantized
+            -- corpus, integer-floor codes, symmetric code-dot top-30
+            -- shortlist, exact integer-dot top-10 on the shortlist
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> floor(x * 1000000 + 0.5)) AS qe
+                FROM embeddings
+            ),
+            dims AS (
+                -- v BIGINT so ``//`` below is true integer floor
+                -- division (DOUBLE ``//`` in DuckDB is plain division
+                -- and the BIGINT cast ROUNDS — off-by-one vs floor)
+                SELECT vec_id, d AS j, CAST(qe[d] AS BIGINT) AS v
+                FROM emb, UNNEST(generate_series(1, 64)) AS t(d)
+            ),
+            stats AS (SELECT j, MIN(v) AS mn, MAX(v) AS mx FROM dims GROUP BY j),
+            codes AS (
+                SELECT vec_id, dims.j,
+                       CASE WHEN mx = mn THEN 0
+                            ELSE ((v - mn) * 255) // (mx - mn)
+                       END AS c
+                FROM dims JOIN stats ON stats.j = dims.j
+            ),
+            approx AS (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       SUM(q.c * d.c) AS s
+                FROM codes q JOIN codes d ON q.j = d.j
+                WHERE q.vec_id % 50 = 0 AND d.vec_id != q.vec_id
+                GROUP BY 1, 2
+            ),
+            cand AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY query_id ORDER BY s DESC, neighbor_id
+                    ) AS rn FROM approx
+                ) WHERE rn <= 30
+            ),
+            exact AS (
+                SELECT c.query_id, c.neighbor_id, SUM(qd.v * nd.v) AS s
+                FROM cand c
+                JOIN dims qd ON qd.vec_id = c.query_id
+                JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.j = qd.j
+                GROUP BY 1, 2
+            )
+            SELECT query_id, neighbor_id, rn AS rank FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, neighbor_id
+                ) AS rn FROM exact
+            ) WHERE rn <= 10
+        """,
         "embed_kmeans_int": _kmeans_int_sql(),
         "identify_scenes": IDENTIFY_SQL,
         "image_aspect_buckets": """

@@ -893,3 +893,194 @@ def pq_adc_topk(
         return group[["query_id", "neighbor_id", "rank"]]
 
     return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
+# --------------------------------------------- scalar quantization (SQ8)
+
+
+def sq_train_stats(
+    corpus: Dataset, emb_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) of the 1e-6-quantized corpus — the SQ8
+    "training" pass. One bounded exchange: each batch folds to a single
+    (2, d) partial, the driver combines O(#batches) partials. Exact
+    integer stats, so codes are bit-reproducible at any block count."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "mn": pa.array([], type=pa.list_(pa.int64())),
+                    "mx": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        emb = quantize_embeddings(_stack_embeddings(batch, emb_col))
+        return pa.table(
+            {
+                "mn": pa.array([emb.min(axis=0).tolist()]),
+                "mx": pa.array([emb.max(axis=0).tolist()]),
+            }
+        )
+
+    parts = corpus.select_columns([emb_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).take_all()  # bounded: one row per input batch
+    mn = np.min([p["mn"] for p in parts], axis=0).astype(np.int64)
+    mx = np.max([p["mx"] for p in parts], axis=0).astype(np.int64)
+    return mn, mx
+
+
+def _sq_encode(emb: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """int64 quantized values → uint8 codes, exact floor arithmetic:
+    ``(x - min) * 255 // (max - min)`` (0 where the dim is constant) —
+    the same expression DuckDB's integer ``//`` evaluates."""
+    span = mx - mn
+    safe = np.where(span == 0, 1, span)
+    codes = (emb - mn[None, :]) * 255 // safe[None, :]
+    return np.where(span[None, :] == 0, 0, codes).astype(np.int64)
+
+
+def sq_rerank_topk(
+    corpus: Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    candidates: int = 30,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Two-stage retrieve-and-rerank cascade over SQ8 codes — the
+    production ANN serving shape (quantized first pass, exact second
+    pass on a shortlist):
+
+    1. **Retrieve**: symmetric int8×int8 dot products over the scalar-
+       quantized codes (8x smaller than the int64 embeddings — the
+       memory-bandwidth path at 10^12 rows); per-batch partial
+       top-``candidates`` + one small groupby merge, exactly like
+       :func:`brute_force_topk`.
+    2. **Rerank**: the shortlist (queries × candidates pairs, bounded)
+       is broadcast back over the corpus and ONLY candidate rows get
+       exact integer dot products; a final vocabulary-sized merge ranks
+       the true top-k.
+
+    Both passes are integer-exact, so the full cascade — including
+    which candidates survive stage 1 — is reproducible in SQL. Rows:
+    (query_id, neighbor_id, rank) by exact score desc, ties → id asc.
+    """
+    mn, mx = sq_train_stats(corpus, emb_col)
+    qmat = quantize_embeddings(query_matrix)
+    qcodes = _sq_encode(qmat, mn, mx)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    statsref = ray.put((qids, qcodes, mn, mx))
+
+    class _Retrieve:
+        def __init__(self):
+            self.qids, self.qcodes, self.mn, self.mx = ray.get(statsref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "approx": pa.array([], type=pa.int64()),
+                }
+            )
+            if len(batch) == 0:
+                return empty
+            emb = quantize_embeddings(_stack_embeddings(batch, emb_col))
+            ids = batch[id_col].to_numpy()
+            codes = _sq_encode(emb, self.mn, self.mx)
+            scores = self.qcodes @ codes.T  # (nq, batch) int64, |.| < 2^32
+            if exclude_self:
+                scores = np.where(
+                    self.qids[:, None] == ids[None, :],
+                    np.int64(-(2**62)),
+                    scores,
+                )
+            nq = scores.shape[0]
+            kk = min(candidates, scores.shape[1])
+            # partial top-C by (approx desc, id asc)
+            order = np.lexsort((ids[None, :].repeat(nq, 0), -scores), axis=1)
+            top = order[:, :kk]
+            out_q = np.repeat(self.qids, kk)
+            flat = top.reshape(-1)
+            out_s = scores[np.repeat(np.arange(nq), kk), flat]
+            keep = out_s != -(2**62)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q[keep]),
+                    "neighbor_id": pa.array(ids[flat][keep]),
+                    "approx": pa.array(out_s[keep]),
+                }
+            )
+
+    shortlist = (
+        corpus.select_columns([id_col, emb_col])
+        .map_batches(_Retrieve, batch_format="pyarrow", concurrency=(1, 4))
+    )
+
+    def _cand_merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["approx", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(candidates)
+        return group[["query_id", "neighbor_id"]]
+
+    cand = (
+        shortlist.groupby("query_id")
+        .map_groups(_cand_merge, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: nq × candidates rows
+    # pair set → per-neighbor query lists, broadcast once
+    pair_map: dict[int, list[int]] = {}
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    for q, n in zip(cand["query_id"].to_numpy(), cand["neighbor_id"].to_numpy()):
+        pair_map.setdefault(int(n), []).append(qpos[int(q)])
+    pairref = ray.put((pair_map, qids, qmat))
+
+    class _Rerank:
+        def __init__(self):
+            self.pairs, self.qids, self.qmat = ray.get(pairref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "exact": pa.array([], type=pa.int64()),
+                }
+            )
+            if len(batch) == 0:
+                return empty
+            ids = batch[id_col].to_numpy()
+            mask = np.array([int(i) in self.pairs for i in ids], dtype=bool)
+            if not mask.any():
+                return empty
+            emb = quantize_embeddings(_stack_embeddings(batch, emb_col))[mask]
+            kept = ids[mask]
+            out_q, out_n, out_s = [], [], []
+            for row, nid in zip(emb, kept):
+                for qi in self.pairs[int(nid)]:
+                    out_q.append(int(self.qids[qi]))
+                    out_n.append(int(nid))
+                    out_s.append(int(self.qmat[qi] @ row))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_n, type=pa.int64()),
+                    "exact": pa.array(out_s, type=pa.int64()),
+                }
+            )
+
+    exact = corpus.select_columns([id_col, emb_col]).map_batches(
+        _Rerank, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["exact", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        group = group.assign(rank=np.arange(1, len(group) + 1, dtype=np.int64))
+        return group[["query_id", "neighbor_id", "rank"]]
+
+    return exact.groupby("query_id").map_groups(_final, batch_format="pandas")

@@ -735,3 +735,60 @@ def test_pq_adc_equals_lut_free_distance():
         order = np.lexsort((ids, dist))[:4]
         got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"]
         assert got.tolist() == ids[order].tolist()
+
+
+def test_sq_encode_floor_semantics():
+    import numpy as np
+
+    from pyrosar_ray.stages.ann import _sq_encode
+
+    emb = np.array([[105514, -366539, 355547, 7]], dtype=np.int64)
+    mn = np.array([-366539, -366539, -366539, 7], dtype=np.int64)
+    mx = np.array([355547, 355547, 355547, 7], dtype=np.int64)
+    codes = _sq_encode(emb, mn, mx)
+    # exact floor: (105514+366539)*255 // 722086 = 166 (NOT round→167)
+    assert codes.tolist() == [[166, 0, 255, 0]]  # constant dim → code 0
+
+
+def test_sq_rerank_matches_bruteforce_cascade():
+    """The distributed cascade == the single-process reference: top-C
+    by code dots, then top-k by exact integer dots, same tie rules."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from pyrosar_ray.stages.ann import (
+        _sq_encode,
+        quantize_embeddings,
+        sq_rerank_topk,
+    )
+
+    rng = np.random.default_rng(21)
+    n, d, C, k = 120, 12, 8, 3
+    mat = rng.uniform(-1, 1, size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(map(list, mat))})
+    qsel = ids[::17]
+    out = (
+        sq_rerank_topk(
+            ray.data.from_pandas(df).repartition(5),
+            qsel,
+            mat[::17],
+            k=k,
+            candidates=C,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    q = quantize_embeddings(mat)
+    mn, mx = q.min(axis=0), q.max(axis=0)
+    codes = _sq_encode(q, mn, mx)
+    for qid in qsel:
+        approx = codes[qid] @ codes.T
+        approx[qid] = -(2**62)  # int64.min would overflow under negation
+        cand = np.lexsort((ids, -approx))[:C]
+        exact = q[cand] @ q[qid]
+        order = cand[np.lexsort((cand, -exact))][:k]
+        got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"]
+        assert got.tolist() == order.tolist(), qid
