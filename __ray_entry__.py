@@ -3436,6 +3436,21 @@ def q_doc_warc_ingest(sf_dir: str):
     return warc_ingest(sf_dir)
 
 
+def q_doc_html_extract(sf_dir: str):
+    """Crawl-page text extraction through a REAL single-pass HTML
+    tokenizer: raw-text elements (script/style) scanned to their close
+    tag, nesting-aware boilerplate drop (nav/header/footer/aside),
+    named + numeric character-reference decode, block-boundary layout,
+    link counting across dropped regions. Pages are synthesized
+    closed-form from (doc_id, text) — title entities, &#32; separators
+    and inline-link wraps all decode back to byte-equality with the
+    source — so the twin reconstructs every output column without
+    parsing HTML. Row-local, zero shuffle."""
+    from pyrosar_ray.stages.html import html_extract, pages_from_documents
+
+    return html_extract(pages_from_documents(sf_dir))
+
+
 def q_embed_sq_rerank(sf_dir: str):
     """Retrieve-and-rerank cascade over SQ8 scalar quantization — the
     production ANN serving shape: per-dim min/max from ONE bounded
@@ -3757,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_bloom_inner": q_join_bloom_inner,
         "doc_warc_ingest": q_doc_warc_ingest,
         "embed_sq_rerank": q_embed_sq_rerank,
+        "doc_html_extract": q_doc_html_extract,
     }
 
 
@@ -6557,6 +6573,37 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "doc_html_extract": """
+            -- closed-form twin of the page synthesis contract: title =
+            -- first 3 words joined ' & ', text = 10-word chunks joined
+            -- by newline, links = 3 nav + aside (id%4=0) + every 13th
+            -- word from index 5, blocks = ceil(n_words/10)
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            w AS (
+                SELECT doc_id, g.i AS i, ws[g.i] AS word
+                FROM words, UNNEST(generate_series(1, len(ws))) AS g(i)
+            ),
+            chunks AS (
+                SELECT doc_id, (i - 1) // 10 AS c,
+                       string_agg(word, ' ' ORDER BY i) AS chunk
+                FROM w GROUP BY doc_id, (i - 1) // 10
+            ),
+            body AS (
+                SELECT doc_id, string_agg(chunk, chr(10) ORDER BY c) AS text,
+                       COUNT(*) AS n_blocks
+                FROM chunks GROUP BY doc_id
+            )
+            SELECT words.doc_id,
+                   ws[1] || ' & ' || ws[2] || ' & ' || ws[3] AS title,
+                   body.text,
+                   CAST(3 + CASE WHEN words.doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        + CASE WHEN len(ws) >= 6 THEN (len(ws) - 6) // 13 + 1
+                               ELSE 0 END AS INT) AS n_links,
+                   CAST(body.n_blocks AS INT) AS n_blocks
+            FROM words JOIN body ON body.doc_id = words.doc_id
+        """,
         "embed_sq_rerank": """
             -- SQ8 cascade twin: per-dim min/max over the quantized
             -- corpus, integer-floor codes, symmetric code-dot top-30
