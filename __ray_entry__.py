@@ -2286,9 +2286,16 @@ def q_spatial_knn_partitioned(sf_dir: str):
     )
     # the sampled probe side is ~60x smaller than the catalog here, so
     # replicate the probes into their halo cells (auto can't see through
-    # the groupby's lineage to compare sizes)
+    # the groupby's lineage to compare sizes). Partition count likewise:
+    # size it from the file-backed pre-transform reads — the groupby
+    # lineage hides input_files and the static default over-splits small
+    # inputs (64 sort partitions of a 2 MB table is pure exchange tax).
+    from pyrosar_ray.stages.spatial import auto_num_partitions
+
+    nparts = auto_num_partitions(load_scenes(sf_dir), load_points(sf_dir))
     return partitioned_spatial_knn(
-        load_scenes(sf_dir), points, k=5, replicate="points"
+        load_scenes(sf_dir), points, k=5, replicate="points",
+        num_partitions=nparts,
     )
 
 
