@@ -3458,6 +3458,22 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_doc_url_dedup(sf_dir: str):
+    """Canonical-URL dedup: every 3 consecutive ids name one resource
+    through different RFC 3986 denormalizations (explicit default port
+    + dot-segments + unsorted query / uppercase scheme + dot segment /
+    percent-over-encoding + host case+trailing dot). The REAL
+    canonicalizer (lowercase scheme+host, default-port strip,
+    unreserved percent-decode, §5.2.4 dot removal, query sort,
+    fragment drop) defines the groups; one hash exchange on the
+    canonical string tags each row with its cluster representative.
+    The twin rebuilds the expected canonical closed-form from doc_id
+    and takes MIN over the contract group."""
+    from pyrosar_ray.stages.urls import url_dedup, urls_from_documents
+
+    return url_dedup(urls_from_documents(sf_dir))
+
+
 def q_embed_sq_rerank(sf_dir: str):
     """Retrieve-and-rerank cascade over SQ8 scalar quantization — the
     production ANN serving shape: per-dim min/max from ONE bounded
@@ -3780,6 +3796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_warc_ingest": q_doc_warc_ingest,
         "embed_sq_rerank": q_embed_sq_rerank,
         "doc_html_extract": q_doc_html_extract,
+        "doc_url_dedup": q_doc_url_dedup,
     }
 
 
@@ -6580,6 +6597,17 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "doc_url_dedup": """
+            WITH d AS (
+                SELECT doc_id,
+                       'http://example.com/a/c/page-' || (doc_id // 3)
+                       || '?a=1&b=2' AS url_canon
+                FROM documents
+            )
+            SELECT doc_id, url_canon,
+                   MIN(doc_id) OVER (PARTITION BY doc_id // 3) AS dup_of
+            FROM d
+        """,
         "doc_html_extract": """
             -- closed-form twin of the page synthesis contract: title =
             -- first 3 words joined ' & ', text = 10-word chunks joined

@@ -1,0 +1,84 @@
+"""RFC 3986 URL canonicalization — the first dedup key of every web
+crawl (the same page arrives under case-variant hosts, default ports,
+dot-segments, unsorted query strings and percent-over-encoding; crawl
+frontiers and dedup stages key on the canonical form).
+
+Implements the RFC's syntax-based normalization plus the conventional
+crawl extensions:
+
+- scheme and host lowercased,
+- default ports stripped per scheme (http:80, https:443),
+- percent-decoding of UNRESERVED characters only (``%61`` → ``a``;
+  reserved octets like ``%2F`` stay encoded — decoding them would
+  change the path structure), remaining hex uppercased,
+- dot-segment removal (RFC 3986 §5.2.4),
+- empty path → ``/``,
+- query parameters sorted by (key, value), preserved verbatim
+  otherwise,
+- fragment dropped.
+"""
+
+from __future__ import annotations
+
+import re
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT = re.compile(r"%([0-9a-fA-F]{2})")
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def _norm_percent(s: str) -> str:
+    def _sub(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT.sub(_sub, s)
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    # re-join; collapse the artifacts of leading '/."/".." handling
+    norm = "/".join(out)
+    if path.startswith("/") and not norm.startswith("/"):
+        norm = "/" + norm
+    return norm
+
+
+def split_url(url: str) -> tuple[str, str, str, str, str, str]:
+    """→ (scheme, host, port, path, query, fragment)."""
+    m = re.match(
+        r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]*)(?::([0-9]*))?"
+        r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$",
+        url,
+    )
+    if not m:
+        raise ValueError(f"unparseable URL: {url[:80]!r}")
+    scheme, host, port, path, query, frag = m.groups()
+    return scheme, host, port or "", path, query or "", frag or ""
+
+
+def canonicalize_url(url: str) -> str:
+    scheme, host, port, path, query, _frag = split_url(url)
+    scheme = scheme.lower()
+    host = host.lower().rstrip(".")
+    if port and port != _DEFAULT_PORTS.get(scheme):
+        host = f"{host}:{port}"
+    path = remove_dot_segments(_norm_percent(path)) or "/"
+    out = f"{scheme}://{host}{path}"
+    if query:
+        params = query.split("&")
+        out += "?" + "&".join(sorted(_norm_percent(p) for p in params))
+    return out

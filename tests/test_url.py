@@ -1,0 +1,57 @@
+"""RFC 3986 URL canonicalization (functions/url.py, stages/urls.py)."""
+
+import pytest
+
+from pyrosar_ray.functions.url import (
+    canonicalize_url,
+    remove_dot_segments,
+    split_url,
+)
+
+
+def test_case_port_fragment():
+    assert canonicalize_url("HTTP://Example.COM:80/x#frag") == "http://example.com/x"
+    assert canonicalize_url("https://a.b:443/x") == "https://a.b/x"
+    # non-default port survives
+    assert canonicalize_url("http://a.b:8080/x") == "http://a.b:8080/x"
+    # trailing host dot dropped
+    assert canonicalize_url("http://a.b./x") == "http://a.b/x"
+
+
+def test_dot_segments():
+    assert remove_dot_segments("/a/b/../c") == "/a/c"
+    assert remove_dot_segments("/a/./c") == "/a/c"
+    assert remove_dot_segments("/a/b/c/../../d") == "/a/d"
+    assert remove_dot_segments("/../a") == "/a"
+    assert remove_dot_segments("/a/..") == "/"
+    # empty path becomes /
+    assert canonicalize_url("http://h") == "http://h/"
+
+
+def test_percent_decoding_is_selective():
+    # unreserved decodes, reserved stays (uppercased)
+    assert canonicalize_url("http://h/%61%2fb") == "http://h/a%2Fb"
+    assert canonicalize_url("http://h/%7Euser") == "http://h/~user"
+
+
+def test_query_sort_verbatim():
+    assert canonicalize_url("http://h/p?b=2&a=1&a=0") == "http://h/p?a=0&a=1&b=2"
+    # query is preserved when present, dropped only if absent
+    assert canonicalize_url("http://h/p?") == "http://h/p"
+
+
+def test_split_rejects_garbage():
+    with pytest.raises(ValueError):
+        split_url("not a url")
+
+
+def test_three_variants_collapse():
+    from pyrosar_ray.stages.urls import urls_from_documents  # noqa: F401
+
+    variants = [
+        "http://Example.COM:80/a/b/../c/page-7?b=2&a=1#frag",
+        "HTTP://example.com/a/./c/page-7?a=1&b=2",
+        "http://EXAMPLE.com./%61/c/page-7?b=2&a=1",
+    ]
+    canon = {canonicalize_url(u) for u in variants}
+    assert canon == {"http://example.com/a/c/page-7?a=1&b=2"}
