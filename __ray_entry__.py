@@ -3458,6 +3458,18 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_doc_crawl_curate(sf_dir: str):
+    """THE composed web-text pipeline: HTML pages packed into real
+    .warc.gz shards, fetched back through the WARC walk + HTTP parse,
+    run through the HTML tokenizer, deduped to canonical-URL winners
+    (co-partitioned semi join) and gated on structural quality — every
+    stage individually hash-twinned, and this composition twin pins the
+    stage CONTRACTS (column flow, dedup-before-gate order) on top."""
+    from pyrosar_ray.pipelines.crawl import crawl_curate
+
+    return crawl_curate(sf_dir)
+
+
 def q_doc_url_dedup(sf_dir: str):
     """Canonical-URL dedup: every 3 consecutive ids name one resource
     through different RFC 3986 denormalizations (explicit default port
@@ -3797,6 +3809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_sq_rerank": q_embed_sq_rerank,
         "doc_html_extract": q_doc_html_extract,
         "doc_url_dedup": q_doc_url_dedup,
+        "doc_crawl_curate": q_doc_crawl_curate,
     }
 
 
@@ -6597,6 +6610,41 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "doc_crawl_curate": """
+            -- composition of the warc/html/url twins: winners are the
+            -- canonical-URL group minima (dense ids: doc_id % 3 = 0),
+            -- extraction columns are the html-twin closed forms, and
+            -- the structural gate applies after dedup
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 3 = 0
+            ),
+            w AS (
+                SELECT doc_id, g.i AS i, ws[g.i] AS word
+                FROM words, UNNEST(generate_series(1, len(ws))) AS g(i)
+            ),
+            chunks AS (
+                SELECT doc_id, (i - 1) // 10 AS c,
+                       string_agg(word, ' ' ORDER BY i) AS chunk
+                FROM w GROUP BY doc_id, (i - 1) // 10
+            ),
+            body AS (
+                SELECT doc_id, string_agg(chunk, chr(10) ORDER BY c) AS text,
+                       COUNT(*) AS n_blocks
+                FROM chunks GROUP BY doc_id
+            ),
+            cols AS (
+                SELECT words.doc_id,
+                       ws[1] || ' & ' || ws[2] || ' & ' || ws[3] AS title,
+                       CAST(3 + CASE WHEN words.doc_id % 4 = 0 THEN 1 ELSE 0 END
+                            + CASE WHEN len(ws) >= 6 THEN (len(ws) - 6) // 13 + 1
+                                   ELSE 0 END AS INT) AS n_links,
+                       CAST(body.n_blocks AS INT) AS n_blocks,
+                       body.text
+                FROM words JOIN body ON body.doc_id = words.doc_id
+            )
+            SELECT * FROM cols WHERE n_blocks >= 2 AND n_links <= 9
+        """,
         "doc_url_dedup": """
             WITH d AS (
                 SELECT doc_id,

@@ -56,6 +56,8 @@ BENCH_QUERIES = (
     "video_gif_frames",
     "scene_overlap_area",
     "doc_global_rank",
+    "doc_crawl_curate",
+    "embed_sq_rerank",
 )
 
 

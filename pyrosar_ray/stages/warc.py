@@ -95,9 +95,21 @@ def warc_shards_from_documents(
     """Synthesize the ``.warc.gz`` shard table: (shard_id, blob,
     n_members). One groupby exchange; ~docs_per_shard rows per group."""
     docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return warc_shards_from_table(docs, docs_per_shard=docs_per_shard)
+
+
+def warc_shards_from_table(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    docs_per_shard: int = 50,
+) -> Dataset:
+    """Pack any (id, body) table into ``.warc.gz`` shards — the body
+    can be plain text or full HTML pages (the crawl-chain composition
+    path). Same framing/shard contract as the documents variant."""
 
     def _shard_key(batch: pa.Table) -> pa.Table:
-        sid = pc.divide(batch["doc_id"], docs_per_shard)
+        sid = pc.divide(batch[id_col], docs_per_shard)
         return batch.append_column("shard_id", pc.cast(sid, pa.int64()))
 
     @typed_groups(
@@ -108,8 +120,8 @@ def warc_shards_from_documents(
         }
     )
     def _build(group) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        blob, n = build_shard(ids, group["text"].tolist())
+        ids = group[id_col].to_numpy()
+        blob, n = build_shard(ids, group[body_col].tolist())
         return pa.table(
             {
                 "shard_id": pa.array([int(group["shard_id"].iloc[0])]),

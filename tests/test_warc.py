@@ -109,3 +109,35 @@ def test_warc_ingest_roundtrip(ray_session, sf_dir):
     prior = df.groupby("shard")["members"].cumsum() - df["members"]
     expect_idx = 1 + prior + df.req
     assert got["member_index"].tolist() == expect_idx.tolist()
+
+
+def test_crawl_curate_composition(ray_session, sf_dir):
+    """The composed pipeline = dedup winners ∩ quality gate, with the
+    html-extraction closed forms intact through the WARC round trip."""
+    import duckdb
+
+    from pyrosar_ray.pipelines.crawl import crawl_curate
+
+    got = crawl_curate(sf_dir).to_pandas().sort_values("doc_id", ignore_index=True)
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id, len(string_split(text, ' ')) AS nw
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE doc_id % 3 = 0
+          AND (len(string_split(text, ' ')) + 9) // 10 >= 2
+          AND 3 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN len(string_split(text, ' ')) >= 6
+                     THEN (len(string_split(text, ' ')) - 6) // 13 + 1
+                     ELSE 0 END <= 9
+        ORDER BY doc_id
+        """
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (got["n_blocks"] == (want["nw"] + 9) // 10).all()
+    # text survives: blocks joined by newline reassemble the source words
+    row = got.iloc[0]
+    src = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id = {row.doc_id}"
+    ).fetchone()[0]
+    assert row.text.replace("\n", " ") == src
