@@ -3458,6 +3458,20 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_doc_robots_gate(sf_dir: str):
+    """Crawl-frontier robots.txt gate (RFC 9309): per-host robots files
+    broadcast once, parsed + regex-compiled per ACTOR in __init__, every
+    frontier URL annotated with the longest-match Allow/Disallow
+    decision and the winning pattern. The synthetic robots exercise the
+    grammar (comments, unknown directives, empty Disallow, shared
+    consecutive User-agent lines) and the semantics the twin pins:
+    specific-group SHADOWING of *, wildcard + $ anchors, longest-match
+    with Allow tie preference."""
+    from pyrosar_ray.stages.urls import frontier_from_documents, robots_gate
+
+    return robots_gate(frontier_from_documents(sf_dir))
+
+
 def q_doc_crawl_curate(sf_dir: str):
     """THE composed web-text pipeline: HTML pages packed into real
     .warc.gz shards, fetched back through the WARC walk + HTTP parse,
@@ -3810,6 +3824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_html_extract": q_doc_html_extract,
         "doc_url_dedup": q_doc_url_dedup,
         "doc_crawl_curate": q_doc_crawl_curate,
+        "doc_robots_gate": q_doc_robots_gate,
     }
 
 
@@ -6610,6 +6625,26 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "doc_robots_gate": """
+            -- closed form of the REP decision under the synthesis
+            -- contract: raybot's group shadows * entirely, its rules
+            -- only touch /sec{h%5}/, and within that section the $-
+            -- anchored Allow wins exactly for page numbers ending in 0
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+                   '/sec' || CAST(doc_id % 5 AS VARCHAR) || '/page-'
+                       || CAST(doc_id AS VARCHAR) AS path,
+                   CASE WHEN doc_id % 5 = (doc_id % 7) % 5
+                        THEN doc_id % 10 = 0 ELSE TRUE END AS allowed,
+                   CASE WHEN doc_id % 5 = (doc_id % 7) % 5 THEN
+                        CASE WHEN doc_id % 10 = 0
+                             THEN '/sec' || CAST(doc_id % 5 AS VARCHAR)
+                                  || '/page-*0$'
+                             ELSE '/sec' || CAST(doc_id % 5 AS VARCHAR) || '/'
+                        END
+                   ELSE '' END AS rule
+            FROM documents
+        """,
         "doc_crawl_curate": """
             -- composition of the warc/html/url twins: winners are the
             -- canonical-URL group minima (dense ids: doc_id % 3 = 0),

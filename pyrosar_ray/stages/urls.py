@@ -76,3 +76,88 @@ def url_dedup(urls: Dataset, id_col: str = "doc_id", url_col: str = "url") -> Da
         .groupby("url_canon")
         .map_groups(_group, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- robots gating
+
+
+def robots_for_host(h: int) -> str:
+    """Deterministic robots.txt for host index ``h`` — exercises the
+    full REP grammar: comments, unknown directives, an empty Disallow,
+    consecutive shared User-agent lines, and a specific group that must
+    SHADOW ``*`` (never merge with it)."""
+    s = h % 5
+    return (
+        "# synthetic robots for host h{h}\n"
+        "Sitemap: http://h{h}.example.com/sitemap.xml\n"
+        "\n"
+        "User-agent: otherbot\n"
+        "User-agent: *\n"
+        "Disallow: /sec0/\n"
+        "Allow: /sec0/page-1*\n"
+        "Crawl-delay: 2\n"
+        "Disallow:\n"
+        "\n"
+        "User-agent: raybot\n"
+        "Disallow: /sec{s}/\n"
+        "Allow: /sec{s}/page-*0$\n"
+    ).format(h=h, s=s)
+
+
+def frontier_from_documents(sf_dir: str) -> Dataset:
+    """Crawl frontier: (doc_id, host, path), 7 hosts × 5 path sections."""
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "host": pa.array(
+                    [f"h{i % 7}.example.com" for i in ids], type=pa.string()
+                ),
+                "path": pa.array(
+                    [f"/sec{i % 5}/page-{i}" for i in ids], type=pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(_mk, batch_format="pyarrow")
+
+
+def robots_gate(frontier: Dataset, agent: str = "raybot") -> Dataset:
+    """Filter-annotate a frontier through per-host robots rules.
+
+    The robots corpus is the SMALL side (one file per host): broadcast
+    once via ``ray.put``; each actor parses and regex-compiles every
+    host's matcher in ``__init__`` and then only matches per row — the
+    canonical stateful-actor-pool stage. Output adds (allowed, rule):
+    the RFC 9309 longest-match decision and the winning pattern.
+    """
+    import ray as _ray
+
+    from ..functions.robots import RobotsMatcher
+
+    texts = {f"h{h}.example.com": robots_for_host(h) for h in range(7)}
+    ref = _ray.put(texts)
+
+    class _Gate:
+        def __init__(self):
+            self.matchers = {
+                host: RobotsMatcher(text, agent)
+                for host, text in _ray.get(ref).items()
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hosts = batch["host"].to_pylist()
+            paths = batch["path"].to_pylist()
+            allowed, rules = [], []
+            for host, path in zip(hosts, paths):
+                ok, rule = self.matchers[host].decision(path)
+                allowed.append(ok)
+                rules.append(rule)
+            return batch.append_column(
+                "allowed", pa.array(allowed, type=pa.bool_())
+            ).append_column("rule", pa.array(rules, type=pa.string()))
+
+    return frontier.map_batches(_Gate, batch_format="pyarrow", concurrency=(1, 4))
