@@ -25,6 +25,10 @@ QUERIES = [
     "doc_split_leakfree",
     "image_aspect_buckets",
     "events_zscore",
+    # crawl chain: shard groupby + WARC/HTML parse + semi join + gate
+    "doc_crawl_curate",
+    # two-stage ANN cascade: stats exchange + shortlist + rerank merge
+    "embed_sq_rerank",
 ]
 
 
