@@ -3458,6 +3458,44 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_doc_rake(sf_dir: str):
+    """RAKE keyphrase extraction (Rose 2010), integer-exact: stopword-
+    boundary candidate phrases, word deg*SCALE // freq scores (floor
+    division — identical in SQL), phrase = sum of word scores, top-3
+    per doc by (score desc, phrase asc). Row-local, zero shuffle."""
+    from pyrosar_ray.stages.rake import rake_topk
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return rake_topk(docs, k=3)
+
+
+def q_events_cube(sf_dir: str):
+    """CUBE(event_type, day) in ONE pass: every batch folds partials
+    for all four grouping sets (rolled dims -> 'ALL'), one bounded
+    groupby merges — vs DuckDB's GROUP BY CUBE. The exchange is
+    vocabulary-sized (types x days + types + days + 1) regardless of
+    input rows; sums are integer cents, combine-order independent."""
+    import pyarrow as pa
+
+    from pyrosar_ray.stages.cube import cube_aggregate
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def _day(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return batch.drop_columns(["ts"]).append_column("day", day)
+
+    return cube_aggregate(
+        events.map_batches(_day, batch_format="pyarrow"),
+        dims=["event_type", "day"],
+        value_col="value",
+    )
+
+
 def q_doc_robots_gate(sf_dir: str):
     """Crawl-frontier robots.txt gate (RFC 9309): per-host robots files
     broadcast once, parsed + regex-compiled per ACTOR in __init__, every
@@ -3825,6 +3863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_url_dedup": q_doc_url_dedup,
         "doc_crawl_curate": q_doc_crawl_curate,
         "doc_robots_gate": q_doc_robots_gate,
+        "events_cube": q_events_cube,
+        "doc_rake": q_doc_rake,
     }
 
 
@@ -6625,6 +6665,68 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "doc_rake": """
+            WITH toks AS (
+                SELECT doc_id, g.i AS i, ws[g.i] AS word,
+                       CASE WHEN ws[g.i] IN ('the','a','and','of','to',
+                            'in','is','on','for','at') THEN 1 ELSE 0
+                       END AS stop
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+                     UNNEST(generate_series(1, len(ws))) AS g(i)
+            ),
+            segtok AS (
+                -- segment id must count stopwords over ALL tokens
+                -- (filtering first would collapse every doc into one
+                -- segment); filter to content words after the window
+                SELECT doc_id, i, word, seg FROM (
+                    SELECT doc_id, i, word, stop,
+                           SUM(stop) OVER (
+                               PARTITION BY doc_id ORDER BY i
+                           ) AS seg
+                    FROM toks
+                ) WHERE stop = 0
+            ),
+            segs AS (
+                SELECT doc_id, seg,
+                       string_agg(word, ' ' ORDER BY i) AS phrase,
+                       COUNT(*) AS slen
+                FROM segtok GROUP BY doc_id, seg
+            ),
+            wstats AS (
+                SELECT t.doc_id, t.word,
+                       COUNT(*) AS freq, SUM(s.slen) AS deg
+                FROM segtok t JOIN segs s
+                  ON s.doc_id = t.doc_id AND s.seg = t.seg
+                GROUP BY t.doc_id, t.word
+            ),
+            pscore AS (
+                SELECT DISTINCT s.doc_id, s.phrase, x.score
+                FROM segs s JOIN (
+                    SELECT t.doc_id, t.seg,
+                           SUM(w.deg * 1000 // w.freq)::BIGINT AS score
+                    FROM segtok t JOIN wstats w
+                      ON w.doc_id = t.doc_id AND w.word = t.word
+                    GROUP BY t.doc_id, t.seg
+                ) x ON x.doc_id = s.doc_id AND x.seg = s.seg
+            )
+            SELECT doc_id, phrase, score, rn AS rank FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, phrase
+                ) AS rn FROM pscore
+            ) WHERE rn <= 3
+        """,
+        "events_cube": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   COUNT(*) AS n,
+                   SUM(floor(value * 100 + 0.5))::BIGINT AS sum_cents
+            FROM (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+                FROM events
+            )
+            GROUP BY CUBE (event_type, day)
+        """,
         "doc_robots_gate": """
             -- closed form of the REP decision under the synthesis
             -- contract: raybot's group shadows * entirely, its rules
