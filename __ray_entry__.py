@@ -3458,6 +3458,54 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_lineitem_q6(sf_dir: str):
+    """Predicate pushdown at the READ (the prune-at-the-read scale
+    rule): the TPC-H Q6 filter (shipdate year, discount band, quantity
+    cap) is a pyarrow dataset expression evaluated inside the parquet
+    scan — row groups that can't match never leave storage, and only
+    the two aggregation columns are materialized. Revenue is kept
+    integer-exact (cents x basis points per row before summation), so
+    the global sum is combine-order independent."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    expr = (
+        (pads.field("l_shipdate") >= datetime(1996, 1, 1))
+        & (pads.field("l_shipdate") < datetime(1997, 1, 1))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    rows = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=expr,
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        price = np.floor(batch["l_extendedprice"].to_numpy() * 100.0 + 0.5)
+        disc = np.floor(batch["l_discount"].to_numpy() * 100.0 + 0.5)
+        rev = (price.astype(np.int64) * disc.astype(np.int64)).sum()
+        return pa.table(
+            {
+                "g": pa.array([0], type=pa.int64()),
+                "revenue_u": pa.array([int(rev)], type=pa.int64()),
+                "n": pa.array([len(batch)], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rows.map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"), Sum("n", alias_name="n"))
+    )
+
+
 def q_doc_rake(sf_dir: str):
     """RAKE keyphrase extraction (Rose 2010), integer-exact: stopword-
     boundary candidate phrases, word deg*SCALE // freq scores (floor
@@ -3865,6 +3913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_robots_gate": q_doc_robots_gate,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
+        "lineitem_q6": q_lineitem_q6,
     }
 
 
@@ -6665,6 +6714,18 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "lineitem_q6": """
+            SELECT 0::BIGINT AS g,
+                   SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * floor(l_discount * 100 + 0.5)::BIGINT)::BIGINT
+                       AS revenue_u,
+                   COUNT(*)::BIGINT AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
         "doc_rake": """
             WITH toks AS (
                 SELECT doc_id, g.i AS i, ws[g.i] AS word,
