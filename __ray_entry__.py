@@ -3458,6 +3458,26 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_events_mor(sf_dir: str):
+    """Lakehouse merge-on-read: day-partitioned base parquet + Iceberg-
+    style POSITIONAL delete sidecars (type='error' rows recorded as
+    (file, row position), never rewritten), then a row-group-granular
+    scan that derives absolute positions from footer metadata and
+    anti-filters its delete-vector slice — values never consulted for
+    the drop. Twin recomputes positions via ROW_NUMBER and must agree
+    row-for-row."""
+    import tempfile
+
+    from pyrosar_ray.stages.mor import mor_scan, mor_write
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    out = tempfile.mkdtemp(prefix="mor_", dir="/tmp")
+    mor_write(events, out).materialize()  # manifest: bounded (one row/day)
+    return mor_scan(out)
+
+
 def q_lineitem_q6(sf_dir: str):
     """Predicate pushdown at the READ (the prune-at-the-read scale
     rule): the TPC-H Q6 filter (shipdate year, discount band, quantity
@@ -3914,6 +3934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "lineitem_q6": q_lineitem_q6,
+        "events_mor": q_events_mor,
     }
 
 
@@ -6714,6 +6735,18 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "events_mor": """
+            WITH pos AS (
+                SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY strftime(ts, '%Y-%m-%d')
+                           ORDER BY event_id
+                       ) - 1 AS pos
+                FROM events
+            )
+            SELECT event_id, day, pos, event_type
+            FROM pos WHERE event_type <> 'error'
+        """,
         "lineitem_q6": """
             SELECT 0::BIGINT AS g,
                    SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT

@@ -1,0 +1,164 @@
+"""Merge-on-read with positional delete files — the lakehouse update
+mechanic (Iceberg v2 / Delta deletion vectors): instead of rewriting
+data files to delete rows, a sidecar records (file, row position)
+pairs and every subsequent scan subtracts them by POSITION, never by
+value. This is how a 100 TB table absorbs deletes without a 100 TB
+rewrite.
+
+Ray shape:
+
+- :func:`mor_write` — one groupby exchange partitions rows by day;
+  each group writes its base parquet (sorted by id, multiple row
+  groups) plus its positional-delete sidecar, and emits a manifest row.
+- :func:`mor_scan` — the planner reads ONLY file metadata on the
+  driver (one footer per file, like any query planner) and builds
+  (file, row_group, pos_base) work items; each Ray task reads ONE row
+  group, derives absolute row positions from the metadata offsets, and
+  anti-filters its slice of the delete vector. Scan parallelism is
+  row-group granular — the splittable-scan-with-position-offsets
+  design — and delete sidecars are loaded per file (bounded by that
+  file's delete count), cached per actor.
+
+Correctness hinge: the scan never inspects the deleted rows' VALUES —
+positions alone drive the drop (pinned by the hash twin, which
+recomputes positions via ROW_NUMBER and must agree row-for-row).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+from ray.data import Dataset
+
+from .groups import typed_groups
+
+_ROW_GROUP_SIZE = 200  # several row groups per day file → real offsets
+
+
+def mor_write(
+    events: Dataset,
+    out_dir: str,
+    delete_types: tuple[str, ...] = ("error",),
+) -> Dataset:
+    """Partition by day; per day write base parquet + positional
+    deletes for rows whose type is in ``delete_types``. Returns the
+    manifest (day, n_rows, n_deletes)."""
+    os.makedirs(f"{out_dir}/base", exist_ok=True)
+    os.makedirs(f"{out_dir}/deletes", exist_ok=True)
+
+    def _day(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "day", pc.strftime(batch["ts"], format="%Y-%m-%d")
+        )
+
+    @typed_groups(
+        {"day": pa.string(), "n_rows": pa.int64(), "n_deletes": pa.int64()}
+    )
+    def _write(group: pd.DataFrame) -> pa.Table:
+        day = group["day"].iloc[0]
+        g = group.sort_values("event_id", ignore_index=True)
+        base = pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(), type=pa.int64()),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+            }
+        )
+        pq.write_table(
+            base, f"{out_dir}/base/day={day}.parquet",
+            row_group_size=_ROW_GROUP_SIZE,
+        )
+        dels = np.flatnonzero(g["event_type"].isin(delete_types).to_numpy())
+        pq.write_table(
+            pa.table({"pos": pa.array(dels, type=pa.int64())}),
+            f"{out_dir}/deletes/day={day}.parquet",
+        )
+        return pa.table(
+            {
+                "day": pa.array([day], type=pa.string()),
+                "n_rows": pa.array([len(g)], type=pa.int64()),
+                "n_deletes": pa.array([len(dels)], type=pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(_day, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(_write, batch_format="pandas")
+    )
+
+
+def mor_scan(out_dir: str) -> Dataset:
+    """Read base minus positional deletes: (event_id, day, pos,
+    event_type) of surviving rows."""
+    base_dir = f"{out_dir}/base"
+    items = []
+    for fname in sorted(os.listdir(base_dir)):
+        day = fname[len("day=") : -len(".parquet")]
+        meta = pq.read_metadata(f"{base_dir}/{fname}")
+        pos_base = 0
+        for rg in range(meta.num_row_groups):
+            n = meta.row_group(rg).num_rows
+            items.append(
+                {"day": day, "rg": rg, "pos_base": pos_base, "n": n}
+            )
+            pos_base += n
+
+    class _ScanTask:
+        def __init__(self):
+            self._deletes: dict[str, np.ndarray] = {}
+
+        def _dels(self, day: str) -> np.ndarray:
+            if day not in self._deletes:
+                t = pq.read_table(f"{out_dir}/deletes/day={day}.parquet")
+                self._deletes[day] = t["pos"].to_numpy()
+            return self._deletes[day]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for day, rg, pos_base, n in zip(
+                batch["day"].to_pylist(),
+                batch["rg"].to_pylist(),
+                batch["pos_base"].to_pylist(),
+                batch["n"].to_pylist(),
+            ):
+                f = pq.ParquetFile(f"{base_dir}/day={day}.parquet")
+                tab = f.read_row_group(rg)
+                pos = np.arange(pos_base, pos_base + n, dtype=np.int64)
+                dels = self._dels(day)
+                # positions alone decide the drop — never the values
+                keep = ~np.isin(pos, dels, assume_unique=True)
+                out.append(
+                    pa.table(
+                        {
+                            "event_id": tab["event_id"].combine_chunks().filter(
+                                pa.array(keep)
+                            ),
+                            "day": pa.array([day] * int(keep.sum())),
+                            "pos": pa.array(pos[keep]),
+                            "event_type": tab["event_type"]
+                            .combine_chunks()
+                            .filter(pa.array(keep)),
+                        }
+                    )
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "event_id": pa.array([], type=pa.int64()),
+                        "day": pa.array([], type=pa.string()),
+                        "pos": pa.array([], type=pa.int64()),
+                        "event_type": pa.array([], type=pa.string()),
+                    }
+                )
+            return pa.concat_tables(out)
+
+    return ray.data.from_items(items).map_batches(
+        _ScanTask, batch_format="pyarrow", concurrency=(1, 4)
+    )
