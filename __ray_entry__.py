@@ -3458,6 +3458,24 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_points_zscan(sf_dir: str):
+    """Z-order clustering + min/max data skipping — the storage half of
+    prune-at-the-read: points cluster into Morton-prefix bucket files
+    (small row groups, sorted by full key), and a bbox query reads ONLY
+    the row groups whose footer (lon, lat) stats can intersect the box
+    (driver plans from footers alone), then applies the exact filter.
+    Twin = the plain bbox predicate over the same derived points — the
+    prune must be a pure superset."""
+    import tempfile
+
+    from pyrosar_ray.pipelines.tables import load_points
+    from pyrosar_ray.stages.zscan import zorder_scan, zorder_write
+
+    out = tempfile.mkdtemp(prefix="zscan_", dir="/tmp")
+    zorder_write(load_points(sf_dir), out).materialize()  # bounded manifest
+    return zorder_scan(out, (-25.0, -10.0, 5.0, 20.0))
+
+
 def q_events_mor(sf_dir: str):
     """Lakehouse merge-on-read: day-partitioned base parquet + Iceberg-
     style POSITIONAL delete sidecars (type='error' rows recorded as
@@ -3935,6 +3953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rake": q_doc_rake,
         "lineitem_q6": q_lineitem_q6,
         "events_mor": q_events_mor,
+        "points_zscan": q_points_zscan,
     }
 
 
@@ -6735,6 +6754,11 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "points_zscan": f"""
+            WITH p AS ({POINTS_SQL})
+            SELECT point_id, lon, lat FROM p
+            WHERE lon >= -25 AND lon <= 5 AND lat >= -10 AND lat <= 20
+        """,
         "events_mor": """
             WITH pos AS (
                 SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -1,0 +1,61 @@
+"""Z-order clustered write + stats pruning (stages/zscan.py)."""
+
+import numpy as np
+import pandas as pd
+
+
+def _points(n=6000):
+    rng = np.random.RandomState(3)
+    return pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-180, 180, n),
+            "lat": rng.uniform(-85, 85, n),
+        }
+    )
+
+
+def test_zscan_prunes_and_stays_exact(ray_session, tmp_path):
+    import ray
+
+    from pyrosar_ray.stages.zscan import zorder_scan, zorder_write, zscan_plan
+
+    df = _points()
+    out = str(tmp_path / "z")
+    manifest = zorder_write(
+        ray.data.from_pandas(df).repartition(4), out
+    ).to_pandas()
+    assert manifest["n_rows"].sum() == len(df)
+    total_rgs = manifest["n_row_groups"].sum()
+
+    bbox = (-20.0, -15.0, 25.0, 20.0)  # ~12.5% of lon x ~20% of lat
+    items, total = zscan_plan(out, bbox)
+    assert total == total_rgs
+    # clustering makes stats selective: most row groups skip
+    assert len(items) < total / 2, (len(items), total)
+
+    got = (
+        zorder_scan(out, bbox)
+        .to_pandas()
+        .sort_values("point_id", ignore_index=True)
+    )
+    lo_lon, lo_lat, hi_lon, hi_lat = bbox
+    want = df[
+        (df.lon >= lo_lon) & (df.lon <= hi_lon)
+        & (df.lat >= lo_lat) & (df.lat <= hi_lat)
+    ].sort_values("point_id", ignore_index=True)
+    assert got["point_id"].tolist() == want["point_id"].tolist()
+
+
+def test_zscan_empty_box(ray_session, tmp_path):
+    import ray
+
+    from pyrosar_ray.stages.zscan import zorder_scan, zorder_write
+
+    out = str(tmp_path / "z")
+    zorder_write(ray.data.from_pandas(_points(500)), out).materialize()
+    ds = zorder_scan(out, (200.0, 95.0, 201.0, 96.0))
+    assert ds.count() == 0
+    # schema survives the degenerate plan (to_pandas on an empty
+    # Dataset drops columns — a Ray quirk — so assert on the schema)
+    assert ds.schema().names == ["point_id", "lon", "lat"]
