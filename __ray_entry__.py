@@ -3458,6 +3458,37 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_events_watermark(sf_dir: str):
+    """Watermark/late-data windows: ingest delay is closed-form in the
+    id (event_id % 97 minutes); rows later than the 30-minute allowed
+    lateness are dropped from their 1-hour event-time window but
+    LEDGERED in n_late (auditable loss, the Beam/Flink accounting).
+    Same plan shape as events_window: row-local classify, in-batch
+    partials, one vocabulary-sized merge."""
+    import pyarrow as pa
+
+    from pyrosar_ray.stages.windows import late_data_window
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+
+    def _delay(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        import numpy as np
+
+        ids = batch["event_id"].to_numpy()
+        d = (ids % 97) * 60_000_000
+        return batch.append_column("delay_us", pa.array(d, type=pa.int64()))
+
+    return late_data_window(
+        events.map_batches(_delay, batch_format="pyarrow"),
+        width_us=3_600_000_000,
+        lateness_us=1_800_000_000,
+    )
+
+
 def q_points_zscan(sf_dir: str):
     """Z-order clustering + min/max data skipping — the storage half of
     prune-at-the-read: points cluster into Morton-prefix bucket files
@@ -3954,6 +3985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q6": q_lineitem_q6,
         "events_mor": q_events_mor,
         "points_zscan": q_points_zscan,
+        "events_watermark": q_events_watermark,
     }
 
 
@@ -6754,6 +6786,16 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "events_watermark": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+                   event_type,
+                   COUNT(*) FILTER ((event_id % 97) * 60000000
+                                    <= 1800000000)::BIGINT AS n_on_time,
+                   COUNT(*) FILTER ((event_id % 97) * 60000000
+                                    > 1800000000)::BIGINT AS n_late
+            FROM events
+            GROUP BY 1, 2
+        """,
         "points_zscan": f"""
             WITH p AS ({POINTS_SQL})
             SELECT point_id, lon, lat FROM p

@@ -265,3 +265,50 @@ def resample_events(
         )
 
     return events.groupby(key_col).map_groups(_grid, batch_format="pandas")
+
+
+def late_data_window(
+    events: Dataset,
+    width_us: int,
+    lateness_us: int,
+    ts_col: str = "ts",
+    delay_col: str = "delay_us",
+    key_col: str | None = "event_type",
+) -> Dataset:
+    """Tumbling windows with WATERMARK semantics: a row whose ingest
+    delay exceeds the allowed lateness arrives after its window's
+    watermark has passed and is DROPPED — but never silently: the
+    window keeps an ``n_late`` ledger alongside ``n_on_time``, the
+    accounting every Beam/Flink-style pipeline must surface (a late
+    drop that isn't counted is data loss you can't audit).
+
+    Same physical plan as :func:`tumbling_window`: row-local classify +
+    in-batch partial fold + one vocabulary-sized groupby merge.
+    """
+    group_cols = ["window_start"] + ([key_col] if key_col else [])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch[ts_col])
+        delay = np.asarray(batch[delay_col].to_numpy(), dtype=np.int64)
+        late = delay > lateness_us
+        frame = {
+            "window_start": us // width_us * width_us,
+            "n_on_time": (~late).astype(np.int64),
+            "n_late": late.astype(np.int64),
+        }
+        if key_col:
+            frame[key_col] = batch[key_col].to_pandas().to_numpy()
+        df = pd.DataFrame(frame)
+        part = df.groupby(group_cols, as_index=False, sort=False)[
+            ["n_on_time", "n_late"]
+        ].sum()
+        return table_from_pandas(part)
+
+    return (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .aggregate(
+            Sum("n_on_time", alias_name="n_on_time"),
+            Sum("n_late", alias_name="n_late"),
+        )
+    )
