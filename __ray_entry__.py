@@ -3458,6 +3458,18 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_raster_regions(sf_dir: str):
+    """Connected-region extraction (SAR water-mask primitive): decode
+    the GeoTIFF, threshold (nodata excluded), label 4-connected regions
+    by canonical min-pixel-index, emit per-region size + bbox. Pure
+    streaming scan, zero shuffle. The twin recomputes pixels from the
+    key and labels by recursive-CTE transitive closure — the decode,
+    mask, connectivity and label canon all hash-check."""
+    from pyrosar_ray.stages.zonal import raster_regions
+
+    return raster_regions(_zonal_rasters(sf_dir), threshold=50.0)
+
+
 def q_events_watermark(sf_dir: str):
     """Watermark/late-data windows: ingest delay is closed-form in the
     id (event_id % 97 minutes); rows later than the 30-minute allowed
@@ -3986,6 +3998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mor": q_events_mor,
         "points_zscan": q_points_zscan,
         "events_watermark": q_events_watermark,
+        "raster_regions": q_raster_regions,
     }
 
 
@@ -6786,6 +6799,43 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "raster_regions": """
+            WITH RECURSIVE keys AS (
+                SELECT o_orderkey AS k, 8 + o_orderkey % 13 AS w,
+                       6 + o_orderkey % 9 AS h
+                FROM orders WHERE o_orderkey % 50 = 0
+            ), ys AS (
+                SELECT k, w, unnest(range(h))::BIGINT AS y FROM keys
+            ), mask AS (
+                SELECT k, y, x, y * w + x AS pix FROM (
+                    SELECT k, w, y, unnest(range(w))::BIGINT AS x FROM ys
+                ) WHERE (x + y + k) % 17 <> 0
+                  AND (k + 3 * y + 7 * x) % 101 >= 50
+            ), edges AS (
+                SELECT a.k, a.pix AS pa, b.pix AS pb
+                FROM mask a JOIN mask b
+                  ON a.k = b.k
+                 AND ((b.y = a.y AND b.x = a.x + 1)
+                   OR (b.y = a.y + 1 AND b.x = a.x))
+            ), bidir AS (
+                SELECT k, pa, pb FROM edges
+                UNION ALL SELECT k, pb, pa FROM edges
+            ), reach AS (
+                SELECT k, pix AS src, pix AS dst FROM mask
+                UNION
+                SELECT r.k, r.src, e.pb
+                FROM reach r JOIN bidir e ON e.k = r.k AND e.pa = r.dst
+            ), lbl AS (
+                SELECT k, src AS pix, MIN(dst) AS label
+                FROM reach GROUP BY k, src
+            )
+            SELECT m.k AS image_id, l.label,
+                   COUNT(*)::BIGINT AS n_pixels,
+                   MIN(m.y)::BIGINT AS min_y, MIN(m.x)::BIGINT AS min_x,
+                   MAX(m.y)::BIGINT AS max_y, MAX(m.x)::BIGINT AS max_x
+            FROM mask m JOIN lbl l ON l.k = m.k AND l.pix = m.pix
+            GROUP BY m.k, l.label
+        """,
         "events_watermark": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
                    event_type,

@@ -249,3 +249,90 @@ def sample_raster(
         )
 
     return unioned.groupby(id_col).map_groups(_lookup, batch_format="pandas")
+
+
+def label_regions(mask: np.ndarray) -> np.ndarray:
+    """4-connected component labels over a boolean mask; each region is
+    labeled by the MINIMUM linear index (y·w + x) it contains (a
+    canonical, orientation-free label). Iterative vectorized min
+    propagation — converges in O(component diameter) whole-array
+    passes, each one four shifted ``np.minimum`` ops; fine for tile-
+    sized rasters (a production run labels per tile, not per scene).
+    Returns int64 labels, -1 outside the mask."""
+    h, w = mask.shape
+    labels = np.where(
+        mask, np.arange(h * w, dtype=np.int64).reshape(h, w), np.int64(-1)
+    )
+    big = np.int64(h * w)
+    cur = np.where(mask, labels, big)
+    while True:
+        nxt = cur.copy()
+        nxt[1:, :] = np.minimum(nxt[1:, :], cur[:-1, :])
+        nxt[:-1, :] = np.minimum(nxt[:-1, :], cur[1:, :])
+        nxt[:, 1:] = np.minimum(nxt[:, 1:], cur[:, :-1])
+        nxt[:, :-1] = np.minimum(nxt[:, :-1], cur[:, 1:])
+        nxt = np.where(mask, nxt, big)
+        if np.array_equal(nxt, cur):
+            break
+        cur = nxt
+    return np.where(mask, cur, np.int64(-1))
+
+
+def raster_regions(
+    rasters: Dataset, threshold: float = 50.0, id_col: str = "image_id"
+) -> Dataset:
+    """Connected-region extraction over decoded rasters (the SAR
+    water-mask / change-blob primitive): threshold the band (nodata
+    excluded), label 4-connected regions, emit per-region stats.
+    Row-local per raster — a pure streaming scan, zero shuffle.
+
+    Rows: (image_id, label, n_pixels, min_y, min_x, max_y, max_x),
+    label = the region's minimum linear pixel index.
+    """
+
+    def _regions(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        out = []
+        ids = batch[id_col].to_pylist()
+        for img_id, blob in zip(ids, batch["blob"].to_pylist()):
+            info = decode_geotiff(blob)
+            data = info["data"][0]
+            nodata = info["nodata"]
+            mask = data >= threshold
+            if nodata is not None:
+                mask &= data != nodata
+            labels = label_regions(mask)
+            h, w = mask.shape
+            flat = labels.ravel()
+            sel = flat >= 0
+            if not sel.any():
+                continue
+            ys, xs = np.divmod(np.flatnonzero(sel), w)
+            df = pd.DataFrame({"label": flat[sel], "y": ys, "x": xs})
+            agg = df.groupby("label").agg(
+                n_pixels=("label", "size"),
+                min_y=("y", "min"), min_x=("x", "min"),
+                max_y=("y", "max"), max_x=("x", "max"),
+            ).reset_index()
+            agg.insert(0, "image_id", img_id)
+            out.append(agg)
+        if not out:
+            return pa.table(
+                {
+                    "image_id": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                    "n_pixels": pa.array([], type=pa.int64()),
+                    "min_y": pa.array([], type=pa.int64()),
+                    "min_x": pa.array([], type=pa.int64()),
+                    "max_y": pa.array([], type=pa.int64()),
+                    "max_x": pa.array([], type=pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        return table_from_pandas(
+            pd.concat(out, ignore_index=True).astype("int64")
+        )
+
+    return rasters.map_batches(_regions, batch_format="pyarrow")

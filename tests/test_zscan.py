@@ -59,3 +59,47 @@ def test_zscan_empty_box(ray_session, tmp_path):
     # schema survives the degenerate plan (to_pandas on an empty
     # Dataset drops columns — a Ray quirk — so assert on the schema)
     assert ds.schema().names == ["point_id", "lon", "lat"]
+
+
+def test_label_regions_matches_flood_fill():
+    """Min-propagation labels == BFS flood-fill components, including
+    canonical min-index labels, on random and adversarial masks."""
+    from collections import deque
+
+    from pyrosar_ray.stages.zonal import label_regions
+
+    def flood(mask):
+        h, w = mask.shape
+        lab = -np.ones((h, w), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                if mask[y, x] and lab[y, x] < 0:
+                    comp, q = [], deque([(y, x)])
+                    seen = {(y, x)}
+                    while q:
+                        cy, cx = q.popleft()
+                        comp.append((cy, cx))
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            ny, nx = cy + dy, cx + dx
+                            if (
+                                0 <= ny < h and 0 <= nx < w
+                                and mask[ny, nx] and (ny, nx) not in seen
+                            ):
+                                seen.add((ny, nx))
+                                q.append((ny, nx))
+                    m = min(cy * w + cx for cy, cx in comp)
+                    for cy, cx in comp:
+                        lab[cy, cx] = m
+        return lab
+
+    rng = np.random.RandomState(11)
+    masks = [rng.rand(9, 13) > 0.5 for _ in range(5)]
+    # adversarial: spiral (long diameter), checkerboard (all singletons),
+    # full, empty
+    spiral = np.zeros((9, 9), dtype=bool)
+    spiral[0, :] = spiral[:, -1] = spiral[-1, :] = True
+    spiral[2:, 0] = spiral[2, 2:-2] = spiral[2:-2, -3] = True
+    cb = np.indices((8, 8)).sum(axis=0) % 2 == 0
+    masks += [spiral, cb, np.ones((4, 5), bool), np.zeros((3, 3), bool)]
+    for m in masks:
+        assert np.array_equal(label_regions(m), flood(m))
