@@ -3458,6 +3458,29 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_doc_schema_evolution(sf_dir: str):
+    """Schema-evolution scan: the documents table split on disk into a
+    generation-1 layout (doc_id, text) and a generation-2 layout with
+    added (lang, quality) columns — the read aligns every batch to the
+    target schema (declared defaults for pre-migration rows, typed
+    casts for present columns) and streams the union. The twin applies
+    the same generation rule (doc_id parity) in SQL."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from pyrosar_ray.stages.evolve import evolved_write, read_evolved
+
+    out = tempfile.mkdtemp(prefix="evolve_", dir="/tmp")
+    evolved_write(f"{sf_dir}/documents.parquet", out)
+    schema = {
+        "doc_id": pa.int64(),
+        "lang": pa.string(),
+        "quality": pa.int64(),
+    }
+    return read_evolved(out, schema, defaults={"lang": "und", "quality": -1})
+
+
 def q_raster_regions(sf_dir: str):
     """Connected-region extraction (SAR water-mask primitive): decode
     the GeoTIFF, threshold (nodata excluded), label 4-connected regions
@@ -3999,6 +4022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_zscan": q_points_zscan,
         "events_watermark": q_events_watermark,
         "raster_regions": q_raster_regions,
+        "doc_schema_evolution": q_doc_schema_evolution,
     }
 
 
@@ -6799,6 +6823,12 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "doc_schema_evolution": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'und' END AS lang,
+                   CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE -1 END AS quality
+            FROM documents
+        """,
         "raster_regions": """
             WITH RECURSIVE keys AS (
                 SELECT o_orderkey AS k, 8 + o_orderkey % 13 AS w,

@@ -76,3 +76,48 @@ def test_mor_deletes_are_positional_not_value_based(ray_session, tmp_path):
     base = pq.read_table(f"{out}/base/day={day}.parquet").to_pandas()
     dropped = base.iloc[dels + 1]
     assert not day_rows.event_id.isin(dropped.event_id).any()
+
+
+def test_schema_evolution_alignment(ray_session, tmp_path):
+    """Old-generation rows get declared defaults, new rows keep values;
+    target-schema casts apply; union streams both generations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from pyrosar_ray.stages.evolve import align_to_schema, read_evolved
+
+    out = tmp_path / "tbl"
+    (out / "gen1").mkdir(parents=True)
+    (out / "gen2").mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], type=pa.int32())}),
+        str(out / "gen1" / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3], type=pa.int64()),
+                "tag": pa.array(["x"], type=pa.string()),
+            }
+        ),
+        str(out / "gen2" / "b.parquet"),
+    )
+    schema = {"id": pa.int64(), "tag": pa.string(), "score": pa.int64()}
+    got = (
+        read_evolved(str(out), schema, defaults={"tag": "none"})
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert got["id"].tolist() == [1, 2, 3]  # int32 cast up to int64
+    assert got["tag"].tolist() == ["none", "none", "x"]
+    assert got["score"].isna().all()  # no default → typed nulls
+
+    # align_to_schema on an empty batch keeps the schema (Ray skips the
+    # UDF entirely on a 0-row plan, so materialize to force it)
+    ds = align_to_schema(
+        ray.data.from_arrow(pa.table({"id": pa.array([], type=pa.int64())})),
+        schema,
+    ).materialize()
+    sch = ds.schema()
+    assert sch is None or sch.names == ["id", "tag", "score"]
