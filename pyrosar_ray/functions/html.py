@@ -28,6 +28,9 @@ import re
 
 _NAMED = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
 _ENTITY = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);")
+_RAW_CLOSE = {
+    name: re.compile(f"</{name}", re.IGNORECASE) for name in ("script", "style")
+}
 
 _RAW_TEXT = ("script", "style")
 _SKIP_BLOCKS = ("nav", "header", "footer", "aside")
@@ -38,10 +41,11 @@ _BLOCK = ("p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
 def decode_entities(text: str) -> str:
     def _sub(m: re.Match) -> str:
         ref = m.group(1)
-        if ref.startswith("#x") or ref.startswith("#X"):
-            return chr(int(ref[2:], 16))
         if ref.startswith("#"):
-            return chr(int(ref[1:]))
+            code = int(ref[2:], 16) if ref[1] in "xX" else int(ref[1:])
+            if code > 0x10FFFF or 0xD800 <= code <= 0xDFFF:
+                return m.group(0)  # garbage refs pass through, never raise
+            return chr(code)
         return _NAMED.get(ref.lower(), m.group(0))
 
     return _ENTITY.sub(_sub, text)
@@ -108,8 +112,18 @@ def extract_text(html: str) -> dict:
             continue  # doctype
         name, closing = _tag_name(tag)
         if not closing and name in _RAW_TEXT:
-            close = html.lower().find(f"</{name}", i)
-            i = n if close == -1 else html.find(">", close) + 1
+            # case-insensitive search WITHOUT lowercasing the document
+            # (lower() is O(n) per tag and can change string length,
+            # e.g. U+0130, misaligning indices); truncated close tags
+            # end the scan rather than restarting it (find '>' == -1
+            # must never wrap i back to 0)
+            m2 = _RAW_CLOSE[name].search(html, i)
+            if m2 is None:
+                break
+            gt2 = html.find(">", m2.end())
+            if gt2 == -1:
+                break
+            i = gt2 + 1
             continue
         if name == "a" and not closing:
             n_links += 1

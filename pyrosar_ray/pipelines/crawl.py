@@ -37,7 +37,9 @@ def crawl_curate(
 ) -> Dataset:
     """(doc_id, title, n_links, n_blocks, text) of curated winners."""
     pages = pages_from_documents(sf_dir)
-    shards = warc_shards_from_table(pages, body_col="html")
+    shards = warc_shards_from_table(
+        pages, body_col="html", docs_per_shard=docs_per_shard
+    )
     fetched = warc_extract(shards).select_columns(["doc_id", "text"])
 
     def _as_html(batch: pa.Table) -> pa.Table:

@@ -54,7 +54,12 @@ def cube_aggregate(
             for d in dims:
                 if d not in keep:
                     g[d] = ALL
-            part = g.groupby(dims, as_index=False, sort=False)[vals].sum()
+            # dropna=False: SQL GROUP BY keeps a NULL group; pandas'
+            # default would drop null-dim rows from kept sets while
+            # still counting them in rolled-up 'ALL' sets
+            part = g.groupby(dims, as_index=False, sort=False, dropna=False)[
+                vals
+            ].sum()
             out.append(part)
         return table_from_pandas(pd.concat(out, ignore_index=True))
 

@@ -76,6 +76,10 @@ def read_evolved(
         d for d in os.listdir(out_dir)
         if os.path.isdir(f"{out_dir}/{d}")
     )
+    if not gens:
+        raise ValueError(
+            f"read_evolved: no generation subdirectories under {out_dir!r}"
+        )
     parts = [
         align_to_schema(read_parquet_clean(f"{out_dir}/{g}"), schema, defaults)
         for g in gens

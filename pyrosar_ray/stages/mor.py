@@ -113,12 +113,21 @@ def mor_scan(out_dir: str) -> Dataset:
     class _ScanTask:
         def __init__(self):
             self._deletes: dict[str, np.ndarray] = {}
+            self._files: dict[str, pq.ParquetFile] = {}
 
         def _dels(self, day: str) -> np.ndarray:
             if day not in self._deletes:
                 t = pq.read_table(f"{out_dir}/deletes/day={day}.parquet")
                 self._deletes[day] = t["pos"].to_numpy()
             return self._deletes[day]
+
+        def _file(self, day: str) -> pq.ParquetFile:
+            # footer parsed once per actor per file, not per row group
+            if day not in self._files:
+                self._files[day] = pq.ParquetFile(
+                    f"{base_dir}/day={day}.parquet"
+                )
+            return self._files[day]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = []
@@ -128,8 +137,7 @@ def mor_scan(out_dir: str) -> Dataset:
                 batch["pos_base"].to_pylist(),
                 batch["n"].to_pylist(),
             ):
-                f = pq.ParquetFile(f"{base_dir}/day={day}.parquet")
-                tab = f.read_row_group(rg)
+                tab = self._file(day).read_row_group(rg)
                 pos = np.arange(pos_base, pos_base + n, dtype=np.int64)
                 dels = self._dels(day)
                 # positions alone decide the drop — never the values

@@ -59,13 +59,13 @@ def url_dedup(urls: Dataset, id_col: str = "doc_id", url_col: str = "url") -> Da
         )
 
     @typed_groups(
-        {"doc_id": pa.int64(), "url_canon": pa.string(), "dup_of": pa.int64()}
+        {id_col: pa.int64(), "url_canon": pa.string(), "dup_of": pa.int64()}
     )
     def _group(group) -> pa.Table:
         rep = int(group[id_col].min())
         return pa.table(
             {
-                "doc_id": pa.array(group[id_col].to_numpy(), type=pa.int64()),
+                id_col: pa.array(group[id_col].to_numpy(), type=pa.int64()),
                 "url_canon": pa.array(group["url_canon"], type=pa.string()),
                 "dup_of": pa.array([rep] * len(group), type=pa.int64()),
             }

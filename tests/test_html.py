@@ -68,3 +68,23 @@ def test_build_page_roundtrip_closed_form():
     assert out["n_blocks"] == 3
     # links: 3 nav + aside (8 % 4 == 0) + words 5 and 18 (gw % 13 == 5)
     assert out["n_links"] == 3 + 1 + 2
+
+
+def test_truncated_raw_text_terminates():
+    """Truncated '</script' (no '>') must end the scan, not loop forever."""
+    out = extract_text("<p>ok</p><script>x = 1; </script")
+    assert out["text"] == "ok"
+    out2 = extract_text("<p>ok</p><script>never closed")
+    assert out2["text"] == "ok"
+
+
+def test_out_of_range_entities_pass_through():
+    assert decode_entities("&#1114112; &#x110000; &#xD800;") == (
+        "&#1114112; &#x110000; &#xD800;"
+    )
+    assert decode_entities("&#x10FFFF;") == chr(0x10FFFF)
+
+
+def test_raw_text_case_insensitive_close():
+    out = extract_text("<p>a</p><SCRIPT>x</ScRiPt><p>b</p>")
+    assert out["text"] == "a\nb"
