@@ -88,3 +88,23 @@ def test_out_of_range_entities_pass_through():
 def test_raw_text_case_insensitive_close():
     out = extract_text("<p>a</p><SCRIPT>x</ScRiPt><p>b</p>")
     assert out["text"] == "a\nb"
+
+
+def test_extract_never_raises_and_terminates_property():
+    """Fuzz law: arbitrary tag soup neither raises nor hangs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    soup = st.text(
+        alphabet=st.sampled_from(list("<>/abc &#;xX01!\"'=\n\r pscript styleNAV")),
+        max_size=300,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(soup)
+    def run(s):
+        out = extract_text(s)
+        assert isinstance(out["text"], str)
+        assert out["n_links"] >= 0
+
+    run()

@@ -61,3 +61,24 @@ def test_wildcards_and_anchor():
 def test_rules_before_any_group_ignored():
     g = parse_robots("Disallow: /x/\nUser-agent: *\nDisallow: /y/\n")
     assert g["*"] == [("/y/", False)]
+
+
+def test_parse_robots_never_raises_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lines = st.text(
+        alphabet=st.sampled_from(
+            list("abcABC*$/:#-\n\r\t Userangentdisalow")
+        ),
+        max_size=400,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(lines)
+    def run(text):
+        m = RobotsMatcher(text, "anybot")
+        ok, rule = m.decision("/any/path")
+        assert isinstance(ok, bool) and isinstance(rule, str)
+
+    run()

@@ -75,3 +75,25 @@ def test_userinfo_parsed_not_swallowed():
     )
     # userinfo is case-sensitive and preserved verbatim
     assert canonicalize_url("http://User@e.com/x") == "http://User@e.com/x"
+
+
+def test_canonicalize_idempotent_property():
+    """Fuzz law: canonicalization is idempotent on every URL it accepts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    part = st.text(
+        alphabet=st.sampled_from(list("abcABC012.-_~%:/?#@&=$")), max_size=30
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sampled_from(["http", "HTTPS", "ftp"]), part, part)
+    def run(scheme, hostish, pathish):
+        url = f"{scheme}://{hostish}/{pathish}"
+        try:
+            c1 = canonicalize_url(url)
+        except (ValueError, OverflowError):
+            return  # rejecting is fine; silent corruption is not
+        assert canonicalize_url(c1) == c1
+
+    run()
