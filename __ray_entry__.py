@@ -3458,6 +3458,119 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local-supplier volume), the six-table join plan: tiny
+    region⋈nation collapses to a broadcast nation-key set; customer
+    prunes to those nations map-side; orders (year-filtered AT THE READ
+    via pyarrow pushdown) co-partitions with customer on custkey (first
+    exchange); the result co-partitions with lineitem on orderkey (the
+    large-large exchange); supplier broadcasts and the Q5 same-nation
+    constraint (c_nationkey = s_nationkey) applies as a vectorized
+    filter; one nation-sized groupby finishes. Revenue exact: cents ×
+    (100 − discount-bp) int64 units."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages.join import broadcast_equi_join, equi_join
+
+    nation = _read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = _read_parquet(f"{sf_dir}/region.parquet")
+    asia = {
+        int(r["r_regionkey"]) for r in region.take_all() if r["r_name"] == "ASIA"
+    }
+    ndf = nation.to_pandas()  # 25 rows: driver-resident by design
+    keep_nations = ndf[ndf.n_regionkey.isin(asia)]
+    nation_names = dict(
+        zip(keep_nations.n_nationkey.astype(int), keep_nations.n_name)
+    )
+    nset = set(nation_names)
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def _prune_cust(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy()
+        return batch.filter(pa.array(np.isin(nk, list(nset))))
+
+    cust = cust.map_batches(_prune_cust, batch_format="pyarrow")
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pads.field("o_orderdate") >= datetime(1996, 1, 1))
+            & (pads.field("o_orderdate") < datetime(1997, 1, 1))
+        ),
+    )
+    # exchange 1: orders ⋈ customer on custkey (carries c_nationkey)
+    oc = equi_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner"
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    line = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    # exchange 2 (large-large): lineitem ⋈ (orders⋈customer) on orderkey
+    lo = equi_join(line, oc, on="l_orderkey", right_on="o_orderkey", how="inner")
+
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    ls = broadcast_equi_join(lo, supp, on="l_suppkey", right_on="s_suppkey")
+
+    import ray
+
+    nref = ray.put(nation_names)
+
+    class _Rev:
+        def __init__(self):
+            self.names = ray.get(nref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cn = batch["c_nationkey"].to_numpy()
+            sn = batch["s_nationkey"].to_numpy()
+            keep = cn == sn  # the Q5 local-supplier constraint
+            if not keep.any():
+                return pa.table(
+                    {
+                        "n_name": pa.array([], type=pa.string()),
+                        "revenue_u": pa.array([], type=pa.int64()),
+                    }
+                )
+            price = np.floor(
+                batch["l_extendedprice"].to_numpy()[keep] * 100.0 + 0.5
+            ).astype(np.int64)
+            disc = np.floor(
+                batch["l_discount"].to_numpy()[keep] * 100.0 + 0.5
+            ).astype(np.int64)
+            rev = price * (100 - disc)
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {
+                    "n_name": [self.names[int(k)] for k in cn[keep]],
+                    "revenue_u": rev,
+                }
+            )
+            part = df.groupby("n_name", as_index=False)["revenue_u"].sum()
+            from pyrosar_ray.stages import table_from_pandas
+
+            return table_from_pandas(part)
+
+    return (
+        ls.map_batches(_Rev, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+
+
 def q_doc_schema_evolution(sf_dir: str):
     """Schema-evolution scan: the documents table split on disk into a
     generation-1 layout (doc_id, text) and a generation-2 layout with
@@ -4023,6 +4136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": q_events_watermark,
         "raster_regions": q_raster_regions,
         "doc_schema_evolution": q_doc_schema_evolution,
+        "tpch_q5": q_tpch_q5,
     }
 
 
@@ -6823,6 +6937,23 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "tpch_q5": """
+            SELECT n_name,
+                   SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT)
+                       )::BIGINT AS revenue_u
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
         "doc_schema_evolution": """
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'und' END AS lang,
