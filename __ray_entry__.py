@@ -3458,6 +3458,19 @@ def q_doc_html_extract(sf_dir: str):
     return html_extract(pages_from_documents(sf_dir))
 
 
+def q_doc_confusable_dedup(sf_dir: str):
+    """Unicode homoglyph dedup (UTS #39 skeleton): every document gets
+    a spoofed twin (Cyrillic/Greek lookalikes, zero-width insertions,
+    case games) that exact-hash dedup would miss; the skeleton
+    transform (casefold + strip default-ignorables + confusable map)
+    re-collides them, one hash exchange tags clusters. Twin groups by
+    the ORIGINAL text, so any accidental cross-doc duplicates fold in
+    identically."""
+    from pyrosar_ray.stages.confusable import skeleton_dedup, spoofed_rows
+
+    return skeleton_dedup(spoofed_rows(sf_dir))
+
+
 def q_tpch_q5(sf_dir: str):
     """TPC-H Q5 (local-supplier volume), the six-table join plan: tiny
     region⋈nation collapses to a broadcast nation-key set; customer
@@ -4137,6 +4150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": q_raster_regions,
         "doc_schema_evolution": q_doc_schema_evolution,
         "tpch_q5": q_tpch_q5,
+        "doc_confusable_dedup": q_doc_confusable_dedup,
     }
 
 
@@ -6937,6 +6951,16 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
+        "doc_confusable_dedup": """
+            WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+            rows AS (
+                SELECT doc_id AS row_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + (SELECT n FROM n), text FROM documents
+            )
+            SELECT row_id, MIN(row_id) OVER (PARTITION BY text) AS dup_of
+            FROM rows
+        """,
         "tpch_q5": """
             SELECT n_name,
                    SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT

@@ -97,3 +97,18 @@ def test_canonicalize_idempotent_property():
         assert canonicalize_url(c1) == c1
 
     run()
+
+
+def test_confusable_skeleton():
+    from pyrosar_ray.stages.confusable import skeleton, spoof
+
+    # Cyrillic а/е/о, Greek omicron, fullwidth, zero-width, case
+    assert skeleton("pаy ​PаL") == "pay pal"
+    assert skeleton("gοοgle") == "google"
+    assert skeleton("ａb﻿c") == "abc"
+    # all three spoof variants collapse back to the original
+    text = "the quick onyx goblin jumps over a lazy dwarf"
+    for v in range(3):
+        s = spoof(text, v)
+        assert s != text  # the spoof really changed bytes
+        assert skeleton(s) == skeleton(text)
