@@ -29,6 +29,11 @@ QUERIES = [
     "doc_crawl_curate",
     # two-stage ANN cascade: stats exchange + shortlist + rerank merge
     "embed_sq_rerank",
+    # six-table join plan: two co-partition exchanges + broadcast dims
+    "tpch_q5",
+    # clustered write + footer-stats pruned scan (file set must be
+    # identical at any read block count)
+    "points_zscan",
 ]
 
 
