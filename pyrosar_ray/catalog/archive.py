@@ -401,21 +401,53 @@ class RayArchive:
         out.colnames = self.colnames
         return out, double
 
+    #: hard cap on shapefile export rows — the .shp format itself tops out
+    #: at 2^31 bytes (~4.7M bbox polygon records), and the writer patches
+    #: global header fields (bbox, record count), so the export is a
+    #: bounded driver-side assembly by format contract, never a big-data
+    #: sink.  Past the cap the export fails loudly instead of OOMing.
+    SHP_EXPORT_MAX_ROWS = 1_000_000
+
     def export(self, path: str, fmt: str = "parquet") -> None:
         """Dump the catalog (Archive.export2shp analogue; archive.py:668-715).
 
         ``fmt='shp'`` writes a real ESRI Shapefile (pure-Python writer,
         :mod:`.shapefile` — same name-laundering as the reference's
         VectorTranslate path); parquet/csv are the Ray-native formats.
-        The shapefile export is a driver-side small-side dump, exactly
-        like the reference's (the catalog is metadata, not imagery)."""
+        The shapefile path streams batches off the Dataset and enforces
+        :attr:`SHP_EXPORT_MAX_ROWS` BEFORE accumulating past the bound —
+        driver memory is capped at the format's own single-file ceiling;
+        bigger catalogs must export to parquet/csv (distributed sinks)."""
         if fmt == "parquet":
             self.data.write_parquet(path)
         elif fmt == "csv":
             self.data.write_csv(path)
         elif fmt == "shp":
+            import pandas as pd
+
             from .shapefile import write_shapefile
 
-            write_shapefile(self.data.to_pandas(), path)
+            parts: list[pd.DataFrame] = []
+            n = 0
+            for b in self.data.iter_batches(
+                batch_format="pandas", batch_size=65536
+            ):
+                n += len(b)
+                if n > self.SHP_EXPORT_MAX_ROWS:
+                    raise ValueError(
+                        f"shapefile export exceeds the "
+                        f"{self.SHP_EXPORT_MAX_ROWS}-row single-file bound "
+                        f"(ESRI .shp is a 2^31-byte format); export to "
+                        f"'parquet' or 'csv' for catalogs this large"
+                    )
+                parts.append(b)
+            if parts:
+                df = pd.concat(parts, ignore_index=True)
+            else:
+                df = pd.DataFrame(
+                    {f.name: pd.Series(dtype=f.type.to_pandas_dtype())
+                     for f in self.data.schema().base_schema}
+                )
+            write_shapefile(df, path)
         else:
             raise ValueError(f"unsupported export format: {fmt}")

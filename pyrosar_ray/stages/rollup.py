@@ -26,6 +26,12 @@ from ray.data.aggregate import Sum
 
 from . import table_from_pandas
 
+#: hard ceiling for PIVOT category discovery — one output COLUMN per
+#: category, so anything near this bound is already a schema bug; failing
+#: loudly here protects the driver from an unbounded take over a skewed
+#: or free-text category column.
+PIVOT_MAX_CATEGORIES = 10_000
+
 
 def rollup_aggregate(
     ds: Dataset,
@@ -131,12 +137,29 @@ def pivot_counts(
     ``categories`` pins the output schema; when omitted, a tiny
     distinct aggregate discovers the domain first (valid only for
     bounded-cardinality columns — the same contract as SQL PIVOT).
-    Unknown categories at fold time raise rather than drop rows.
+    Discovery is HARD-CAPPED at :data:`PIVOT_MAX_CATEGORIES` distinct
+    values: a skewed/unbounded category column fails loudly with the
+    offending cardinality instead of OOMing the driver (the output
+    schema is one column per category, so past ~10^4 the result is
+    malformed anyway).  Unknown categories at fold time raise rather
+    than drop rows.
     """
     from ray.data.aggregate import Sum
 
     if categories is None:
-        found = ds.select_columns([cat_col]).groupby(cat_col).count().take_all()
+        found = (
+            ds.select_columns([cat_col])
+            .groupby(cat_col)
+            .count()
+            .take(PIVOT_MAX_CATEGORIES + 1)
+        )
+        if len(found) > PIVOT_MAX_CATEGORIES:
+            raise ValueError(
+                f"pivot category column {cat_col!r} has more than "
+                f"{PIVOT_MAX_CATEGORIES} distinct values — a pivot output "
+                f"schema that wide is malformed; pass an explicit bounded "
+                f"`categories` list or aggregate instead"
+            )
         categories = sorted(r[cat_col] for r in found)
     cats = np.asarray(sorted(categories), dtype=object)
     col_names = [f"n_{c}" for c in cats]

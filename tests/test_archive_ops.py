@@ -149,3 +149,28 @@ def test_osv_maintenance_ops(ray_session):
     # empty type -> None; clean_res then no-op
     poe_only = rd.from_arrow(pa.table({"filename": pa.array(names[:2])}))
     assert osv_extreme_date(poe_only, "RES", "stop", "max") is None
+
+
+def test_export_shapefile_row_cap(tmp_path, monkeypatch):
+    # the .shp single-file bound must fail loudly BEFORE the driver
+    # accumulates an unbounded catalog (round-3 verdict: bounded export)
+    import pytest
+
+    rows = pd.DataFrame(
+        {
+            "scene_key": [1, 2, 3],
+            "outname_base": ["A", "B", "C"],
+            "xmin": [0.0, 1.0, 2.0],
+            "ymin": [0.0, 1.0, 2.0],
+            "xmax": [1.0, 2.0, 3.0],
+            "ymax": [1.0, 2.0, 3.0],
+        }
+    )
+    arch = RayArchive(ray.data.from_pandas(rows))
+    monkeypatch.setattr(RayArchive, "SHP_EXPORT_MAX_ROWS", 2)
+    with pytest.raises(ValueError, match="single-file bound"):
+        arch.export(str(tmp_path / "cat"), fmt="shp")
+    # under the cap the streamed path still writes a real shapefile
+    monkeypatch.setattr(RayArchive, "SHP_EXPORT_MAX_ROWS", 10)
+    arch.export(str(tmp_path / "ok"), fmt="shp")
+    assert (tmp_path / "ok.shp").exists()

@@ -180,3 +180,19 @@ def test_unpivot_inverts_pivot_counts():
     )
     assert tall["n"].tolist() == want["n"].tolist()
     assert (len(tall) == base["b"].nunique() * len(cats))
+
+
+def test_pivot_category_discovery_hard_cap(monkeypatch):
+    # unbounded/skewed category columns must fail loudly instead of
+    # OOMing the driver during discovery (round-3 verdict: hard cap)
+    from pyrosar_ray.stages import rollup as rollup_mod
+    from pyrosar_ray.stages.rollup import pivot_counts
+
+    ds = _ds()
+    monkeypatch.setattr(rollup_mod, "PIVOT_MAX_CATEGORIES", 2)
+    with pytest.raises(ValueError, match="more than 2 distinct"):
+        pivot_counts(ds, key_col="b", cat_col="a")
+    # an explicit pinned category list bypasses discovery entirely
+    wide = pivot_counts(ds, key_col="b", cat_col="a",
+                        categories=["x", "y", "z"]).to_pandas()
+    assert len(wide) == 4
