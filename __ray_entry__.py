@@ -2422,12 +2422,18 @@ def q_db_convert(sf_dir: str):
 
 
 def q_image_process(sf_dir: str):
-    """Multilook + erode image chain (actor pool). Rows-only: RNG-payload pixels."""
-    from pyrosar_ray.sources.images import images_from_documents
-    from pyrosar_ray.stages.images import process_images
+    """Multilook + dB + erode chain (actor pool), oracle-exact: the
+    closed-form RGB rasters run through the REAL chain kernels
+    (decode → multilook(2,2) → 10·log10(mean+1) → 1-px erosion) and
+    every surviving pixel emits as an exact micro-dB integer the SQL
+    twin recomputes from the fill formula — multilook sums are exact
+    integers, the channel mean rounds once, and log10 parity is the
+    same libm contract db_convert already hash-proves. The RNG-payload
+    f32 chain (process_images) stays as the library path, pytest-pinned."""
+    from pyrosar_ray.sources.images import process_rasters_from_documents
+    from pyrosar_ray.stages.images import process_pixels
 
-    out = process_images(images_from_documents(sf_dir))
-    return out.select_columns(["image_id", "caption", "w", "h", "mean_db"])
+    return process_pixels(process_rasters_from_documents(sf_dir))
 
 
 def q_doc_minhash_pairs(sf_dir: str):
@@ -2811,12 +2817,20 @@ def q_audio_adpcm_meta(sf_dir: str):
 
 
 def q_audio_features(sf_dir: str):
-    """Full per-clip features (peak/RMS/zero-crossings). No SQL twin:
-    the waveform reductions are float libm math — rows-only by design."""
+    """Full per-clip features over the REAL pcm16 decode path, projected
+    to the integer-exact reductions (n_samples / peak_abs / zcr /
+    energy): the twin recomputes every SAMPLE of the quantized sine in
+    SQL (the numpy and DuckDB libm sin agree bit-for-bit on this host —
+    validated over all 5000 sf0.1 clips) and re-reduces, so a decode or
+    reduction bug breaks the hash. Float peak/RMS stay on the stage for
+    the pytest surface (summation-order-dependent, not hashable)."""
     from pyrosar_ray.sources.audio import audio_from_documents
     from pyrosar_ray.stages.audio import audio_features
 
-    return audio_features(audio_from_documents(sf_dir))
+    feats = audio_features(audio_from_documents(sf_dir))
+    return feats.select_columns(
+        ["audio_id", "n_samples", "peak_abs", "zcr", "energy"]
+    )
 
 
 def q_common_extent(sf_dir: str):
@@ -3167,14 +3181,19 @@ def q_embed_ivf_recall(sf_dir: str):
 
 
 def q_ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed approximate cosine top-k. Rows-only: float32 hyperplanes."""
+    """LSH-bucketed approximate top-k, oracle-exact: integer hyperplane
+    sign buckets over 1e-6-quantized embeddings, ranked by exact integer
+    inner products (score desc, id asc) — the hyperplane analogue of
+    embed_ivf_topk. Same bucket-co-partition physical plan as the float
+    lsh_topk (which stays as the library float path, pytest-pinned);
+    recall < 1 by design since only bucket peers are scored."""
     import ray.data
 
-    from pyrosar_ray.stages.ann import lsh_topk
+    from pyrosar_ray.stages.ann import lsh_topk_exact
 
     qids, qmat = _load_queries_matrix(sf_dir)
     corpus = _read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return lsh_topk(corpus, qids, qmat, k=10)
+    return lsh_topk_exact(corpus, qids, qmat, k=10, nbits=4)
 
 
 def q_identify_scenes(sf_dir: str):
@@ -4216,6 +4235,92 @@ def _ivf_sql(ncells: int = 16, nprobe: int = 4, k: int = 10, modulus: int = 50) 
             JOIN probe p ON p.query_id = q.query_id
             JOIN cells cl ON cl.cell = p.cell
             JOIN emb e ON e.vec_id = cl.vec_id
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rank <= {k}
+    """
+
+
+def _process_sql() -> str:
+    """DuckDB twin of ``stages.images.ProcessChainPixels`` over the
+    closed-form process rasters: per output pixel, each channel's
+    multilook block sum is an exact integer, /4.0 is exact dyadic, the
+    channel mean rounds once, and 10·log10 rides the same libm-parity
+    contract db_convert hash-proves; 1-px erosion = interior ring."""
+    sums = []
+    for c in range(3):
+        terms = " + ".join(
+            f"((doc_id * 7 + (2 * y + {dy}) * 13 + (2 * x + {dx}) * 5 "
+            f"+ {c * 29}) % 251)"
+            for dy in (0, 1)
+            for dx in (0, 1)
+        )
+        sums.append(f"(4 + {terms})")
+    s0, s1, s2 = sums
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id,
+                   (16 + (doc_id % 9) * 2) // 2 AS w2,
+                   (12 + (doc_id % 7) * 2) // 2 AS h2
+            FROM documents
+        ), ys AS (
+            SELECT doc_id, w2, h2, unnest(range(1, h2 - 1))::BIGINT AS y
+            FROM imgs
+        ), pix AS (
+            SELECT doc_id, y, unnest(range(1, w2 - 1))::BIGINT AS x
+            FROM ys
+        )
+        SELECT doc_id AS image_id, y, x,
+               CAST(floor(
+                   10.0 * log10(
+                       ({s0} / 4.0 + {s1} / 4.0 + {s2} / 4.0) / 3.0 + 1.0
+                   ) * 1000000 + 0.5
+               ) AS BIGINT) AS db_u
+        FROM pix
+    """
+
+
+def _lsh_sql(nbits: int = 8, k: int = 10, modulus: int = 50) -> str:
+    """DuckDB twin of ``stages.ann.lsh_topk_exact``: the integer
+    hyperplanes embed as literals; bucket bits, bucket equality and the
+    inner-product ranking all use exact integer-valued DOUBLE
+    arithmetic (< 2^53), so every ROW_NUMBER matches the numpy plan
+    bit-for-bit."""
+    from pyrosar_ray.stages.ann import lsh_planes_int
+
+    # dim fixed by the embeddings table (64); planes seed matches the stage
+    planes = lsh_planes_int(64, nbits)
+    rows = ",\n".join(
+        f"({1 << j}, [{', '.join(str(v) for v in pv)}]::DOUBLE[])"
+        for j, pv in enumerate(planes)
+    )
+    return f"""
+        WITH pl(wt, pv) AS (VALUES {rows}),
+        emb AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * 1000000 + 0.5)) AS qe
+            FROM embeddings
+        ),
+        buck AS (
+            SELECT e.vec_id,
+                   SUM(CASE WHEN list_dot_product(e.qe, pl.pv) > 0
+                            THEN pl.wt ELSE 0 END)::BIGINT AS bucket
+            FROM emb e, pl GROUP BY e.vec_id
+        ),
+        q AS (
+            SELECT e.vec_id AS query_id, e.qe, b.bucket
+            FROM emb e JOIN buck b USING (vec_id)
+            WHERE e.vec_id % {modulus} = 0
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qe, e.qe) DESC, e.vec_id
+                   ) AS rank
+            FROM q
+            JOIN buck b ON b.bucket = q.bucket
+            JOIN emb e ON e.vec_id = b.vec_id
             WHERE e.vec_id <> q.query_id
         ) WHERE rank <= {k}
     """
@@ -6019,6 +6124,38 @@ def oracle_sql() -> dict[str, str]:
                    (8000 + (doc_id % 37) * 160) * 1000.0 / 16000 AS duration_ms
             FROM documents
         """,
+        # every SAMPLE of the quantized sine is recomputed in SQL (same
+        # left-assoc double expression as sources/audio.py:synth_audio;
+        # libm sin parity numpy<->DuckDB validated over all sf0.1 clips),
+        # then re-reduced — the exact-integer dual of the stage's loop
+        "audio_features": """
+            WITH ts AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           0, 8000 + (doc_id % 37) * 160 - 1)) AS t
+                FROM documents
+            ), pcm AS (
+                SELECT doc_id, t,
+                       CAST(round(
+                           (8000 + (doc_id % 7) * 1000)
+                           * sin(2.0 * pi() * (200.0 + (doc_id % 12) * 50.0)
+                                 * t / 16000.0)
+                       ) AS SMALLINT) AS v
+                FROM ts
+            ), lagged AS (
+                SELECT doc_id, v,
+                       lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+                FROM pcm
+            )
+            SELECT 'aud-' || lpad(doc_id::VARCHAR, 12, '0') AS audio_id,
+                   COUNT(*)::BIGINT AS n_samples,
+                   MAX(abs(v::INTEGER))::BIGINT AS peak_abs,
+                   SUM(CASE WHEN prev IS NOT NULL
+                             AND (prev < 0) <> (v < 0) THEN 1
+                        ELSE 0 END)::BIGINT AS zcr,
+                   SUM(v::BIGINT * v::BIGINT)::BIGINT AS energy
+            FROM lagged GROUP BY doc_id
+        """,
         "raster_footprint": """
             SELECT 'fp-' || lpad(doc_id::VARCHAR, 12, '0') AS image_id,
                    y::BIGINT AS y,
@@ -6958,6 +7095,8 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(q.qe, e.ee) >= 0.2
         """,
         "embed_ivf_topk": _ivf_sql(),
+        "ann_lsh_topk": _lsh_sql(nbits=4),
+        "image_process": _process_sql(),
         "embed_pq_codes": _pq_sql(),
         "embed_pq_adc": _pq_adc_sql(),
         "doc_confusable_dedup": """

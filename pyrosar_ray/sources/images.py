@@ -315,6 +315,42 @@ def synth_patch_raster(doc_id: int) -> tuple[bytes, int, int]:
     return v.astype(np.uint8).tobytes(), w, h
 
 
+def process_rasters_from_documents(sf_dir: str) -> Dataset:
+    """One closed-form RGB raster row per document (process-chain ops).
+
+    Fill ``v(y, x, c) = 1 + (id*7 + y*13 + x*5 + c*29) % 251`` — strictly
+    positive so the dB conversion has no nodata holes and erosion only
+    removes the border ring; even sizes so multilook(2, 2) crops nothing.
+    Every pixel is SQL-recomputable (the image_patches precedent), which
+    is what lets the process chain's output hash against the oracle.
+    """
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        blobs, ws, hs = [], [], []
+        for i in ids:
+            w = 16 + (i % 9) * 2
+            h = 12 + (i % 7) * 2
+            y, x, c = np.ogrid[:h, :w, :3]
+            arr = (1 + (i * 7 + y * 13 + x * 5 + c * 29) % 251).astype(np.uint8)
+            blobs.append(arr.tobytes())
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.int64()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "w": pa.array(ws, type=pa.int32()),
+                "h": pa.array(hs, type=pa.int32()),
+                "fmt": pa.array(["raw"] * len(ids), type=pa.string()),
+                "caption": pa.array([""] * len(ids), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
+
+
 def patch_images_from_documents(sf_dir: str) -> Dataset:
     """One closed-form grayscale raster row per document (patch ops)."""
     docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])

@@ -286,6 +286,137 @@ def lsh_topk(
     return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
 
 
+def lsh_planes_int(dim: int, nbits: int = 8, seed: int = 11) -> np.ndarray:
+    """Deterministic small-INTEGER hyperplanes (nbits × dim, values in
+    [-9, 9]): the sign of an integer dot product is exact arithmetic, so
+    bucket assignment reproduces bit-for-bit across numpy, DuckDB (the
+    planes embed as SQL literals) and any cluster size — the hyperplane
+    analogue of :func:`ivf_centroids`. Sign is scale-invariant, so
+    bucketing the quantized RAW embedding equals bucketing the
+    normalized one up to quantization."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randint(-9, 10, size=(nbits, dim)).astype(np.int64)
+    for j in range(nbits):
+        if not planes[j].any():  # degenerate all-zero row can't split
+            planes[j, 0] = 1
+    return planes
+
+
+def lsh_buckets_int(mat_int: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket of each row: bit j set iff row · planes[j] > 0."""
+    bits = (np.asarray(mat_int, dtype=np.int64) @ planes.T) > 0
+    weights = (1 << np.arange(bits.shape[1], dtype=np.int64))[None, :]
+    return (bits * weights).sum(axis=1).astype(np.int64)
+
+
+def lsh_topk_exact(
+    corpus: Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """LSH-bucketed approximate top-k, ORACLE-EXACT: 1e-6-quantized
+    embeddings, integer hyperplane buckets, ranking by exact integer
+    inner product with (score DESC, neighbor_id ASC) ties — every
+    arithmetic step reproduces in SQL (< 2^53), like ``ivf_topk``.
+
+    Same bucketed physical plan as :func:`lsh_topk` (queries broadcast
+    once, per-batch bucket intersection, per-bucket block matmuls,
+    output-sized merge exchange); recall < 1 by design — only bucket
+    peers are scored."""
+    qmat = quantize_embeddings(query_matrix)
+    planes = lsh_planes_int(qmat.shape[1], nbits)
+    qbuckets = lsh_buckets_int(qmat, planes)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, qbuckets))
+
+    class _Partial:
+        """Integer twin of lsh_topk._Partial: per-bucket int matmuls,
+        per-batch top-k under the exact (score desc, id asc) total
+        order — a candidate cut here is strictly worse than k kept
+        ones, so the global merge stays exact."""
+
+        def __init__(self):
+            self.qids, self.qmat, qb = ray.get(qref)
+            self.planes = lsh_planes_int(self.qmat.shape[1], nbits)
+            qorder = np.argsort(qb, kind="stable")
+            self.qorder = qorder
+            qb_sorted = qb[qorder]
+            self.qb_unique, self.qb_starts = np.unique(qb_sorted, return_index=True)
+            self.qb_ends = np.append(self.qb_starts[1:], len(qb_sorted))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = quantize_embeddings(_stack_embeddings(batch, emb_col))
+            ids = batch[id_col].to_numpy()
+            cbuckets = lsh_buckets_int(emb, self.planes)
+            corder = np.argsort(cbuckets, kind="stable")
+            cb_sorted = cbuckets[corder]
+            cb_unique, cb_starts = np.unique(cb_sorted, return_index=True)
+            cb_ends = np.append(cb_starts[1:], len(cb_sorted))
+            shared, qpos, cpos = np.intersect1d(
+                self.qb_unique, cb_unique, assume_unique=True, return_indices=True
+            )
+            chunks_q, chunks_n, chunks_s = [], [], []
+            for qi, ci in zip(qpos, cpos):
+                qsel = self.qorder[self.qb_starts[qi] : self.qb_ends[qi]]
+                csel = corder[cb_starts[ci] : cb_ends[ci]]
+                sub_q = self.qids[qsel]
+                sub_ids = ids[csel]
+                sims = emb[csel] @ self.qmat[qsel].T  # (nc, nq) int64 exact
+                selfmask = sub_ids[:, None] == sub_q[None, :]
+                for qj in range(sims.shape[1]):
+                    col = sims[:, qj]
+                    valid = ~selfmask[:, qj]
+                    vidx = np.flatnonzero(valid)
+                    if not len(vidx):
+                        continue
+                    order = np.lexsort((sub_ids[vidx], -col[vidx]))[:k]
+                    pick = vidx[order]
+                    chunks_q.append(np.full(len(pick), sub_q[qj], dtype=np.int64))
+                    chunks_n.append(sub_ids[pick])
+                    chunks_s.append(col[pick])
+            if not chunks_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(chunks_q)),
+                    "neighbor_id": pa.array(np.concatenate(chunks_n)),
+                    "score": pa.array(np.concatenate(chunks_s)),
+                }
+            )
+
+    partials = corpus.select_columns([id_col, emb_col]).map_batches(
+        _Partial, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return group.assign(rank=np.arange(1, len(group) + 1, dtype=np.int64))[
+            ["query_id", "neighbor_id", "rank"]
+        ]
+
+    from .groups import typed_groups
+
+    merge_schema = {
+        "query_id": pa.int64(),
+        "neighbor_id": pa.int64(),
+        "rank": pa.int64(),
+    }
+    return partials.groupby("query_id").map_groups(
+        typed_groups(merge_schema)(_merge), batch_format="pandas"
+    )
+
+
 # --------------------------------------------------------------- IVF search
 
 

@@ -40,16 +40,18 @@ class AudioFeatures:
         fmts = batch["fmt"].to_pylist()
         rates = batch["rate"].to_pylist()
         n_samples, duration_ms, peak, rms, zcr, keep = [], [], [], [], [], []
+        peak_abs, energy = [], []
         n_bad = 0
         for i, (blob, fmt, rate) in enumerate(zip(blobs, fmts, rates)):
             try:
-                pcm = decode_audio(blob, fmt).astype(np.float64)
+                pcm_i = decode_audio(blob, fmt).astype(np.int64)
             except Exception:
                 if not self.skip:
                     raise
                 n_bad += 1
                 continue
             keep.append(i)
+            pcm = pcm_i.astype(np.float64)
             n = len(pcm)
             n_samples.append(n)
             duration_ms.append(n * 1000.0 / rate)
@@ -57,6 +59,11 @@ class AudioFeatures:
             rms.append(float(np.sqrt((pcm**2).mean())) if n else 0.0)
             signs = np.signbit(pcm)
             zcr.append(int((signs[1:] != signs[:-1]).sum()) if n > 1 else 0)
+            # integer-exact reductions over the decoded samples (the
+            # oracle-hashable feature set: no float summation order,
+            # no libm on the Ray side)
+            peak_abs.append(int(np.abs(pcm_i).max()) if n else 0)
+            energy.append(int((pcm_i * pcm_i).sum()) if n else 0)
         if n_bad and self.collector is not None:
             self.collector.add.remote("audio_features", "corrupt_rows", float(n_bad))
         base = batch if not self.skip else batch.take(keep)
@@ -68,6 +75,8 @@ class AudioFeatures:
                 "peak": pa.array(peak, type=pa.float64()),
                 "rms": pa.array([round(v, 4) for v in rms], type=pa.float64()),
                 "zcr": pa.array(zcr, type=pa.int64()),
+                "peak_abs": pa.array(peak_abs, type=pa.int64()),
+                "energy": pa.array(energy, type=pa.int64()),
             }
         )
 

@@ -230,6 +230,69 @@ def process_images(images: Dataset, concurrency=(1, 4), batch_size: int = 64) ->
     )
 
 
+class ProcessChainPixels:
+    """The ImageProcessChain through the SAME kernels (decode →
+    multilook → linear_to_db → erode_edges), emitting the masked dB
+    raster as exact micro-dB integer pixel rows instead of an f32 blob
+    — the oracle-hashable projection (an f32 re-encode truncates below
+    the 1e-6 quantum; quantizing the float64 array keeps every pixel
+    bit-reproducible in SQL, see __ray_entry__._process_sql)."""
+
+    def __init__(self, looks: tuple[int, int] = (2, 2), erode_px: int = 1):
+        self.looks = looks
+        self.erode_px = erode_px
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.raster import erode_edges, linear_to_db, multilook
+
+        ids_out, ys_out, xs_out, dbu_out = [], [], [], []
+        for img_id, blob, w, h, fmt in zip(
+            batch["image_id"].to_numpy(),
+            batch["bytes"].to_pylist(),
+            batch["w"].to_numpy(),
+            batch["h"].to_numpy(),
+            batch["fmt"].to_pylist(),
+        ):
+            arr = decode_image(blob, int(w), int(h), fmt).astype(np.float64)
+            ml = multilook(arr, *self.looks)
+            db = linear_to_db(ml.mean(axis=2) + 1.0)
+            masked = erode_edges(db[None, ...], pixels=self.erode_px)[0]
+            valid = masked != 0
+            yy, xx = np.nonzero(valid)
+            dbu = np.floor(masked[valid] * 1e6 + 0.5).astype(np.int64)
+            ids_out.append(np.full(len(yy), img_id, dtype=np.int64))
+            ys_out.append(yy.astype(np.int64))
+            xs_out.append(xx.astype(np.int64))
+            dbu_out.append(dbu)
+        if not ids_out:
+            return pa.table(
+                {
+                    "image_id": pa.array([], type=pa.int64()),
+                    "y": pa.array([], type=pa.int64()),
+                    "x": pa.array([], type=pa.int64()),
+                    "db_u": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "image_id": pa.array(np.concatenate(ids_out)),
+                "y": pa.array(np.concatenate(ys_out)),
+                "x": pa.array(np.concatenate(xs_out)),
+                "db_u": pa.array(np.concatenate(dbu_out)),
+            }
+        )
+
+
+def process_pixels(images: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+    """The process chain projected to exact micro-dB pixel rows."""
+    return images.map_batches(
+        ProcessChainPixels,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 class BorderNoiseRemoval:
     """Actor-pool stage: the removeGRDBorderNoise semantics per image row.
 
