@@ -351,6 +351,67 @@ def process_rasters_from_documents(sf_dir: str) -> Dataset:
     return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
 
 
+def codec_images_from_documents(sf_dir: str, neardup: bool = False) -> Dataset:
+    """One closed-form RGB image per document through a LOSSLESS codec
+    mix (png / qoi / gif / raw by ``id % 4``), sizes multiples of 8.
+
+    Fill ``v(y, x, c) = (id*7 + y*13 + x*5 + c*29) % 256``; gif rows are
+    posterized to 4 levels/channel BEFORE encode (palette bound), a
+    transform SQL recomputes, so for every row the decoded pixels equal
+    a closed form the oracle can re-derive — the property that lets the
+    whole decode → feature path hash against DuckDB (jpeg is excluded
+    here by lossiness; its decode is pinned by the codec goldens and
+    the progressive/baseline identity tests instead).
+
+    ``neardup=True`` seeds geometry + fill from ``id - 1`` on every
+    ``id % 10 == 9`` row (the images_from_documents pairing), while the
+    codec still routes on the RAW id — pair members may land different
+    codecs, and a gif member's posterize drifts its pixels, so the
+    corpus carries both hamming-0 twins and genuine NEAR duplicates."""
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        from ..functions.gif import encode_gif
+        from ..functions.png import encode_png
+        from ..functions.qoi import encode_qoi
+
+        ids = batch["doc_id"].to_pylist()
+        blobs, ws, hs, fmts = [], [], [], []
+        for i in ids:
+            seed = i - 1 if (neardup and i % 10 == 9) else i
+            w = 16 + (seed % 3) * 8
+            h = 8 + (seed // 3 % 3) * 8
+            y, x, c = np.ogrid[:h, :w, :3]
+            arr = ((seed * 7 + y * 13 + x * 5 + c * 29) % 256).astype(np.uint8)
+            r = i % 4
+            if r == 0:
+                blobs.append(encode_png(arr))
+                fmts.append("png")
+            elif r == 1:
+                blobs.append(encode_qoi(arr))
+                fmts.append("qoi")
+            elif r == 2:
+                arr = ((arr // 64) * 64 + 32).astype(np.uint8)
+                blobs.append(encode_gif(arr))
+                fmts.append("gif")
+            else:
+                blobs.append(arr.tobytes())
+                fmts.append("raw")
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.int64()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "w": pa.array(ws, type=pa.int32()),
+                "h": pa.array(hs, type=pa.int32()),
+                "fmt": pa.array(fmts, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
+
+
 def patch_images_from_documents(sf_dir: str) -> Dataset:
     """One closed-form grayscale raster row per document (patch ops)."""
     docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])

@@ -283,6 +283,79 @@ class ProcessChainPixels:
         )
 
 
+class ImageStatsExact:
+    """Actor-pool decode → INTEGER-EXACT per-image features.
+
+    The oracle-hashable projection of the ImageFeatures stage: same
+    decode dispatch, but every statistic is exact integer arithmetic —
+    pixel sum / min / max, a position-weighted checksum (catches pixel
+    permutation and channel-order bugs a plain sum cannot), and an
+    average-hash whose block-vs-mean compare is the cross-multiplied
+    ``cell_sum * 64 > total_sum`` (no float division anywhere; sizes
+    are multiples of 8 so the 64 blocks have equal areas). Split into
+    (phash_hi, phash_lo) int64 halves so no 2^63 bit overflows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        sums = np.empty(n, dtype=np.int64)
+        mins = np.empty(n, dtype=np.int64)
+        maxs = np.empty(n, dtype=np.int64)
+        checks = np.empty(n, dtype=np.int64)
+        ph_lo = np.empty(n, dtype=np.int64)
+        ph_hi = np.empty(n, dtype=np.int64)
+        for i, (blob, w, h, fmt) in enumerate(
+            zip(
+                batch["bytes"].to_pylist(),
+                batch["w"].to_numpy(),
+                batch["h"].to_numpy(),
+                batch["fmt"].to_pylist(),
+            )
+        ):
+            arr = decode_image(blob, int(w), int(h), fmt).astype(np.int64)
+            sums[i] = arr.sum()
+            mins[i] = arr.min()
+            maxs[i] = arr.max()
+            hh, ww, _ = arr.shape
+            weights = (
+                (np.arange(hh)[:, None, None] * ww + np.arange(ww)[None, :, None])
+                * 3
+                + np.arange(3)[None, None, :]
+                + 1
+            )
+            checks[i] = int((arr * weights).sum())
+            luma = arr.sum(axis=2)  # channel sum: exact "3x luma"
+            by, bx = hh // 8, ww // 8
+            cells = luma.reshape(8, by, 8, bx).sum(axis=(1, 3))  # int sums
+            bits = (cells * 64 > luma.sum()).ravel()
+            idx = np.arange(64)
+            ph_lo[i] = int(bits[idx < 32] @ (1 << idx[:32].astype(np.int64)))
+            ph_hi[i] = int(bits[idx >= 32] @ (1 << idx[:32].astype(np.int64)))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "w": pa.compute.cast(batch["w"], pa.int64()),
+                "h": pa.compute.cast(batch["h"], pa.int64()),
+                "pix_sum": pa.array(sums),
+                "pix_min": pa.array(mins),
+                "pix_max": pa.array(maxs),
+                "checksum": pa.array(checks),
+                "phash_lo": pa.array(ph_lo),
+                "phash_hi": pa.array(ph_hi),
+            }
+        )
+
+
+def image_stats_exact(images: Dataset, concurrency=(2, 8), batch_size: int = 64) -> Dataset:
+    """Decode + integer-exact feature extraction as an actor pool."""
+    return images.map_batches(
+        ImageStatsExact,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 def process_pixels(images: Dataset, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
     """The process chain projected to exact micro-dB pixel rows."""
     return images.map_batches(
