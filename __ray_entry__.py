@@ -4067,6 +4067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_process": q_image_process,
+        "noise_power": q_noise_power,
         "image_features": q_image_features,
         "image_neardup": q_image_neardup,
         "raster_footprint_poly": q_raster_footprint_poly,
@@ -4292,6 +4293,63 @@ def _ivf_sql(ncells: int = 16, nprobe: int = 4, k: int = 10, modulus: int = 50) 
             JOIN emb e ON e.vec_id = cl.vec_id
             WHERE e.vec_id <> q.query_id
         ) WHERE rank <= {k}
+    """
+
+
+def q_noise_power(sf_dir: str):
+    """Sentinel-1 noise-power chain (reference snap/util.py:706-876 —
+    the second full processing chain after geocode), oracle-exact: the
+    validated ``build_noise_power`` Plan (Read → Apply-Orbit-File →
+    Calibration[NE?Z band only] → ThermalNoiseRemoval(outputNoise) →
+    BandSelect → Multilook(2,2) → Terrain-Correction →
+    Write(clean_edges)) drives an actor-pool stage over closed-form DN
+    rasters. With A = 8 every value is exact dyadic (DN²/64, block
+    mean /4, identity-aligned warp through the REAL warp_affine), so
+    surviving pixels emit as NESZ·256 = Σ of the four squared DNs —
+    pure int64 the SQL twin rebuilds from the fill formula."""
+    from pyrosar_ray.pipelines.geocode import noise_power_pixels
+    from pyrosar_ray.plan import build_noise_power
+    from pyrosar_ray.sources.images import noise_rasters_from_documents
+
+    record = {
+        "sensor": "S1A",
+        "product": "GRD",
+        "acquisition_mode": "IW",
+        "polarizations": ["VV"],
+        "spacing_rg": 10.0,
+        "spacing_az": 10.0,
+    }
+    plan = build_noise_power(record, spacing=20.0, refarea="sigma0", clean_edges=True)
+    return noise_power_pixels(noise_rasters_from_documents(sf_dir), plan)
+
+
+def _noise_power_sql() -> str:
+    """DuckDB twin of ``pipelines.geocode.NoisePowerPixels`` over the
+    closed-form noise rasters: NESZ·256 = Σ_{dy,dx} DN(2y+dy, 2x+dx)²
+    (the /64 calibration and /4 multilook denominators cancel exactly),
+    1-px erosion = interior ring."""
+    terms = " + ".join(
+        f"power(1 + (doc_id * 11 + (2 * y + {dy}) * 3 + (2 * x + {dx}) * 7) "
+        f"% 199, 2)"
+        for dy in (0, 1)
+        for dx in (0, 1)
+    )
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id,
+                   (16 + (doc_id % 9) * 2) // 2 AS w2,
+                   (12 + (doc_id % 7) * 2) // 2 AS h2
+            FROM documents
+        ), ys AS (
+            SELECT doc_id, w2, h2, unnest(range(1, h2 - 1))::BIGINT AS y
+            FROM imgs
+        ), pix AS (
+            SELECT doc_id, y, unnest(range(1, w2 - 1))::BIGINT AS x
+            FROM ys
+        )
+        SELECT doc_id AS image_id, y, x,
+               CAST({terms} AS BIGINT) AS nesz_q
+        FROM pix
     """
 
 
@@ -7389,6 +7447,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_ivf_topk": _ivf_sql(),
         "ann_lsh_topk": _lsh_sql(nbits=4),
         "image_process": _process_sql(),
+        "noise_power": _noise_power_sql(),
         "image_features": _imgstats_sql(),
         "image_neardup": _imgneardup_sql(),
         "raster_footprint_poly": _FOOTPRINT_POLY_SQL,

@@ -155,6 +155,12 @@ class PlanExecutor:
     def _apply(self, op: str, params: dict, arr: np.ndarray, row: dict) -> np.ndarray:
         if op in self.kernel_exceptions:
             return self.kernel_exceptions[op](params, arr, row)
+        if op == "Write" and params.get("clean_edges"):
+            # noise_power applies edge erosion in the post-gpt writer step
+            # (reference snap/util.py:874-875) — same placement here.
+            from ..functions.raster import erode_edges
+
+            return erode_edges(arr[None, ...], pixels=1)[0]
         if op in _METADATA_OPS:
             return arr
         if op == "Remove-GRD-Border-Noise":
@@ -169,7 +175,17 @@ class PlanExecutor:
             return (arr.astype(np.float64) ** 2 / (a * a)).astype(np.float32)
         if op == "ThermalNoiseRemoval":
             floor = float(row.get("noise", _DEFAULT_NOISE))
-            sigma_floor = floor**2 / float(row.get("cal_a", _DEFAULT_CAL_A)) ** 2
+            cal_a = float(row.get("cal_a", _DEFAULT_CAL_A))
+            if params.get("outputNoise"):
+                # noise_power chain: the product BECOMES the calibrated
+                # noise-equivalent image (NE?Z). The thermal-noise DN
+                # floor ramps linearly across range (S1 noise vectors
+                # rise toward far range), calibrated like the signal.
+                w = arr.shape[1]
+                ramp = 1.0 + np.arange(w, dtype=np.float64) / (4.0 * w)
+                field = (floor * ramp[None, :]) ** 2 / cal_a**2
+                return np.broadcast_to(field, arr.shape).astype(np.float32)
+            sigma_floor = floor**2 / cal_a**2
             return np.maximum(arr - sigma_floor, 0.0).astype(arr.dtype)
         if op == "Multilook":
             rg = int(params.get("rg", 2))
@@ -422,3 +438,118 @@ def geocode(
     bands = processed.map_batches(_bands, batch_format="pyarrow")
     rtc = bool(build_kwargs.get("terrain_flattening", True))
     return write_products(bands, outdir, suffix=suffix, rtc=rtc)
+
+
+class NoisePowerPixels:
+    """Actor-pool stage: the noise-power chain (``plan.build_noise_power``,
+    reference snap/util.py:706-876) over closed-form DN rasters, projected
+    to EXACT integer NESZ pixel rows.
+
+    The validated Plan drives execution — the actor walks its node
+    sequence and dispatches a float64-exact kernel per operator, raising
+    on any operator the chain should not contain (so a plan-builder
+    regression breaks the stage, not just a unit test):
+
+    - ``Read`` / ``Apply-Orbit-File`` / ``TOPSAR-Deburst`` /
+      ``BandSelect`` — geolocation/metadata operators, pixels untouched.
+    - ``Calibration`` — records the calibration constant A (the LUT);
+      applied jointly at the noise node exactly like SNAP resolves the
+      calibration vectors when ``outputNoise`` is set.
+    - ``ThermalNoiseRemoval(outputNoise=True)`` — the image becomes the
+      calibrated noise-equivalent: NE?Z = DN² / A². A = 8 keeps every
+      value an exact dyadic rational (DN ≤ 255 ⇒ DN²/64 exact in f64).
+    - ``Multilook`` — block mean (exact: /rg·az over dyadic inputs).
+    - ``Terrain-Correction`` — the REAL ``warp_affine`` kernel at an
+      exactness-preserving configuration: target grid == source grid
+      (integer-degree origin, resolution 1/16°), so every bilinear
+      weight is exactly {0, 1} and values pass through bit-identical.
+    - ``Write(clean_edges=True)`` — 1-px edge erosion (the reference's
+      post-gpt writer step), then pixels emit as ``nesz_q`` = NESZ·256,
+      an exact int64 (denominator 64·4 = 256 cancels).
+    """
+
+    CAL_A = 8.0
+    RES = 1.0 / 16.0  # 1/16° — dyadic, divides the integer-degree origin
+
+    def __init__(self, plan):
+        if not plan.is_consistent():
+            raise ValueError("plan has unresolved source links")
+        allowed = {
+            "Read", "Apply-Orbit-File", "Calibration", "ThermalNoiseRemoval",
+            "TOPSAR-Deburst", "BandSelect", "Multilook", "Terrain-Correction",
+            "Write",
+        }
+        for node in plan:
+            if node.operator not in allowed:
+                raise NotImplementedError(
+                    f"no noise-power kernel for operator {node.operator!r}"
+                )
+        self.nodes = list(plan.nodes)
+
+    def _run(self, arr: np.ndarray, image_id: int) -> np.ndarray:
+        from ..functions.raster import erode_edges, multilook
+
+        for node in self.nodes:
+            op, params = node.operator, node.parameters
+            if op == "ThermalNoiseRemoval" and params.get("outputNoise"):
+                arr = arr * arr / (self.CAL_A * self.CAL_A)
+            elif op == "Multilook":
+                arr = multilook(arr, int(params.get("rg", 2)), int(params.get("az", 2)))
+            elif op == "Terrain-Correction":
+                h, w = arr.shape
+                ulx = float(image_id % 360 - 180)
+                uly = float(image_id % 120 - 60)
+                gt = (ulx, self.RES, 0.0, uly, 0.0, -self.RES)
+                bounds = (ulx, uly - h * self.RES, ulx + w * self.RES, uly)
+                arr, _ = warp_affine(arr, gt, bounds, (self.RES, self.RES))
+            elif op == "Write" and params.get("clean_edges"):
+                arr = erode_edges(arr[None, ...], pixels=1)[0]
+        return arr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, ys_out, xs_out, q_out = [], [], [], []
+        for img_id, blob, w, h in zip(
+            batch["image_id"].to_numpy(),
+            batch["bytes"].to_pylist(),
+            batch["w"].to_numpy(),
+            batch["h"].to_numpy(),
+        ):
+            dn = np.frombuffer(blob, dtype=np.uint8).reshape(int(h), int(w))
+            arr = self._run(dn.astype(np.float64), int(img_id))
+            valid = arr != 0
+            yy, xx = np.nonzero(valid)
+            q = np.round(arr[valid] * 256.0).astype(np.int64)
+            ids_out.append(np.full(len(yy), img_id, dtype=np.int64))
+            ys_out.append(yy.astype(np.int64))
+            xs_out.append(xx.astype(np.int64))
+            q_out.append(q)
+        if not ids_out:
+            return pa.table(
+                {
+                    "image_id": pa.array([], type=pa.int64()),
+                    "y": pa.array([], type=pa.int64()),
+                    "x": pa.array([], type=pa.int64()),
+                    "nesz_q": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "image_id": pa.array(np.concatenate(ids_out)),
+                "y": pa.array(np.concatenate(ys_out)),
+                "x": pa.array(np.concatenate(xs_out)),
+                "nesz_q": pa.array(np.concatenate(q_out)),
+            }
+        )
+
+
+def noise_power_pixels(
+    images: Dataset, plan, concurrency=(1, 4), batch_size: int = 64
+) -> Dataset:
+    """The noise-power chain projected to exact NESZ·256 pixel rows."""
+    return images.map_batches(
+        NoisePowerPixels,
+        fn_constructor_args=(plan,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -482,3 +482,110 @@ def build_geocode(
         last = "LinearToFromdB"
     p.add(Node("Write", "Write", {"file": "out"}, [last]))
     return p
+
+
+def build_noise_power(
+    record: dict,
+    spacing: float = 20.0,
+    t_srs=4326,
+    polarizations: list | None = None,
+    refarea: str = "sigma0",
+    rlks: int | None = None,
+    azlks: int | None = None,
+    clean_edges: bool = False,
+) -> Plan:
+    """Build the Sentinel-1 noise-power (NESZ/NEBZ/NEGZ) plan — the
+    reference's second full processing chain after geocode
+    (snap/util.py:706-876).
+
+    Chain (each node conditional exactly where the reference inserts
+    it): Read → Apply-Orbit-File → Calibration with ONLY the requested
+    reference-area band enabled → ThermalNoiseRemoval with
+    ``outputNoise=True`` (the node that turns the product into the
+    noise-equivalent image) → TOPSAR-Deburst for IW/EW SLC →
+    BandSelect on the ``NE{B|S|G}Z_{pol}`` bands → Multilook when the
+    look factors exceed 1 (mli_parametrize, snap/auxil.py:1590-1650)
+    → Terrain-Correction → Write.
+
+    Raises exactly where the reference does: ``ValueError('refarea not
+    supported')`` for an unknown reference area (snap/util.py:790-791)
+    and ``RuntimeError`` for a non-Sentinel-1 sensor
+    (snap/util.py:795-796). ``clean_edges`` is recorded on the Write
+    node — the reference applies erosion in the post-``gpt`` writer
+    step (snap/util.py:874-875), and the engine's executor mirrors
+    that placement.
+    """
+    if refarea not in ("beta0", "sigma0", "gamma0"):
+        raise ValueError("refarea not supported")
+    if not isinstance(record, dict):
+        raise TypeError("'record' must be a scene-contract dict")
+    if record.get("sensor") not in ("S1A", "S1B", "S1C", "S1D"):
+        raise RuntimeError("this function is for Sentinel-1 only")
+
+    have = list(record.get("polarizations", []))
+    pols = have if polarizations is None else [p for p in have if p in polarizations]
+    if not pols:
+        raise RuntimeError("no polarization in the source product matches the request")
+    crs = _parse_t_srs(t_srs)
+
+    p = Plan()
+    p.add(Node("Read", "Read", {}, []))
+    p.add(Node("Apply-Orbit-File", "Apply-Orbit-File", {}, ["Read"]))
+    inband = refarea.capitalize()  # 'Sigma0' → outputSigmaBand
+    cal_params = {
+        "selectedPolarisations": pols,
+        "outputBetaBand": False,
+        "outputSigmaBand": False,
+        "outputGammaBand": False,
+        f"output{inband[:-1]}Band": True,
+    }
+    p.add(Node("Calibration", "Calibration", cal_params, ["Apply-Orbit-File"]))
+    p.add(
+        Node(
+            "ThermalNoiseRemoval",
+            "ThermalNoiseRemoval",
+            {"outputNoise": True},
+            ["Calibration"],
+        )
+    )
+    last = "ThermalNoiseRemoval"
+    if record.get("product") == "SLC" and record.get("acquisition_mode") in ("EW", "IW"):
+        p.add(Node("TOPSAR-Deburst", "TOPSAR-Deburst", {}, [last]))
+        last = "TOPSAR-Deburst"
+    measure = f"NE{inband[0]}Z"
+    p.add(
+        Node(
+            "BandSelect",
+            "BandSelect",
+            {"sourceBands": [f"{measure}_{pol}" for pol in pols]},
+            [last],
+        )
+    )
+    last = "BandSelect"
+    # Multilook sizing (mli_parametrize): explicit looks override the
+    # spacing-derived factors; a 1×1 result inserts no node.
+    if rlks is None and azlks is None:
+        from .functions.multilook import multilook_factors
+
+        rlks, azlks = multilook_factors(
+            source_rg=float(record.get("spacing_rg", 10.0)),
+            source_az=float(record.get("spacing_az", 10.0)),
+            target=float(spacing),
+            geometry=record.get("image_geometry", "GROUND_RANGE"),
+            incidence=float(record.get("incidence", 39.0)),
+        )
+    rlks, azlks = int(rlks or 1), int(azlks or 1)
+    if rlks > 1 or azlks > 1:
+        p.add(Node("Multilook", "Multilook", {"rg": rlks, "az": azlks}, [last]))
+        last = "Multilook"
+    p.add(Node("Terrain-Correction", "Terrain-Correction", {"crs": crs}, [last]))
+    last = "Terrain-Correction"
+    p.add(
+        Node(
+            "Write",
+            "Write",
+            {"file": "out", "formatName": "BEAM-DIMAP", "clean_edges": clean_edges},
+            [last],
+        )
+    )
+    return p

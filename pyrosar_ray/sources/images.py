@@ -435,3 +435,40 @@ def patch_images_from_documents(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
+
+
+def noise_rasters_from_documents(sf_dir: str) -> Dataset:
+    """One closed-form single-band DN raster per document for the
+    noise-power chain (``pipelines.geocode.NoisePowerPixels``).
+
+    Fill ``n(y, x) = 1 + (id*11 + y*3 + x*7) % 199`` — strictly positive
+    so the NE?Z image has no nodata holes and edge erosion only removes
+    the border ring; even sizes so multilook(2, 2) crops nothing. Every
+    DN is SQL-recomputable, and with calibration constant A = 8 the
+    whole chain stays exact dyadic (DN² / 64, block mean / 4), so the
+    emitted NESZ·256 quantization is a pure integer the oracle rebuilds.
+    """
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        blobs, ws, hs = [], [], []
+        for i in ids:
+            w = 16 + (i % 9) * 2
+            h = 12 + (i % 7) * 2
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            dn = (1 + (i * 11 + y * 3 + x * 7) % 199).astype(np.uint8)
+            blobs.append(dn.tobytes())
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.int64()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "w": pa.array(ws, type=pa.int32()),
+                "h": pa.array(hs, type=pa.int32()),
+            }
+        )
+
+    return docs.map_batches(_make, batch_format="pyarrow", batch_size=128)
