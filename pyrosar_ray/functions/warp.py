@@ -311,6 +311,7 @@ def dem_create(
     threads=None,
     geoid_convert: bool = False,
     geoid: str = "EGM96",
+    geoid_grid=None,
     nodata: float | None = None,
     resampleAlg: str = "bilinear",
     dtype=None,
@@ -324,13 +325,18 @@ def dem_create(
     Returns ``(array, geotransform, epsg_out)`` instead of writing a
     GeoTIFF — the raster sink (stages/raster_sink.py) owns files.
 
-    ``geoid_convert`` requires an EGM geoid grid, which (like PROJ's
-    ``egm96_15.gtx``) is not shipped in this environment; the argument
-    is validated exactly like the reference and then raises the same
-    ``RuntimeError`` path the reference hits when ``get_egm_lookup``
-    cannot retrieve the grid (auxdata.py:432-436).
+    ``geoid_convert`` is the compound-CRS vertical shift the reference
+    spells ``srcSRS='EPSG:4326+5773'`` + PROJ's NGA grid
+    (auxdata.py:420-436): the undulation N(lat, lon) is added at every
+    valid source pixel center BEFORE the warp. ``geoid_grid`` takes a
+    :class:`~pyrosar_ray.functions.geoid.GeoidGrid` (load the real
+    ``us_nga_egm96_15.tif`` there in production); when ``None`` the
+    deterministic synthetic EGM-style grid stands in, since the real
+    grid needs the network exactly like the reference's
+    ``get_egm_lookup``.
     """
     from .crs import parse_epsg
+    from .geoid import GeoidGrid
 
     for key in kwargs:
         if key in _DEM_CREATE_LOCKED:
@@ -342,15 +348,13 @@ def dem_create(
     epsg_in = parse_epsg(s_srs)
     epsg_out = epsg_in if t_srs is None else parse_epsg(t_srs)
 
+    src = np.asarray(data)
     if geoid_convert:
         if geoid not in _GEOID_EPSG:
             raise RuntimeError("geoid model not yet supported")
-        raise RuntimeError(
-            f"geoid conversion ({geoid}, EPSG:{_GEOID_EPSG[geoid]}) needs the "
-            "EGM lookup grid, which is not available in this environment"
-        )
-
-    src = np.asarray(data)
+        if geoid_grid is None:
+            geoid_grid = GeoidGrid.synthetic(geoid)
+        src = geoid_grid.apply(src, geotransform, nodata=nodata)
     if tr is None:
         tr = (abs(float(geotransform[1])), abs(float(geotransform[5])))
     np_dtype = parse_dtype(dtype)

@@ -245,8 +245,9 @@ def test_dem_create_validation_surfaces():
         dem_create(arr, gt, xRes=5)
     with pytest.raises(RuntimeError, match="geoid model not yet supported"):
         dem_create(arr, gt, geoid_convert=True, geoid="EGM2020")
-    with pytest.raises(RuntimeError, match="EGM lookup grid"):
-        dem_create(arr, gt, geoid_convert=True, geoid="EGM96")
+    # geoid conversion applies (tests/test_geoid.py pins the values)
+    shifted, _, _ = dem_create(arr, gt, geoid_convert=True, geoid="EGM96")
+    assert not np.allclose(shifted, dem_create(arr, gt)[0])
     # both dtype spellings (spatialist Dtype parity)
     assert parse_dtype("Float32") == np.float32
     assert parse_dtype("int8") == np.int8
