@@ -273,9 +273,18 @@ def register_driver(fmt: str, sniff: Callable, parse: Callable[[bytes], dict]):
     DRIVERS[fmt] = (sniff, parse)
 
 
-def identify(blob: bytes) -> dict | None:
+def identify(blob) -> dict | None:
     """Try every registered driver until one sniffs + parses; None if all
-    fail (reference: identify's loop, drivers.py:109-119)."""
+    fail (reference: identify's loop, drivers.py:109-119). Accepts bytes
+    (the engine's native blob column) or a filesystem path — the
+    reference's ``identify(filename)`` spelling — which is read/packed
+    via :mod:`.paths` first."""
+    import os
+
+    if isinstance(blob, (str, os.PathLike)):
+        from .paths import path_to_blob
+
+        blob = path_to_blob(blob)
     members: list[str] | None = None
     if blob[:2] == b"PK" or (len(blob) > 262 and blob[257:262] == b"ustar"):
         try:
