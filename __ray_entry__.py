@@ -4068,6 +4068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_process": q_image_process,
         "noise_power": q_noise_power,
+        "dem_gamma_import": q_dem_gamma_import,
         "image_features": q_image_features,
         "image_neardup": q_image_neardup,
         "raster_footprint_poly": q_raster_footprint_poly,
@@ -4321,6 +4322,74 @@ def q_noise_power(sf_dir: str):
     }
     plan = build_noise_power(record, spacing=20.0, refarea="sigma0", clean_edges=True)
     return noise_power_pixels(noise_rasters_from_documents(sf_dir), plan)
+
+
+def q_dem_gamma_import(sf_dir: str):
+    """GAMMA DEM import chain (gamma/dem.py:303-389 dem_import +
+    create_dem_par grammar), oracle-exact: closed-form int16 DEMs with
+    deterministic -32768 voids run through the REAL dem_import kernel
+    (gflg=0: voids become a valid near-zero value) and the REAL
+    write_dem_par → parse_isp_par round trip supplies the emitted par
+    metadata — so a grammar or kernel regression anywhere on the path
+    breaks the hash. Emits integer-exact columns only: par dims,
+    pixel-center corner µdeg, valid-height sum, void count."""
+    import numpy as np
+
+    from pyrosar_ray.functions.gamma_dem import dem_import
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _chain(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        cols = {k: [] for k in ("image_id", "width", "nlines", "corner_lat_u",
+                                "corner_lon_u", "valid_sum", "n_nodata")}
+        for i in ids:
+            w, h = 10 + i % 7, 8 + i % 5
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            hv = (i * 13 + y * 17 + x * 19) % 2000 - 100
+            void = (i * 13 + y * 17 + x * 19) % 41 == 0
+            dem = np.where(void, -32768, hv).astype(np.float64)
+            gt = (float(i % 360 - 180), 0.25, 0.0, float(i % 120 - 60), 0.0, -0.25)
+            out, par = dem_import(dem, gt, geoid=None)
+            valid = out != 2.0**-20
+            cols["image_id"].append(i)
+            cols["width"].append(par["width"])
+            cols["nlines"].append(par["nlines"])
+            cols["corner_lat_u"].append(round(par["corner_lat"] * 1e6))
+            cols["corner_lon_u"].append(round(par["corner_lon"] * 1e6))
+            cols["valid_sum"].append(int(out[valid].sum()))
+            cols["n_nodata"].append(int((~valid).sum()))
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+
+    return docs.map_batches(_chain, batch_format="pyarrow", batch_size=256)
+
+
+_DEM_GAMMA_SQL = """
+    WITH imgs AS (
+        SELECT doc_id, 10 + doc_id % 7 AS w, 8 + doc_id % 5 AS h
+        FROM documents
+    ), ys AS (
+        SELECT doc_id, w, h, unnest(range(h))::BIGINT AS y FROM imgs
+    ), pix AS (
+        SELECT doc_id, w, h, y, unnest(range(w))::BIGINT AS x FROM ys
+    ), vals AS (
+        SELECT doc_id, w, h,
+               (doc_id * 13 + y * 17 + x * 19) % 2000 - 100 AS hv,
+               (doc_id * 13 + y * 17 + x * 19) % 41 = 0 AS void
+        FROM pix
+    )
+    SELECT doc_id AS image_id,
+           w AS width,
+           h AS nlines,
+           -- pixel-center corner: UL + half the 0.25-deg posting
+           CAST((doc_id % 120 - 60) * 1000000 - 125000 AS BIGINT) AS corner_lat_u,
+           CAST((doc_id % 360 - 180) * 1000000 + 125000 AS BIGINT) AS corner_lon_u,
+           SUM(CASE WHEN void THEN 0 ELSE hv END)::BIGINT AS valid_sum,
+           SUM(CASE WHEN void THEN 1 ELSE 0 END)::BIGINT AS n_nodata
+    FROM vals
+    GROUP BY doc_id, w, h
+"""
 
 
 def _noise_power_sql() -> str:
@@ -7448,6 +7517,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _lsh_sql(nbits=4),
         "image_process": _process_sql(),
         "noise_power": _noise_power_sql(),
+        "dem_gamma_import": _DEM_GAMMA_SQL,
         "image_features": _imgstats_sql(),
         "image_neardup": _imgneardup_sql(),
         "raster_footprint_poly": _FOOTPRINT_POLY_SQL,
