@@ -58,6 +58,8 @@ BENCH_QUERIES = (
     "doc_global_rank",
     "doc_crawl_curate",
     "embed_sq_rerank",
+    "noise_power",
+    "dem_gamma_import",
 )
 
 
