@@ -38,6 +38,90 @@ def irw_broadening(window_coefficient: float) -> float:
     return _B_FACTORS[_HAMMING_COEFFS.index(window_coefficient)]
 
 
+#: ESA-published acquisition characteristics absent from ERS-1/2 and
+#: ENVISAT ASAR product metadata (reference: pyroSAR/ERS/mapping.py:3-252).
+#: NESZ is an instrument+swath property (mode-independent for ASAR), so it
+#: is factored out of the per-mode resolution tables: swath → (near-range
+#: NESZ, far-range NESZ) in dB.
+_ASAR_NESZ = {
+    "IS1": (25.1, 19.2),
+    "IS2": (21.8, 20.5),
+    "IS3": (22.6, 20.5),
+    "IS4": (22.3, 19.1),
+    "IS5": (21.4, 19),
+    "IS6": (24, 21.2),
+    "IS7": (23, 20.4),
+}
+
+#: ASAR range resolution [m] per mode and swath. APP carries a pre/post
+#: 2009-05-28 pair (processor update changed the ground-range resolution).
+_ASAR_RES_RG = {
+    "IMP": {"IS1": 30.86, "IS2": 24.90, "IS3": 24.84, "IS4": 25.56,
+            "IS5": 25.73, "IS6": 26.15, "IS7": 26.59},
+    "IMS": {s: 5.77 for s in _ASAR_NESZ},
+    "APP": {"IS1": (31.22, 31.22), "IS2": (25.23, 24.10),
+            "IS3": (24.74, 24.30), "IS4": (25.46, 25.30),
+            "IS5": (25.70, 25.35), "IS6": (26.07, 25.90),
+            "IS7": (26.53, 26.32)},
+    "APS": {s: 4.3 for s in _ASAR_NESZ},
+    "WSM": {"WS": 150},
+    "WSS": {"WS": None},
+}
+
+#: ASAR azimuth resolution [m] per mode (swath-independent).
+_ASAR_RES_AZ = {"IMP": 22.14, "IMS": 8.43, "APP": 27.45, "APS": 8.39,
+                "WSM": 150, "WSS": None}
+
+#: ASAR NESZ overrides for the wide-swath modes.
+_ASAR_WS_NESZ = {"WSM": (19.5, 23.5), "WSS": (None, None)}
+
+#: ERS-1/2 characteristics: (sensor, mode) → (res_rg, res_az, nesz_nr,
+#: nesz_fr); ERS only images swath IS2.
+_ERS_RES_NESZ = {
+    ("ERS1", "IMP"): (25.04, 21.51, 26.8, 26),
+    ("ERS1", "IMS"): (5.32, 9.66, 26.8, 26),
+    ("ERS2", "IMP"): (21.63, 25.19, 23.1, 21.5),
+    ("ERS2", "IMS"): (5.33, 9.83, 23.1, 21.5),
+}
+
+#: 1-sigma uncertainty [%] of the published resolution figures per
+#: (sensor, mode) (reference 'std_dev' entries).
+RESOLUTION_STD_DEV = {
+    ("ERS1", "IMP"): 20, ("ERS1", "IMS"): 20,
+    ("ERS2", "IMP"): 20, ("ERS2", "IMS"): 20,
+    ("ASAR", "IMP"): 5, ("ASAR", "IMS"): 5,
+    ("ASAR", "APP"): 10, ("ASAR", "APS"): 10,
+    ("ASAR", "WSM"): 20, ("ASAR", "WSS"): None,
+}
+
+
+def get_resolution_nesz(
+    sensor: str, mode: str, swath_id: str, date: str
+) -> tuple[float | None, float | None, float | None, float | None]:
+    """Range/azimuth resolution and near/far-range NESZ lookup.
+
+    Twin of the reference's table function (pyroSAR/ERS/mapping.py:254-286):
+    returns ``(res_rg, res_az, nesz_nr, nesz_fr)`` for an ERS-1/2 or ASAR
+    acquisition; raises ``KeyError`` for unknown sensor/mode/swath combos
+    exactly like the reference's nested-dict lookup. The APP cutover uses
+    the reference's raw string comparison ``date > '20090528'``, so a full
+    ``YYYYmmddTHHMMSS`` stamp ON the cutover day already selects the new
+    value while a bare ``'20090528'`` does not — kept bug-for-bug.
+    """
+    if sensor in ("ERS1", "ERS2"):
+        if swath_id != "IS2":
+            raise KeyError(swath_id)
+        res_rg, res_az, nesz_nr, nesz_fr = _ERS_RES_NESZ[(sensor, mode)]
+        return res_rg, res_az, nesz_nr, nesz_fr
+    if sensor != "ASAR":
+        raise KeyError(sensor)
+    res_rg = _ASAR_RES_RG[mode][swath_id]
+    if mode == "APP":
+        res_rg = res_rg[1] if date > "20090528" else res_rg[0]
+    nesz_nr, nesz_fr = _ASAR_WS_NESZ.get(mode) or _ASAR_NESZ[swath_id]
+    return res_rg, _ASAR_RES_AZ[mode], nesz_nr, nesz_fr
+
+
 def s1_resolution(
     swaths: list[dict],
     image_geometry: str = "SLANT_RANGE",

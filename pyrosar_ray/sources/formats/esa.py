@@ -28,6 +28,7 @@ import re
 import struct
 from datetime import datetime, timedelta, timezone
 
+from ...functions.sar import get_resolution_nesz
 from .common import WKT4326
 
 PATTERN_PID = (
@@ -137,7 +138,7 @@ def build_esa_blob(meta: dict, granules: list[dict] | None = None) -> bytes:
         ]
     sph_pairs = [
         ("SPH_DESCRIPTOR", '"Image Mode Precision Image"'),
-        ("SWATH", '"IS2"'),
+        ("SWATH", f'"{meta.get("swath", "IS2")}"'),
         ("PASS", '"ASCENDING"' if meta["orbit"] == "A" else '"DESCENDING"'),
         ("FIRST_NEAR_LAT", f"{round(lats[0] * 1e6):+011d}<10-6degN>"),
         ("FIRST_NEAR_LONG", f"{round(lons[0] * 1e6):+011d}<10-6degE>"),
@@ -428,6 +429,18 @@ def parse_esa(blob: bytes) -> dict:
     meta["incidence_nr"] = min(angles)
     meta["incidence_fr"] = max(angles)
     meta["incidence"] = (meta["incidence_nr"] + meta["incidence_fr"]) / 2
+
+    # published acquisition characteristics absent from the product file
+    # (reference drivers.py:1795-1801)
+    res_rg, res_az, nesz_nr, nesz_fr = get_resolution_nesz(
+        sensor=meta["sensor"],
+        mode=meta["acquisition_mode"],
+        swath_id=origin["SPH"]["SWATH"],
+        date=meta["start"],
+    )
+    meta["resolution"] = (res_rg, res_az)
+    meta["nesz"] = (nesz_nr, nesz_fr)
+
     meta["projection"] = WKT4326
     return meta
 

@@ -220,9 +220,17 @@ def test_esa_golden_roundtrip():
     assert c["xmin"] == pytest.approx(10.9, abs=1e-6)
     assert c["ymax"] == pytest.approx(51.0, abs=1e-6)
     assert identify(blob)["sensor"] == "ASAR"
+    # published acquisition characteristics joined from the NESZ table
+    # (reference drivers.py:1795-1801 / ERS/mapping.py)
+    assert rec["resolution"] == (24.90, 22.14)
+    assert rec["nesz"] == (21.8, 20.5)
     # SLC modes flip the geometry
     slc = parse_esa(build_esa_blob(dict(meta, acquisition_mode="IMS")))
     assert slc["product"] == "SLC" and slc["image_geometry"] == "SLANT_RANGE"
+    assert slc["resolution"] == (5.77, 8.43)
+    # swath is honoured end-to-end through the SPH grammar
+    is5 = parse_esa(build_esa_blob(dict(meta, acquisition_mode="IMS", swath="IS5")))
+    assert is5["nesz"] == (21.4, 19)
 
 
 def test_identify_many_real_blobs():

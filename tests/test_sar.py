@@ -7,13 +7,60 @@ import pytest
 
 from pyrosar_ray.functions.sar import (
     ERS1_CUTOVER,
+    RESOLUTION_STD_DEV,
     PassTable,
     create_dummy_dem,
     envi_hdr,
+    get_resolution_nesz,
     irw_broadening,
     rgba_quicklook,
     s1_resolution,
 )
+
+
+def test_resolution_nesz_goldens():
+    # reference ERS/mapping.py table values (drivers.py:1795-1801 consumer)
+    assert get_resolution_nesz("ERS1", "IMP", "IS2", "19950101") == (
+        25.04, 21.51, 26.8, 26)
+    assert get_resolution_nesz("ERS2", "IMS", "IS2", "20000101") == (
+        5.33, 9.83, 23.1, 21.5)
+    assert get_resolution_nesz("ASAR", "IMP", "IS7", "20050101") == (
+        26.59, 22.14, 23, 20.4)
+    # IMS range resolution is swath-independent; NESZ is per swath
+    assert get_resolution_nesz("ASAR", "IMS", "IS1", "20050101") == (
+        5.77, 8.43, 25.1, 19.2)
+    assert get_resolution_nesz("ASAR", "APS", "IS5", "20050101") == (
+        4.3, 8.39, 21.4, 19)
+    # wide-swath modes override NESZ and drop swath granularity
+    assert get_resolution_nesz("ASAR", "WSM", "WS", "20050101") == (
+        150, 150, 19.5, 23.5)
+    assert get_resolution_nesz("ASAR", "WSS", "WS", "20050101") == (
+        None, None, None, None)
+
+
+def test_resolution_nesz_app_cutover():
+    # APP range resolution switches on the 2009-05-28 processor update;
+    # the reference compares the raw date STRING, so a timestamped stamp
+    # on the cutover day already selects the new value (kept bug-for-bug)
+    assert get_resolution_nesz("ASAR", "APP", "IS2", "20090528")[0] == 25.23
+    assert get_resolution_nesz("ASAR", "APP", "IS2", "20090529")[0] == 24.10
+    assert get_resolution_nesz("ASAR", "APP", "IS2", "20090528T120000")[0] == 24.10
+    # IS1 published identical figures either side of the cutover
+    assert get_resolution_nesz("ASAR", "APP", "IS1", "20120101")[0] == 31.22
+
+
+def test_resolution_nesz_raises_like_reference():
+    # the reference's nested-dict lookup raises KeyError on unknown combos
+    with pytest.raises(KeyError):
+        get_resolution_nesz("ERS1", "IMP", "IS3", "19950101")
+    with pytest.raises(KeyError):
+        get_resolution_nesz("ERS1", "APP", "IS2", "19950101")
+    with pytest.raises(KeyError):
+        get_resolution_nesz("ASAR", "IMP", "WS", "20050101")
+    with pytest.raises(KeyError):
+        get_resolution_nesz("RS2", "IMP", "IS2", "20050101")
+    assert RESOLUTION_STD_DEV[("ASAR", "APP")] == 10
+    assert RESOLUTION_STD_DEV[("ASAR", "WSS")] is None
 
 
 def test_irw_broadening_table():
