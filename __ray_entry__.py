@@ -3692,6 +3692,21 @@ def q_doc_schema_evolution(sf_dir: str):
     return read_evolved(out, schema, defaults={"lang": "und", "quality": -1})
 
 
+def q_raster_contours(sf_dir: str):
+    """Marching-squares iso-contour extraction (raster→vector polyline
+    primitive): decode the GeoTIFF, threshold (nodata = below), compute
+    the 16-case code per 2×2 pixel window, emit one row per contour
+    segment with exact half-grid integer endpoints (fixed saddle
+    convention 5→(T,R)+(B,L), 10→(T,L)+(B,R)). Pure streaming scan,
+    zero shuffle. The twin recomputes pixel bits from the key,
+    case-codes them with three self-joins, and expands segments from
+    the same template table — decode, threshold, case logic and
+    endpoint arithmetic all hash-check."""
+    from pyrosar_ray.stages.zonal import raster_contours
+
+    return raster_contours(_zonal_rasters(sf_dir), threshold=50.0)
+
+
 def q_raster_regions(sf_dir: str):
     """Connected-region extraction (SAR water-mask primitive): decode
     the GeoTIFF, threshold (nodata excluded), label 4-connected regions
@@ -4058,6 +4073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": q_events_watermark,
         "doc_schema_evolution": q_doc_schema_evolution,
         "raster_regions": q_raster_regions,
+        "raster_contours": q_raster_contours,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -7555,6 +7571,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'und' END AS lang,
                    CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE -1 END AS quality
             FROM documents
+        """,
+        "raster_contours": """
+            WITH keys AS (
+                SELECT o_orderkey AS k, 8 + o_orderkey % 13 AS w,
+                       6 + o_orderkey % 9 AS h
+                FROM orders WHERE o_orderkey % 50 = 0
+            ), ys AS (
+                SELECT k, w, unnest(range(h))::BIGINT AS y FROM keys
+            ), px AS (
+                SELECT k, y, x,
+                       CASE WHEN (x + y + k) % 17 <> 0
+                             AND (k + 3 * y + 7 * x) % 101 >= 50
+                            THEN 1 ELSE 0 END AS b
+                FROM (SELECT k, y, unnest(range(w))::BIGINT AS x FROM ys)
+            ), cells AS (
+                SELECT a.k, a.y AS cell_y, a.x AS cell_x,
+                       8 * a.b + 4 * tr.b + 2 * br.b + bl.b AS code
+                FROM px a
+                JOIN px tr ON tr.k = a.k AND tr.y = a.y AND tr.x = a.x + 1
+                JOIN px br ON br.k = a.k AND br.y = a.y + 1 AND br.x = a.x + 1
+                JOIN px bl ON bl.k = a.k AND bl.y = a.y + 1 AND bl.x = a.x
+            ), seg(code, dy0, dx0, dy1, dx1) AS (VALUES
+                (1, 1, 0, 2, 1), (14, 1, 0, 2, 1),
+                (2, 2, 1, 1, 2), (13, 2, 1, 1, 2),
+                (3, 1, 0, 1, 2), (12, 1, 0, 1, 2),
+                (4, 0, 1, 1, 2), (11, 0, 1, 1, 2),
+                (6, 0, 1, 2, 1), (9, 0, 1, 2, 1),
+                (7, 0, 1, 1, 0), (8, 0, 1, 1, 0),
+                (5, 0, 1, 1, 2), (5, 2, 1, 1, 0),
+                (10, 0, 1, 1, 0), (10, 2, 1, 1, 2))
+            SELECT c.k AS image_id,
+                   c.cell_y::BIGINT AS cell_y, c.cell_x::BIGINT AS cell_x,
+                   c.code::BIGINT AS code,
+                   (2 * c.cell_y + s.dy0)::BIGINT AS y0,
+                   (2 * c.cell_x + s.dx0)::BIGINT AS x0,
+                   (2 * c.cell_y + s.dy1)::BIGINT AS y1,
+                   (2 * c.cell_x + s.dx1)::BIGINT AS x1
+            FROM cells c JOIN seg s ON s.code = c.code
         """,
         "raster_regions": """
             WITH RECURSIVE keys AS (
