@@ -1489,6 +1489,24 @@ def q_doc_cms(sf_dir: str):
     return cms_counters(docs, depth=4, lw=10)
 
 
+def q_doc_dsir(sf_dir: str):
+    """DSIR-style importance-weighted data selection (Xie et al. 2023):
+    hashed unigram+bigram features (engine-standard FNV-1a 32-bit fold,
+    8192 buckets), per-bucket smoothed target/raw ratio in fixed point
+    ((t+1)<<20 // (r+1) — the documented integer-exact stand-in for the
+    paper's log-likelihood ratio), per-doc score = sum of bucket weights
+    over gram occurrences, top-200 by (score, doc_id). Bucket counting
+    is a bucket-table-sized groupby Sum; the weight table broadcasts
+    once via ray.put; top-k folds per-batch partials. The twin
+    reproduces hash, counts, weights and scores bit-for-bit."""
+    from pyrosar_ray.stages.dsir import dsir_topk
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return dsir_topk(docs, ("src0", "src1", "src2"))
+
+
 def q_doc_bloom_new(sf_dir: str):
     """Bloom-membership prefilter: documents provably NOT in the
     (vec_id % 3 == 0) embedding reference set. m=512/k=2 is chosen
@@ -4074,6 +4092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_schema_evolution": q_doc_schema_evolution,
         "raster_regions": q_raster_regions,
         "raster_contours": q_raster_contours,
+        "doc_dsir": q_doc_dsir,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -5229,6 +5248,65 @@ def _cms_sql(depth: int = 4, lw: int = 10) -> str:
         """
 
 
+def _dsir_sql(n_buckets: int = 8192, k: int = 200) -> str:
+    """DuckDB twin of ``stages.dsir.dsir_topk``: same FNV-1a 32-bit gram
+    hash (unigrams + space-joined bigrams, first 16 bytes), same
+    fixed-point smoothed ratio weights, same (score DESC, doc_id) top-k
+    — scores match bit-for-bit because no float log exists on either
+    side."""
+    from pyrosar_ray.stages.dsir import DSIR_SCALE
+
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(16):
+        byte = (
+            f"(CASE WHEN length(tok) > {j} "
+            f"THEN CAST(ascii(tok[{j + 1}]) AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        h = f"((xor({h}, {byte}) * 1099511628211) % {m64})"
+    return f"""
+            WITH tl AS (
+              SELECT doc_id, source, str_split(text, ' ') AS l
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, source, unnest(l) AS tok FROM tl
+            ), big AS (
+              SELECT doc_id, source, l[g.i] || ' ' || l[g.i + 1] AS tok
+              FROM tl, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+            ), grams AS (
+              SELECT * FROM uni UNION ALL SELECT * FROM big
+            ), hb AS (
+              SELECT doc_id, source,
+                     (xor(h // 4294967296, h % 4294967296)
+                      % {n_buckets})::BIGINT AS b
+              FROM (SELECT doc_id, source, {h} AS h FROM grams)
+            ), cnt AS (
+              SELECT b,
+                     COUNT(*) FILTER (source IN ('src0', 'src1', 'src2'))
+                         ::BIGINT AS t,
+                     COUNT(*)::BIGINT AS r
+              FROM hb GROUP BY b
+            ), tot AS (
+              SELECT SUM(t)::HUGEINT + {n_buckets} AS t_tot,
+                     SUM(r)::HUGEINT + {n_buckets} AS r_tot
+              FROM cnt
+            ), w AS (
+              SELECT b,
+                     (t + 1)::HUGEINT * r_tot * {DSIR_SCALE}
+                         // ((r + 1)::HUGEINT * t_tot)
+                         - {DSIR_SCALE} AS w
+              FROM cnt, tot
+            ), scores AS (
+              SELECT hb.doc_id, SUM(wt.w)::BIGINT AS score
+              FROM hb JOIN w wt USING (b) GROUP BY hb.doc_id
+            )
+            SELECT doc_id, score FROM scores
+            ORDER BY score DESC, doc_id
+            LIMIT {k}
+        """
+
+
 def _pq_centd_values(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
     """Flattened (sub, code, dim, value) literals of the deterministic
     PQ codebooks — the SQL-side copy of stages/ann.pq_codebooks."""
@@ -6300,6 +6378,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS fingerprint
             FROM documents
         """,
+        "doc_dsir": _dsir_sql(),
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
         "doc_hll": _hll_sql(),
