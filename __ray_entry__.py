@@ -1919,6 +1919,27 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_int(emb, k=12, iters=3, seed=13)
 
 
+def q_spatial_radius_join(sf_dir: str):
+    """Distance-threshold join: every (sampled point, scene centroid)
+    pair within 1500 milli-degrees, exact INTEGER milli-degree metric
+    end to end (coordinates recover their synthesis lattice via
+    round(x*1000)). Large-large plan: scene centroids replicate to the
+    3×3 cell neighborhood, points own exactly one cell (exactly-once
+    emission, no dedup pass), ONE salted-cell sort exchange, vectorized
+    searchsorted window join per partition. Point multiplicity follows
+    the lineitem rows (duplicate (orderkey, linenumber) pairs emit
+    duplicate pairs on BOTH sides — documented row-multiplicity
+    semantics, not a dedup'd probe set)."""
+    from pyrosar_ray.pipelines.tables import load_points, load_scenes
+    from pyrosar_ray.stages.spatial import spatial_radius_join
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["point_id"].to_numpy() % 10 == 0))
+
+    points = load_points(sf_dir).map_batches(_sample, batch_format="pyarrow")
+    return spatial_radius_join(load_scenes(sf_dir), points, radius_md=1500)
+
+
 def q_spatial_knn(sf_dir: str):
     """5 nearest scene centroids per sampled point (expanding-ring kNN)."""
     from pyrosar_ray.pipelines.tables import load_points, load_scenes
@@ -4093,6 +4114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": q_raster_regions,
         "raster_contours": q_raster_contours,
         "doc_dsir": q_doc_dsir,
+        "spatial_radius_join": q_spatial_radius_join,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -6379,6 +6401,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_dsir": _dsir_sql(),
+        "spatial_radius_join": """
+            WITH s AS (
+                SELECT o_orderkey AS scene_key,
+                       CASE WHEN o_orderkey % 10 = 9
+                            THEN o_orderkey - 1 ELSE o_orderkey
+                       END AS ident
+                FROM orders
+            ), sc AS (
+                SELECT scene_key,
+                       (ident * 9973 % 33000 - 17000) * 10
+                           + (100 + ident % 7 * 50) * 5 AS cx_md,
+                       (ident * 7919 % 13000 - 7000) * 10
+                           + (100 + ident % 5 * 50) * 5 AS cy_md
+                FROM s
+            ), pm AS (
+                SELECT l_orderkey * 8 + l_linenumber AS point_id,
+                       ((l_orderkey * 8 + l_linenumber) * 104729 % 36000)
+                           * 10 - 180000 AS lon_md,
+                       ((l_orderkey * 8 + l_linenumber) * 15485863 % 18000)
+                           * 10 - 90000 AS lat_md
+                FROM lineitem
+                WHERE (l_orderkey * 8 + l_linenumber) % 10 = 0
+            )
+            SELECT pm.point_id, sc.scene_key,
+                   ((sc.cx_md - pm.lon_md) * (sc.cx_md - pm.lon_md)
+                  + (sc.cy_md - pm.lat_md) * (sc.cy_md - pm.lat_md))
+                       ::BIGINT AS dist2_u
+            FROM pm, sc
+            WHERE (sc.cx_md - pm.lon_md) * (sc.cx_md - pm.lon_md)
+                + (sc.cy_md - pm.lat_md) * (sc.cy_md - pm.lat_md)
+                <= 2250000
+        """,
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
         "doc_hll": _hll_sql(),

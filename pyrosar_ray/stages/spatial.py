@@ -729,3 +729,151 @@ def footprint_overlap_pairs(scenes, min_pairs_cell_warn: int = 100_000):
         ["scene_key", "xmin", "ymin", "xmax", "ymax"]
     ).map_batches(_explode, batch_format="pyarrow")
     return exploded.groupby("cell").map_groups(_pairs, batch_format="pandas")
+
+
+def spatial_radius_join(
+    scenes: Dataset,
+    points: Dataset,
+    radius_md: int = 1500,
+    cell_md: int = 4000,
+    num_partitions: int = 64,
+    point_cols: tuple[str, str, str] = ("point_id", "lon", "lat"),
+) -> Dataset:
+    """Distance-threshold join: every (point, scene-centroid) pair
+    closer than ``radius_md`` milli-degrees, in EXACT integer
+    arithmetic end to end (coordinates quantized to the milli-degree
+    lattice they were synthesized on — ``round(x * 1000)`` recovers the
+    integer exactly because the float error is ~1e-10 of a unit).
+
+    Plan (large-large, no broadcast):
+
+    - scene centroids replicate to their 3×3 cell neighborhood;
+      ``cell_md >= radius_md`` guarantees any in-radius point's own
+      cell is one of those nine, so each qualifying pair is tested in
+      EXACTLY one group (the point's cell) — exactly-once emission
+      with no dedup exchange;
+    - both sides union on a typed schema and co-partition with ONE
+      sort exchange keyed by the salted cell hash (the partitioned
+      spatial join's exchange shape);
+    - the per-partition kernel sorts scene rows by cell and expands
+      per-point candidate windows with two ``searchsorted`` calls —
+      no Python loop, no per-pair hash probes.
+
+    Output rows: ``(point_id, scene_key, dist2_u)`` with ``dist2_u``
+    the exact squared distance in milli-degrees².
+    """
+    pid, plon, plat = point_cols
+    r2 = int(radius_md) * int(radius_md)
+    if cell_md < radius_md:
+        raise ValueError("cell_md must be >= radius_md for 3x3 coverage")
+
+    def _cell_ids(cx_cell: np.ndarray, cy_cell: np.ndarray) -> np.ndarray:
+        return (cx_cell + 512) * 2048 + (cy_cell + 512)
+
+    def _tag_scenes(batch: pa.Table) -> pa.Table:
+        xmin = batch["xmin"].to_numpy()
+        xmax = batch["xmax"].to_numpy()
+        ymin = batch["ymin"].to_numpy()
+        ymax = batch["ymax"].to_numpy()
+        cx = np.rint((xmin + xmax) * 500.0).astype(np.int64)
+        cy = np.rint((ymin + ymax) * 500.0).astype(np.int64)
+        keys = batch["scene_key"].to_numpy()
+        n = len(keys)
+        # 9-fold replication to the cell neighborhood
+        dx = np.array([-1, 0, 1] * 3, dtype=np.int64)
+        dy = np.array([-1] * 3 + [0] * 3 + [1] * 3, dtype=np.int64)
+        cxc = np.repeat(cx // cell_md, 9) + np.tile(dx, n)
+        cyc = np.repeat(cy // cell_md, 9) + np.tile(dy, n)
+        m = 9 * n
+        return pa.table(
+            {
+                "_cell": pa.array(_cell_ids(cxc, cyc)),
+                "_side": pa.array(np.zeros(m, dtype=np.int8)),
+                "scene_key": pa.array(np.repeat(keys, 9)),
+                "ax": pa.array(np.repeat(cx, 9)),
+                "ay": pa.array(np.repeat(cy, 9)),
+                pid: pa.nulls(m, type=pa.int64()),
+            }
+        )
+
+    def _tag_points(batch: pa.Table) -> pa.Table:
+        lon_md = np.rint(batch[plon].to_numpy() * 1000.0).astype(np.int64)
+        lat_md = np.rint(batch[plat].to_numpy() * 1000.0).astype(np.int64)
+        n = len(batch)
+        return pa.table(
+            {
+                "_cell": pa.array(_cell_ids(lon_md // cell_md, lat_md // cell_md)),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                "scene_key": pa.nulls(n, type=pa.int64()),
+                "ax": pa.array(lon_md),
+                "ay": pa.array(lat_md),
+                pid: batch[pid].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    tagged = scenes.select_columns(
+        ["scene_key", "xmin", "ymin", "xmax", "ymax"]
+    ).map_batches(_tag_scenes, batch_format="pyarrow").union(
+        points.select_columns(list(point_cols)).map_batches(
+            _tag_points, batch_format="pyarrow"
+        )
+    )
+
+    def _part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part",
+            pa.array(_cell_partition(batch["_cell"].to_numpy(), num_partitions)),
+        )
+
+    from .groups import typed_groups
+
+    schema = {
+        pid: pa.int64(),
+        "scene_key": pa.int64(),
+        "dist2_u": pa.int64(),
+    }
+
+    @typed_groups(schema)
+    def _join(tab: pa.Table) -> pa.Table:
+        side = tab["_side"].to_numpy()
+        cell = tab["_cell"].to_numpy()
+        ax = tab["ax"].to_numpy()
+        ay = tab["ay"].to_numpy()
+        s_sel = np.flatnonzero(side == 0)
+        p_sel = np.flatnonzero(side == 1)
+        if not len(s_sel) or not len(p_sel):
+            return pa.table({c: pa.array([], type=t) for c, t in schema.items()})
+        order = np.argsort(cell[s_sel], kind="stable")
+        s_sel = s_sel[order]
+        s_cell = cell[s_sel]
+        starts = np.searchsorted(s_cell, cell[p_sel], "left")
+        ends = np.searchsorted(s_cell, cell[p_sel], "right")
+        cnt = ends - starts
+        if cnt.sum() == 0:
+            return pa.table({c: pa.array([], type=t) for c, t in schema.items()})
+        p_idx = np.repeat(np.arange(len(p_sel)), cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        s_idx = np.repeat(starts, cnt) + offs
+        px, py = ax[p_sel][p_idx], ay[p_sel][p_idx]
+        sx, sy = ax[s_sel][s_idx], ay[s_sel][s_idx]
+        d2 = (sx - px) * (sx - px) + (sy - py) * (sy - py)
+        keep = d2 <= r2
+        # fill_null before to_numpy: a null-carrying int64 column would
+        # otherwise convert to float64 and lose exactness past 2^53
+        ids = tab[pid].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False)
+        skeys = (
+            tab["scene_key"].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                pid: pa.array(ids[p_sel][p_idx[keep]].astype(np.int64)),
+                "scene_key": pa.array(skeys[s_sel][s_idx[keep]].astype(np.int64)),
+                "dist2_u": pa.array(d2[keep]),
+            }
+        )
+
+    return (
+        tagged.map_batches(_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_join, batch_format="pyarrow")
+    )

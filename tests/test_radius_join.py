@@ -1,0 +1,99 @@
+"""Distance-threshold spatial join (stages/spatial.spatial_radius_join)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pyrosar_ray.stages.spatial import spatial_radius_join
+
+
+def _scenes(cx_md: list[int], cy_md: list[int]) -> ray.data.Dataset:
+    # bbox whose midpoint lands exactly on the requested milli-degree
+    cx = np.array(cx_md, dtype=np.float64) / 1000.0
+    cy = np.array(cy_md, dtype=np.float64) / 1000.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "scene_key": pa.array(np.arange(1, len(cx) + 1, dtype=np.int64)),
+                "xmin": pa.array(cx - 0.5),
+                "xmax": pa.array(cx + 0.5),
+                "ymin": pa.array(cy - 0.25),
+                "ymax": pa.array(cy + 0.25),
+            }
+        )
+    )
+
+
+def _points(lon_md: list[int], lat_md: list[int]) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "point_id": pa.array(
+                    np.arange(101, 101 + len(lon_md), dtype=np.int64)
+                ),
+                "lon": pa.array(np.array(lon_md, dtype=np.float64) / 1000.0),
+                "lat": pa.array(np.array(lat_md, dtype=np.float64) / 1000.0),
+            }
+        )
+    )
+
+
+def test_matches_bruteforce_with_exact_boundary():
+    rng = np.random.default_rng(3)
+    s_cx = rng.integers(-20000, 20000, 40).tolist()
+    s_cy = rng.integers(-10000, 10000, 40).tolist()
+    p_lon = rng.integers(-20000, 20000, 120).tolist()
+    p_lat = rng.integers(-10000, 10000, 120).tolist()
+    # plant one pair at EXACTLY the radius (900² + 1200² = 1500²)
+    s_cx.append(5000), s_cy.append(5000)
+    p_lon.append(5900), p_lat.append(6200)
+    # and one just outside
+    s_cx.append(-5000), s_cy.append(-5000)
+    p_lon.append(-5900), p_lat.append(-6201)
+
+    out = (
+        spatial_radius_join(
+            _scenes(s_cx, s_cy), _points(p_lon, p_lat), radius_md=1500
+        )
+        .to_pandas()
+        .sort_values(["point_id", "scene_key"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for si, (sx, sy) in enumerate(zip(s_cx, s_cy), start=1):
+        for pi, (px, py) in enumerate(zip(p_lon, p_lat), start=101):
+            d2 = (sx - px) ** 2 + (sy - py) ** 2
+            if d2 <= 1500 * 1500:
+                rows.append((pi, si, d2))
+    want = (
+        pd.DataFrame(rows, columns=["point_id", "scene_key", "dist2_u"])
+        .sort_values(["point_id", "scene_key"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
+    # the planted boundary pair is included (<=), the outside one is not
+    assert ((out["dist2_u"] == 1500 * 1500).sum()) >= 1
+
+
+def test_exactly_once_across_cell_boundaries():
+    # scene centroid ON a cell boundary, point in the neighbor cell:
+    # 9-fold replication must still emit the pair exactly once
+    out = spatial_radius_join(
+        _scenes([4000], [0]),
+        _points([3999, 4000, 4001], [0, 0, 0]),
+        radius_md=1500,
+    ).to_pandas()
+    assert len(out) == 3
+    assert out["scene_key"].tolist() == [1, 1, 1]
+    assert sorted(out["dist2_u"]) == [0, 1, 1]
+
+
+def test_cell_smaller_than_radius_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        spatial_radius_join(
+            _scenes([0], [0]), _points([0], [0]), radius_md=5000, cell_md=4000
+        )
