@@ -3746,6 +3746,20 @@ def q_raster_contours(sf_dir: str):
     return raster_contours(_zonal_rasters(sf_dir), threshold=50.0)
 
 
+def q_raster_pyramid(sf_dir: str):
+    """COG-style overview pyramid: cascaded 2× reductions carried as
+    exact integer (sum, count) planes — nodata-aware means stay
+    lossless pairs at every level, and level k equals one grouping of
+    the base pixels by (y>>k, x>>k) (the associativity the twin
+    exploits). Row-local, zero shuffle. Emits per (raster, level): ceil
+    dims, occupied cells, the level-invariant valid-pixel sum (a
+    built-in conservation check), and position-weighted sum/count
+    checksums pinning every cell."""
+    from pyrosar_ray.stages.zonal import raster_pyramid
+
+    return raster_pyramid(_zonal_rasters(sf_dir), levels=3)
+
+
 def q_raster_regions(sf_dir: str):
     """Connected-region extraction (SAR water-mask primitive): decode
     the GeoTIFF, threshold (nodata excluded), label 4-connected regions
@@ -4113,6 +4127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_schema_evolution": q_doc_schema_evolution,
         "raster_regions": q_raster_regions,
         "raster_contours": q_raster_contours,
+        "raster_pyramid": q_raster_pyramid,
         "doc_dsir": q_doc_dsir,
         "spatial_radius_join": q_spatial_radius_join,
         "events_cube": q_events_cube,
@@ -7704,6 +7719,36 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'und' END AS lang,
                    CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE -1 END AS quality
             FROM documents
+        """,
+        "raster_pyramid": """
+            WITH keys AS (
+                SELECT o_orderkey AS k, 8 + o_orderkey % 13 AS w,
+                       6 + o_orderkey % 9 AS h
+                FROM orders WHERE o_orderkey % 50 = 0
+            ), ys AS (
+                SELECT k, w, h, unnest(range(h))::BIGINT AS y FROM keys
+            ), px AS (
+                SELECT k, w, h, y, x, (k + 3 * y + 7 * x) % 101 AS v
+                FROM (SELECT k, w, h, y, unnest(range(w))::BIGINT AS x
+                      FROM ys)
+                WHERE (x + y + k) % 17 <> 0
+            ), lv(level, d) AS (VALUES (1, 2), (2, 4), (3, 8)),
+            cells AS (
+                SELECT px.k, lv.level,
+                       (px.w + lv.d - 1) // lv.d AS wk,
+                       (px.h + lv.d - 1) // lv.d AS hk,
+                       px.y // lv.d AS i, px.x // lv.d AS j,
+                       SUM(px.v) AS s, COUNT(*) AS c
+                FROM px CROSS JOIN lv
+                GROUP BY px.k, lv.level, wk, hk, i, j
+            )
+            SELECT k AS image_id, level::BIGINT AS level,
+                   wk::BIGINT AS w, hk::BIGINT AS h,
+                   COUNT(*)::BIGINT AS n_cells,
+                   SUM(s)::BIGINT AS px_sum,
+                   SUM(s * (i * wk + j + 1))::BIGINT AS sum_checksum,
+                   SUM(c * (i * wk + j + 1))::BIGINT AS cnt_checksum
+            FROM cells GROUP BY k, level, wk, hk
         """,
         "raster_contours": """
             WITH keys AS (

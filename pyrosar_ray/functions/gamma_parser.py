@@ -167,3 +167,19 @@ def parse_module(usages: dict[str, str] | list[str]) -> str:
             continue
         parts.append(generate_wrapper(spec))
     return "\n\n\n".join(parts) + "\n"
+
+
+def getargs(func) -> list[str]:
+    """Sorted argument names of a callable (reference
+    pyroSAR/ancillary.py:332-345). Used to probe which parameters a
+    generated GAMMA wrapper accepts — the version-capability check the
+    gamma chain runs before choosing a kernel spelling
+    (gamma/util.py:379,641,1457; gamma/dem.py:222)."""
+    import inspect
+
+    return sorted(inspect.getfullargspec(func).args)
+
+
+def hasarg(func, arg: str) -> bool:
+    """Does the callable take ``arg``? (reference ancillary.py:348-363)."""
+    return arg in getargs(func)

@@ -377,6 +377,76 @@ def raster_contours(
     return rasters.map_batches(_contours, batch_format="pyarrow")
 
 
+def _halve(s: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One pyramid level: 2×2 block-sum of (sum, count) planes with
+    zero-padding to even dims (GDAL's ceil(dim/2) overview sizing)."""
+    h, w = s.shape
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    sp = np.zeros((h2 * 2, w2 * 2), dtype=np.int64)
+    cp = np.zeros_like(sp)
+    sp[:h, :w] = s
+    cp[:h, :w] = c
+    return (
+        sp.reshape(h2, 2, w2, 2).sum(axis=(1, 3)),
+        cp.reshape(h2, 2, w2, 2).sum(axis=(1, 3)),
+    )
+
+
+def raster_pyramid(
+    rasters: Dataset, levels: int = 3, id_col: str = "image_id"
+) -> Dataset:
+    """COG-style overview pyramid: cascaded 2× reductions of the decoded
+    band, carried as exact integer ``(sum, count)`` planes so the
+    nodata-aware mean at any level is a lossless pair, never a rounded
+    float — the associativity that makes overview building a
+    pre-aggregation (level k's blocks are sums of level k-1's blocks,
+    and equal one grouping of the base pixels by ``y>>k, x>>k``).
+    Row-local per raster, zero shuffle.
+
+    Rows per (raster, level): level dims, ``n_cells`` (cells with ≥1
+    valid pixel), ``px_sum`` (total valid-pixel sum — level-invariant by
+    construction, a built-in conservation check), and two
+    position-weighted checksums (``Σ sum_cell·(idx+1)``,
+    ``Σ count_cell·(idx+1)``) that pin every cell of the level grid.
+    """
+    cols = [
+        "image_id", "level", "w", "h", "n_cells",
+        "px_sum", "sum_checksum", "cnt_checksum",
+    ]
+
+    def _pyr(batch: pa.Table) -> pa.Table:
+        out: dict[str, list[int]] = {c: [] for c in cols}
+        for img_id, blob in zip(
+            batch[id_col].to_pylist(), batch["blob"].to_pylist()
+        ):
+            info = decode_geotiff(blob)
+            data = info["data"][0]
+            valid = (
+                np.ones_like(data, dtype=bool)
+                if info["nodata"] is None
+                else data != info["nodata"]
+            )
+            s = np.where(valid, np.rint(data.astype(np.float64)), 0).astype(
+                np.int64
+            )
+            c = valid.astype(np.int64)
+            for level in range(1, levels + 1):
+                s, c = _halve(s, c)
+                h, w = s.shape
+                idx = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                out["image_id"].append(img_id)
+                out["level"].append(level)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["n_cells"].append(int((c > 0).sum()))
+                out["px_sum"].append(int(s.sum()))
+                out["sum_checksum"].append(int((s * idx).sum()))
+                out["cnt_checksum"].append(int((c * idx).sum()))
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
+
+    return rasters.map_batches(_pyr, batch_format="pyarrow")
+
+
 def raster_regions(
     rasters: Dataset, threshold: float = 50.0, id_col: str = "image_id"
 ) -> Dataset:

@@ -90,3 +90,42 @@ def test_raster_contours_stage_decodes_and_thresholds():
     segs = out[["cell_y", "cell_x", "code", "y0", "x0", "y1", "x1"]].to_numpy()
     got = marching_squares((v >= 50.0) & (v != -99.0))
     assert sorted(segs.tolist()) == sorted(got.tolist())
+
+
+def test_pyramid_halving_and_conservation():
+    from pyrosar_ray.stages.zonal import _halve, raster_pyramid
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 100, (7, 9)).astype(np.float32)
+    v[rng.random((7, 9)) < 0.2] = -99.0
+    valid = v != -99.0
+    s0 = np.where(valid, v, 0).astype(np.int64)
+    c0 = valid.astype(np.int64)
+
+    s1, c1 = _halve(s0, c0)
+    assert s1.shape == (4, 5) and c1.shape == (4, 5)
+    # conservation at every level
+    assert s1.sum() == s0.sum() and c1.sum() == c0.sum()
+    # cascaded level-2 equals one grouping of the base by (y>>2, x>>2)
+    s2, c2 = _halve(s1, c1)
+    want = np.zeros_like(s2)
+    wantc = np.zeros_like(c2)
+    for y in range(7):
+        for x in range(9):
+            want[y >> 2, x >> 2] += s0[y, x]
+            wantc[y >> 2, x >> 2] += c0[y, x]
+    assert np.array_equal(s2, want) and np.array_equal(c2, wantc)
+
+    blob = encode_geotiff(
+        v[None], ulx=0.0, uly=0.0, xres=0.125, yres=0.25, nodata=-99.0, tile=8
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"image_id": pa.array([3], type=pa.int64()),
+                  "blob": pa.array([blob], type=pa.binary())})
+    )
+    out = raster_pyramid(ds, levels=2).to_pandas().sort_values("level")
+    assert out["px_sum"].nunique() == 1  # level-invariant sum
+    assert list(out["w"]) == [5, 3] and list(out["h"]) == [4, 2]
+    idx2 = np.arange(1, s2.size + 1).reshape(s2.shape)
+    assert out.iloc[1]["sum_checksum"] == int((s2 * idx2).sum())
+    assert out.iloc[1]["cnt_checksum"] == int((c2 * idx2).sum())

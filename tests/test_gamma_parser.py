@@ -102,3 +102,19 @@ def test_generate_from_spec_directly():
     spec = CommandSpec(name="g2", summary="s", required=["x"], optional=[])
     src = generate_wrapper(spec)
     assert src.startswith("def g2(x, logpath=None")
+
+
+def test_hasarg_probes_generated_wrappers():
+    # the gamma chain's version-capability check (gamma/util.py:379):
+    # probe whether the GENERATED wrapper accepts a parameter before
+    # choosing the kernel spelling
+    from pyrosar_ray.functions.gamma_parser import getargs, hasarg
+
+    src = generate_wrapper(parse_usage(MULTI_LOOK))
+    ns = {"process": lambda cmd, **kw: None}
+    exec(compile(src, "<gen>", "exec"), ns)
+    fn = ns["multi_look"]
+    args = getargs(fn)
+    assert args == sorted(args)
+    assert hasarg(fn, "rlks") and hasarg(fn, "logpath")
+    assert not hasarg(fn, "edge_flag")
