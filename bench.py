@@ -60,6 +60,10 @@ BENCH_QUERIES = (
     "embed_sq_rerank",
     "noise_power",
     "dem_gamma_import",
+    "spatial_radius_join",
+    "doc_dsir",
+    "raster_contours",
+    "raster_pyramid",
 )
 
 

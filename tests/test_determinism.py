@@ -34,6 +34,11 @@ QUERIES = [
     # clustered write + footer-stats pruned scan (file set must be
     # identical at any read block count)
     "points_zscan",
+    # replicated-side co-partition union join (3x3 scene replication,
+    # point-cell ownership) — exactly-once must hold at any block count
+    "spatial_radius_join",
+    # bounded bucket-table exchange + broadcast weights + partial top-k
+    "doc_dsir",
 ]
 
 
