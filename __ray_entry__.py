@@ -1718,6 +1718,33 @@ def q_doc_dup_clusters(sf_dir: str):
     return dup_clusters(docs)
 
 
+def q_doc_fuzzy_dedup(sf_dir: str):
+    """End-to-end fuzzy deduplication — the user-facing composition of
+    the near-dup machinery: Jaccard pair graph → connected components
+    (cost-based driver/distributed star rounds) → cluster
+    representatives (min doc id) survive → one hash-partitioned ANTI
+    join drops the rest. Output = the surviving corpus (doc_id,
+    source). The twin replays the pair predicate, a recursive-CTE
+    transitive closure, and the representative rule."""
+    from pyrosar_ray.stages.dedup_text import dup_clusters
+    from pyrosar_ray.stages.join import equi_join
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    clusters = dup_clusters(docs)
+
+    def _removed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        lab = batch["cluster_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids[ids != lab])})
+
+    removed = clusters.map_batches(_removed, batch_format="pyarrow")
+    return equi_join(
+        docs.select_columns(["doc_id", "source"]), removed, on="doc_id", how="anti"
+    )
+
+
 def q_embed_topk(sf_dir: str):
     """Brute-force cosine top-k over broadcast query vectors."""
     import ray.data
@@ -4130,6 +4157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_pyramid": q_raster_pyramid,
         "doc_dsir": q_doc_dsir,
         "spatial_radius_join": q_spatial_radius_join,
+        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -7021,6 +7049,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS doc_id, LEAST(u, MIN(v))::BIGINT AS cluster_id
             FROM reach GROUP BY u
+        """,
+        "doc_fuzzy_dedup": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) a
+                JOIN (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                      (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.5
+            ),
+            und AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            lbl AS (
+                SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+                FROM reach GROUP BY u
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d
+            LEFT JOIN lbl ON lbl.doc_id = d.doc_id
+            WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id
         """,
         "doc_shard_shuffle": """
             WITH h AS (
