@@ -97,3 +97,30 @@ def test_cell_smaller_than_radius_rejected():
         spatial_radius_join(
             _scenes([0], [0]), _points([0], [0]), radius_md=5000, cell_md=4000
         )
+
+
+def test_cell_size_invariance():
+    # the physical partitioning knob must not change the answer: any
+    # cell_md >= radius_md yields the identical pair set (finer cells =
+    # the documented hot-cell mitigation, coarser = fewer groups)
+    rng = np.random.default_rng(9)
+    s_cx = rng.integers(-9000, 9000, 25).tolist()
+    s_cy = rng.integers(-9000, 9000, 25).tolist()
+    p_lon = rng.integers(-9000, 9000, 80).tolist()
+    p_lat = rng.integers(-9000, 9000, 80).tolist()
+    outs = []
+    for cell_md in (1500, 2500, 4000):
+        out = (
+            spatial_radius_join(
+                _scenes(s_cx, s_cy),
+                _points(p_lon, p_lat),
+                radius_md=1500,
+                cell_md=cell_md,
+            )
+            .to_pandas()
+            .sort_values(["point_id", "scene_key"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
