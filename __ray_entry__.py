@@ -3868,6 +3868,50 @@ def q_events_mor(sf_dir: str):
     return mor_scan(out)
 
 
+def q_events_timetravel(sf_dir: str):
+    """Lakehouse time travel over multi-snapshot MOR: the base files
+    are immutable; snapshot 1's commit deletes type='error' rows and
+    snapshot 2's commit additionally deletes event_id%7==0 rows — each
+    as a positional sidecar relative to the BASE file (Iceberg v2
+    sequencing). Reading as-of snapshot k applies the UNION of sidecars
+    s1..sk; the query scans all three snapshots of the same table and
+    aggregates each to (snapshot, day, event_type, n, id_sum). The twin
+    replays the snapshot predicates over the raw events."""
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from pyrosar_ray.stages.mor import mor_scan, mor_write_snapshots
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    out = tempfile.mkdtemp(prefix="mor_tt_", dir="/tmp")
+    preds = {
+        1: lambda g: g["event_type"].to_numpy() == "error",
+        2: lambda g: g["event_id"].to_numpy() % 7 == 0,
+    }
+    mor_write_snapshots(events, out, preds).materialize()  # bounded manifest
+
+    parts = []
+    for snap in (0, 1, 2):
+        def _tag(batch: pa.Table, _s: int = snap) -> pa.Table:
+            return batch.append_column(
+                "snapshot", pa.array(np.full(len(batch), _s, dtype=np.int64))
+            )
+
+        parts.append(
+            mor_scan(out, snapshot=snap).map_batches(_tag, batch_format="pyarrow")
+        )
+    union = parts[0].union(parts[1]).union(parts[2])
+    return (
+        union.select_columns(["snapshot", "day", "event_type", "event_id"])
+        .groupby(["snapshot", "day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="id_sum"))
+    )
+
+
 def q_lineitem_q6(sf_dir: str):
     """Predicate pushdown at the READ (the prune-at-the-read scale
     rule): the TPC-H Q6 filter (shipdate year, discount band, quantity
@@ -4158,6 +4202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir": q_doc_dsir,
         "spatial_radius_join": q_spatial_radius_join,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
+        "events_timetravel": q_events_timetravel,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -7886,6 +7931,18 @@ def oracle_sql() -> dict[str, str]:
                    MAX(m.y)::BIGINT AS max_y, MAX(m.x)::BIGINT AS max_x
             FROM mask m JOIN lbl l ON l.k = m.k AND l.pix = m.pix
             GROUP BY m.k, l.label
+        """,
+        "events_timetravel": """
+            WITH snaps(snapshot) AS (VALUES (0), (1), (2))
+            SELECT s.snapshot::BIGINT AS snapshot,
+                   strftime(e.ts, '%Y-%m-%d') AS day,
+                   e.event_type,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(e.event_id)::BIGINT AS id_sum
+            FROM events e CROSS JOIN snaps s
+            WHERE NOT (s.snapshot >= 1 AND e.event_type = 'error')
+              AND NOT (s.snapshot >= 2 AND e.event_id % 7 = 0)
+            GROUP BY 1, 2, 3
         """,
         "events_watermark": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,

@@ -94,9 +94,75 @@ def mor_write(
     )
 
 
-def mor_scan(out_dir: str) -> Dataset:
+def mor_write_snapshots(
+    events: Dataset,
+    out_dir: str,
+    snapshot_preds: dict[int, "callable"],
+) -> Dataset:
+    """Multi-snapshot MOR write (time travel): one base file per day
+    plus one positional-delete sidecar PER SNAPSHOT — snapshot k's
+    sidecar records the positions its commit deleted from the base
+    (positions are always relative to the immutable base file, the
+    Iceberg v2 sequencing rule). ``snapshot_preds``: snapshot id →
+    ``df -> bool mask`` of rows that commit deletes. Returns the
+    manifest (day, n_rows, then one n_deletes_s{k} per snapshot)."""
+    os.makedirs(f"{out_dir}/base", exist_ok=True)
+    for sid in snapshot_preds:
+        os.makedirs(f"{out_dir}/deletes/s{sid}", exist_ok=True)
+
+    def _day(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "day", pc.strftime(batch["ts"], format="%Y-%m-%d")
+        )
+
+    schema = {"day": pa.string(), "n_rows": pa.int64()}
+    for sid in sorted(snapshot_preds):
+        schema[f"n_deletes_s{sid}"] = pa.int64()
+
+    @typed_groups(schema)
+    def _write(group: pd.DataFrame) -> pa.Table:
+        day = group["day"].iloc[0]
+        g = group.sort_values("event_id", ignore_index=True)
+        base = pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(), type=pa.int64()),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+            }
+        )
+        pq.write_table(
+            base, f"{out_dir}/base/day={day}.parquet",
+            row_group_size=_ROW_GROUP_SIZE,
+        )
+        row = {
+            "day": pa.array([day], type=pa.string()),
+            "n_rows": pa.array([len(g)], type=pa.int64()),
+        }
+        for sid in sorted(snapshot_preds):
+            dels = np.flatnonzero(np.asarray(snapshot_preds[sid](g)))
+            pq.write_table(
+                pa.table({"pos": pa.array(dels, type=pa.int64())}),
+                f"{out_dir}/deletes/s{sid}/day={day}.parquet",
+            )
+            row[f"n_deletes_s{sid}"] = pa.array([len(dels)], type=pa.int64())
+        return pa.table(row)
+
+    return (
+        events.map_batches(_day, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(_write, batch_format="pandas")
+    )
+
+
+def mor_scan(out_dir: str, snapshot: int | None = None) -> Dataset:
     """Read base minus positional deletes: (event_id, day, pos,
-    event_type) of surviving rows."""
+    event_type) of surviving rows.
+
+    ``snapshot=None`` reads the single-generation layout
+    (``deletes/day=*``); ``snapshot=k`` time-travels a multi-snapshot
+    layout — the delete vector is the UNION of sidecars ``s1..sk``
+    (``k=0`` = the original commit, no deletes applied)."""
     base_dir = f"{out_dir}/base"
     items = []
     for fname in sorted(os.listdir(base_dir)):
@@ -117,8 +183,20 @@ def mor_scan(out_dir: str) -> Dataset:
 
         def _dels(self, day: str) -> np.ndarray:
             if day not in self._deletes:
-                t = pq.read_table(f"{out_dir}/deletes/day={day}.parquet")
-                self._deletes[day] = t["pos"].to_numpy()
+                if snapshot is None:
+                    paths = [f"{out_dir}/deletes/day={day}.parquet"]
+                else:
+                    paths = [
+                        f"{out_dir}/deletes/s{s}/day={day}.parquet"
+                        for s in range(1, snapshot + 1)
+                    ]
+                if paths:
+                    vecs = [pq.read_table(p)["pos"].to_numpy() for p in paths]
+                    # union across snapshots: a row may be deleted by
+                    # more than one commit
+                    self._deletes[day] = np.unique(np.concatenate(vecs))
+                else:
+                    self._deletes[day] = np.array([], dtype=np.int64)
             return self._deletes[day]
 
         def _file(self, day: str) -> pq.ParquetFile:

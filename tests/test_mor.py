@@ -121,3 +121,63 @@ def test_schema_evolution_alignment(ray_session, tmp_path):
     ).materialize()
     sch = ds.schema()
     assert sch is None or sch.names == ["id", "tag", "score"]
+
+
+def test_time_travel_snapshots(ray_session, tmp_path):
+    import ray
+
+    from pyrosar_ray.stages.mor import mor_scan, mor_write_snapshots
+
+    df = _events()
+    out = str(tmp_path / "tt")
+    preds = {
+        1: lambda g: (g["event_type"] == "error").to_numpy(),
+        2: lambda g: (g["event_id"].to_numpy() % 7 == 0),
+    }
+    manifest = mor_write_snapshots(
+        ray.data.from_pandas(df).repartition(3), out, preds
+    ).to_pandas()
+    assert {"n_deletes_s1", "n_deletes_s2"} <= set(manifest.columns)
+
+    s0 = mor_scan(out, snapshot=0).to_pandas()
+    s1 = mor_scan(out, snapshot=1).to_pandas()
+    s2 = mor_scan(out, snapshot=2).to_pandas()
+    # snapshot 0 = the original commit, nothing deleted
+    assert sorted(s0["event_id"]) == sorted(df["event_id"])
+    # snapshot monotonicity: later snapshots only shrink
+    assert set(s2["event_id"]) <= set(s1["event_id"]) <= set(s0["event_id"])
+    assert set(s1["event_id"]) == set(
+        df.loc[df["event_type"] != "error", "event_id"]
+    )
+    want2 = df.loc[
+        (df["event_type"] != "error") & (df["event_id"] % 7 != 0), "event_id"
+    ]
+    assert set(s2["event_id"]) == set(want2)
+
+
+def test_time_travel_deletes_are_positional(ray_session, tmp_path):
+    # tamper with snapshot 2's sidecar: shifting one POSITION changes
+    # which row drops, regardless of row values
+    import ray
+
+    from pyrosar_ray.stages.mor import mor_scan, mor_write_snapshots
+
+    df = _events()
+    out = str(tmp_path / "tt2")
+    preds = {1: lambda g: (g["event_id"].to_numpy() == 3)}
+    mor_write_snapshots(
+        ray.data.from_pandas(df).repartition(2), out, preds
+    ).to_pandas()
+    day = "2024-03-01"
+    path = f"{out}/deletes/s1/day={day}.parquet"
+    pos = pq.read_table(path)["pos"].to_numpy()
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"pos": pa.array(pos + 1)}), path)
+    got = mor_scan(out, snapshot=1).to_pandas()
+    # event 3 survives, its positional successor in the day file dropped
+    day_rows = df[df["ts"] == pd.Timestamp(day)].sort_values("event_id")
+    victim = day_rows["event_id"].to_numpy()[
+        np.searchsorted(day_rows["event_id"].to_numpy(), 3) + 1
+    ]
+    assert 3 in set(got["event_id"]) and victim not in set(got["event_id"])
