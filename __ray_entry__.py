@@ -1745,6 +1745,62 @@ def q_doc_fuzzy_dedup(sf_dir: str):
     )
 
 
+def q_image_mosaic(sf_dir: str):
+    """Per-tile mosaic stitch (the reference's MLI_cat / VRT-mosaic
+    groupby compose, gamma/util.py:899-917): closed-form 8×8×3
+    thumbnails keyed to tiles, one groupby exchange, members stitched
+    along x in deterministic image_id order. The emitted checksum is a
+    position-weighted sum over the ACTUAL stitched byte buffer, so the
+    twin (which recomputes the layout index y·W·3 + (m·8+x)·3 + c
+    arithmetically) pins member order, stitch axis and memory layout."""
+    from pyrosar_ray.stages.images import mosaic_tiles
+
+    orders = _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def _thumbs(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        k = k[k % 25 == 0]
+        y = np.arange(8, dtype=np.int64)
+        x = np.arange(8, dtype=np.int64)
+        c = np.arange(3, dtype=np.int64)
+        v = (
+            k[:, None, None, None]
+            + 5 * y[None, :, None, None]
+            + 11 * x[None, None, :, None]
+            + 17 * c[None, None, None, :]
+        ) % 256
+        return pa.table(
+            {
+                "tile": pa.array(k % 37),
+                "image_id": pa.array(k),
+                "thumbnail": pa.array(
+                    [v[i].astype(np.uint8).tobytes() for i in range(len(k))],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    mosaics = mosaic_tiles(
+        orders.map_batches(_thumbs, batch_format="pyarrow"), thumb=8
+    )
+
+    def _checksum(batch: pa.Table) -> pa.Table:
+        sums = []
+        for blob in batch["mosaic"].to_pylist():
+            b = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+            sums.append(int((b * (np.arange(len(b)) + 1)).sum()))
+        return pa.table(
+            {
+                "tile": batch["tile"].combine_chunks().cast(pa.int64()),
+                "n_members": batch["n_members"].combine_chunks().cast(pa.int64()),
+                "mosaic_w": batch["mosaic_w"].combine_chunks().cast(pa.int64()),
+                "checksum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return mosaics.map_batches(_checksum, batch_format="pyarrow")
+
+
 def q_embed_topk(sf_dir: str):
     """Brute-force cosine top-k over broadcast query vectors."""
     import ray.data
@@ -4203,6 +4259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_radius_join": q_spatial_radius_join,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "events_timetravel": q_events_timetravel,
+        "image_mosaic": q_image_mosaic,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -7826,6 +7883,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'und' END AS lang,
                    CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE -1 END AS quality
             FROM documents
+        """,
+        "image_mosaic": """
+            WITH imgs AS (
+                SELECT o_orderkey AS k, o_orderkey % 37 AS tile,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderkey % 37
+                                          ORDER BY o_orderkey) - 1 AS m
+                FROM orders WHERE o_orderkey % 25 = 0
+            ), members AS (
+                SELECT tile, COUNT(*) AS n FROM imgs GROUP BY tile
+            ), px AS (
+                SELECT i.tile, i.m, yy.y, xx.x, cc.c,
+                       (i.k + 5 * yy.y + 11 * xx.x + 17 * cc.c) % 256 AS v
+                FROM imgs i,
+                     (SELECT unnest(range(8))::BIGINT AS y) yy,
+                     (SELECT unnest(range(8))::BIGINT AS x) xx,
+                     (SELECT unnest(range(3))::BIGINT AS c) cc
+            )
+            SELECT p.tile::BIGINT AS tile, mm.n::BIGINT AS n_members,
+                   (mm.n * 8)::BIGINT AS mosaic_w,
+                   SUM(p.v * (p.y * (mm.n * 8 * 3)
+                              + (p.m * 8 + p.x) * 3 + p.c + 1))
+                       ::BIGINT AS checksum
+            FROM px p JOIN members mm ON mm.tile = p.tile
+            GROUP BY 1, 2, 3
         """,
         "raster_pyramid": """
             WITH keys AS (
