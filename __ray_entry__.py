@@ -2023,6 +2023,20 @@ def q_spatial_radius_join(sf_dir: str):
     return spatial_radius_join(load_scenes(sf_dir), points, radius_md=1500)
 
 
+def q_grid_focal(sf_dir: str):
+    """Focal statistics over the aggregated 1° point-density grid (map
+    algebra's neighborhood op / box-kernel density surface): per-batch
+    partial bincounts → grid-bounded groupby Sum → ×9 expansion of the
+    AGGREGATED grid (longitude wraps at ±180) → second grid-sized
+    groupby. Both exchanges are grid-sized, never point-sized. Cells
+    adjacent to occupied ones appear with n=0 — the surface, not just
+    the histogram."""
+    from pyrosar_ray.pipelines.tables import load_points
+    from pyrosar_ray.stages.spatial import grid_focal_sum
+
+    return grid_focal_sum(load_points(sf_dir))
+
+
 def q_spatial_knn(sf_dir: str):
     """5 nearest scene centroids per sampled point (expanding-ring kNN)."""
     from pyrosar_ray.pipelines.tables import load_points, load_scenes
@@ -4260,6 +4274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "events_timetravel": q_events_timetravel,
         "image_mosaic": q_image_mosaic,
+        "grid_focal": q_grid_focal,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -7883,6 +7898,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'und' END AS lang,
                    CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE -1 END AS quality
             FROM documents
+        """,
+        "grid_focal": f"""
+            WITH p AS ({POINTS_SQL}),
+            cells AS (
+                SELECT floor(lon)::BIGINT AS cx, floor(lat)::BIGINT AS cy,
+                       COUNT(*)::BIGINT AS n
+                FROM p GROUP BY 1, 2
+            ),
+            offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1),
+                                    (0,0), (0,1), (1,-1), (1,0), (1,1))
+            SELECT (((c.cx + o.dx + 180) % 360 + 360) % 360 - 180)::BIGINT
+                       AS cell_lon,
+                   (c.cy + o.dy)::BIGINT AS cell_lat,
+                   SUM(CASE WHEN o.dx = 0 AND o.dy = 0
+                            THEN c.n ELSE 0 END)::BIGINT AS n,
+                   SUM(c.n)::BIGINT AS focal_sum
+            FROM cells c CROSS JOIN offs o
+            GROUP BY 1, 2
         """,
         "image_mosaic": """
             WITH imgs AS (

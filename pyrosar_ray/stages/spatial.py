@@ -877,3 +877,83 @@ def spatial_radius_join(
         .groupby("_part")
         .map_groups(_join, batch_format="pyarrow")
     )
+
+
+def grid_focal_sum(
+    points: Dataset,
+    point_cols: tuple[str, str, str] = ("point_id", "lon", "lat"),
+) -> Dataset:
+    """Focal statistics over an aggregated 1° point-density grid — the
+    map-algebra neighborhood op (focal sum, the box-kernel density
+    surface): count points per cell, then every cell contributes its
+    count to its 3×3 neighborhood (longitude wraps at ±180, latitude
+    does not). Output rows: (cell_lon, cell_lat, n, focal_sum) for every
+    cell receiving at least one contribution — so empty cells adjacent
+    to occupied ones appear with n=0.
+
+    Scale shape: point counting is a per-batch partial bincount merged
+    by one grid-bounded groupby Sum (≤ 360×180 rows ever cross the
+    wire); the focal pass expands the AGGREGATED grid ×9 and re-groups —
+    both exchanges are grid-sized, never point-sized.
+    """
+    _, plon, plat = point_cols
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cx = np.floor(batch[plon].to_numpy()).astype(np.int64)
+        cy = np.floor(batch[plat].to_numpy()).astype(np.int64)
+        df = (
+            pd.DataFrame({"cx": cx, "cy": cy})
+            .groupby(["cx", "cy"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.table(
+            {
+                "cx": pa.array(df["cx"].to_numpy()),
+                "cy": pa.array(df["cy"].to_numpy()),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        points.map_batches(_cells, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    _OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0),
+             (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        cx = batch["cx"].to_numpy()
+        cy = batch["cy"].to_numpy()
+        n = batch["n"].to_numpy()
+        m = len(cx)
+        dx = np.array([o[0] for o in _OFFS], dtype=np.int64)
+        dy = np.array([o[1] for o in _OFFS], dtype=np.int64)
+        tx = np.repeat(cx, 9) + np.tile(dx, m)
+        # longitude wraps at the antimeridian; latitude clamps out
+        tx = (tx + 180) % 360 - 180
+        ty = np.repeat(cy, 9) + np.tile(dy, m)
+        contrib = np.repeat(n, 9)
+        own = np.where(
+            (np.tile(dx, m) == 0) & (np.tile(dy, m) == 0), contrib, 0
+        )
+        return pa.table(
+            {
+                "cell_lon": pa.array(tx),
+                "cell_lat": pa.array(ty),
+                "own": pa.array(own.astype(np.int64)),
+                "contrib": pa.array(contrib.astype(np.int64)),
+            }
+        )
+
+    return (
+        cells.map_batches(_expand, batch_format="pyarrow")
+        .groupby(["cell_lon", "cell_lat"])
+        .aggregate(Sum("own", alias_name="n"), Sum("contrib", alias_name="focal_sum"))
+    )

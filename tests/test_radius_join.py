@@ -124,3 +124,38 @@ def test_cell_size_invariance():
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_grid_focal_sum_wrap_and_surface():
+    from pyrosar_ray.stages.spatial import grid_focal_sum
+
+    # three points: two in one cell at the antimeridian's west edge, one
+    # across the wrap; plus an isolated point far away
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "point_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "lon": pa.array([-179.5, -179.2, 179.5, 10.5]),
+                "lat": pa.array([0.5, 0.5, 0.5, 20.5]),
+            }
+        )
+    )
+    out = (
+        grid_focal_sum(pts)
+        .to_pandas()
+        .set_index(["cell_lon", "cell_lat"])
+        .sort_index()
+    )
+    # own counts survive
+    assert out.loc[(-180, 0), "n"] == 2
+    assert out.loc[(179, 0), "n"] == 1
+    assert out.loc[(10, 20), "n"] == 1
+    # focal sums see across the antimeridian in BOTH directions
+    assert out.loc[(-180, 0), "focal_sum"] == 3
+    assert out.loc[(179, 0), "focal_sum"] == 3
+    # empty neighbors appear on the surface with n=0
+    assert out.loc[(11, 21), "n"] == 0
+    assert out.loc[(11, 21), "focal_sum"] == 1
+    # isolated point's 3x3 patch: 9 cells, all focal_sum 1
+    patch = out.loc[(slice(9, 11), slice(19, 21)), :]
+    assert len(patch) == 9 and (patch["focal_sum"] == 1).all()
