@@ -1090,6 +1090,22 @@ def q_doc_bigram_lm(sf_dir: str):
     return bigram_lm(docs)
 
 
+def q_doc_ccnet_buckets(sf_dir: str):
+    """CCNet-style corpus bucketing (Wenzek et al. 2020): per-doc
+    bigram-LM score (fixed-point mean conditional probability — the
+    documented integer-exact stand-in for perplexity), then exact
+    per-LANGUAGE terciles via the engine's distributed rank over a
+    language-packed score key (no global sort). The LM table broadcasts
+    once — the production shape where the model ships to workers.
+    Bucket 0 = least predictable (CCNet tail), 2 = head."""
+    from pyrosar_ray.stages.text import ccnet_buckets
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ccnet_buckets(docs)
+
+
 def q_doc_pmi(sf_dir: str):
     """Bigram PMI collocations: bounded count folds + broadcast margins,
     one exact-int ratio and one libm ln per surviving bigram."""
@@ -4275,6 +4291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_timetravel": q_events_timetravel,
         "image_mosaic": q_image_mosaic,
         "grid_focal": q_grid_focal,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -7898,6 +7915,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'und' END AS lang,
                    CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE -1 END AS quality
             FROM documents
+        """,
+        "doc_ccnet_buckets": """
+            WITH tl AS (
+                SELECT doc_id, lang, str_split(text, ' ') AS l
+                FROM documents
+            ), big AS (
+                SELECT doc_id, lang, l[g.i] AS w1, l[g.i + 1] AS w2
+                FROM tl, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+            ), cnt AS (
+                SELECT w1, w2, COUNT(*)::BIGINT AS n FROM big GROUP BY 1, 2
+            ), ctx AS (
+                SELECT w1, SUM(n)::BIGINT AS c FROM cnt GROUP BY 1
+            ), per AS (
+                SELECT b.doc_id,
+                       SUM(cnt.n * 1048576 // ctx.c)::BIGINT AS num,
+                       COUNT(*)::BIGINT AS nb
+                FROM big b
+                JOIN cnt ON cnt.w1 = b.w1 AND cnt.w2 = b.w2
+                JOIN ctx ON ctx.w1 = b.w1
+                GROUP BY 1
+            ), scored AS (
+                SELECT d.doc_id, d.lang,
+                       COALESCE(p.num // p.nb, 0)::BIGINT AS score
+                FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+            ), ranked AS (
+                SELECT doc_id, lang, score,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY score, doc_id) AS r,
+                       COUNT(*) OVER (PARTITION BY lang) AS nl
+                FROM scored
+            )
+            SELECT doc_id, lang, score,
+                   ((r - 1) * 3 // nl)::BIGINT AS bucket
+            FROM ranked
         """,
         "grid_focal": f"""
             WITH p AS ({POINTS_SQL}),

@@ -64,6 +64,10 @@ BENCH_QUERIES = (
     "doc_dsir",
     "raster_contours",
     "raster_pyramid",
+    "doc_fuzzy_dedup",
+    "events_timetravel",
+    "image_mosaic",
+    "grid_focal",
 )
 
 

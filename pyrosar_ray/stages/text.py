@@ -1091,3 +1091,123 @@ def pmi_table(
         return keep.append_column("pmi", pa.array(pmi))
 
     return merged.map_batches(_pmi, batch_format="pyarrow")
+
+
+#: fixed-point scale of the CCNet bucket LM score (2^20)
+CCNET_SCALE = 1 << 20
+
+
+def ccnet_buckets(
+    docs: Dataset,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """CCNet-style corpus bucketing (Wenzek et al. 2020): score every
+    document under a corpus bigram LM, then split each LANGUAGE into
+    exact terciles by score — head / middle / tail, the buckets CCNet
+    feeds to curriculum and filtering.
+
+    Documented deviation (same rationale as the DSIR op): the
+    perplexity ``exp(-mean log p)`` is replaced by the fixed-point mean
+    conditional probability ``score = (Σ (n·SCALE)//c) // n_bigrams`` —
+    no float log on either side, so the twin reproduces scores and
+    bucket boundaries bit-for-bit. Ascending score ⇒ bucket 0 is the
+    LEAST predictable (CCNet's tail) and bucket 2 the head.
+
+    Scale shape: the LM table is vocabulary²-bounded and broadcast once
+    via ``ray.put`` — the production CCNet shape, where the LM is a
+    fixed model shipped to every worker, not reduced per job. Scoring
+    is row-local; the per-language tercile uses the engine's
+    distributed rank (bucketed rank exchange, no global sort) over a
+    language-packed score key plus a languages-sized base-offset table.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .rank import global_rank
+
+    lm_rows = (
+        bigram_lm(docs.select_columns([text_col]))
+        .select_columns(["w1", "w2", "n"])
+        .take_all()
+    )  # model-sized broadcast (vocab²-bounded), shipped once
+    ctx: dict[str, int] = {}
+    for r in lm_rows:
+        ctx[r["w1"]] = ctx.get(r["w1"], 0) + int(r["n"])
+    # key joined on a SPACE — tokens are whitespace-split so the join
+    # is unambiguous; a NUL separator would be silently DROPPED by
+    # pandas' numpy-backed string concat (C-string semantics)
+    pgram = {
+        f"{r['w1']} {r['w2']}": int(r["n"]) * CCNET_SCALE // ctx[r["w1"]]
+        for r in lm_rows
+    }
+    pgram_ref = ray.put(pgram)
+
+    # deterministic language packing (languages are a bounded vocabulary)
+    lang_rows = (
+        docs.select_columns([lang_col])
+        .groupby(lang_col)
+        .count()
+        .take_all()
+    )
+    langs = sorted(r[lang_col] for r in lang_rows)
+    lang_idx = {l: i for i, l in enumerate(langs)}
+    lang_n = {r[lang_col]: int(r["count()"]) for r in lang_rows}
+    # per-language base offset in the packed global rank order
+    bases, acc = {}, 0
+    for l in langs:
+        bases[l] = acc
+        acc += lang_n[l]
+    pack_stride = CCNET_SCALE + 1  # scores are means of values ≤ SCALE
+
+    def _score(batch: pa.Table) -> pa.Table:
+        table = ray.get(pgram_ref)
+        df = batch.select([id_col, lang_col, text_col]).to_pandas()
+        lists = df[text_col].astype("string").str.split(" ")
+        uni = lists.explode()
+        nxt = uni.groupby(level=0).shift(-1)
+        big = (uni + " " + nxt).dropna()
+        vals = big.map(table).fillna(0).astype("int64")
+        num = vals.groupby(level=0).sum().reindex(df.index, fill_value=0)
+        nb = big.groupby(level=0).size().reindex(df.index, fill_value=0)
+        score = (num // nb.clip(lower=1)).astype("int64")
+        li = df[lang_col].map(lang_idx).astype("int64")
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(dtype=np.int64)),
+                lang_col: pa.array(df[lang_col], type=pa.string()),
+                "score": pa.array(score.to_numpy()),
+                "packed": pa.array(
+                    (li * pack_stride + score).to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    scored = docs.map_batches(_score, batch_format="pyarrow")
+    ranked = global_rank(scored, score_col="packed", id_col=id_col)
+    keyed = scored.select_columns([id_col, lang_col, "score"])
+
+    # stitch rank back onto (lang, score) — equi join on the id
+    from .join import equi_join
+
+    joined = equi_join(
+        keyed, ranked.select_columns([id_col, "rank"]), on=id_col
+    )
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch[lang_col]).astype(object)
+        rank = batch["rank"].to_numpy().astype(np.int64)
+        base = np.array([bases[l] for l in lang], dtype=np.int64)
+        n = np.array([lang_n[l] for l in lang], dtype=np.int64)
+        bucket = (rank - base - 1) * 3 // n
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                lang_col: pa.array(lang, type=pa.string()),
+                "score": batch["score"].combine_chunks().cast(pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    return joined.map_batches(_bucket, batch_format="pyarrow")

@@ -109,3 +109,32 @@ def test_empty_and_single_token_docs():
     ds = ray.data.from_pandas(DOCS)
     out = dsir_topk(ds, ("tgt",), n_buckets=64, k=6).to_pandas()
     assert set(out["doc_id"]) == {1, 2, 3, 4, 5, 6}
+
+
+def test_ccnet_buckets_exact_scores():
+    from pyrosar_ray.stages.text import CCNET_SCALE, ccnet_buckets
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a b a b", "a b c", "c c c", "x"],
+                "lang": ["en", "en", "de", "de"],
+            }
+        )
+    )
+    out = (
+        ccnet_buckets(docs).to_pandas().set_index("doc_id").sort_index()
+    )
+    S = CCNET_SCALE
+    # hand-computed: counts ab=3 ba=1 bc=1 cc=2; ctx a=3 b=2 c=2
+    assert out.loc[1, "score"] == (S + S // 2 + S) // 3
+    assert out.loc[2, "score"] == (S + S // 2) // 2
+    assert out.loc[3, "score"] == S
+    assert out.loc[4, "score"] == 0  # no bigrams
+    # per-language terciles of 2 docs → buckets {0, 1}
+    assert out.loc[2, "bucket"] == 0 and out.loc[1, "bucket"] == 1
+    assert out.loc[4, "bucket"] == 0 and out.loc[3, "bucket"] == 1
+    # regression guard for the pandas NUL-concat pitfall: a nonzero
+    # score proves the bigram keys actually hit the broadcast LM table
+    assert (out["score"] > 0).sum() == 3
