@@ -3680,6 +3680,20 @@ def q_doc_warc_ingest(sf_dir: str):
     return warc_ingest(sf_dir)
 
 
+def q_doc_anchor_agg(sf_dir: str):
+    """Anchor-text aggregation (the web-graph relevance signal): the
+    real tag tokenizer extracts content-zone (href, anchor) pairs from
+    the synthesized crawl pages (boilerplate links carry no anchor),
+    anchors hash through the engine-standard 32-bit fold, and one
+    link-table-sized groupby reduces per target. The twin regenerates
+    the inline-link positions (word index % 13 == 5) and anchor words
+    closed-form from the documents table and replays the hash fold —
+    so href grammar, zone gating and anchor bytes all hash-check."""
+    from pyrosar_ray.stages.html import anchor_agg, pages_from_documents
+
+    return anchor_agg(pages_from_documents(sf_dir))
+
+
 def q_doc_html_extract(sf_dir: str):
     """Crawl-page text extraction through a REAL single-pass HTML
     tokenizer: raw-text elements (script/style) scanned to their close
@@ -4292,6 +4306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_mosaic": q_image_mosaic,
         "grid_focal": q_grid_focal,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "doc_anchor_agg": q_doc_anchor_agg,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -5506,6 +5521,41 @@ def _dsir_sql(n_buckets: int = 8192, k: int = 200) -> str:
         """
 
 
+def _anchor_agg_sql() -> str:
+    """DuckDB twin of ``stages.html.anchor_agg``: regenerate the
+    content-zone inline links closed-form (word position % 13 == 5 →
+    href '/w/{pos}', anchor = that word), hash anchors with the same
+    16-byte FNV-1a fold + 32-bit xor fold, one GROUP BY href."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(16):
+        byte = (
+            f"(CASE WHEN length(tok) > {j} "
+            f"THEN CAST(ascii(tok[{j + 1}]) AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END)"
+        )
+        h = f"((xor({h}, {byte}) * 1099511628211) % {m64})"
+    return f"""
+            WITH tl AS (
+              SELECT doc_id, str_split(text, ' ') AS l FROM documents
+            ), pos AS (
+              SELECT doc_id, g.i - 1 AS gw, l[g.i] AS tok
+              FROM tl, UNNEST(generate_series(1, len(l))) AS g(i)
+              WHERE (g.i - 1) % 13 = 5
+            ), hashed AS (
+              SELECT doc_id, '/w/' || gw AS href, {h} AS h64 FROM pos
+            ), h32 AS (
+              SELECT doc_id, href,
+                     xor(h64 // 4294967296, h64 % 4294967296) AS h
+              FROM hashed
+            )
+            SELECT href, COUNT(*)::BIGINT AS n_refs,
+                   MIN(doc_id)::BIGINT AS min_doc,
+                   SUM(h)::BIGINT AS anchor_hash_sum
+            FROM h32 GROUP BY href
+        """
+
+
 def _pq_centd_values(m: int = 8, ksub: int = 16, dsub: int = 8) -> str:
     """Flattened (sub, code, dim, value) literals of the deterministic
     PQ codebooks — the SQL-side copy of stages/ann.pq_codebooks."""
@@ -6578,6 +6628,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_dsir": _dsir_sql(),
+        "doc_anchor_agg": _anchor_agg_sql(),
         "spatial_radius_join": """
             WITH s AS (
                 SELECT o_orderkey AS scene_key,

@@ -51,6 +51,10 @@ def decode_entities(text: str) -> str:
     return _ENTITY.sub(_sub, text)
 
 
+#: href attribute inside an <a> tag: double-quoted, single-quoted or bare
+_HREF = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
 def _tag_name(tag: str) -> tuple[str, bool]:
     """``<div class=x>`` → ('div', False); ``</div>`` → ('div', True)."""
     inner = tag[1:-1].strip()
@@ -72,6 +76,9 @@ def extract_text(html: str) -> dict:
     blocks: list[str] = []
     buf: list[str] = []
     title_parts: list[str] = []
+    links: list[tuple[str, str]] = []
+    anchor_buf: list[str] = []
+    cur_href: str | None = None
     in_title = False
     skip_depth = 0
     n_links = 0
@@ -99,6 +106,8 @@ def extract_text(html: str) -> dict:
                 title_parts.append(chunk)
             elif skip_depth == 0:
                 buf.append(decode_entities(chunk))
+                if cur_href is not None:
+                    anchor_buf.append(chunk)
         gt = html.find(">", lt)
         if gt == -1:
             break  # truncated trailing tag: ignore
@@ -125,8 +134,25 @@ def extract_text(html: str) -> dict:
                 break
             i = gt2 + 1
             continue
-        if name == "a" and not closing:
-            n_links += 1
+        if name == "a":
+            if not closing:
+                n_links += 1
+                # content-zone links carry the anchor-text signal;
+                # boilerplate (nav/aside/footer) links only count
+                if skip_depth == 0:
+                    m_href = _HREF.search(tag)
+                    raw = (
+                        next(g for g in m_href.groups() if g is not None)
+                        if m_href
+                        else ""
+                    )
+                    cur_href = decode_entities(raw)
+                    anchor_buf.clear()
+            elif cur_href is not None:
+                links.append(
+                    (cur_href, decode_entities("".join(anchor_buf)).strip())
+                )
+                cur_href = None
         if name == "title":
             in_title = not closing
             continue
@@ -144,4 +170,5 @@ def extract_text(html: str) -> dict:
         "text": "\n".join(blocks),
         "n_links": n_links,
         "n_blocks": len(blocks),
+        "links": links,
     }

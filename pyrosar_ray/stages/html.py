@@ -95,3 +95,61 @@ def html_extract(pages: Dataset) -> Dataset:
         )
 
     return pages.map_batches(_extract, batch_format="pyarrow")
+
+
+def anchor_agg(pages: Dataset) -> Dataset:
+    """Anchor-text aggregation — the web-graph signal op (the text other
+    pages use when linking a target is a classic relevance/pretraining
+    signal): extract content-zone (href, anchor) pairs with the real
+    tag tokenizer (boilerplate links counted but carry no anchor), hash
+    each anchor with the engine-standard 32-bit token fold, and reduce
+    per target href with ONE link-table-sized groupby.
+
+    Output rows: (href, n_refs, min_doc, anchor_hash_sum) — the
+    order-insensitive hash sum pins every anchor string without
+    shipping the concatenated text.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .sketch import _token_hash32
+
+    def _links(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hrefs: list[str] = []
+        docs: list[int] = []
+        anchors: list[str] = []
+        for doc_id, html in zip(
+            batch["doc_id"].to_pylist(), batch["html"].to_pylist()
+        ):
+            for href, anchor in extract_text(html)["links"]:
+                hrefs.append(href)
+                docs.append(doc_id)
+                anchors.append(anchor)
+        if not hrefs:
+            return pa.table(
+                {
+                    "href": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "h32": pa.array([], type=pa.int64()),
+                }
+            )
+        h = _token_hash32(pd.Series(anchors)).astype(np.int64)
+        return pa.table(
+            {
+                "href": pa.array(hrefs, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "h32": pa.array(h),
+            }
+        )
+
+    return (
+        pages.map_batches(_links, batch_format="pyarrow")
+        .groupby("href")
+        .aggregate(
+            Count(alias_name="n_refs"),
+            Min("doc_id", alias_name="min_doc"),
+            Sum("h32", alias_name="anchor_hash_sum"),
+        )
+    )

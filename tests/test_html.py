@@ -108,3 +108,45 @@ def test_extract_never_raises_and_terminates_property():
         assert out["n_links"] >= 0
 
     run()
+
+
+def test_link_extraction_zones_and_quoting():
+    from pyrosar_ray.functions.html import extract_text
+
+    html = (
+        '<nav><a href="/nav">skip me</a></nav>'
+        "<p>see <a href=bare>x</a> and <a href='sq'>y &amp; z</a> "
+        'and <a href="/dq">plain</a></p>'
+        '<footer><a href="/f">also skipped</a></footer>'
+    )
+    o = extract_text(html)
+    # boilerplate links count but carry no anchor
+    assert o["n_links"] == 5
+    assert o["links"] == [("bare", "x"), ("sq", "y & z"), ("/dq", "plain")]
+
+
+def test_anchor_agg_over_pages(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyrosar_ray.stages.html import anchor_agg, build_page
+
+    words = [f"w{i}" for i in range(20)]
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 9], type=pa.int64()),
+                "html": pa.array(
+                    [build_page(7, " ".join(words)),
+                     build_page(9, " ".join(words[:10]))],
+                    type=pa.string(),
+                ),
+            }
+        )
+    )
+    out = anchor_agg(pages).to_pandas().set_index("href")
+    # positions 5 and 18 are inline links; only doc 7 reaches 18
+    assert out.loc["/w/5", "n_refs"] == 2 and out.loc["/w/5", "min_doc"] == 7
+    assert out.loc["/w/18", "n_refs"] == 1 and out.loc["/w/18", "min_doc"] == 7
+    # nav/aside boilerplate hrefs never appear
+    assert not any(h in out.index for h in ("/", "/about", "/contact", "/r"))
