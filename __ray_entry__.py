@@ -4012,6 +4012,167 @@ def q_events_timetravel(sf_dir: str):
     )
 
 
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary: the canonical wide-scan aggregate —
+    column-pruned read with the shipdate predicate pushed into the
+    scan, per-batch partial combine over the 6-group key (the exchange
+    carries groups × blocks rows, never lineitems), integer
+    cents×percent arithmetic so every sum is combine-order independent
+    (averages derive from the sums, not recomputed)."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    from pyrosar_ray.stages import table_from_pandas
+
+    rows = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+        filter=pads.field("l_shipdate") <= datetime(1998, 9, 2),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        qty = np.floor(df["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        price = np.floor(
+            df["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(df["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        tax = np.floor(df["l_tax"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": df["l_returnflag"],
+                    "l_linestatus": df["l_linestatus"],
+                    "sum_qty": qty,
+                    "sum_base_u": price,
+                    "sum_disc_u": price * (100 - disc),
+                    "sum_charge_u": price * (100 - disc) * (100 + tax),
+                    "n": np.ones(len(df), dtype=np.int64),
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum()
+        )
+        return table_from_pandas(part)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rows.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_u", alias_name="sum_base_u"),
+            Sum("sum_disc_u", alias_name="sum_disc_u"),
+            Sum("sum_charge_u", alias_name="sum_charge_u"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shipping priority (o_orderpriority stands in for the
+    absent o_shippriority column): lineitem revenue PRE-AGGREGATES per
+    orderkey before any join (the exchange shrinks from lineitems to
+    orders), customer⋈orders and the aggregate⋈orders joins run
+    co-partitioned, and the top-10 folds per-batch partials through a
+    bounded sort. Revenue in integer cents×percent; ties broken by
+    (o_orderdate, l_orderkey) so the LIMIT is deterministic."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.join import equi_join
+
+    cutoff = datetime(1996, 6, 30)
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff,
+    )
+
+    def _ocust(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    ord_cust = equi_join(
+        orders.map_batches(_ocust, batch_format="pyarrow"), cust, on="c_custkey"
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    )
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        part = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": batch["l_orderkey"].to_numpy(),
+                    "revenue_u": price * (100 - disc),
+                }
+            )
+            .groupby("l_orderkey", as_index=False)
+            .sum()
+        )
+        return table_from_pandas(part)
+
+    li_agg = (
+        li.map_batches(_rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+    joined = equi_join(li_agg, ord_cust, on="l_orderkey", right_on="o_orderkey")
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["revenue_u", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+        ).head(10)
+        return table_from_pandas(
+            df[["l_orderkey", "revenue_u", "o_orderdate", "o_orderpriority"]]
+        )
+
+    return (
+        joined.map_batches(_topk, batch_format="pyarrow")
+        .sort(
+            ["revenue_u", "o_orderdate", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(10)
+    )
+
+
 def q_lineitem_q6(sf_dir: str):
     """Predicate pushdown at the READ (the prune-at-the-read scale
     rule): the TPC-H Q6 filter (shipdate year, discount band, quantity
@@ -4307,6 +4468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_focal": q_grid_focal,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "doc_anchor_agg": q_doc_anchor_agg,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -8186,6 +8349,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, day, pos, event_type
             FROM pos WHERE event_type <> 'error'
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey,
+                   SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))
+                       ::BIGINT AS revenue_u,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_u DESC, o_orderdate, l.l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT
+                       AS sum_qty,
+                   SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+                       AS sum_base_u,
+                   SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT))
+                       ::BIGINT AS sum_disc_u,
+                   SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT)
+                       * (100 + floor(l_tax * 100 + 0.5)::BIGINT))
+                       ::BIGINT AS sum_charge_u,
+                   COUNT(*)::BIGINT AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
         """,
         "lineitem_q6": """
             SELECT 0::BIGINT AS g,
