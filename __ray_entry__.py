@@ -4018,7 +4018,11 @@ def q_tpch_q1(sf_dir: str):
     scan, per-batch partial combine over the 6-group key (the exchange
     carries groups × blocks rows, never lineitems), integer
     cents×percent arithmetic so every sum is combine-order independent
-    (averages derive from the sums, not recomputed)."""
+    (averages derive from the sums, not recomputed). Bound disclosure:
+    sum_charge_u (~4e11/row) stays exact in int64 up to ~2e7 rows per
+    (returnflag, linestatus) group (~TPC-H sf 50); past that the charge
+    sum needs a two-level 128-bit representation on the Ray side like the
+    HUGEINT the twin already uses."""
     from datetime import datetime
 
     import pyarrow.dataset as pads

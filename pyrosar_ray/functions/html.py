@@ -51,8 +51,12 @@ def decode_entities(text: str) -> str:
     return _ENTITY.sub(_sub, text)
 
 
-#: href attribute inside an <a> tag: double-quoted, single-quoted or bare
-_HREF = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+#: href attribute inside an <a> tag: double-quoted, single-quoted or
+#: bare. The lookbehind keeps it from matching inside other attribute
+#: names (data-href=, ng-href=).
+_HREF = re.compile(
+    r"""(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
 
 
 def _tag_name(tag: str) -> tuple[str, bool]:
@@ -148,7 +152,9 @@ def extract_text(html: str) -> dict:
                     )
                     cur_href = decode_entities(raw)
                     anchor_buf.clear()
-            elif cur_href is not None:
+            elif cur_href is not None and skip_depth == 0:
+                # skip_depth gate: a boilerplate </a> nested inside an
+                # open content anchor must not close it early
                 links.append(
                     (cur_href, decode_entities("".join(anchor_buf)).strip())
                 )

@@ -138,7 +138,8 @@ def build_esa_blob(meta: dict, granules: list[dict] | None = None) -> bytes:
         ]
     sph_pairs = [
         ("SPH_DESCRIPTOR", '"Image Mode Precision Image"'),
-        ("SWATH", f'"{meta.get("swath", "IS2")}"'),
+        # wide-swath products carry the WS swath id; stripmap defaults IS2
+        ("SWATH", f'"{meta.get("swath", "WS" if mode in ("WSM", "WSS") else "IS2")}"'),
         ("PASS", '"ASCENDING"' if meta["orbit"] == "A" else '"DESCENDING"'),
         ("FIRST_NEAR_LAT", f"{round(lats[0] * 1e6):+011d}<10-6degN>"),
         ("FIRST_NEAR_LONG", f"{round(lons[0] * 1e6):+011d}<10-6degE>"),
@@ -431,7 +432,10 @@ def parse_esa(blob: bytes) -> dict:
     meta["incidence"] = (meta["incidence_nr"] + meta["incidence_fr"]) / 2
 
     # published acquisition characteristics absent from the product file
-    # (reference drivers.py:1795-1801)
+    # (reference drivers.py:1795-1801). NOTE: called unconditionally like
+    # the reference, so APM/IMM medium-resolution products raise KeyError
+    # here exactly as they do upstream (the table has no MR rows) —
+    # kept bug-for-bug.
     res_rg, res_az, nesz_nr, nesz_fr = get_resolution_nesz(
         sensor=meta["sensor"],
         mode=meta["acquisition_mode"],

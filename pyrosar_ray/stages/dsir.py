@@ -45,19 +45,28 @@ from .sketch import _token_hash32
 DSIR_SCALE = 1 << 20
 
 
-def _gram_buckets(
-    texts: pd.Series, n_buckets: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_position, bucket) pairs for every unigram + bigram occurrence.
-
-    Tokenization is the engine-wide whitespace split; bigrams are the
-    space-joined consecutive token pairs (truncated, like unigrams, to
-    16 bytes inside the hash kernel).
-    """
+def explode_grams(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """(unigrams, bigrams) Series for a text column, both indexed by the
+    source row position. Tokenization is the engine-wide whitespace
+    split; bigrams are the SPACE-joined consecutive token pairs (a NUL
+    separator would be silently dropped by pandas' numpy-backed string
+    concat — C-string semantics — and spaces cannot occur inside
+    whitespace-split tokens, so the join is unambiguous). Shared by the
+    DSIR and CCNet stages so their tokenization can never diverge."""
     lists = texts.astype("string").str.split(" ")
     uni = lists.explode()
     nxt = uni.groupby(level=0).shift(-1)
     big = (uni + " " + nxt).dropna()
+    return uni, big
+
+
+def _gram_buckets(
+    texts: pd.Series, n_buckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_position, bucket) pairs for every unigram + bigram occurrence
+    (grams truncated, like everywhere in the engine, to 16 bytes inside
+    the hash kernel)."""
+    uni, big = explode_grams(texts)
     grams = pd.concat([uni, big])
     pos = grams.index.to_numpy(dtype=np.int64)
     h = _token_hash32(grams.reset_index(drop=True))
@@ -143,9 +152,13 @@ def dsir_select(
         w = ray.get(weights_ref)
         df = batch.select([id_col, text_col]).to_pandas()
         pos, buckets = _gram_buckets(df[text_col], n_buckets)
-        score = np.bincount(pos, weights=w[buckets], minlength=len(df))
+        # integer scatter-add — np.bincount(weights=...) sums in float64
+        # and would drop low bits past 2^53, breaking the bit-for-bit
+        # twin guarantee at corpus scale
+        score = np.zeros(len(df), dtype=np.int64)
+        np.add.at(score, pos, w[buckets])
         part = pd.DataFrame(
-            {id_col: df[id_col].to_numpy(), "score": score.astype(np.int64)}
+            {id_col: df[id_col].to_numpy(), "score": score}
         ).sort_values(["score", id_col], ascending=[False, True]).head(k)
         return pa.table(
             {

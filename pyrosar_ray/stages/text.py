@@ -1162,12 +1162,11 @@ def ccnet_buckets(
     pack_stride = CCNET_SCALE + 1  # scores are means of values ≤ SCALE
 
     def _score(batch: pa.Table) -> pa.Table:
+        from .dsir import explode_grams
+
         table = ray.get(pgram_ref)
         df = batch.select([id_col, lang_col, text_col]).to_pandas()
-        lists = df[text_col].astype("string").str.split(" ")
-        uni = lists.explode()
-        nxt = uni.groupby(level=0).shift(-1)
-        big = (uni + " " + nxt).dropna()
+        _, big = explode_grams(df[text_col])
         vals = big.map(table).fillna(0).astype("int64")
         num = vals.groupby(level=0).sum().reindex(df.index, fill_value=0)
         nb = big.groupby(level=0).size().reindex(df.index, fill_value=0)
@@ -1184,7 +1183,10 @@ def ccnet_buckets(
             }
         )
 
-    scored = docs.map_batches(_score, batch_format="pyarrow")
+    # materialize: scored feeds three consumers (global_rank's bounded
+    # cell counts, the ranked branch and the join's key branch) — without
+    # this the full scoring pipeline re-executes per consumer
+    scored = docs.map_batches(_score, batch_format="pyarrow").materialize()
     ranked = global_rank(scored, score_col="packed", id_col=id_col)
     keyed = scored.select_columns([id_col, lang_col, "score"])
 

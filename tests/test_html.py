@@ -150,3 +150,17 @@ def test_anchor_agg_over_pages(ray_session):
     assert out.loc["/w/18", "n_refs"] == 1 and out.loc["/w/18", "min_doc"] == 7
     # nav/aside boilerplate hrefs never appear
     assert not any(h in out.index for h in ("/", "/about", "/contact", "/r"))
+
+
+def test_href_attribute_boundary_and_nested_boilerplate_close():
+    from pyrosar_ray.functions.html import extract_text
+
+    # data-href must not shadow the real href
+    o = extract_text('<p><a data-href="/track" href="/real">x</a></p>')
+    assert o["links"] == [("/real", "x")]
+    # a boilerplate </a> nested inside an open content anchor must not
+    # close it early or truncate the anchor text
+    o2 = extract_text(
+        '<p><a href="/x">foo <nav><a href="/n">n</a></nav> bar</a></p>'
+    )
+    assert o2["links"] == [("/x", "foo  bar")]
