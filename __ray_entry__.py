@@ -3968,6 +3968,23 @@ def q_events_mor(sf_dir: str):
     return mor_scan(out)
 
 
+def q_events_mad(sf_dir: str):
+    """Keyed robust anomaly screen (median/MAD — the outlier rule that
+    isn't itself corrupted by outliers): values quantize to integer
+    cents so the per-key value histogram is bounded; ONE groupby-Sum
+    materializes it, both exact lower medians invert from that same
+    histogram driver-side (the deviation histogram is a fold, not a
+    second corpus pass), and flagging is row-local against the
+    broadcast (median, MAD) table. Twin = two ROW_NUMBER order
+    statistics over the raw values."""
+    from pyrosar_ray.stages.anomaly import mad_anomalies
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return mad_anomalies(events)
+
+
 def q_events_timetravel(sf_dir: str):
     """Lakehouse time travel over multi-snapshot MOR: the base files
     are immutable; snapshot 1's commit deletes type='error' rows and
@@ -4474,6 +4491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_anchor_agg": q_doc_anchor_agg,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "events_mad": q_events_mad,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -8314,6 +8332,38 @@ def oracle_sql() -> dict[str, str]:
                    MAX(m.y)::BIGINT AS max_y, MAX(m.x)::BIGINT AS max_x
             FROM mask m JOIN lbl l ON l.k = m.k AND l.pix = m.pix
             GROUP BY m.k, l.label
+        """,
+        "events_mad": """
+            WITH e AS (
+                SELECT event_id, event_type,
+                       floor(value * 100 + 0.5)::BIGINT AS v
+                FROM events
+            ), med AS (
+                SELECT event_type, v AS m FROM (
+                    SELECT event_type, v,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY v) AS r,
+                           COUNT(*) OVER (PARTITION BY event_type) AS n
+                    FROM e
+                ) WHERE r = (n + 1) // 2
+            ), dev AS (
+                SELECT e.event_type, abs(e.v - med.m) AS d
+                FROM e JOIN med USING (event_type)
+            ), mad AS (
+                SELECT event_type, d AS mad FROM (
+                    SELECT event_type, d,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY d) AS r,
+                           COUNT(*) OVER (PARTITION BY event_type) AS n
+                    FROM dev
+                ) WHERE r = (n + 1) // 2
+            )
+            SELECT e.event_id, e.event_type, e.v,
+                   abs(e.v - med.m)::BIGINT AS dev
+            FROM e
+            JOIN med USING (event_type)
+            JOIN mad USING (event_type)
+            WHERE abs(e.v - med.m) > 3 * mad.mad
         """,
         "events_timetravel": """
             WITH snaps(snapshot) AS (VALUES (0), (1), (2))

@@ -138,3 +138,29 @@ def test_ccnet_buckets_exact_scores():
     # regression guard for the pandas NUL-concat pitfall: a nonzero
     # score proves the bigram keys actually hit the broadcast LM table
     assert (out["score"] > 0).sum() == 3
+
+
+def test_mad_anomalies_bruteforce():
+    import numpy as np
+
+    from pyrosar_ray.stages.anomaly import mad_anomalies
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([rng.normal(50, 2, 200), [500.0, -100.0]])
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(vals), dtype=np.int64),
+            "event_type": ["a"] * len(vals),
+            "value": vals,
+        }
+    )
+    out = mad_anomalies(ray.data.from_pandas(df)).to_pandas()
+    v = np.floor(vals * 100 + 0.5).astype(np.int64)
+    sv = np.sort(v)
+    m = sv[(len(v) + 1) // 2 - 1]
+    d = np.sort(np.abs(v - m))
+    mad = d[(len(v) + 1) // 2 - 1]
+    want = set(np.flatnonzero(np.abs(v - m) > 3 * mad).tolist())
+    assert set(out["event_id"]) == want
+    # the planted outliers must be flagged, the bulk must not
+    assert {200, 201} <= want and len(want) < 30
