@@ -168,6 +168,27 @@ def q_tile_coverage(sf_dir: str):
     return tile_coverage(load_scenes(sf_dir))
 
 
+def q_tile_areal(sf_dir: str):
+    """Areal interpolation (GIS attribute transfer): a per-scene
+    extensive quantity distributes onto 1° tiles proportional to the
+    EXACT rectangle overlap — per (scene, tile) pair one deterministic
+    floor of attr·overlap_cd2 // area_cd2 (per-scene rounding loss
+    bounded by its tile count, disclosed), then an order-independent
+    integer Sum per tile."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.tiling import tile_areal_transfer
+
+    def _attr(batch: pa.Table) -> pa.Table:
+        keys = batch["scene_key"].to_numpy()
+        return batch.append_column(
+            "attr_c", pa.array((keys % 9973 + 1).astype(np.int64))
+        )
+
+    return tile_areal_transfer(
+        load_scenes(sf_dir).map_batches(_attr, batch_format="pyarrow")
+    )
+
+
 def q_dem_srtm3(sf_dir: str):
     """SRTM 3Sec CGIAR tile names per scene (inverted 5° grid)."""
     from pyrosar_ray.pipelines.tables import load_scenes
@@ -4492,6 +4513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "events_mad": q_events_mad,
+        "tile_areal": q_tile_areal,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -6221,6 +6243,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT name_a, name_b,
                    levenshtein(name_a, name_b)::BIGINT AS dist
             FROM cand
+        """,
+        "tile_areal": f"""
+            {_SCENES},
+            cd AS (
+                SELECT scene_key % 9973 + 1 AS attr_c,
+                       round(xmin * 100.0)::BIGINT AS cx0,
+                       round(xmax * 100.0)::BIGINT AS cx1,
+                       round(ymin * 100.0)::BIGINT AS cy0,
+                       round(ymax * 100.0)::BIGINT AS cy1,
+                       xmin, xmax, ymin, ymax
+                FROM scenes
+            ),
+            lat_exp AS (
+                SELECT attr_c, cx0, cx1, cy0, cy1, xmin, xmax,
+                       unnest(generate_series(floor(ymin)::BIGINT,
+                                              floor(ymax)::BIGINT)) AS lat
+                FROM cd
+            ),
+            lon_exp AS (
+                SELECT attr_c, cx0, cx1, cy0, cy1, lat,
+                       unnest(generate_series(floor(xmin)::BIGINT,
+                                              floor(xmax)::BIGINT)) AS lon
+                FROM lat_exp
+            )
+            SELECT (CASE WHEN lat < 0 THEN 'S' ELSE 'N' END ||
+                    lpad(abs(lat)::VARCHAR, 2, '0') ||
+                    CASE WHEN lon < 0 THEN 'W' ELSE 'E' END ||
+                    lpad(abs(lon)::VARCHAR, 3, '0')) AS tile,
+                   COUNT(*)::BIGINT AS n_scenes,
+                   SUM(attr_c *
+                       ((LEAST(cx1, (lon + 1) * 100) - GREATEST(cx0, lon * 100)) *
+                        (LEAST(cy1, (lat + 1) * 100) - GREATEST(cy0, lat * 100)))
+                       // ((cx1 - cx0) * (cy1 - cy0)))::BIGINT AS transferred_u
+            FROM lon_exp GROUP BY 1
         """,
         "tile_coverage": f"""
             {_SCENES},

@@ -68,6 +68,11 @@ BENCH_QUERIES = (
     "events_timetravel",
     "image_mosaic",
     "grid_focal",
+    "tpch_q1",
+    "tpch_q3",
+    "doc_ccnet_buckets",
+    "events_mad",
+    "tile_areal",
 )
 
 

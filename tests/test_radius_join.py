@@ -159,3 +159,29 @@ def test_grid_focal_sum_wrap_and_surface():
     # isolated point's 3x3 patch: 9 cells, all focal_sum 1
     patch = out.loc[(slice(9, 11), slice(19, 21)), :]
     assert len(patch) == 9 and (patch["focal_sum"] == 1).all()
+
+
+def test_tile_areal_transfer_conservation():
+    from pyrosar_ray.stages.tiling import tile_areal_transfer
+
+    scenes = ray.data.from_arrow(
+        pa.table(
+            {
+                "scene_key": pa.array([1, 2], type=pa.int64()),
+                # scene 1 spans 4 tiles equally (2x2 degrees from -0.5)
+                "xmin": pa.array([-0.5, 10.25]),
+                "xmax": pa.array([1.5, 10.75]),
+                "ymin": pa.array([-0.5, 20.25]),
+                "ymax": pa.array([1.5, 20.75]),
+                "attr_c": pa.array([1000, 777], type=pa.int64()),
+            }
+        )
+    )
+    out = tile_areal_transfer(scenes).to_pandas()
+    # scene 1 (2°×2° anchored at -0.5) spans 3×3 tiles: 4 corners of
+    # 1/16 area (floor 62), 4 edges of 1/8 (125), 1 center of 1/4 (250);
+    # scene 2 sits whole inside one tile (777)
+    assert sorted(out["transferred_u"]) == [62, 62, 62, 62, 125, 125, 125, 125, 250, 777]
+    # conservation: total transferred within per-scene floor loss
+    assert out["transferred_u"].sum() <= 1000 + 777
+    assert out["transferred_u"].sum() >= 1000 + 777 - 9 - 1
