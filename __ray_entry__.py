@@ -1838,6 +1838,47 @@ def q_image_mosaic(sf_dir: str):
     return mosaics.map_batches(_checksum, batch_format="pyarrow")
 
 
+def q_doc_soft_dedup(sf_dir: str):
+    """Soft deduplication (SoftDeDup-style downweighting): instead of
+    removing near-duplicates, every document keeps a training weight of
+    SCALE // cluster_size — duplicates dilute each other's gradient
+    rather than vanish. Composition: near-dup clusters → cluster-size
+    counts (one bounded groupby) → LEFT join back so singletons keep
+    full weight. Twin = the recursive-CTE closure + the same integer
+    weight rule."""
+    from ray.data.aggregate import Count
+
+    from pyrosar_ray.stages.dedup_text import dup_clusters
+    from pyrosar_ray.stages.join import equi_join
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    clusters = dup_clusters(docs)
+    sizes = clusters.groupby("cluster_id").aggregate(Count(alias_name="csize"))
+    sized = equi_join(clusters, sizes, on="cluster_id").select_columns(
+        ["doc_id", "csize"]
+    )
+    joined = equi_join(
+        docs.select_columns(["doc_id"]), sized, on="doc_id", how="left"
+    )
+
+    def _weight(batch: pa.Table) -> pa.Table:
+        cs = (
+            batch["csize"].combine_chunks().fill_null(1).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+                "weight_u": pa.array((1 << 20) // cs),
+            }
+        )
+
+    return joined.map_batches(_weight, batch_format="pyarrow")
+
+
 def q_embed_topk(sf_dir: str):
     """Brute-force cosine top-k over broadcast query vectors."""
     import ray.data
@@ -4514,6 +4555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q_tpch_q3,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
+        "doc_soft_dedup": q_doc_soft_dedup,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -7509,6 +7551,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN lbl ON lbl.doc_id = d.doc_id
             WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id
+        """,
+        "doc_soft_dedup": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) a
+                JOIN (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                      (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.5
+            ),
+            und AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            lbl AS (
+                SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+                FROM reach GROUP BY u
+            ),
+            csize AS (
+                SELECT cluster_id, COUNT(*)::BIGINT AS n
+                FROM lbl GROUP BY cluster_id
+            )
+            SELECT d.doc_id,
+                   (1048576 // COALESCE(cs.n, 1))::BIGINT AS weight_u
+            FROM documents d
+            LEFT JOIN lbl ON lbl.doc_id = d.doc_id
+            LEFT JOIN csize cs ON cs.cluster_id = lbl.cluster_id
         """,
         "doc_shard_shuffle": """
             WITH h AS (
