@@ -1856,8 +1856,11 @@ def q_doc_soft_dedup(sf_dir: str):
     )
     clusters = dup_clusters(docs)
     sizes = clusters.groupby("cluster_id").aggregate(Count(alias_name="csize"))
-    sized = equi_join(clusters, sizes, on="cluster_id").select_columns(
-        ["doc_id", "csize"]
+    from pyrosar_ray.stages import physical_select
+
+    # physical projection (feeds the next equi_join — see physical_select)
+    sized = physical_select(
+        equi_join(clusters, sizes, on="cluster_id"), ["doc_id", "csize"]
     )
     joined = equi_join(
         docs.select_columns(["doc_id"]), sized, on="doc_id", how="left"
@@ -3834,10 +3837,14 @@ def q_tpch_q5(sf_dir: str):
             & (pads.field("o_orderdate") < datetime(1997, 1, 1))
         ),
     )
-    # exchange 1: orders ⋈ customer on custkey (carries c_nationkey)
-    oc = equi_join(
-        orders, cust, on="o_custkey", right_on="c_custkey", how="inner"
-    ).select_columns(["o_orderkey", "c_nationkey"])
+    from pyrosar_ray.stages import physical_select
+
+    # exchange 1: orders ⋈ customer on custkey (carries c_nationkey);
+    # the projection must be physical — see stages.physical_select
+    oc = physical_select(
+        equi_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner"),
+        ["o_orderkey", "c_nationkey"],
+    )
 
     line = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -4199,9 +4206,16 @@ def q_tpch_q3(sf_dir: str):
             }
         )
 
-    ord_cust = equi_join(
-        orders.map_batches(_ocust, batch_format="pyarrow"), cust, on="c_custkey"
-    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    from pyrosar_ray.stages import physical_select
+
+    # physical projection: this feeds the second equi_join, whose column
+    # plan comes from schema() — see stages.physical_select
+    ord_cust = physical_select(
+        equi_join(
+            orders.map_batches(_ocust, batch_format="pyarrow"), cust, on="c_custkey"
+        ),
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
 
     li = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -4301,6 +4315,678 @@ def q_lineitem_q6(sf_dir: str):
         rows.map_batches(_partial, batch_format="pyarrow")
         .groupby("g")
         .aggregate(Sum("revenue_u", alias_name="revenue_u"), Sum("n", alias_name="n"))
+    )
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping (NATION_3 ↔ NATION_7): supplier is the
+    1e-4-of-fact dimension, so its two-nation slice broadcasts once as a
+    suppkey→nationkey dict and lineitem prunes MAP-SIDE before any
+    exchange (revenue_u + ship year computed in the same pass, so only 4
+    narrow columns enter the join); customer prunes to the two nations
+    with a plain vectorized filter (no broadcast needed — nationkey is on
+    the row) and co-partitions with orders on custkey (exchange 1); the
+    pruned fact co-partitions with orders⋈customer on orderkey (exchange
+    2, the only large one); the cross-pair constraint applies vectorized
+    and a 4-row groupby finishes. Revenue exact int64 cents×(100−bp)."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.join import equi_join
+
+    n_a, n_b = 3, 7
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()  # 1e-4 of the fact table: broadcast by design
+    supp = supp[supp.s_nationkey.isin([n_a, n_b])]
+    smap_ref = ray.put(
+        dict(zip(supp.s_suppkey.astype(np.int64), supp.s_nationkey.astype(np.int64)))
+    )
+    names = {n_a: f"NATION_{n_a}", n_b: f"NATION_{n_b}"}
+
+    line = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < datetime(1998, 1, 1))
+        ),
+    )
+
+    class _PruneFact:
+        def __init__(self):
+            smap = ray.get(smap_ref)
+            self.keys = np.fromiter(smap.keys(), dtype=np.int64)
+            self.vals = np.fromiter(smap.values(), dtype=np.int64)
+            order = np.argsort(self.keys)
+            self.keys, self.vals = self.keys[order], self.vals[order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["l_suppkey"].to_numpy()
+            pos = np.searchsorted(self.keys, sk)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            keep = self.keys[pos] == sk
+            if not keep.any():
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], type=pa.int64()),
+                        "supp_nk": pa.array([], type=pa.int64()),
+                        "l_year": pa.array([], type=pa.int64()),
+                        "revenue_u": pa.array([], type=pa.int64()),
+                    }
+                )
+            price = np.floor(
+                batch["l_extendedprice"].to_numpy()[keep] * 100.0 + 0.5
+            ).astype(np.int64)
+            disc = np.floor(
+                batch["l_discount"].to_numpy()[keep] * 100.0 + 0.5
+            ).astype(np.int64)
+            yr = pc.year(batch["l_shipdate"]).to_numpy()[keep].astype(np.int64)
+            return pa.table(
+                {
+                    "l_orderkey": batch["l_orderkey"].to_numpy()[keep],
+                    "supp_nk": self.vals[pos[keep]],
+                    "l_year": yr,
+                    "revenue_u": price * (100 - disc),
+                }
+            )
+
+    line = line.map_batches(_PruneFact, batch_format="pyarrow", concurrency=4)
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def _prune_cust(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy()
+        keep = (nk == n_a) | (nk == n_b)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy()[keep],
+                "cust_nk": nk[keep].astype(np.int64),
+            }
+        )
+
+    cust = cust.map_batches(_prune_cust, batch_format="pyarrow")
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    from pyrosar_ray.stages import physical_select
+
+    # physical projection: feeds the next equi_join (see physical_select)
+    oc = physical_select(
+        equi_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner"),
+        ["o_orderkey", "cust_nk"],
+    )
+    lo = equi_join(line, oc, on="l_orderkey", right_on="o_orderkey", how="inner")
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        sn = batch["supp_nk"].to_numpy()
+        cn = batch["cust_nk"].to_numpy()
+        keep = sn != cn  # both already ∈ {n_a, n_b}: keeps the two cross pairs
+        df = pd.DataFrame(
+            {
+                "supp_nation": np.where(sn[keep] == n_a, names[n_a], names[n_b]),
+                "cust_nation": np.where(cn[keep] == n_a, names[n_a], names[n_b]),
+                "l_year": batch["l_year"].to_numpy()[keep],
+                "revenue_u": batch["revenue_u"].to_numpy()[keep],
+                "n": np.ones(int(keep.sum()), dtype=np.int64),
+            }
+        ).groupby(["supp_nation", "cust_nation", "l_year"], as_index=False).sum()
+        return table_from_pandas(df)
+
+    return (
+        lo.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(
+            Sum("revenue_u", alias_name="revenue_u"), Sum("n", alias_name="n")
+        )
+    )
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned-item revenue (1996-Q4): lineitem prunes to
+    l_returnflag='R' AT THE READ and pre-aggregates revenue per orderkey
+    before any join (the exchange shrinks from lineitems to orders, the
+    same plan rule as Q3); orders (quarter-filtered at the read)
+    co-partitions with the aggregate on orderkey; a second custkey-sized
+    groupby folds per-customer revenue; customer joins co-partitioned and
+    the 25-row nation table broadcasts as a plain dict. Deterministic
+    top-20 by (revenue desc, custkey) with per-batch partial top-k first.
+    Outputs acctbal in exact cents (acctbal_c)."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.join import equi_join
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        part = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": batch["l_orderkey"].to_numpy(),
+                    "revenue_u": price * (100 - disc),
+                }
+            )
+            .groupby("l_orderkey", as_index=False)
+            .sum()
+        )
+        return table_from_pandas(part)
+
+    li_agg = (
+        li.map_batches(_rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pads.field("o_orderdate") >= datetime(1996, 10, 1))
+            & (pads.field("o_orderdate") < datetime(1997, 1, 1))
+        ),
+    )
+    lo = equi_join(
+        li_agg, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    )
+    per_cust = (
+        lo.select_columns(["o_custkey", "revenue_u"])
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+    joined = equi_join(
+        per_cust, cust, on="o_custkey", right_on="c_custkey", how="inner"
+    )
+    nation = _read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()  # 25 rows: driver-resident by design
+    nnames = dict(zip(nation.n_nationkey.astype(int), nation.n_name))
+
+    def _project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "revenue_u": df["revenue_u"].astype(np.int64),
+                "acctbal_c": np.floor(
+                    df["c_acctbal"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+                "n_name": df["c_nationkey"].map(nnames),
+            }
+        ).sort_values(["revenue_u", "c_custkey"], ascending=[False, True]).head(20)
+        return table_from_pandas(out)
+
+    return (
+        joined.map_batches(_project, batch_format="pyarrow")
+        .sort(["revenue_u", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer order-count distribution (o_orderpriority <>
+    '4-NOT SPECIFIED' stands in for the absent comment NOT-LIKE filter):
+    the classic aggregate-of-an-aggregate with zero preservation —
+    orders fold per-batch partial counts per custkey, one custkey-sized
+    groupby sums them, customer LEFT-joins the counts co-partitioned so
+    zero-order customers survive as typed nulls (filled to 0), and the
+    second exchange is count-cardinality-sized (≤ max orders per
+    customer). No global sort: the hash gate is order-insensitive."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.join import equi_join
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") != "4-NOT SPECIFIED",
+    )
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(batch["o_custkey"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"o_custkey": keys, "c_count": counts.astype(np.int64)}
+        )
+
+    per_cust = (
+        orders.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("c_count", alias_name="c_count"))
+    )
+    cust = _read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = equi_join(
+        cust, per_cust, on="c_custkey", right_on="o_custkey", how="left"
+    )
+
+    def _hist_partial(batch: pa.Table) -> pa.Table:
+        cc = batch["c_count"].to_numpy(zero_copy_only=False)
+        cc = np.where(np.isnan(cc.astype(np.float64)), 0, cc).astype(np.int64)
+        keys, counts = np.unique(cc, return_counts=True)
+        return pa.table(
+            {"c_count": keys, "custdist": counts.astype(np.int64)}
+        )
+
+    return (
+        joined.map_batches(_hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promo revenue (1996-06): the month filter prunes
+    lineitem at the read; part projects to (partkey, is_promo) — one
+    byte of payload — and co-partitions with the pruned fact on partkey
+    (broadcasting part would ship 8 B × |part| to every task; at 0.2 ×
+    orders cardinality that is a join, not a lookup table). Both the
+    promo and total revenue sums stay integer; the ratio is the
+    consumer's division, so the result is combine-order independent."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages.join import equi_join
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= datetime(1996, 6, 1))
+            & (pads.field("l_shipdate") < datetime(1996, 7, 1))
+        ),
+    )
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+
+    def _proj_part(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "is_promo": pc.equal(batch["p_type"], "PROMO"),
+            }
+        )
+
+    part = part.map_batches(_proj_part, batch_format="pyarrow")
+    joined = equi_join(li, part, on="l_partkey", right_on="p_partkey", how="inner")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        rev = price * (100 - disc)
+        promo = batch["is_promo"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "g": pa.array([0], type=pa.int64()),
+                "promo_u": pa.array([int(rev[promo].sum())], type=pa.int64()),
+                "total_u": pa.array([int(rev.sum())], type=pa.int64()),
+                "n": pa.array([len(rev)], type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("promo_u", alias_name="promo_u"),
+            Sum("total_u", alias_name="total_u"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 supplier-relationship count (adapted: the absent
+    partsupp table is replaced by the observed (partkey, suppkey) pairs
+    in lineitem, and the no-complaints supplier exclusion is dropped
+    with it) — the canonical DISTRIBUTED COUNT DISTINCT: (1) per-batch
+    local pair dedup + one (partkey,suppkey)-keyed groupby collapses the
+    fact to distinct pairs, (2) pairs co-partition with the read-pruned
+    part slice on partkey, (3) a second dedup exchange on (brand, type,
+    size, suppkey) removes same-group multi-part suppliers — the step a
+    pair COUNT would get wrong — and (4) a bounded groupby counts.
+    Every exchange after (1) is pair- or group-cardinality-sized."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count, Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.join import equi_join
+
+    sizes = [1, 4, 7, 10, 13, 16, 19, 22]
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(
+            (pads.field("p_brand") != "Brand#1")
+            & (pads.field("p_size").isin(sizes))
+        ),
+    )
+
+    def _part_proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "p_brand": batch["p_brand"],
+                "p_type": batch["p_type"],
+                "p_size": batch["p_size"].cast(pa.int64()),
+            }
+        )
+
+    part = part.map_batches(_part_proj, batch_format="pyarrow")
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def _pair_dedup(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy()
+        sk = batch["l_suppkey"].to_numpy()
+        packed = np.unique(pk * (1 << 20) + sk)  # suppkeys < 2^20 by key contract
+        return pa.table(
+            {
+                "l_partkey": packed >> 20,
+                "l_suppkey": packed & ((1 << 20) - 1),
+            }
+        )
+
+    from pyrosar_ray.stages import physical_select
+
+    # physical projection: feeds the next equi_join (see physical_select)
+    pairs = physical_select(
+        li.map_batches(_pair_dedup, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="dup")),
+        ["l_partkey", "l_suppkey"],
+    )
+    joined = equi_join(
+        pairs, part, on="l_partkey", right_on="p_partkey", how="inner"
+    )
+    # dedup exchange on (group, suppkey): a supplier shipping two parts of
+    # the same (brand, type, size) must count once
+    grp_supp = (
+        joined.select_columns(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="dup"))
+    )
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (
+            df.assign(supplier_cnt=np.ones(len(df), dtype=np.int64))
+            .groupby(["p_brand", "p_type", "p_size"], as_index=False)[
+                "supplier_cnt"
+            ]
+            .sum()
+        )
+        return table_from_pandas(out)
+
+    return (
+        grp_supp.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume customers (sum qty > 300): lineitem folds
+    per-batch partial quantity sums per orderkey (exact centiunits), one
+    orderkey-sized groupby totals them and the HAVING filter drops all
+    but the heavy tail BEFORE any join; winners co-partition with orders,
+    then with customer; deterministic top-100 by (totalprice desc,
+    orderkey) with per-batch partial top-k."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.join import equi_join
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(batch["l_quantity"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        part = (
+            pd.DataFrame(
+                {"l_orderkey": batch["l_orderkey"].to_numpy(), "sum_qty_c": qty}
+            )
+            .groupby("l_orderkey", as_index=False)
+            .sum()
+        )
+        return table_from_pandas(part)
+
+    totals = (
+        li.map_batches(_qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"))
+    )
+
+    def _having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["sum_qty_c"], 30000))
+
+    big = totals.map_batches(_having, batch_format="pyarrow")
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    bo = equi_join(big, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    bc = equi_join(bo, cust, on="o_custkey", right_on="c_custkey", how="inner")
+
+    def _project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "c_name": df["c_name"],
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "o_orderkey": df["l_orderkey"].astype(np.int64),
+                "o_orderdate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                "totalprice_c": np.floor(
+                    df["o_totalprice"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+                "sum_qty_c": df["sum_qty_c"].astype(np.int64),
+            }
+        ).sort_values(
+            ["totalprice_c", "o_orderkey"], ascending=[False, True]
+        ).head(100)
+        return table_from_pandas(out)
+
+    return (
+        bc.map_batches(_project, batch_format="pyarrow")
+        .sort(["totalprice_c", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 disjunctive band predicates (adapted to the present
+    columns: three (brand, size-band, quantity-band) conjunctions OR-ed;
+    the absent shipmode/container legs are dropped): quantity's OR-hull
+    [1, 30] prunes lineitem AT THE READ (the disjunction's shared
+    envelope is still a pushdown), part prunes to the three brands and
+    the size hull at the read, the two co-partition on partkey, and the
+    residual OR evaluates vectorized post-join. One-row output keeps
+    both the exact revenue and the surviving-row count."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages.join import equi_join
+
+    bands = [
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#34", 15, 20, 30),
+    ]
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_quantity") >= 1) & (pads.field("l_quantity") <= 30)
+        ),
+    )
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=(
+            (pads.field("p_brand").isin([b for b, *_ in bands]))
+            & (pads.field("p_size") >= 1)
+            & (pads.field("p_size") <= 15)
+        ),
+    )
+    joined = equi_join(li, part, on="l_partkey", right_on="p_partkey", how="inner")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        brand = batch["p_brand"].to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy()
+        keep = np.zeros(len(brand), dtype=bool)
+        for b, smax, qlo, qhi in bands:
+            keep |= (brand == b) & (size >= 1) & (size <= smax) \
+                & (qty >= qlo) & (qty <= qhi)
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy()[keep] * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            batch["l_discount"].to_numpy()[keep] * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = price * (100 - disc)
+        return pa.table(
+            {
+                "g": pa.array([0], type=pa.int64()),
+                "revenue_u": pa.array([int(rev.sum())], type=pa.int64()),
+                "n": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("revenue_u", alias_name="revenue_u"), Sum("n", alias_name="n")
+        )
+    )
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 global-benchmark anti join (adapted: c_nationkey groups
+    stand in for the absent phone country code, and 'no orders at all'
+    — empty at this data's density — becomes the LAPSED-customer rule:
+    no order since 1999-01-01): the positive-balance mean folds from
+    per-batch (sum, count) partials into two driver scalars, the
+    above-average test applies map-side as an exact integer
+    cross-multiply (bal_c × count > sum_c — no float division on either
+    side), survivors ANTI-join the date-pruned orders custkeys
+    co-partitioned, and a 25-row groupby finishes."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages.join import equi_join
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def _bal_partial(batch: pa.Table) -> pa.Table:
+        bal = np.floor(batch["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "g": pa.array([0], type=pa.int64()),
+                "s": pa.array([int(pos.sum())], type=pa.int64()),
+                "cnt": pa.array([len(pos)], type=pa.int64()),
+            }
+        )
+
+    stats = (
+        cust.map_batches(_bal_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )  # one row: the global scalar, driver-resident by design
+    tot_s, tot_cnt = int(stats[0]["s"]), int(stats[0]["cnt"])
+
+    def _rich(batch: pa.Table) -> pa.Table:
+        bal = np.floor(batch["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        keep = bal * tot_cnt > tot_s  # exact: bal_c > mean ⟺ bal_c·cnt > sum
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy()[keep],
+                "c_nationkey": batch["c_nationkey"].to_numpy()[keep].astype(
+                    np.int64
+                ),
+                "bal_c": bal[keep],
+            }
+        )
+
+    rich = cust.map_batches(_rich, batch_format="pyarrow")
+    recent = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= datetime(1999, 1, 1),
+    )
+    lapsed = equi_join(
+        rich, recent, on="c_custkey", right_on="o_custkey", how="anti"
+    )
+
+    def _grp_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": batch["c_nationkey"].to_numpy(),
+                "numcust": np.ones(batch.num_rows, dtype=np.int64),
+                "totacctbal_c": batch["bal_c"].to_numpy(),
+            }
+        ).groupby("c_nationkey", as_index=False).sum()
+        from pyrosar_ray.stages import table_from_pandas
+
+        return table_from_pandas(df)
+
+    return (
+        lapsed.map_batches(_grp_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_c", alias_name="totacctbal_c"),
+        )
     )
 
 
@@ -4553,6 +5239,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_anchor_agg": q_doc_anchor_agg,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        # -- fourth-session additions: the remaining TPC-H plan families
+        # -- expressible on these columns (two-sided prune + double join,
+        # -- aggregate-of-aggregate with zero preservation, distributed
+        # -- COUNT DISTINCT, HAVING-before-join, disjunctive bands,
+        # -- global-scalar anti join) — never driver-checked
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
@@ -8587,6 +9286,131 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l.l_shipdate)::BIGINT AS l_year,
+                   SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))
+                       ::BIGINT AS revenue_u,
+                   COUNT(*)::BIGINT AS n
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+                   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q10": """
+            SELECT c.c_custkey, c.c_name,
+                   SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))
+                       ::BIGINT AS revenue_u,
+                   floor(c.c_acctbal * 100 + 0.5)::BIGINT AS acctbal_c,
+                   n.n_name
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 4, 5
+            ORDER BY revenue_u DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "tpch_q13": """
+            WITH co AS (
+                SELECT c.c_custkey, COUNT(o.o_custkey)::BIGINT AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY 1
+            )
+            SELECT c_count, COUNT(*)::BIGINT AS custdist
+            FROM co GROUP BY 1
+        """,
+        "tpch_q14": """
+            SELECT 0::BIGINT AS g,
+                   SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                            * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT)
+                       ELSE 0 END)::BIGINT AS promo_u,
+                   SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))
+                       ::BIGINT AS total_u,
+                   COUNT(*)::BIGINT AS n
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-06-01'
+              AND l.l_shipdate < TIMESTAMP '1996-07-01'
+        """,
+        "tpch_q16": """
+            SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+                   COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#1'
+              AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       SUM(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT
+                           AS sum_qty_c
+                FROM lineitem GROUP BY 1
+                HAVING SUM(floor(l_quantity * 100 + 0.5)::BIGINT) > 30000
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   floor(o.o_totalprice * 100 + 0.5)::BIGINT AS totalprice_c,
+                   b.sum_qty_c
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY totalprice_c DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT 0::BIGINT AS g,
+                   COALESCE(SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT)), 0)
+                       ::BIGINT AS revenue_u,
+                   COUNT(*)::BIGINT AS n
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": """
+            WITH pos AS (
+                SELECT SUM(floor(c_acctbal * 100 + 0.5)::BIGINT)::BIGINT AS s,
+                       COUNT(*)::BIGINT AS cnt
+                FROM customer WHERE floor(c_acctbal * 100 + 0.5)::BIGINT > 0
+            ),
+            rich AS (
+                SELECT c.c_custkey, c.c_nationkey,
+                       floor(c.c_acctbal * 100 + 0.5)::BIGINT AS bal_c
+                FROM customer c, pos
+                WHERE floor(c.c_acctbal * 100 + 0.5)::BIGINT * pos.cnt > pos.s
+            )
+            SELECT r.c_nationkey::BIGINT AS c_nationkey,
+                   COUNT(*)::BIGINT AS numcust,
+                   SUM(r.bal_c)::BIGINT AS totacctbal_c
+            FROM rich r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = r.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+            )
+            GROUP BY 1
         """,
         "doc_rake": """
             WITH toks AS (

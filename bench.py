@@ -70,6 +70,14 @@ BENCH_QUERIES = (
     "grid_focal",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",

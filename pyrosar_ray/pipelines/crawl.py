@@ -51,8 +51,11 @@ def crawl_curate(
         return batch.filter(pc.equal(batch["doc_id"], batch["dup_of"]))
 
     urls = url_dedup(urls_from_documents(sf_dir))
-    winners = urls.map_batches(_winners, batch_format="pyarrow").select_columns(
-        ["doc_id"]
+    from pyrosar_ray.stages import physical_select
+
+    # physical projection: feeds equi_join's schema()-derived column plan
+    winners = physical_select(
+        urls.map_batches(_winners, batch_format="pyarrow"), ["doc_id"]
     )
 
     kept = equi_join(extracted, winners, on="doc_id", how="semi")

@@ -159,7 +159,11 @@ def bloom_anti_join(
     maybe = candidates.map_batches(
         _Maybe, batch_format="pyarrow", concurrency=concurrency
     )
-    ref_keys = ref.select_columns([id_col])
+    from pyrosar_ray.stages import physical_select
+
+    # physical projection: ref may be an arbitrary lazy pipeline and this
+    # feeds equi_join's schema()-derived column plan (see physical_select)
+    ref_keys = physical_select(ref, [id_col])
     verified_new = equi_join(maybe, ref_keys, on=id_col, how="anti")
     cand_cols = [c for c in (candidates.schema().names or [])]
     return sure_new.select_columns(cand_cols).union(
