@@ -4990,6 +4990,23 @@ def q_tpch_q22(sf_dir: str):
     )
 
 
+def q_events_scd2(sf_dir: str):
+    """SCD Type-2 dimension history from a change stream: each user's
+    event_type sequence collapses into validity intervals — one row per
+    maximal run of equal consecutive values in (ts, event_id) order,
+    half-open [valid_from, valid_to) with the open tail closed by the
+    9999-12-31 sentinel and flagged is_current. One user-keyed exchange
+    (groupby.map_groups, vectorized run detection, typed Arrow out);
+    twin = the textbook lag-change-detect + lead-stitch window pair."""
+    from pyrosar_ray.stages.scd import scd2_intervals
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return scd2_intervals(events)
+
+
 def q_doc_rake(sf_dir: str):
     """RAKE keyphrase extraction (Rose 2010), integer-exact: stopword-
     boundary candidate phrases, word deg*SCALE // freq scores (floor
@@ -5252,6 +5269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "events_scd2": q_events_scd2,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
@@ -9411,6 +9429,29 @@ def oracle_sql() -> dict[str, str]:
                   AND o.o_orderdate >= TIMESTAMP '1999-01-01'
             )
             GROUP BY 1
+        """,
+        "events_scd2": """
+            WITH s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ),
+            starts AS (
+                SELECT user_id, event_type, ts, event_id
+                FROM s WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+                   lead(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), 1,
+                        '9999-12-31 00:00:00.000000') OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to,
+                   CASE WHEN lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) IS NULL THEN 1 ELSE 0 END::BIGINT AS is_current
+            FROM starts
         """,
         "doc_rake": """
             WITH toks AS (

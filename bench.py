@@ -78,6 +78,7 @@ BENCH_QUERIES = (
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "events_scd2",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",
