@@ -5007,6 +5007,86 @@ def q_events_scd2(sf_dir: str):
     return scd2_intervals(events)
 
 
+def q_scene_kcore(sf_dir: str):
+    """k-core of the scene-footprint overlap graph (k=6): the dense
+    acquisition kernel — scenes whose mutual-overlap neighborhood stays
+    6-deep after iteratively peeling sparse fringe scenes (the stack /
+    time-series planning statistic: a k-core member has enough
+    co-covering scenes to build a k-depth stack). Edges come from the
+    bounded tile-ownership pair stage (one groupby(cell) exchange,
+    exactly-once emission); the peel is the cost-based kcore stage —
+    driver bincount rounds under the 2M-edge bound (48.6k edges at
+    sf0.01, 9 peel rounds), distributed degree-groupby + double
+    semi-join rounds above it. Twin: 24 unrolled alive-set CTEs (the
+    peel is monotone, so extra rounds past convergence are no-ops;
+    bound disclosed — a deeper-than-24-round graph needs the builder
+    re-run with a higher bound)."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.graph import kcore
+    from pyrosar_ray.stages.spatial import footprint_overlap_pairs
+
+    edges = footprint_overlap_pairs(load_scenes(sf_dir)).drop_columns(
+        ["overlap_cd2"]
+    )
+    core = kcore(
+        edges, k=6, a_col="scene_a", b_col="scene_b", out_col="scene_key"
+    )
+    # node-bounded result (<= scene count, the catalog-table contract),
+    # returned as a typed Arrow table: Dataset.to_pandas() on THIS Ray
+    # version drops all columns when the dataset is empty (a sparse
+    # graph's 6-core legitimately is, e.g. sf0.001), which would fail
+    # the gate's schema compare on a correct empty result
+    import ray as _ray
+
+    return pa.concat_tables(_ray.get(core.to_arrow_refs()))
+
+
+def _scene_kcore_sql(k: int = 6, rounds: int = 24) -> str:
+    """Unrolled-CTE twin for q_scene_kcore (same technique as the
+    doc_pagerank unrolled power iteration): alive_0 = all overlap-graph
+    nodes; alive_r = nodes with >= k neighbors inside alive_{r-1}. The
+    sequence is monotone decreasing with the k-core as fixpoint, so any
+    rounds >= the true peel depth yield the core exactly."""
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference — 24 rounds
+    # referencing d→c→scenes would reopen the parquet scans hundreds of
+    # times ("Too many open files"); materializing d (and each alive
+    # set, referenced twice by the next round) pins one evaluation each
+    parts = [
+        """c AS MATERIALIZED (
+            SELECT scene_key,
+                   CAST(round(xmin * 100) AS BIGINT) AS x0,
+                   CAST(round(xmax * 100) AS BIGINT) AS x1,
+                   CAST(round(ymin * 100) AS BIGINT) AS y0,
+                   CAST(round(ymax * 100) AS BIGINT) AS y1
+            FROM scenes
+        )""",
+        """d AS MATERIALIZED (
+            SELECT a.scene_key AS u, b.scene_key AS v
+            FROM c a JOIN c b ON a.scene_key <> b.scene_key
+             AND a.x0 < b.x1 AND b.x0 < a.x1
+             AND a.y0 < b.y1 AND b.y0 < a.y1
+        )""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM d)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+                SELECT u AS id FROM d
+                WHERE u IN (SELECT id FROM a{r - 1})
+                  AND v IN (SELECT id FROM a{r - 1})
+                GROUP BY u HAVING COUNT(*) >= {k}
+            )"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+        {{SCENES}}, {body}
+        SELECT u AS scene_key, COUNT(*)::BIGINT AS core_deg FROM d
+        WHERE u IN (SELECT id FROM a{rounds})
+          AND v IN (SELECT id FROM a{rounds})
+        GROUP BY u
+    """
+
+
 def q_doc_rake(sf_dir: str):
     """RAKE keyphrase extraction (Rose 2010), integer-exact: stopword-
     boundary candidate phrases, word deg*SCALE // freq scores (floor
@@ -5270,6 +5350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "events_scd2": q_events_scd2,
+        "scene_kcore": q_scene_kcore,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
@@ -5289,6 +5370,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_footprint_poly": q_raster_footprint_poly,
         "embed_kmeans": q_embed_kmeans,
         # -- further never-driver-checked twins --
+        # ---- position 51 starts here: entries below are past the
+        # ---- driver's correctness window. The fourth session's 10 new
+        # ---- twins (TPC-H Q7-Q22, events_scd2, scene_kcore) took
+        # ---- window slots from the never-checked tail below
+        # ---- (embed_sq_rerank/embed_pq_* through doc_split) — those
+        # ---- remain gate-checked locally and are first in line for
+        # ---- the round-5 window rotation.
         "embed_sq_rerank": q_embed_sq_rerank,
         "embed_pq_codes": q_embed_pq_codes,
         "embed_pq_adc": q_embed_pq_adc,
@@ -5316,10 +5404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": q_doc_bm25,
         "doc_inverted_index": q_doc_inverted_index,
         "doc_split": q_doc_split,
-        # ---- position 51 starts here: entries below are past the
-        # ---- driver's correctness window -- each was hash-green in a
-        # ---- prior driver round (CORRECTNESS_r01-r03) or in the local
-        # ---- full-registry gate sweep, with stages unchanged since.
+        # ---- entries below were hash-green in a prior driver round
+        # ---- (CORRECTNESS_r01-r03) or in the local full-registry gate
+        # ---- sweep, with stages unchanged since.
         "identify_scenes": q_identify_scenes,
         "embed_ivf_topk": q_embed_ivf_topk,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -9453,6 +9540,7 @@ def oracle_sql() -> dict[str, str]:
                    ) IS NULL THEN 1 ELSE 0 END::BIGINT AS is_current
             FROM starts
         """,
+        "scene_kcore": _scene_kcore_sql().replace("{SCENES}", _SCENES),
         "doc_rake": """
             WITH toks AS (
                 SELECT doc_id, g.i AS i, ws[g.i] AS word,

@@ -326,3 +326,135 @@ def pagerank_int(
     return ray.data.from_arrow(
         pa.table({out_col: pa.array(ids), "pr": pa.array(pr)})
     )
+
+
+def kcore(
+    edges: Dataset,
+    k: int = 3,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    out_col: str = "doc_id",
+    mode: str = "auto",
+    driver_edge_bound: int = 2_000_000,
+    max_rounds: int = 60,
+) -> Dataset:
+    """k-core membership + in-core degree by iterative peeling.
+
+    The k-core is the maximal subgraph where every node keeps degree
+    >= k — the standard "dense kernel" extractor over the near-dup pair
+    graph (a chainy false-positive cluster peels away, a true duplicate
+    clique survives). Output: ``(out_col, core_deg)`` for every core
+    node, ``core_deg`` = its degree inside the core (deterministic —
+    the k-core is unique, so no tie-breaking enters the result).
+
+    Cost-based like ``dedup_text.dup_clusters``: an edge set that is
+    provably small (``<= driver_edge_bound``, known exactly after the
+    pair stage) peels in one vectorized driver kernel (rounds of
+    bincount over a compacted index — O(m) per round, rounds = peel
+    depth); a larger set runs the distributed plan — per round ONE
+    degree groupby over the live edge set plus two semi joins that drop
+    edges touching peeled nodes, with convergence probed by two driver
+    scalars (live-node count, live-edge count). Nothing node- or
+    corpus-sized ever reaches the driver on that path.
+    """
+    import ray
+
+    from pyrosar_ray.stages import physical_select
+    from pyrosar_ray.stages.join import equi_join
+
+    n_edges = edges.count()
+    use_driver = mode == "driver" or (mode == "auto" and n_edges <= driver_edge_bound)
+    empty = pa.table(
+        {out_col: pa.array([], type=pa.int64()),
+         "core_deg": pa.array([], type=pa.int64())}
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+
+    if use_driver:
+        t = pa.concat_tables(
+            ray.get(edges.select_columns([a_col, b_col]).to_arrow_refs())
+        )
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ui, vi = inv[: len(a)], inv[len(a):]
+        alive_edge = np.ones(len(a), dtype=bool)
+        alive_node = np.ones(len(nodes), dtype=bool)
+        for _ in range(max_rounds):
+            deg = np.bincount(ui[alive_edge], minlength=len(nodes)) + np.bincount(
+                vi[alive_edge], minlength=len(nodes)
+            )
+            peel = alive_node & (deg < k)
+            if not peel.any():
+                break
+            alive_node &= ~peel
+            alive_edge &= alive_node[ui] & alive_node[vi]
+        deg = np.bincount(ui[alive_edge], minlength=len(nodes)) + np.bincount(
+            vi[alive_edge], minlength=len(nodes)
+        )
+        keep = alive_node & (deg >= k)
+        out = pa.table(
+            {out_col: pa.array(nodes[keep]),
+             "core_deg": pa.array(deg[keep].astype(np.int64))}
+        )
+        return ray.data.from_arrow(out if len(out) else empty)
+
+    # distributed peel: live edges / live nodes as Datasets only
+    def _dir(batch: pa.Table) -> pa.Table:
+        u = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+        )
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(batch["u"].to_numpy(), return_counts=True)
+        return pa.table({"u": keys, "d": counts.astype(np.int64)})
+
+    live = edges.select_columns([a_col, b_col]).materialize()
+    prev = (None, None)
+    for _ in range(max_rounds):
+        deg = (
+            live.map_batches(_dir, batch_format="pyarrow")
+            .map_batches(_deg_partial, batch_format="pyarrow")
+            .groupby("u")
+            .aggregate(Sum("d", alias_name="d"))
+        )
+        alive = physical_select(
+            deg.filter(expr=f"d >= {k}"), ["u"]
+        ).materialize()
+        sig = (alive.count(), live.count())
+        if sig[0] == 0:
+            # every node peeled: the k-core is empty (also guards the
+            # semi joins below — an empty map_batches output has no
+            # schema for equi_join to plan from)
+            return ray.data.from_arrow(empty)
+        if sig == prev:
+            break
+        prev = sig
+        live = physical_select(
+            equi_join(
+                physical_select(
+                    equi_join(live, alive, on=a_col, right_on="u", how="semi"),
+                    [a_col, b_col],
+                ),
+                alive, on=b_col, right_on="u", how="semi",
+            ),
+            [a_col, b_col],
+        ).materialize()
+    if live.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {out_col: batch["u"], "core_deg": batch["d"]}
+        )
+
+    return (
+        live.map_batches(_dir, batch_format="pyarrow")
+        .map_batches(_deg_partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("d", alias_name="d"))
+        .map_batches(_rename, batch_format="pyarrow")
+    )

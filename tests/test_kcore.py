@@ -1,0 +1,82 @@
+"""k-core peeling (stages/graph.kcore): golden + driver/distributed parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pyrosar_ray.stages.graph import kcore
+
+
+def _edges(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    return ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array(a, type=pa.int64()),
+             "id_b": pa.array(b, type=pa.int64())}
+        )
+    )
+
+
+# K4 clique on {0,1,2,3} with a pendant chain 3-10-11-12: at k=3 the
+# chain peels over THREE rounds (12, then 11, then 10) and the clique
+# survives with in-core degree 3 everywhere.
+BARBELL = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+           (3, 10), (10, 11), (11, 12)]
+
+
+def _run(mode):
+    out = kcore(_edges(BARBELL), k=3, mode=mode).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def test_chain_peels_clique_survives(ray_session):
+    out = _run("driver")
+    assert list(out.doc_id) == [0, 1, 2, 3]
+    assert list(out.core_deg) == [3, 3, 3, 3]
+
+
+def test_distributed_matches_driver(ray_session):
+    drv = _run("driver")
+    dist = _run("distributed")
+    pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_empty_core(ray_session):
+    # a pure chain has no 3-core; both plans must return a TYPED empty
+    chain = [(i, i + 1) for i in range(6)]
+    for mode in ("driver", "distributed"):
+        ds = kcore(_edges(chain), k=3, mode=mode)
+        assert ds.count() == 0
+        assert set(ds.schema().names) == {"doc_id", "core_deg"}
+
+
+def test_real_graph_parity(ray_session):
+    """Scene-overlap graph at sf0.001, k=2 (non-trivial there):
+    distributed rounds must equal the driver bincount peel, and every
+    core member's in-core degree must be >= k."""
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.spatial import footprint_overlap_pairs
+
+    edges = footprint_overlap_pairs(
+        load_scenes("/root/testdata/sf0.001")
+    ).drop_columns(["overlap_cd2"]).materialize()
+    kw = dict(k=2, a_col="scene_a", b_col="scene_b", out_col="scene_key")
+    drv = kcore(edges, mode="driver", **kw).to_pandas()
+    dist = kcore(edges, mode="distributed", **kw).to_pandas()
+    drv = drv.sort_values("scene_key", ignore_index=True)
+    dist = dist.sort_values("scene_key", ignore_index=True)
+    assert len(drv) > 0
+    pd.testing.assert_frame_equal(drv, dist)
+    assert (drv.core_deg >= 2).all()
+    # brute-force fixpoint check: recompute degrees inside the core
+    t = pa.concat_tables(ray.get(edges.to_arrow_refs())).to_pandas()
+    core = set(drv.scene_key)
+    sub = t[t.scene_a.isin(core) & t.scene_b.isin(core)]
+    deg = pd.concat([sub.scene_a, sub.scene_b]).value_counts()
+    assert (deg >= 2).all()
+    got = drv.set_index("scene_key").core_deg
+    assert (deg.sort_index() == got.sort_index()).all()
