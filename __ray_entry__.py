@@ -4091,10 +4091,32 @@ def q_events_timetravel(sf_dir: str):
             mor_scan(out, snapshot=snap).map_batches(_tag, batch_format="pyarrow")
         )
     union = parts[0].union(parts[1]).union(parts[2])
+
+    def _grp_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from pyrosar_ray.stages import table_from_pandas
+
+        # partial combine BEFORE the exchange: the group key domain is
+        # snapshots x days x types (~10^2-10^3), so shipping raw event
+        # rows into the sort aggregate cost 15.5 s of this query at
+        # sf0.1 — the partials cut the exchange to groups x blocks rows
+        df = pd.DataFrame(
+            {
+                "snapshot": batch["snapshot"].to_numpy(),
+                "day": batch["day"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "n": np.ones(batch.num_rows, dtype=np.int64),
+                "id_sum": batch["event_id"].to_numpy(),
+            }
+        ).groupby(["snapshot", "day", "event_type"], as_index=False).sum()
+        return table_from_pandas(df)
+
     return (
         union.select_columns(["snapshot", "day", "event_type", "event_id"])
+        .map_batches(_grp_partial, batch_format="pyarrow")
         .groupby(["snapshot", "day", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="id_sum"))
+        .aggregate(Sum("n", alias_name="n"), Sum("id_sum", alias_name="id_sum"))
     )
 
 
@@ -4244,10 +4266,14 @@ def q_tpch_q3(sf_dir: str):
         )
         return table_from_pandas(part)
 
-    li_agg = (
-        li.map_batches(_rev_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    # keyed_sum, not groupby().aggregate(): Ray's sort-based aggregate
+    # over ~1.5e5 raw orderkeys held 6.7 s of this query at sf0.1; the
+    # partition-domain exchange does the same exact sums in 0.8 s
+    li_agg = keyed_sum(
+        li.map_batches(_rev_partial, batch_format="pyarrow"),
+        "l_orderkey", ["revenue_u"],
     )
     joined = equi_join(li_agg, ord_cust, on="l_orderkey", right_on="o_orderkey")
 
@@ -4492,10 +4518,12 @@ def q_tpch_q10(sf_dir: str):
         )
         return table_from_pandas(part)
 
-    li_agg = (
-        li.map_batches(_rev_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    # keyed_sum over the raw-key domains (see tpch_q3's note)
+    li_agg = keyed_sum(
+        li.map_batches(_rev_partial, batch_format="pyarrow"),
+        "l_orderkey", ["revenue_u"],
     )
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -4508,10 +4536,9 @@ def q_tpch_q10(sf_dir: str):
     lo = equi_join(
         li_agg, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
     )
-    per_cust = (
-        lo.select_columns(["o_custkey", "revenue_u"])
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    per_cust = keyed_sum(
+        lo.select_columns(["o_custkey", "revenue_u"]),
+        "o_custkey", ["revenue_u"],
     )
     cust = _read_parquet(
         f"{sf_dir}/customer.parquet",
@@ -4574,10 +4601,11 @@ def q_tpch_q13(sf_dir: str):
             {"o_custkey": keys, "c_count": counts.astype(np.int64)}
         )
 
-    per_cust = (
-        orders.map_batches(_count_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("c_count", alias_name="c_count"))
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    per_cust = keyed_sum(
+        orders.map_batches(_count_partial, batch_format="pyarrow"),
+        "o_custkey", ["c_count"],
     )
     cust = _read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     joined = equi_join(
@@ -4714,21 +4742,26 @@ def q_tpch_q16(sf_dir: str):
         sk = batch["l_suppkey"].to_numpy()
         packed = np.unique(pk * (1 << 20) + sk)  # suppkeys < 2^20 by key contract
         return pa.table(
+            {"pk_sk": packed, "one": np.ones(len(packed), dtype=np.int64)}
+        )
+
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    # packed-key keyed_sum replaces the two-key sort aggregate (see
+    # tpch_q3's note); the sum column is a throwaway — only the
+    # distinct packed keys matter
+    def _unpack(batch: pa.Table) -> pa.Table:
+        packed = batch["pk_sk"].to_numpy()
+        return pa.table(
             {
                 "l_partkey": packed >> 20,
                 "l_suppkey": packed & ((1 << 20) - 1),
             }
         )
 
-    from pyrosar_ray.stages import physical_select
-
-    # physical projection: feeds the next equi_join (see physical_select)
-    pairs = physical_select(
-        li.map_batches(_pair_dedup, batch_format="pyarrow")
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="dup")),
-        ["l_partkey", "l_suppkey"],
-    )
+    pairs = keyed_sum(
+        li.map_batches(_pair_dedup, batch_format="pyarrow"), "pk_sk", ["one"]
+    ).map_batches(_unpack, batch_format="pyarrow")
     joined = equi_join(
         pairs, part, on="l_partkey", right_on="p_partkey", how="inner"
     )
@@ -4787,10 +4820,11 @@ def q_tpch_q18(sf_dir: str):
         )
         return table_from_pandas(part)
 
-    totals = (
-        li.map_batches(_qty_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"))
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    totals = keyed_sum(
+        li.map_batches(_qty_partial, batch_format="pyarrow"),
+        "l_orderkey", ["sum_qty_c"],
     )
 
     def _having(batch: pa.Table) -> pa.Table:

@@ -39,6 +39,14 @@ QUERIES = [
     "spatial_radius_join",
     # bounded bucket-table exchange + broadcast weights + partial top-k
     "doc_dsir",
+    # keyed_sum (hash-partitioned big-key aggregate) + double
+    # co-partition join + deterministic top-k
+    "tpch_q3",
+    # keyed change-stream collapse (per-user ordered runs, lead stitch)
+    "events_scd2",
+    # MOR time travel: positional sidecar union must be identical at
+    # any base read granularity
+    "events_timetravel",
 ]
 
 
