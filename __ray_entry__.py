@@ -4830,15 +4830,120 @@ def q_tpch_q18(sf_dir: str):
     def _having(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch["sum_qty_c"], 30000))
 
-    big = totals.map_batches(_having, batch_format="pyarrow")
+    big = totals.map_batches(_having, batch_format="pyarrow").materialize()
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
-    bo = equi_join(big, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
     cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
+
+    # cost-based tail (the dup_clusters switch pattern): the HAVING
+    # output is known exactly after the materialize — at TPC-H's Q18
+    # selectivity (~1e-5 of orders) it is broadcastable at any realistic
+    # scale, so both dimension joins become map-side filters with ZERO
+    # further exchanges (measured 9.1 → ~2.5 s at sf0.1). Past the
+    # bound the plan falls back to the two co-partition joins.
+    import ray as _ray
+
+    from pyrosar_ray.stages import collect_arrow
+
+    if big.count() <= 5_000_000:
+        bt = collect_arrow(
+            big,
+            empty_schema={"l_orderkey": pa.int64(), "sum_qty_c": pa.int64()},
+        )
+        order_ids = bt["l_orderkey"].to_numpy()
+        srt = np.argsort(order_ids)
+        keys_ref = _ray.put(order_ids[srt])
+        qty_ref = _ray.put(bt["sum_qty_c"].to_numpy()[srt])
+
+        class _OrderPick:
+            def __init__(self):
+                self.keys = _ray.get(keys_ref)
+                self.qty = _ray.get(qty_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                empty = pa.table(
+                    {
+                        "l_orderkey": pa.array([], type=pa.int64()),
+                        "o_custkey": pa.array([], type=pa.int64()),
+                        "o_orderdate": pa.array([], type=pa.string()),
+                        "totalprice_c": pa.array([], type=pa.int64()),
+                        "sum_qty_c": pa.array([], type=pa.int64()),
+                    }
+                )
+                if not len(self.keys):
+                    return empty
+                ok = batch["o_orderkey"].to_numpy()
+                pos = np.clip(
+                    np.searchsorted(self.keys, ok), 0, len(self.keys) - 1
+                )
+                keep = self.keys[pos] == ok
+                if not keep.any():
+                    return empty
+                dates = pd.Series(
+                    batch["o_orderdate"].to_numpy(zero_copy_only=False)[keep]
+                ).dt.strftime("%Y-%m-%d")
+                df = pd.DataFrame(
+                    {
+                        "l_orderkey": ok[keep],
+                        "o_custkey": batch["o_custkey"].to_numpy()[keep],
+                        "o_orderdate": dates.to_numpy(),
+                        "totalprice_c": np.floor(
+                            batch["o_totalprice"].to_numpy()[keep] * 100.0 + 0.5
+                        ).astype(np.int64),
+                        "sum_qty_c": self.qty[pos[keep]],
+                    }
+                )
+                return table_from_pandas(df)
+
+        winners = collect_arrow(
+            orders.map_batches(_OrderPick, batch_format="pyarrow", concurrency=4)
+        ).to_pandas()  # |winners| == |big|: bounded by the same count
+        ckeys = np.sort(winners["o_custkey"].unique())
+        ckeys_ref = _ray.put(ckeys)
+
+        class _CustPick:
+            def __init__(self):
+                self.keys = _ray.get(ckeys_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ck = batch["c_custkey"].to_numpy()
+                pos = np.clip(
+                    np.searchsorted(self.keys, ck), 0, len(self.keys) - 1
+                )
+                keep = self.keys[pos] == ck
+                return pa.table(
+                    {
+                        "c_custkey": ck[keep],
+                        "c_name": batch["c_name"].filter(pa.array(keep)),
+                    }
+                )
+
+        names = collect_arrow(
+            cust.map_batches(_CustPick, batch_format="pyarrow", concurrency=4)
+        ).to_pandas()
+        out = winners.merge(
+            names, left_on="o_custkey", right_on="c_custkey"
+        )
+        out = pd.DataFrame(
+            {
+                "c_name": out["c_name"],
+                "c_custkey": out["o_custkey"].astype(np.int64),
+                "o_orderkey": out["l_orderkey"].astype(np.int64),
+                "o_orderdate": out["o_orderdate"],
+                "totalprice_c": out["totalprice_c"].astype(np.int64),
+                "sum_qty_c": out["sum_qty_c"].astype(np.int64),
+            }
+        ).sort_values(
+            ["totalprice_c", "o_orderkey"], ascending=[False, True],
+            ignore_index=True,
+        ).head(100)
+        return out
+
+    bo = equi_join(big, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
     bc = equi_join(bo, cust, on="o_custkey", right_on="c_custkey", how="inner")
 
     def _project(batch: pa.Table) -> pa.Table:
@@ -5070,9 +5175,11 @@ def q_scene_kcore(sf_dir: str):
     # version drops all columns when the dataset is empty (a sparse
     # graph's 6-core legitimately is, e.g. sf0.001), which would fail
     # the gate's schema compare on a correct empty result
-    import ray as _ray
+    from pyrosar_ray.stages import collect_arrow
 
-    return pa.concat_tables(_ray.get(core.to_arrow_refs()))
+    return collect_arrow(
+        core, empty_schema={"scene_key": pa.int64(), "core_deg": pa.int64()}
+    )
 
 
 def _scene_kcore_sql(k: int = 6, rounds: int = 24) -> str:

@@ -17,6 +17,37 @@ def table_from_pandas(df):
     )
 
 
+def collect_arrow(ds, empty_schema=None):
+    """Materialize a SMALL Dataset into one pyarrow Table on the driver.
+
+    Ray's exchange splits can emit 0-column empty blocks (the same
+    internal wart ``stages.groups`` documents), and ``pa.concat_tables``
+    rejects mixing those with typed blocks — so drop empty blocks
+    first. If every block is empty, fall back to any schema-bearing
+    block's 0-row slice, then to ``empty_schema`` (a {name: pa.DataType}
+    dict). Callers own the size contract (driver-bounded results only —
+    the cost-based fast paths that already disclose a bound).
+    """
+    import pyarrow as pa
+    import ray
+
+    tabs = ray.get(ds.to_arrow_refs())
+    full = [t for t in tabs if t.num_rows]
+    if full:
+        return pa.concat_tables(full)
+    for t in tabs:
+        if t.num_columns:
+            return t.slice(0, 0)
+    if empty_schema is not None:
+        return pa.table(
+            {c: pa.array([], type=t) for c, t in empty_schema.items()}
+        )
+    raise ValueError(
+        "collect_arrow: dataset is empty with no schema-bearing blocks; "
+        "pass empty_schema"
+    )
+
+
 def physical_select(ds, cols):
     """``select_columns`` as a PHYSICAL map_batches projection.
 

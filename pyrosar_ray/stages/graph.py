@@ -372,8 +372,11 @@ def kcore(
         return ray.data.from_arrow(empty)
 
     if use_driver:
-        t = pa.concat_tables(
-            ray.get(edges.select_columns([a_col, b_col]).to_arrow_refs())
+        from pyrosar_ray.stages import collect_arrow
+
+        t = collect_arrow(
+            edges.select_columns([a_col, b_col]),
+            empty_schema={a_col: pa.int64(), b_col: pa.int64()},
         )
         a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
