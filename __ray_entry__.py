@@ -4120,6 +4120,58 @@ def q_events_timetravel(sf_dir: str):
     )
 
 
+def q_events_eqdelete(sf_dir: str):
+    """Lakehouse EQUALITY deletes (the second Iceberg delete flavor,
+    complementing the positional sidecars of events_mor/timetravel): a
+    commit's delete file records KEY VALUES, not (file, position)
+    pairs, so it applies to every earlier data file wherever the key's
+    row sits — the mechanism that survives compaction reordering
+    (pinned by a test that rewrites a base file in reverse order).
+    Commit 1 deletes type='error' ids, commit 2 additionally deletes
+    event_id%11==3; the scan broadcasts the union of delete-key sets
+    once (the standard Iceberg reader design — bounded by total delete
+    count) and drops by searchsorted membership, position-free. Twin:
+    predicate replay over the raw events."""
+    import tempfile
+
+    from pyrosar_ray.stages.mor import eq_scan, eq_write
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    out = tempfile.mkdtemp(prefix="mor_eq_", dir="/tmp")
+    eq_write(
+        events,
+        out,
+        {
+            1: lambda df: df["event_type"].to_numpy() == "error",
+            2: lambda df: df["event_id"].to_numpy() % 11 == 3,
+        },
+    ).materialize()  # bounded manifest
+
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+
+    def _grp_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": batch["day"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "n": np.ones(batch.num_rows, dtype=np.int64),
+                "id_sum": batch["event_id"].to_numpy(),
+            }
+        ).groupby(["day", "event_type"], as_index=False).sum()
+        return table_from_pandas(df)
+
+    return (
+        eq_scan(out)
+        .map_batches(_grp_partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("id_sum", alias_name="id_sum"))
+    )
+
+
 def q_tpch_q1(sf_dir: str):
     """TPC-H Q1 pricing summary: the canonical wide-scan aggregate —
     column-pruned read with the shipdate predicate pushed into the
@@ -5492,6 +5544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": q_tpch_q22,
         "events_scd2": q_events_scd2,
         "scene_kcore": q_scene_kcore,
+        "events_eqdelete": q_events_eqdelete,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
@@ -5509,15 +5562,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "image_neardup": q_image_neardup,
         "raster_footprint_poly": q_raster_footprint_poly,
-        "embed_kmeans": q_embed_kmeans,
         # -- further never-driver-checked twins --
         # ---- position 51 starts here: entries below are past the
-        # ---- driver's correctness window. The fourth session's 10 new
-        # ---- twins (TPC-H Q7-Q22, events_scd2, scene_kcore) took
-        # ---- window slots from the never-checked tail below
-        # ---- (embed_sq_rerank/embed_pq_* through doc_split) — those
-        # ---- remain gate-checked locally and are first in line for
-        # ---- the round-5 window rotation.
+        # ---- driver's correctness window. The fourth session's new
+        # ---- twins (TPC-H Q7-Q22, events_scd2, scene_kcore,
+        # ---- events_eqdelete) took window slots from the
+        # ---- never-checked tail below (embed_kmeans/embed_sq_rerank/
+        # ---- embed_pq_* through doc_split) — those remain
+        # ---- gate-checked locally and are first in line for the
+        # ---- round-5 window rotation.
+        "embed_kmeans": q_embed_kmeans,
         "embed_sq_rerank": q_embed_sq_rerank,
         "embed_pq_codes": q_embed_pq_codes,
         "embed_pq_adc": q_embed_pq_adc,
@@ -9682,6 +9736,13 @@ def oracle_sql() -> dict[str, str]:
             FROM starts
         """,
         "scene_kcore": _scene_kcore_sql().replace("{SCENES}", _SCENES),
+        "events_eqdelete": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*)::BIGINT AS n, SUM(event_id)::BIGINT AS id_sum
+            FROM events
+            WHERE event_type <> 'error' AND event_id % 11 <> 3
+            GROUP BY 1, 2
+        """,
         "doc_rake": """
             WITH toks AS (
                 SELECT doc_id, g.i AS i, ws[g.i] AS word,

@@ -255,3 +255,173 @@ def mor_scan(out_dir: str, snapshot: int | None = None) -> Dataset:
     ).map_batches(
         _ScanTask, batch_format="pyarrow", batch_size=None, concurrency=(1, 4)
     )
+
+
+def eq_write(
+    events: Dataset,
+    out_dir: str,
+    commit_preds: "dict[int, callable]",
+) -> Dataset:
+    """Equality-delete MOR write (the other Iceberg delete flavor).
+
+    Where a positional sidecar records (file, row position), an
+    EQUALITY delete file records KEY VALUES (event_ids here) — it
+    applies to every data file of an earlier sequence number, wherever
+    the key's row happens to sit. That indirection is what survives
+    compaction: rewrite/reorder the base files and a positional vector
+    is garbage, an equality vector still deletes exactly the same rows
+    (pinned by a test).
+
+    Write shape: one day-keyed groupby writes the base files (same
+    layout as :func:`mor_write`); each commit's delete file is the
+    DISTRIBUTED filter of the base stream collected to one id list —
+    bounded by the commit's delete count, the same driver contract an
+    Iceberg writer's delete-file manifest has. Returns the manifest
+    (day, n_rows).
+    """
+    os.makedirs(f"{out_dir}/base", exist_ok=True)
+    os.makedirs(f"{out_dir}/eqdel", exist_ok=True)
+
+    def _day(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "day", pc.strftime(batch["ts"], format="%Y-%m-%d")
+        )
+
+    schema = {"day": pa.string(), "n_rows": pa.int64()}
+
+    @typed_groups(schema)
+    def _write(group: pd.DataFrame) -> pa.Table:
+        day = group["day"].iloc[0]
+        g = group.sort_values("event_id", ignore_index=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(g["event_id"].to_numpy(), type=pa.int64()),
+                    "event_type": pa.array(g["event_type"], type=pa.string()),
+                }
+            ),
+            f"{out_dir}/base/day={day}.parquet",
+            row_group_size=_ROW_GROUP_SIZE,
+        )
+        return pa.table(
+            {
+                "day": pa.array([day], type=pa.string()),
+                "n_rows": pa.array([len(g)], type=pa.int64()),
+            }
+        )
+
+    manifest = (
+        events.map_batches(_day, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(_write, batch_format="pandas")
+        .materialize()
+    )
+
+    from pyrosar_ray.stages import collect_arrow
+
+    for cid in sorted(commit_preds):
+        pred = commit_preds[cid]
+
+        def _match(batch: pa.Table, _p=pred) -> pa.Table:
+            df = batch.to_pandas()
+            mask = np.asarray(_p(df))
+            return pa.table(
+                {"event_id": pa.array(df["event_id"].to_numpy()[mask])}
+            )
+
+        ids = collect_arrow(
+            events.map_batches(_match, batch_format="pyarrow"),
+            empty_schema={"event_id": pa.int64()},
+        )
+        pq.write_table(
+            pa.table(
+                {"event_id": pa.array(np.sort(ids["event_id"].to_numpy()))}
+            ),
+            f"{out_dir}/eqdel/c{cid}.parquet",
+        )
+    return manifest
+
+
+def eq_scan(out_dir: str, as_of: int | None = None) -> Dataset:
+    """Equality-delete scan: base rows whose key is in NO delete file
+    of commits <= ``as_of`` (``None`` = all commits, ``0`` = original).
+
+    The union of delete-key sets broadcasts once (``ray.put`` — the
+    standard Iceberg reader design: equality deletes load into a hash
+    set; bounded by total delete count, disclosed) and every scan task
+    drops by searchsorted membership, position-free — so the scan is
+    insensitive to base-file row order, unlike :func:`mor_scan`.
+    """
+    import ray
+
+    base_dir = f"{out_dir}/base"
+    files = sorted(os.listdir(base_dir))
+    vecs = []
+    for fname in sorted(os.listdir(f"{out_dir}/eqdel")):
+        cid = int(fname[1:-len(".parquet")])
+        if as_of is None or cid <= as_of:
+            vecs.append(
+                pq.read_table(f"{out_dir}/eqdel/{fname}")["event_id"].to_numpy()
+            )
+    dels = (
+        np.unique(np.concatenate(vecs)) if vecs else np.array([], dtype=np.int64)
+    )
+    dels_ref = ray.put(dels)
+    items = [
+        {"day": f[len("day="):-len(".parquet")], "path": f"{base_dir}/{f}"}
+        for f in files
+    ]
+
+    class _Scan:
+        def __init__(self):
+            self.dels = ray.get(dels_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for day, path in zip(
+                batch["day"].to_pylist(), batch["path"].to_pylist()
+            ):
+                tab = pq.read_table(path)
+                ids = tab["event_id"].to_numpy()
+                if len(self.dels):
+                    pos = np.clip(
+                        np.searchsorted(self.dels, ids), 0, len(self.dels) - 1
+                    )
+                    keep = self.dels[pos] != ids
+                else:
+                    keep = np.ones(len(ids), dtype=bool)
+                out.append(
+                    pa.table(
+                        {
+                            "event_id": tab["event_id"]
+                            .combine_chunks()
+                            .filter(pa.array(keep)),
+                            # explicit type: a fully-deleted day's
+                            # [day]*0 would otherwise infer null and
+                            # break the concat
+                            "day": pa.array(
+                                [day] * int(keep.sum()), type=pa.string()
+                            ),
+                            "event_type": tab["event_type"]
+                            .combine_chunks()
+                            .filter(pa.array(keep)),
+                        }
+                    )
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "event_id": pa.array([], type=pa.int64()),
+                        "day": pa.array([], type=pa.string()),
+                        "event_type": pa.array([], type=pa.string()),
+                    }
+                )
+            return pa.concat_tables(out)
+
+    return ray.data.from_items(
+        items, override_num_blocks=max(1, len(items) // 8)
+    ).map_batches(
+        _Scan, batch_format="pyarrow", batch_size=None, concurrency=(1, 4)
+    )

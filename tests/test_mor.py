@@ -1,7 +1,10 @@
 """Merge-on-read positional deletes (stages/mor.py)."""
 
+import os
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 
@@ -181,3 +184,70 @@ def test_time_travel_deletes_are_positional(ray_session, tmp_path):
         np.searchsorted(day_rows["event_id"].to_numpy(), 3) + 1
     ]
     assert 3 in set(got["event_id"]) and victim not in set(got["event_id"])
+
+
+# ---------------------------------------------------------------- equality
+
+
+def _eq_layout(tmp_path):
+    import pandas as pd
+
+    import ray
+
+    from pyrosar_ray.stages.mor import eq_write
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(40, dtype=np.int64),
+            "ts": [t0 + pd.Timedelta(hours=int(h) * 13) for h in range(40)],
+            "event_type": ["error" if i % 5 == 0 else "view" for i in range(40)],
+        }
+    )
+    out = str(tmp_path / "eq")
+    eq_write(
+        ray.data.from_pandas(df),
+        out,
+        {
+            1: lambda g: g["event_type"].to_numpy() == "error",
+            2: lambda g: g["event_id"].to_numpy() % 7 == 3,
+        },
+    ).materialize()
+    return out, df
+
+
+def test_eq_scan_as_of(ray_session, tmp_path):
+    from pyrosar_ray.stages.mor import eq_scan
+
+    out, df = _eq_layout(tmp_path)
+    full = eq_scan(out, as_of=0).to_pandas()
+    assert len(full) == 40  # no commit applied
+    c1 = eq_scan(out, as_of=1).to_pandas()
+    assert set(c1.event_id) == set(df[df.event_type != "error"].event_id)
+    c2 = eq_scan(out, as_of=None).to_pandas()
+    want = df[(df.event_type != "error") & (df.event_id % 7 != 3)]
+    assert set(c2.event_id) == set(want.event_id)
+
+
+def test_eq_deletes_survive_compaction_reorder(ray_session, tmp_path):
+    """THE property that distinguishes equality from positional deletes:
+    rewrite a base file with its rows reversed (a compaction reorder)
+    and the equality scan still returns exactly the same rows — a
+    positional sidecar would now delete the wrong rows."""
+    import pyarrow.parquet as pq_
+
+    from pyrosar_ray.stages.mor import eq_scan
+
+    out, _ = _eq_layout(tmp_path)
+    before = eq_scan(out).to_pandas().sort_values("event_id", ignore_index=True)
+
+    base_dir = f"{out}/base"
+    fname = sorted(os.listdir(base_dir))[0]
+    tab = pq_.read_table(f"{base_dir}/{fname}")
+    reversed_tab = tab.take(pa.array(np.arange(len(tab))[::-1]))
+    pq_.write_table(reversed_tab, f"{base_dir}/{fname}", row_group_size=7)
+
+    after = eq_scan(out).to_pandas().sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        before[["event_id", "event_type"]], after[["event_id", "event_type"]]
+    )
