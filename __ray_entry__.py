@@ -3289,6 +3289,43 @@ def q_points_zorder(sf_dir: str):
     return pts.map_batches(_key, batch_format="pyarrow")
 
 
+def q_points_hilbert(sf_dir: str):
+    """Hilbert layout keys for every point — the Z-order sibling whose
+    consecutive curve positions are ALWAYS grid-adjacent (Morton's Z
+    jumps break locality at every power-of-two boundary; the locality
+    premium is pinned in tests/test_hilbert.py). Same 16-bit
+    quantization as points_zorder so the two keys are comparable on
+    identical grids; row-local, zero shuffle. Twin: the xy2d rotation
+    loop unrolled as 16 MATERIALIZED CTE rounds."""
+    from pyrosar_ray.functions.hilbert import hilbert_key
+    from pyrosar_ray.pipelines.tables import load_points
+
+    pts = load_points(sf_dir)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        h = hilbert_key(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        return pa.table({"point_id": batch["point_id"], "h": pa.array(h)})
+
+    return pts.map_batches(_key, batch_format="pyarrow")
+
+
+def _hilbert_sql() -> str:
+    """DuckDB twin of q_points_hilbert: identical quantization, then
+    the unrolled 16-round rotation loop (functions/hilbert.py)."""
+    from pyrosar_ray.functions.hilbert import _BITS, hilbert_rounds_sql
+    from pyrosar_ray.functions.morton import morton_quantize_sql
+
+    zx, zy = morton_quantize_sql("lon", "lat")
+    return f"""
+        WITH p AS ({{POINTS}}),
+        h0 AS MATERIALIZED (
+            SELECT point_id, {zx} AS x, {zy} AS y, 0 AS d FROM p
+        ),
+        {hilbert_rounds_sql()}
+        SELECT point_id, d::BIGINT AS h FROM h{_BITS}
+        """
+
+
 def q_mgrs_zones(sf_dir: str):
     """MGRS/UTM grid-zone designator per scene (north-star named
     surface: "MGRS/UTM-style processing tiles"): footprint centers are
@@ -5545,6 +5582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2": q_events_scd2,
         "scene_kcore": q_scene_kcore,
         "events_eqdelete": q_events_eqdelete,
+        "points_hilbert": q_points_hilbert,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
@@ -5561,7 +5599,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_gamma_import": q_dem_gamma_import,
         "image_features": q_image_features,
         "image_neardup": q_image_neardup,
-        "raster_footprint_poly": q_raster_footprint_poly,
         # -- further never-driver-checked twins --
         # ---- position 51 starts here: entries below are past the
         # ---- driver's correctness window. The fourth session's new
@@ -5571,6 +5608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "raster_footprint_poly": q_raster_footprint_poly,
         "embed_kmeans": q_embed_kmeans,
         "embed_sq_rerank": q_embed_sq_rerank,
         "embed_pq_codes": q_embed_pq_codes,
@@ -8101,6 +8139,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow": _winnow_sql(),
         "image_patches": _patches_sql(),
         "points_zorder": _zorder_sql(),
+        "points_hilbert": _hilbert_sql().replace("{POINTS}", POINTS_SQL),
         "mgrs_zones": _mgrs_sql(),
         "raster_gradient": _gradient_sql(),
         "zonal_stats": _ZONAL_SQL,
