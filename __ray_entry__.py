@@ -4209,6 +4209,103 @@ def q_events_eqdelete(sf_dir: str):
     )
 
 
+def q_events_new_users(sf_dir: str):
+    """Daily growth accounting: per day, the DISTINCT active users, the
+    first-time (new) users, and the running cumulative of new users.
+    Two keyed_agg folds over the user-scale domains — first-seen day =
+    min over users, active-day pairs = distinct (user, day) via the
+    packed key user_id·2^16 + day_index (day index < 2^16 ≈ 179 years,
+    so the pack is collision-free for user ids < 2^47 — disclosed
+    bound) — then partial counts into the bounded day domain and a
+    driver-side running fold of the day table (the bounded-domain
+    contract events_mad documents). Twin: min-groupby, COUNT(DISTINCT),
+    and a SUM window."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import collect_arrow, table_from_pandas
+    from pyrosar_ray.stages.agg import keyed_agg
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    US_PER_DAY = 86_400_000_000
+
+    def _day_int(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day_i": us // US_PER_DAY,
+            }
+        )
+
+    days_int = events.map_batches(_day_int, batch_format="pyarrow")
+    first = keyed_agg(days_int, "user_id", {"day_i": "min"})
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        di = batch["day_i"].to_numpy()
+        packed = np.unique(uid * (1 << 16) + di)
+        return pa.table(
+            {"ud": packed, "one": np.ones(len(packed), dtype=np.int64)}
+        )
+
+    pairs = keyed_agg(
+        days_int.map_batches(_pack, batch_format="pyarrow"), "ud", {"one": "min"}
+    )
+
+    def _day_str(di: np.ndarray) -> np.ndarray:
+        return (
+            pd.Series(pd.to_datetime(di * 86400, unit="s"))
+            .dt.strftime("%Y-%m-%d")
+            .to_numpy()
+        )
+
+    def _new_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"day_i": batch["day_i"].to_numpy()})
+        out = df.groupby("day_i", as_index=False).size().rename(
+            columns={"size": "new_users"}
+        )
+        out["active_users"] = np.zeros(len(out), dtype=np.int64)
+        return table_from_pandas(out)
+
+    def _active_partial(batch: pa.Table) -> pa.Table:
+        di = batch["ud"].to_numpy() & ((1 << 16) - 1)
+        df = pd.DataFrame({"day_i": di})
+        out = df.groupby("day_i", as_index=False).size().rename(
+            columns={"size": "active_users"}
+        )
+        out["new_users"] = np.zeros(len(out), dtype=np.int64)
+        return table_from_pandas(out)
+
+    per_day = (
+        first.map_batches(_new_partial, batch_format="pyarrow")
+        .union(pairs.map_batches(_active_partial, batch_format="pyarrow"))
+        .groupby("day_i")
+        .aggregate(
+            Sum("new_users", alias_name="new_users"),
+            Sum("active_users", alias_name="active_users"),
+        )
+    )
+    days = collect_arrow(
+        per_day,
+        empty_schema={
+            "day_i": pa.int64(),
+            "new_users": pa.int64(),
+            "active_users": pa.int64(),
+        },
+    ).to_pandas().sort_values("day_i", ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "day": _day_str(days["day_i"].to_numpy()),
+            "new_users": days["new_users"].astype(np.int64),
+            "active_users": days["active_users"].astype(np.int64),
+        }
+    )
+    out["cum_users"] = out["new_users"].cumsum().astype(np.int64)
+    return out
+
+
 def q_tpch_q1(sf_dir: str):
     """TPC-H Q1 pricing summary: the canonical wide-scan aggregate —
     column-pruned read with the shipdate predicate pushed into the
@@ -5583,6 +5680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_kcore": q_scene_kcore,
         "events_eqdelete": q_events_eqdelete,
         "points_hilbert": q_points_hilbert,
+        "events_new_users": q_events_new_users,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
@@ -5598,7 +5696,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "noise_power": q_noise_power,
         "dem_gamma_import": q_dem_gamma_import,
         "image_features": q_image_features,
-        "image_neardup": q_image_neardup,
         # -- further never-driver-checked twins --
         # ---- position 51 starts here: entries below are past the
         # ---- driver's correctness window. The fourth session's new
@@ -5608,6 +5705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "image_neardup": q_image_neardup,
         "raster_footprint_poly": q_raster_footprint_poly,
         "embed_kmeans": q_embed_kmeans,
         "embed_sq_rerank": q_embed_sq_rerank,
@@ -9781,6 +9879,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type <> 'error' AND event_id % 11 <> 3
             GROUP BY 1, 2
+        """,
+        "events_new_users": """
+            WITH f AS (
+                SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+                FROM events GROUP BY 1
+            ),
+            n AS (
+                SELECT day, COUNT(*)::BIGINT AS new_users FROM f GROUP BY 1
+            ),
+            a AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       COUNT(DISTINCT user_id)::BIGINT AS active_users
+                FROM events GROUP BY 1
+            )
+            SELECT a.day,
+                   COALESCE(n.new_users, 0)::BIGINT AS new_users,
+                   a.active_users,
+                   SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
+                       ::BIGINT AS cum_users
+            FROM a LEFT JOIN n ON a.day = n.day
         """,
         "doc_rake": """
             WITH toks AS (

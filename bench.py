@@ -79,6 +79,10 @@ BENCH_QUERIES = (
     "tpch_q19",
     "tpch_q22",
     "events_scd2",
+    "scene_kcore",
+    "events_eqdelete",
+    "points_hilbert",
+    "events_new_users",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",

@@ -38,6 +38,62 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 _PART = "_ks_part"
 
 
+def keyed_agg(
+    ds: Dataset,
+    key_col: str,
+    how: "dict[str, str]",
+    num_partitions: int = 64,
+    str_value_cols: "set[str] | None" = None,
+) -> Dataset:
+    """Exact per-key aggregation by an integer key — the general form.
+
+    ``how`` maps value column → one of ``'sum' | 'min' | 'max'`` (all
+    associative-commutative, so the partial-then-merge plan is
+    combine-order independent by construction). Integer value columns
+    stay int64-exact; ``min``/``max`` additionally accept string
+    columns named in ``str_value_cols`` (e.g. ISO day stamps, where
+    lexicographic == chronological — declared by the caller instead of
+    probed from ``ds.schema()``, which would execute a pipeline
+    sample). Output: ``[key_col, *how]``, one row per distinct key.
+    """
+    n = int(num_partitions)
+    str_cols = set(str_value_cols or ())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            key_col: batch[key_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        }
+        for c in how:
+            arr = batch[c].to_numpy(zero_copy_only=False)
+            cols[c] = arr if c in str_cols else arr.astype(np.int64)
+        df = pd.DataFrame(cols)
+        part = df.groupby(key_col, as_index=False).agg(how)
+        keys = part[key_col].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part[_PART] = ((keys * _MIX) >> np.uint64(40)).astype(
+                np.int64
+            ) % np.int64(n)
+        return table_from_pandas(part)
+
+    schema = {
+        key_col: pa.int64(),
+        **{c: (pa.string() if c in str_cols else pa.int64()) for c in how},
+    }
+
+    @typed_groups(schema)
+    def _merge(group: pa.Table) -> pd.DataFrame:
+        df = group.to_pandas()
+        return df.groupby(key_col, as_index=False).agg(how)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
 def keyed_sum(
     ds: Dataset,
     key_col: str,
@@ -50,36 +106,6 @@ def keyed_sum(
     distinct key. Input columns must be integer-valued; callers convert
     floats to fixed-point units first (the engine-wide exactness rule).
     """
-    n = int(num_partitions)
-    schema = {key_col: pa.int64(), **{c: pa.int64() for c in sum_cols}}
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                key_col: batch[key_col].to_numpy(zero_copy_only=False).astype(
-                    np.int64
-                ),
-                **{
-                    c: batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
-                    for c in sum_cols
-                },
-            }
-        )
-        part = df.groupby(key_col, as_index=False).sum()
-        keys = part[key_col].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            part[_PART] = ((keys * _MIX) >> np.uint64(40)).astype(
-                np.int64
-            ) % np.int64(n)
-        return table_from_pandas(part)
-
-    @typed_groups(schema)
-    def _merge(group: pa.Table) -> pd.DataFrame:
-        df = group.to_pandas()
-        return df.groupby(key_col, as_index=False)[list(sum_cols)].sum()
-
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(_PART)
-        .map_groups(_merge, batch_format="pyarrow")
+    return keyed_agg(
+        ds, key_col, {c: "sum" for c in sum_cols}, num_partitions=num_partitions
     )
