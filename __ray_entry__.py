@@ -4209,6 +4209,166 @@ def q_events_eqdelete(sf_dir: str):
     )
 
 
+def q_orders_copurchase(sf_dir: str):
+    """Market-basket co-occurrence mining: the top-20 part pairs by
+    order co-purchase support, with the marginal part counts and order
+    total needed for confidence/lift (emitted as exact integers; the
+    ratios are the consumer's division). Plan: (order, part) pairs
+    dedup through one packed-key keyed_agg (orderkey·2^20 + partkey —
+    collision-free for orderkeys < 2^43, disclosed), baskets co-partition
+    by orderkey through the partition-domain exchange (the keyed_sum
+    trick: groupby on the 64-value partition tag, per-order pair
+    emission vectorized inside the partition — per-order pair fan-out
+    is bounded by basket size squared, ~21 for TPC-H's ≤7 lines),
+    supports fold through a packed-pair keyed_sum, top-20 via partial
+    top-k with (support desc, p1, p2) ties, and the ≤40 involved parts'
+    marginals collect via a broadcast-set map-side filter."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import collect_arrow, table_from_pandas
+    from pyrosar_ray.stages.agg import _MIX, _PART, keyed_sum
+    from pyrosar_ray.stages.groups import typed_groups
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def _op_dedup(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        pk = batch["l_partkey"].to_numpy()
+        packed = np.unique(ok * (1 << 20) + pk)
+        return pa.table(
+            {"op": packed, "one": np.ones(len(packed), dtype=np.int64)}
+        )
+
+    op = keyed_sum(li.map_batches(_op_dedup, batch_format="pyarrow"), "op", ["one"])
+
+    def _tag_order(batch: pa.Table) -> pa.Table:
+        packed = batch["op"].to_numpy()
+        ok = (packed >> 20).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((ok * _MIX) >> np.uint64(40)).astype(np.int64) % 64
+        return pa.table(
+            {
+                "l_orderkey": packed >> 20,
+                "l_partkey": packed & ((1 << 20) - 1),
+                _PART: part,
+            }
+        )
+
+    @typed_groups({"pair": pa.int64(), "support": pa.int64()})
+    def _emit_pairs(group: pa.Table) -> pd.DataFrame:
+        df = group.to_pandas().sort_values(
+            ["l_orderkey", "l_partkey"], ignore_index=True
+        )
+        ok = df["l_orderkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], ok[1:] != ok[:-1]])
+        )
+        sizes = np.diff(np.append(starts, len(ok)))
+        pairs = []
+        for s, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            parts = pk[s : s + n]
+            i, j = np.triu_indices(n, k=1)
+            pairs.append(parts[i] * (1 << 32) + parts[j])
+        if not pairs:
+            return pd.DataFrame({"pair": [], "support": []})
+        allp = np.concatenate(pairs)
+        return pd.DataFrame(
+            {"pair": allp, "support": np.ones(len(allp), dtype=np.int64)}
+        )
+
+    supports = keyed_sum(
+        op.map_batches(_tag_order, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(_emit_pairs, batch_format="pyarrow"),
+        "pair", ["support"],
+    )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["p1"] = df["pair"].to_numpy() >> 32
+        df["p2"] = df["pair"].to_numpy() & ((1 << 32) - 1)
+        df = df.sort_values(
+            ["support", "p1", "p2"], ascending=[False, True, True]
+        ).head(20)
+        return table_from_pandas(df[["p1", "p2", "support"]])
+
+    top = (
+        collect_arrow(
+            supports.map_batches(_topk, batch_format="pyarrow"),
+            empty_schema={
+                "p1": pa.int64(), "p2": pa.int64(), "support": pa.int64(),
+            },
+        )
+        .to_pandas()
+        .sort_values(["support", "p1", "p2"], ascending=[False, True, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+    import ray as _ray
+
+    wanted = np.sort(
+        np.unique(np.concatenate([top["p1"].to_numpy(), top["p2"].to_numpy()]))
+    ) if len(top) else np.array([], dtype=np.int64)
+    wanted_ref = _ray.put(wanted)
+
+    class _CntPick:
+        def __init__(self):
+            self.keys = _ray.get(wanted_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = (batch["op"].to_numpy() & ((1 << 20) - 1)).astype(np.int64)
+            if not len(self.keys):
+                return pa.table(
+                    {"l_partkey": pa.array([], type=pa.int64()),
+                     "c": pa.array([], type=pa.int64())}
+                )
+            pos = np.clip(np.searchsorted(self.keys, pk), 0, len(self.keys) - 1)
+            keep = self.keys[pos] == pk
+            keys, counts = np.unique(pk[keep], return_counts=True)
+            return pa.table(
+                {"l_partkey": keys, "c": counts.astype(np.int64)}
+            )
+
+    cnt = (
+        collect_arrow(
+            op.map_batches(_CntPick, batch_format="pyarrow", concurrency=4)
+            .groupby("l_partkey")
+            .aggregate(Sum("c", alias_name="c")),
+            empty_schema={"l_partkey": pa.int64(), "c": pa.int64()},
+        )
+        .to_pandas()
+        .set_index("l_partkey")["c"]
+    )
+    def _ok_partial(batch: pa.Table) -> pa.Table:
+        oks = np.unique(batch["op"].to_numpy() >> 20)
+        return pa.table(
+            {"ok": oks, "one": np.ones(len(oks), dtype=np.int64)}
+        )
+
+    # distinct orderkeys = row count AFTER the keyed merge (a per-batch
+    # unique alone would double-count orders spanning batches)
+    n_orders = keyed_sum(
+        op.map_batches(_ok_partial, batch_format="pyarrow"), "ok", ["one"]
+    ).count() if len(top) else 0
+    out = pd.DataFrame(
+        {
+            "p1": top["p1"].astype(np.int64),
+            "p2": top["p2"].astype(np.int64),
+            "support": top["support"].astype(np.int64),
+            "cnt_a": top["p1"].map(cnt).astype(np.int64),
+            "cnt_b": top["p2"].map(cnt).astype(np.int64),
+            "n_orders": np.full(len(top), n_orders, dtype=np.int64),
+        }
+    )
+    return out
+
+
 def q_events_new_users(sf_dir: str):
     """Daily growth accounting: per day, the DISTINCT active users, the
     first-time (new) users, and the running cumulative of new users.
@@ -5681,6 +5841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_eqdelete": q_events_eqdelete,
         "points_hilbert": q_points_hilbert,
         "events_new_users": q_events_new_users,
+        "orders_copurchase": q_orders_copurchase,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
@@ -5694,7 +5855,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_process": q_image_process,
         "noise_power": q_noise_power,
-        "dem_gamma_import": q_dem_gamma_import,
         "image_features": q_image_features,
         # -- further never-driver-checked twins --
         # ---- position 51 starts here: entries below are past the
@@ -5705,6 +5865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "dem_gamma_import": q_dem_gamma_import,
         "image_neardup": q_image_neardup,
         "raster_footprint_poly": q_raster_footprint_poly,
         "embed_kmeans": q_embed_kmeans,
@@ -9899,6 +10060,36 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
                        ::BIGINT AS cum_users
             FROM a LEFT JOIN n ON a.day = n.day
+        """,
+        "orders_copurchase": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       COUNT(*)::BIGINT AS support
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ),
+            cnt AS (
+                SELECT l_partkey, COUNT(*)::BIGINT AS c FROM op GROUP BY 1
+            ),
+            n AS (
+                SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+                FROM lineitem
+            ),
+            top AS (
+                SELECT * FROM pairs
+                ORDER BY support DESC, p1, p2 LIMIT 20
+            )
+            SELECT t.p1, t.p2, t.support,
+                   ca.c AS cnt_a, cb.c AS cnt_b, n.n_orders
+            FROM top t
+            CROSS JOIN n
+            JOIN cnt ca ON ca.l_partkey = t.p1
+            JOIN cnt cb ON cb.l_partkey = t.p2
         """,
         "doc_rake": """
             WITH toks AS (

@@ -83,6 +83,7 @@ BENCH_QUERIES = (
     "events_eqdelete",
     "points_hilbert",
     "events_new_users",
+    "orders_copurchase",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",
