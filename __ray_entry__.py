@@ -4209,6 +4209,221 @@ def q_events_eqdelete(sf_dir: str):
     )
 
 
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 order-priority checking (adapted to present columns:
+    the commit<receipt lateness test becomes shipped-more-than-60-days
+    after order date): the correlated-inequality EXISTS — orders
+    (quarter-pruned at the read) co-partition with lineitem on
+    orderkey, the o_orderdate+60 < l_shipdate predicate evaluates
+    vectorized post-join (a plain semi join cannot express the
+    correlation), surviving orders dedup through one keyed_agg (string
+    min carries the priority — constant per order), and a 5-group
+    partial-combine count finishes."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.agg import keyed_agg
+    from pyrosar_ray.stages.join import equi_join
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(
+            (pads.field("o_orderdate") >= datetime(1996, 7, 1))
+            & (pads.field("o_orderdate") < datetime(1996, 10, 1))
+        ),
+    )
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "odate_us": batch["o_orderdate"].cast(pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def _li(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "sdate_us": batch["l_shipdate"].cast(pa.int64()),
+            }
+        )
+
+    joined = equi_join(
+        li.map_batches(_li, batch_format="pyarrow"),
+        orders.map_batches(_ord, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey", how="inner",
+    )
+    US_60D = 60 * 86_400_000_000
+
+    def _late(batch: pa.Table) -> pa.Table:
+        keep = (
+            batch["sdate_us"].to_numpy() > batch["odate_us"].to_numpy() + US_60D
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy()[keep],
+                "o_orderpriority": batch["o_orderpriority"]
+                .to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    survivors = keyed_agg(
+        joined.map_batches(_late, batch_format="pyarrow"),
+        "l_orderkey", {"o_orderpriority": "min"},
+        str_value_cols={"o_orderpriority"},
+    )
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "order_count": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        ).groupby("o_orderpriority", as_index=False).sum()
+        return table_from_pandas(df)
+
+    return (
+        survivors.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+    )
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 minimum-cost supplier (adapted: the absent partsupp
+    table is replaced by lineitem's observed (part, supplier) pairs and
+    ps_supplycost by the supplier account balance): the per-group ARGMIN
+    with attribute retrieval — for every part in the size slice, the
+    supplier with minimum (acctbal, suppkey). The argmin folds through
+    ONE keyed_agg min over the packed order key (bal_c+2^30)·2^20 +
+    suppkey (acctbal ≥ −2^30 cents and suppkeys < 2^20, disclosed
+    bounds — the same lexicographic-pack trick as the pair dedups), so
+    no join ever sees more than one row per part; supplier attributes
+    attach from the broadcast 1e-4-scale dimension and the part slice
+    joins co-partitioned."""
+    import pyarrow.dataset as pads
+
+    from pyrosar_ray.stages.agg import keyed_agg
+    from pyrosar_ray.stages.join import equi_join
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_pandas()  # 1e-4 of the fact table: broadcast by design
+    bal_c = np.floor(supp.s_acctbal.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    import ray as _ray
+
+    smap_ref = _ray.put(
+        {
+            "keys": supp.s_suppkey.to_numpy().astype(np.int64),
+            "bal_c": bal_c,
+            "name": supp.s_name.to_numpy(),
+            "nk": supp.s_nationkey.to_numpy().astype(np.int64),
+        }
+    )
+
+    class _PackBal:
+        def __init__(self):
+            m = _ray.get(smap_ref)
+            order = np.argsort(m["keys"])
+            self.keys = m["keys"][order]
+            self.bal = m["bal_c"][order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch["l_partkey"].to_numpy()
+            sk = batch["l_suppkey"].to_numpy()
+            packed = np.unique(pk * (1 << 20) + sk)
+            pk2 = packed >> 20
+            sk2 = packed & ((1 << 20) - 1)
+            pos = np.searchsorted(self.keys, sk2)
+            bal = self.bal[np.clip(pos, 0, len(self.keys) - 1)]
+            return pa.table(
+                {
+                    "l_partkey": pk2,
+                    "packed_bal": (bal + (1 << 30)) * (1 << 20) + sk2,
+                }
+            )
+
+    # autoscaling (1, 4): two fixed pools of 4 would reserve every CPU
+    # of an 8-CPU session and starve the task operators (the round-3
+    # actor-livelock finding)
+    best = keyed_agg(
+        li.map_batches(_PackBal, batch_format="pyarrow", concurrency=(1, 4)),
+        "l_partkey", {"packed_bal": "min"},
+    )
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=((pads.field("p_size") >= 10) & (pads.field("p_size") <= 14)),
+    )
+
+    def _part_proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "p_brand": batch["p_brand"],
+                "p_size": batch["p_size"].cast(pa.int64()),
+            }
+        )
+
+    joined = equi_join(
+        best, part.map_batches(_part_proj, batch_format="pyarrow"),
+        on="l_partkey", right_on="p_partkey", how="inner",
+    )
+    nation = _read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nnames = dict(zip(nation.n_nationkey.astype(int), nation.n_name))
+
+    class _Attach:
+        def __init__(self):
+            m = _ray.get(smap_ref)
+            order = np.argsort(m["keys"])
+            self.keys = m["keys"][order]
+            self.name = m["name"][order]
+            self.nk = m["nk"][order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            packed = batch["packed_bal"].to_numpy()
+            sk = (packed & ((1 << 20) - 1)).astype(np.int64)
+            bal = (packed >> 20) - (1 << 30)
+            pos = np.clip(
+                np.searchsorted(self.keys, sk), 0, max(len(self.keys) - 1, 0)
+            )
+            return pa.table(
+                {
+                    "p_partkey": batch["l_partkey"].to_numpy().astype(np.int64),
+                    "p_brand": batch["p_brand"],
+                    "p_size": batch["p_size"],
+                    "s_suppkey": sk,
+                    "s_name": pa.array(self.name[pos]),
+                    "acctbal_c": bal,
+                    "n_name": pa.array(
+                        pd.Series(self.nk[pos]).map(nnames).to_numpy()
+                    ),
+                }
+            )
+
+    return joined.map_batches(
+        _Attach, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 def q_orders_copurchase(sf_dir: str):
     """Market-basket co-occurrence mining: the top-20 part pairs by
     order co-purchase support, with the marginal part counts and order
@@ -5836,6 +6051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
         "events_scd2": q_events_scd2,
         "scene_kcore": q_scene_kcore,
         "events_eqdelete": q_events_eqdelete,
@@ -5852,8 +6069,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
         "audio_features": q_audio_features,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "image_process": q_image_process,
         "noise_power": q_noise_power,
         "image_features": q_image_features,
         # -- further never-driver-checked twins --
@@ -5865,6 +6080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "image_process": q_image_process,
         "dem_gamma_import": q_dem_gamma_import,
         "image_neardup": q_image_neardup,
         "raster_footprint_poly": q_raster_footprint_poly,
@@ -10009,6 +10226,45 @@ def oracle_sql() -> dict[str, str]:
                   AND o.o_orderdate >= TIMESTAMP '1999-01-01'
             )
             GROUP BY 1
+        """,
+        "tpch_q4": """
+            SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY 1
+        """,
+        "tpch_q2": """
+            WITH ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            j AS (
+                SELECT ps.l_partkey,
+                       (floor(s.s_acctbal * 100 + 0.5)::BIGINT
+                        + (1::BIGINT << 30)) * (1::BIGINT << 20)
+                       + ps.l_suppkey AS packed
+                FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            ),
+            w AS (
+                SELECT l_partkey, MIN(packed) AS packed FROM j GROUP BY 1
+            )
+            SELECT p.p_partkey, p.p_brand, p.p_size::BIGINT AS p_size,
+                   (w.packed % (1::BIGINT << 20))::BIGINT AS s_suppkey,
+                   s.s_name,
+                   ((w.packed // (1::BIGINT << 20)) - (1::BIGINT << 30))
+                       ::BIGINT AS acctbal_c,
+                   n.n_name
+            FROM w
+            JOIN part p ON p.p_partkey = w.l_partkey
+            JOIN supplier s
+              ON s.s_suppkey = (w.packed % (1::BIGINT << 20))::BIGINT
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_size BETWEEN 10 AND 14
         """,
         "events_scd2": """
             WITH s AS (

@@ -78,6 +78,8 @@ BENCH_QUERIES = (
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q4",
     "events_scd2",
     "scene_kcore",
     "events_eqdelete",
