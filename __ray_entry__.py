@@ -5690,6 +5690,299 @@ def q_tpch_q22(sf_dir: str):
     )
 
 
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier (view-free rendering): quarterly revenue
+    per supplier folds through one keyed_sum over the suppkey domain,
+    the global maximum is a driver scalar (one bounded pull of the
+    supplier-sized aggregate — suppliers are 1e-4 of the fact table),
+    and the winners (all suppliers ACHIEVING the max, the Q15 tie rule)
+    attach names from the broadcast dimension. Twin: groupby + a MAX
+    scalar subquery."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < datetime(1996, 4, 1))
+        ),
+    )
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"],
+                "total_revenue_u": price * (100 - disc),
+            }
+        )
+
+    per_supp = collect_arrow(
+        keyed_sum(
+            li.map_batches(_rev, batch_format="pyarrow"),
+            "l_suppkey", ["total_revenue_u"],
+        ),
+        empty_schema={"l_suppkey": pa.int64(), "total_revenue_u": pa.int64()},
+    ).to_pandas()  # supplier-sized: bounded pull by design
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    if not len(per_supp):
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype=np.int64),
+             "s_name": pd.Series([], dtype=str),
+             "total_revenue_u": pd.Series([], dtype=np.int64)}
+        )
+    mx = int(per_supp["total_revenue_u"].max())
+    win = per_supp[per_supp["total_revenue_u"] == mx].merge(
+        supp, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    return pd.DataFrame(
+        {
+            "s_suppkey": win["s_suppkey"].astype(np.int64),
+            "s_name": win["s_name"],
+            "total_revenue_u": win["total_revenue_u"].astype(np.int64),
+        }
+    ).sort_values("s_suppkey", ignore_index=True)
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity-order revenue (adapted: the absent
+    container filter drops; the brand slice keeps the shape): the
+    correlated per-group scalar — revenue from lineitems whose quantity
+    is below 20% of their part's average quantity. The part slice
+    (read-pruned to one brand) broadcasts as a key set, lineitem prunes
+    map-side, per-part (sum_qty, n) folds through one keyed_sum into a
+    part-slice-sized broadcast, and the threshold applies row-local as
+    the EXACT cross-multiply 5·qty_c·n < sum_qty_c — no division on
+    either side. Output: one row (revenue cents sum + surviving-row
+    count)."""
+    import pyarrow.dataset as pads
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=pads.field("p_brand") == "Brand#23",
+    ).to_pandas()
+    pset_ref = _ray.put(np.sort(part.p_partkey.to_numpy().astype(np.int64)))
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    class _Prune:
+        def __init__(self):
+            self.keys = _ray.get(pset_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch["l_partkey"].to_numpy()
+            if not len(self.keys):
+                return pa.table(
+                    {
+                        "l_partkey": pa.array([], type=pa.int64()),
+                        "qty_c": pa.array([], type=pa.int64()),
+                        "price_c": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            pos = np.clip(np.searchsorted(self.keys, pk), 0, len(self.keys) - 1)
+            keep = self.keys[pos] == pk
+            qty = np.floor(
+                batch["l_quantity"].to_numpy()[keep] * 100.0 + 0.5
+            ).astype(np.int64)
+            price = np.floor(
+                batch["l_extendedprice"].to_numpy()[keep] * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "l_partkey": pk[keep],
+                    "qty_c": qty,
+                    "price_c": price,
+                    "n": np.ones(int(keep.sum()), dtype=np.int64),
+                }
+            )
+
+    pruned = li.map_batches(
+        _Prune, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()  # brand slice: ~1/25 of the fact rows
+    stats = collect_arrow(
+        keyed_sum(pruned, "l_partkey", ["qty_c", "n"]),
+        empty_schema={
+            "l_partkey": pa.int64(), "qty_c": pa.int64(), "n": pa.int64(),
+        },
+    )
+    skeys = stats["l_partkey"].to_numpy()
+    order = np.argsort(skeys)
+    skeys = skeys[order]
+    ssum = stats["qty_c"].to_numpy()[order]
+    scnt = stats["n"].to_numpy()[order]
+    sref = _ray.put((skeys, ssum, scnt))
+
+    class _Below:
+        def __init__(self):
+            self.keys, self.sum, self.cnt = _ray.get(sref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, pk), 0, len(self.keys) - 1)
+            # qty < 0.2 * avg  ⟺  5 * qty_c * n < sum_qty_c (exact)
+            keep = (
+                5 * batch["qty_c"].to_numpy() * self.cnt[pos]
+                < self.sum[pos]
+            )
+            return pa.table(
+                {
+                    "g": pa.array([0], type=pa.int64()),
+                    "revenue_c": pa.array(
+                        [int(batch["price_c"].to_numpy()[keep].sum())],
+                        type=pa.int64(),
+                    ),
+                    "n": pa.array([int(keep.sum())], type=pa.int64()),
+                }
+            )
+
+    return (
+        pruned.map_batches(_Below, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("g")
+        .aggregate(
+            Sum("revenue_c", alias_name="revenue_c"), Sum("n", alias_name="n")
+        )
+    )
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share: NATION_3's share of the revenue
+    that suppliers deliver to customers of NATION_3's region, per ship
+    year — the conditional-ratio plan. Customer prunes to the region's
+    nation set map-side (region⋈nation collapses on the driver, the Q5
+    rule); orders co-partition with the pruned customers (exchange 1);
+    lineitem (year-filtered at the read) co-partitions on orderkey
+    (exchange 2, the large one); the supplier→nation map broadcasts at
+    its 1e-4 scale and the share's numerator/denominator fold as exact
+    integers per year (the ratio is the consumer's division)."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import physical_select, table_from_pandas
+    from pyrosar_ray.stages.join import equi_join
+
+    target_nk = 3
+    nation = _read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()  # 25 rows: driver-resident by design
+    region_key = int(
+        nation.loc[nation.n_nationkey == target_nk, "n_regionkey"].iloc[0]
+    )
+    region_nations = set(
+        nation.loc[nation.n_regionkey == region_key, "n_nationkey"].astype(int)
+    )
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def _prune_cust(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy()
+        keep = np.isin(nk, list(region_nations))
+        return pa.table({"c_custkey": batch["c_custkey"].to_numpy()[keep]})
+
+    cust = cust.map_batches(_prune_cust, batch_format="pyarrow")
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    oc = physical_select(
+        equi_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner"),
+        ["o_orderkey"],
+    )
+
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    smap_ref = _ray.put(
+        (
+            np.sort(supp.s_suppkey.to_numpy().astype(np.int64)),
+            supp.sort_values("s_suppkey").s_nationkey.to_numpy().astype(np.int64),
+        )
+    )
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < datetime(1998, 1, 1))
+        ),
+    )
+
+    class _Rev:
+        def __init__(self):
+            self.keys, self.nk = _ray.get(smap_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            price = np.floor(
+                batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            disc = np.floor(
+                batch["l_discount"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            sk = batch["l_suppkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, sk), 0, len(self.keys) - 1)
+            rev = price * (100 - disc)
+            return pa.table(
+                {
+                    "l_orderkey": batch["l_orderkey"],
+                    "l_year": pc.year(batch["l_shipdate"]).to_numpy().astype(
+                        np.int64
+                    ),
+                    "rev_u": rev,
+                    "nation_rev_u": np.where(self.nk[pos] == target_nk, rev, 0),
+                }
+            )
+
+    li = li.map_batches(_Rev, batch_format="pyarrow", concurrency=(1, 4))
+    joined = equi_join(li, oc, on="l_orderkey", right_on="o_orderkey", how="inner")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_year": batch["l_year"].to_numpy(),
+                "nation_rev_u": batch["nation_rev_u"].to_numpy(),
+                "total_rev_u": batch["rev_u"].to_numpy(),
+            }
+        ).groupby("l_year", as_index=False).sum()
+        return table_from_pandas(df)
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("l_year")
+        .aggregate(
+            Sum("nation_rev_u", alias_name="nation_rev_u"),
+            Sum("total_rev_u", alias_name="total_rev_u"),
+        )
+    )
+
+
 def q_events_scd2(sf_dir: str):
     """SCD Type-2 dimension history from a change stream: each user's
     event_type sequence collapses into validity intervals — one row per
@@ -6053,6 +6346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "events_scd2": q_events_scd2,
         "scene_kcore": q_scene_kcore,
         "events_eqdelete": q_events_eqdelete,
@@ -6062,9 +6358,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
-        "events_cube": q_events_cube,
-        "doc_rake": q_doc_rake,
-        "doc_warc_ingest": q_doc_warc_ingest,
         "doc_html_extract": q_doc_html_extract,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
@@ -6080,6 +6373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "events_cube": q_events_cube,
+        "doc_rake": q_doc_rake,
+        "doc_warc_ingest": q_doc_warc_ingest,
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_process": q_image_process,
         "dem_gamma_import": q_dem_gamma_import,
@@ -10265,6 +10561,64 @@ def oracle_sql() -> dict[str, str]:
               ON s.s_suppkey = (w.packed % (1::BIGINT << 20))::BIGINT
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE p.p_size BETWEEN 10 AND 14
+        """,
+        "tpch_q8": """
+            WITH rn AS (
+                SELECT n_nationkey FROM nation
+                WHERE n_regionkey = (
+                    SELECT n_regionkey FROM nation WHERE n_nationkey = 3
+                )
+            )
+            SELECT year(l.l_shipdate)::BIGINT AS l_year,
+                   SUM(CASE WHEN s.s_nationkey = 3
+                       THEN floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                            * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT)
+                       ELSE 0 END)::BIGINT AS nation_rev_u,
+                   SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))
+                       ::BIGINT AS total_rev_u
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey IN (SELECT n_nationkey FROM rn)
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                           * (100 - floor(l_discount * 100 + 0.5)::BIGINT))
+                           ::BIGINT AS total_revenue_u
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_u
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_u = (SELECT MAX(total_revenue_u) FROM rev)
+        """,
+        "tpch_q17": """
+            WITH pl AS (
+                SELECT l.l_partkey,
+                       floor(l.l_quantity * 100 + 0.5)::BIGINT AS qty_c,
+                       floor(l.l_extendedprice * 100 + 0.5)::BIGINT AS price_c
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#23'
+            ),
+            st AS (
+                SELECT l_partkey, SUM(qty_c)::BIGINT AS sum_qty_c,
+                       COUNT(*)::BIGINT AS n
+                FROM pl GROUP BY 1
+            )
+            SELECT 0::BIGINT AS g,
+                   COALESCE(SUM(pl.price_c), 0)::BIGINT AS revenue_c,
+                   COUNT(*)::BIGINT AS n
+            FROM pl JOIN st ON pl.l_partkey = st.l_partkey
+            WHERE 5 * pl.qty_c * st.n < st.sum_qty_c
         """,
         "events_scd2": """
             WITH s AS (

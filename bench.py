@@ -80,6 +80,9 @@ BENCH_QUERIES = (
     "tpch_q22",
     "tpch_q2",
     "tpch_q4",
+    "tpch_q8",
+    "tpch_q15",
+    "tpch_q17",
     "events_scd2",
     "scene_kcore",
     "events_eqdelete",
