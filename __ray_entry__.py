@@ -3372,6 +3372,54 @@ def q_raster_gradient(sf_dir: str):
     return raster_gradient_stats(patch_images_from_documents(sf_dir))
 
 
+def q_raster_flowdir(sf_dir: str):
+    """D8 flow-direction histogram per raster (the hydrology routing
+    primitive, O'Callaghan–Mark steepest descent): each interior pixel
+    flows to the neighbor maximizing the distance-weighted drop —
+    integer 14/10 weights render the 1/√2 diagonal ratio exactly, ties
+    break on the fixed E,SE,S,SW,W,NW,N,NE priority, pits/flats get
+    code 0. Row-local over the decoded closed-form rasters, ≤9 output
+    rows per image; the twin replays every drop from the fill formula
+    so offsets, weights and tie order are all hash-checked."""
+    from pyrosar_ray.sources.images import patch_images_from_documents
+    from pyrosar_ray.stages.images import flow_direction_counts
+
+    return flow_direction_counts(patch_images_from_documents(sf_dir))
+
+
+def _flowdir_sql() -> str:
+    """DuckDB twin of q_raster_flowdir: same fill formula, same 14/10
+    weights, same priority CASE chain."""
+    from pyrosar_ray.stages.images import D8_DIRS
+
+    v = "((doc_id * 7 + ({y}) * 13 + ({x}) * 5) % 251)"
+    center = v.format(y="y", x="x")
+    scores = []
+    for dx, dy, code, wgt in D8_DIRS:
+        drop = f"({center} - {v.format(y=f'(y+{dy})', x=f'(x+{dx})')})"
+        scores.append((f"s{code}", f"{wgt} * {drop}", code))
+    sel = ",\n".join(f"{expr} AS {name}" for name, expr, _ in scores)
+    m = "GREATEST(" + ", ".join(name for name, _, _ in scores) + ")"
+    case = "CASE WHEN " + m + " <= 0 THEN 0 " + " ".join(
+        f"WHEN {name} = {m} THEN {code}" for name, _, code in scores
+    ) + " END"
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+            FROM documents
+        ), ys AS (
+            SELECT doc_id, w, unnest(range(1, h - 1))::BIGINT AS y FROM imgs
+        ), pix AS (
+            SELECT doc_id, y, unnest(range(1, w - 1))::BIGINT AS x FROM ys
+        ), sc AS (
+            SELECT doc_id, {sel} FROM pix
+        )
+        SELECT doc_id AS image_id, ({case})::BIGINT AS code,
+               COUNT(*)::BIGINT AS n
+        FROM sc GROUP BY 1, 2
+        """
+
+
 def q_image_patches(sf_dir: str):
     """ViT-style patch extraction through real byte decode: closed-form
     grayscale rasters (v = (id*7 + y*13 + x*5) % 251, ragged sizes) are
@@ -6355,10 +6403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_hilbert": q_points_hilbert,
         "events_new_users": q_events_new_users,
         "orders_copurchase": q_orders_copurchase,
+        "raster_flowdir": q_raster_flowdir,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
         "doc_soft_dedup": q_doc_soft_dedup,
-        "doc_html_extract": q_doc_html_extract,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
         "audio_features": q_audio_features,
@@ -6373,6 +6421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "doc_html_extract": q_doc_html_extract,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
         "doc_warc_ingest": q_doc_warc_ingest,
@@ -8912,6 +8961,7 @@ def oracle_sql() -> dict[str, str]:
         "image_patches": _patches_sql(),
         "points_zorder": _zorder_sql(),
         "points_hilbert": _hilbert_sql().replace("{POINTS}", POINTS_SQL),
+        "raster_flowdir": _flowdir_sql(),
         "mgrs_zones": _mgrs_sql(),
         "raster_gradient": _gradient_sql(),
         "zonal_stats": _ZONAL_SQL,

@@ -89,6 +89,7 @@ BENCH_QUERIES = (
     "points_hilbert",
     "events_new_users",
     "orders_copurchase",
+    "raster_flowdir",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",

@@ -927,6 +927,78 @@ def raster_gradient_stats(
     return images.map_batches(_stats, batch_format="pyarrow", batch_size=128)
 
 
+#: D8 neighbor table in PRIORITY order (argmax takes the FIRST maximum,
+#: so this order IS the tie-break rule — shared verbatim with the SQL
+#: twin's CASE chain): E, SE, S, SW, W, NW, N, NE with ESRI power-of-two
+#: codes. Slope weights 14 (orthogonal) / 10 (diagonal) are the
+#: rational rendering of the 1/√2 distance ratio (10/14 ≈ 1/1.4) — the
+#: comparison drop_o/1 vs drop_d/√2 becomes the EXACT integer
+#: 14·drop_o vs 10·drop_d under that convention.
+D8_DIRS = (
+    (1, 0, 1, 14), (1, 1, 2, 10), (0, 1, 4, 14), (-1, 1, 8, 10),
+    (-1, 0, 16, 14), (-1, -1, 32, 10), (0, -1, 64, 14), (1, -1, 128, 10),
+)
+
+
+def flow_direction_counts(
+    images: Dataset,
+    id_col: str = "image_id",
+) -> Dataset:
+    """Per-image D8 flow-direction histogram — the hydrology primitive
+    (O'Callaghan–Mark steepest descent) over the map-algebra stencil
+    family's shared neighborhood indexing.
+
+    Each interior pixel flows to the neighbor maximizing the
+    distance-weighted drop (integer 14/10 convention, see
+    :data:`D8_DIRS`); ties break on the fixed priority order; pixels
+    with no positive-score neighbor are pits/flats (code 0). Output:
+    ``(id_col, code, n)`` rows — at most 9 per image, so the result is
+    image-count bounded. Row-local, zero shuffle; the SQL twin replays
+    every drop from the fill formula, so the neighbor offsets, the
+    weight convention AND the tie-break order are all hash-checked.
+    """
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        blobs = batch["bytes"].to_pylist()
+        out_id, out_code, out_n = [], [], []
+        for i in range(len(ids)):
+            w, h = int(ws[i]), int(hs[i])
+            if w < 3 or h < 3:
+                continue
+            v = (
+                np.frombuffer(blobs[i], dtype=np.uint8)
+                .reshape(h, w)
+                .astype(np.int64)
+            )
+            c = v[1:-1, 1:-1]
+            scores = np.stack(
+                [
+                    wgt * (c - v[1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx])
+                    for dx, dy, _, wgt in D8_DIRS
+                ]
+            )
+            best = scores.max(axis=0)
+            pick = scores.argmax(axis=0)  # first max == priority order
+            codes = np.array([code for _, _, code, _ in D8_DIRS])[pick]
+            codes = np.where(best <= 0, 0, codes)
+            uniq, cnt = np.unique(codes, return_counts=True)
+            out_id.extend([int(ids[i])] * len(uniq))
+            out_code.extend(uniq.tolist())
+            out_n.extend(cnt.tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "code": pa.array(out_code, type=pa.int64()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return images.map_batches(_counts, batch_format="pyarrow", batch_size=128)
+
+
 #: training-style aspect buckets (bw, bh) — prototypes, not pixel sizes.
 #: The weight column is lcm(bh)/bh so integer scores compare exactly
 #: across buckets (see aspect_bucket_assign).
