@@ -425,3 +425,61 @@ def eq_scan(out_dir: str, as_of: int | None = None) -> Dataset:
     ).map_batches(
         _Scan, batch_format="pyarrow", batch_size=None, concurrency=(1, 4)
     )
+
+
+def mor_compact(out_dir: str) -> Dataset:
+    """Fold positional deletes into the base files (file compaction).
+
+    The maintenance half of merge-on-read: each day's base rewrites
+    WITHOUT its deleted rows and the sidecar resets to empty, so
+    subsequent scans skip the anti-filter entirely. One Ray task per
+    file bundle; every rewrite goes through a temp-file + atomic rename
+    (the lineage convention — a killed compaction leaves either the old
+    or the new generation, never a torn file). Survivors keep their
+    VALUES but get fresh dense positions — the reason positional
+    sidecars cannot outlive a compaction (they are replaced by empties
+    here) while equality sidecars could (pinned in tests/test_mor.py).
+    Returns the manifest (day, n_rows).
+    """
+    base_dir = f"{out_dir}/base"
+    items = [
+        {
+            "day": f[len("day="):-len(".parquet")],
+            "base": f"{base_dir}/{f}",
+            "dels": f"{out_dir}/deletes/{f}",
+        }
+        for f in sorted(os.listdir(base_dir))
+    ]
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        days, rows = [], []
+        for day, bpath, dpath in zip(
+            batch["day"].to_pylist(),
+            batch["base"].to_pylist(),
+            batch["dels"].to_pylist(),
+        ):
+            tab = pq.read_table(bpath)
+            dels = pq.read_table(dpath)["pos"].to_numpy()
+            keep = np.ones(len(tab), dtype=bool)
+            keep[dels] = False
+            out = tab.filter(pa.array(keep))
+            tmp_b = bpath + ".tmp"
+            pq.write_table(out, tmp_b, row_group_size=_ROW_GROUP_SIZE)
+            os.replace(tmp_b, bpath)
+            tmp_d = dpath + ".tmp"
+            pq.write_table(
+                pa.table({"pos": pa.array([], type=pa.int64())}), tmp_d
+            )
+            os.replace(tmp_d, dpath)
+            days.append(day)
+            rows.append(len(out))
+        return pa.table(
+            {
+                "day": pa.array(days, type=pa.string()),
+                "n_rows": pa.array(rows, type=pa.int64()),
+            }
+        )
+
+    return ray.data.from_items(
+        items, override_num_blocks=max(1, len(items) // 8)
+    ).map_batches(_rewrite, batch_format="pyarrow", batch_size=None)

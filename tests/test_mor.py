@@ -251,3 +251,35 @@ def test_eq_deletes_survive_compaction_reorder(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         before[["event_id", "event_type"]], after[["event_id", "event_type"]]
     )
+
+
+def test_compact_preserves_scan_and_resets_sidecars(ray_session, tmp_path):
+    """mor_compact folds the deletes into the base: the visible rows are
+    identical before and after (by VALUE — positions legitimately
+    re-densify), sidecars come back empty, and a fresh scan needs no
+    anti-filter."""
+    import ray
+
+    from pyrosar_ray.stages.mor import mor_compact, mor_scan, mor_write
+
+    out = str(tmp_path / "mor")
+    mor_write(ray.data.from_pandas(_events()), out).materialize()
+    before = (
+        mor_scan(out)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)[["event_id", "event_type"]]
+    )
+    manifest = mor_compact(out).to_pandas()
+    after_scan = mor_scan(out).to_pandas()
+    after = after_scan.sort_values("event_id", ignore_index=True)[
+        ["event_id", "event_type"]
+    ]
+    pd.testing.assert_frame_equal(before, after)
+    assert int(manifest.n_rows.sum()) == len(before)
+    # sidecars reset: every delete file is now empty
+    deldir = f"{out}/deletes"
+    for f in os.listdir(deldir):
+        assert len(pq.read_table(f"{deldir}/{f}")) == 0
+    # positions re-densified per day: 0..n-1 with no gaps
+    for day, grp in after_scan.groupby("day"):
+        assert sorted(grp.pos) == list(range(len(grp)))
