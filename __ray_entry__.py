@@ -6030,6 +6030,110 @@ def q_tpch_q8(sf_dir: str):
     )
 
 
+def q_tile_revisit(sf_dir: str):
+    """Per-tile revisit statistics — the SAR time-series planning
+    query (how often is each 1° tile re-imaged, and what is its worst
+    coverage gap): scenes flat-expand to their covered tiles (the
+    bounded getHGT fan-out), (tile, acquisition-day) pairs dedup
+    through one packed-key keyed_sum (tile id < 64800, day index <
+    2^20), tiles co-partition through the partition-domain exchange,
+    and per-tile day-sorted gap statistics vectorize inside the
+    partition (diff + groupby agg — no per-tile Python). Output:
+    (tile, n_days, first_day, last_day, max_gap) with days as integer
+    offsets from 2015-01-01; single-day tiles report max_gap 0. Twin:
+    the tile-expansion CTE + a lag window."""
+    from pyrosar_ray.functions.tiles import expand_bbox_tiles
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.agg import _MIX, _PART, keyed_sum
+    from pyrosar_ray.stages.groups import typed_groups
+
+    scenes = load_scenes(sf_dir)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        idx, lat, lon = expand_bbox_tiles(
+            batch["xmin"].to_numpy(), batch["xmax"].to_numpy(),
+            batch["ymin"].to_numpy(), batch["ymax"].to_numpy(),
+        )
+        days = (
+            (
+                pd.to_datetime(
+                    pd.Series(batch["start"].to_pylist()),
+                    format="%Y%m%dT%H%M%S",
+                ).dt.normalize()
+                - pd.Timestamp("2015-01-01")
+            ).dt.days.to_numpy().astype(np.int64)
+        )
+        tid = (lat + 90) * 360 + (lon + 180)
+        packed = np.unique(tid * (1 << 20) + days[idx])
+        return pa.table(
+            {"td": packed, "one": np.ones(len(packed), dtype=np.int64)}
+        )
+
+    td = keyed_sum(
+        scenes.map_batches(_expand, batch_format="pyarrow"), "td", ["one"]
+    )
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        packed = batch["td"].to_numpy()
+        tid = (packed >> 20).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((tid * _MIX) >> np.uint64(40)).astype(np.int64) % 64
+        return pa.table(
+            {
+                "tid": packed >> 20,
+                "day_i": packed & ((1 << 20) - 1),
+                _PART: part,
+            }
+        )
+
+    schema = {
+        "tile": pa.string(),
+        "n_days": pa.int64(),
+        "first_day": pa.int64(),
+        "last_day": pa.int64(),
+        "max_gap": pa.int64(),
+    }
+
+    @typed_groups(schema)
+    def _stats(group: pa.Table) -> pd.DataFrame:
+        df = group.to_pandas().sort_values(["tid", "day_i"], ignore_index=True)
+        tid = df["tid"].to_numpy()
+        day = df["day_i"].to_numpy()
+        gap = np.zeros(len(day), dtype=np.int64)
+        if len(day) > 1:
+            same = tid[1:] == tid[:-1]
+            gap[1:] = np.where(same, day[1:] - day[:-1], 0)
+        out = (
+            pd.DataFrame({"tid": tid, "day_i": day, "gap": gap})
+            .groupby("tid")
+            .agg(
+                n_days=("day_i", "size"),
+                first_day=("day_i", "min"),
+                last_day=("day_i", "max"),
+                max_gap=("gap", "max"),
+            )
+            .reset_index()
+        )
+        lat = out["tid"].to_numpy() // 360 - 90
+        lon = out["tid"].to_numpy() % 360 - 180
+        ns = np.where(lat < 0, "S", "N")
+        ew = np.where(lon < 0, "W", "E")
+        out["tile"] = pd.Series(
+            [
+                f"{a}{abs(int(y)):02d}{b}{abs(int(x)):03d}"
+                for a, y, b, x in zip(ns, lat, ew, lon)
+            ]
+        )
+        return out[["tile", "n_days", "first_day", "last_day", "max_gap"]]
+
+    return (
+        td.map_batches(_tag, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(_stats, batch_format="pyarrow")
+    )
+
+
 def q_events_scd2(sf_dir: str):
     """SCD Type-2 dimension history from a change stream: each user's
     event_type sequence collapses into validity intervals — one row per
@@ -6410,9 +6514,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users": q_events_new_users,
         "orders_copurchase": q_orders_copurchase,
         "raster_flowdir": q_raster_flowdir,
+        "tile_revisit": q_tile_revisit,
         "events_mad": q_events_mad,
         "tile_areal": q_tile_areal,
-        "doc_soft_dedup": q_doc_soft_dedup,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
         "audio_features": q_audio_features,
@@ -6427,6 +6531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "doc_soft_dedup": q_doc_soft_dedup,
         "doc_html_extract": q_doc_html_extract,
         "events_cube": q_events_cube,
         "doc_rake": q_doc_rake,
@@ -8968,6 +9073,44 @@ def oracle_sql() -> dict[str, str]:
         "points_zorder": _zorder_sql(),
         "points_hilbert": _hilbert_sql().replace("{POINTS}", POINTS_SQL),
         "raster_flowdir": _flowdir_sql(),
+        "tile_revisit": f"""
+            {_SCENES},
+            lat_exp AS (
+                SELECT scene_key, xmin, xmax, start,
+                       unnest(generate_series(floor(ymin)::BIGINT,
+                                              floor(ymax)::BIGINT)) AS lat
+                FROM scenes
+            ),
+            lon_exp AS (
+                SELECT scene_key, lat, start,
+                       unnest(generate_series(floor(xmin)::BIGINT,
+                                              floor(xmax)::BIGINT)) AS lon
+                FROM lat_exp
+            ),
+            td AS (
+                SELECT DISTINCT lat, lon,
+                       date_diff('day', DATE '2015-01-01',
+                           strptime(start, '%Y%m%dT%H%M%S')::DATE)::BIGINT
+                           AS day_i
+                FROM lon_exp
+            ),
+            g AS (
+                SELECT lat, lon, day_i,
+                       day_i - lag(day_i) OVER (
+                           PARTITION BY lat, lon ORDER BY day_i
+                       ) AS gap
+                FROM td
+            )
+            SELECT (CASE WHEN lat < 0 THEN 'S' ELSE 'N' END ||
+                    lpad(abs(lat)::VARCHAR, 2, '0') ||
+                    CASE WHEN lon < 0 THEN 'W' ELSE 'E' END ||
+                    lpad(abs(lon)::VARCHAR, 3, '0')) AS tile,
+                   COUNT(*)::BIGINT AS n_days,
+                   MIN(day_i)::BIGINT AS first_day,
+                   MAX(day_i)::BIGINT AS last_day,
+                   COALESCE(MAX(gap), 0)::BIGINT AS max_gap
+            FROM g GROUP BY 1
+        """,
         "mgrs_zones": _mgrs_sql(),
         "raster_gradient": _gradient_sql(),
         "zonal_stats": _ZONAL_SQL,

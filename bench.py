@@ -90,6 +90,7 @@ BENCH_QUERIES = (
     "events_new_users",
     "orders_copurchase",
     "raster_flowdir",
+    "tile_revisit",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",
