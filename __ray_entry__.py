@@ -6030,6 +6030,73 @@ def q_tpch_q8(sf_dir: str):
     )
 
 
+def q_scene_insar_pairs(sf_dir: str):
+    """InSAR baseline-pair selection — the interferometric stack
+    builder's input: unordered scene pairs whose footprints overlap
+    (positive bbox intersection, exact centidegree²) AND whose
+    acquisition days differ by at most 12 (the Sentinel-1 repeat-pass
+    temporal baseline). Pairs come from the bounded tile-ownership
+    exchange (footprint_overlap_pairs); the scene→day table is
+    catalog-sized and broadcasts once (the driver-resident catalog
+    contract), so the temporal gate is row-local. Output keeps the
+    overlap area and the day separation — the two knobs a stack
+    scheduler ranks by."""
+    import ray as _ray
+
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages.spatial import footprint_overlap_pairs
+
+    scenes = load_scenes(sf_dir)
+
+    def _days(batch: pa.Table) -> pa.Table:
+        d = (
+            (
+                pd.to_datetime(
+                    pd.Series(batch["start"].to_pylist()),
+                    format="%Y%m%dT%H%M%S",
+                ).dt.normalize()
+                - pd.Timestamp("2015-01-01")
+            ).dt.days.to_numpy().astype(np.int64)
+        )
+        return pa.table(
+            {"scene_key": batch["scene_key"], "day_i": pa.array(d)}
+        )
+
+    from pyrosar_ray.stages import collect_arrow
+
+    dmap = collect_arrow(
+        scenes.map_batches(_days, batch_format="pyarrow"),
+        empty_schema={"scene_key": pa.int64(), "day_i": pa.int64()},
+    )
+    keys = dmap["scene_key"].to_numpy()
+    order = np.argsort(keys)
+    dref = _ray.put((keys[order], dmap["day_i"].to_numpy()[order]))
+
+    class _TemporalGate:
+        def __init__(self):
+            self.keys, self.days = _ray.get(dref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sa = batch["scene_a"].to_numpy()
+            sb = batch["scene_b"].to_numpy()
+            da = self.days[np.searchsorted(self.keys, sa)]
+            db = self.days[np.searchsorted(self.keys, sb)]
+            dd = np.abs(da - db)
+            keep = dd <= 12
+            return pa.table(
+                {
+                    "scene_a": sa[keep],
+                    "scene_b": sb[keep],
+                    "overlap_cd2": batch["overlap_cd2"].to_numpy()[keep],
+                    "ddays": dd[keep],
+                }
+            )
+
+    return footprint_overlap_pairs(scenes).map_batches(
+        _TemporalGate, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 def q_tile_revisit(sf_dir: str):
     """Per-tile revisit statistics — the SAR time-series planning
     query (how often is each 1° tile re-imaged, and what is its worst
@@ -6515,7 +6582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_copurchase": q_orders_copurchase,
         "raster_flowdir": q_raster_flowdir,
         "tile_revisit": q_tile_revisit,
-        "events_mad": q_events_mad,
+        "scene_insar_pairs": q_scene_insar_pairs,
         "tile_areal": q_tile_areal,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
@@ -6531,6 +6598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "events_mad": q_events_mad,
         "doc_soft_dedup": q_doc_soft_dedup,
         "doc_html_extract": q_doc_html_extract,
         "events_cube": q_events_cube,
@@ -9110,6 +9178,38 @@ def oracle_sql() -> dict[str, str]:
                    MAX(day_i)::BIGINT AS last_day,
                    COALESCE(MAX(gap), 0)::BIGINT AS max_gap
             FROM g GROUP BY 1
+        """,
+        "scene_insar_pairs": f"""
+            {_SCENES}, ic AS (
+                SELECT scene_key,
+                       CAST(round(xmin * 100) AS BIGINT) AS x0,
+                       CAST(round(xmax * 100) AS BIGINT) AS x1,
+                       CAST(round(ymin * 100) AS BIGINT) AS y0,
+                       CAST(round(ymax * 100) AS BIGINT) AS y1
+                FROM scenes
+            ),
+            ip AS (
+                SELECT a.scene_key AS scene_a, b.scene_key AS scene_b,
+                       (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+                       * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0))
+                           AS overlap_cd2
+                FROM ic a JOIN ic b ON a.scene_key < b.scene_key
+                 AND a.x0 < b.x1 AND b.x0 < a.x1
+                 AND a.y0 < b.y1 AND b.y0 < a.y1
+            ),
+            idd AS (
+                SELECT scene_key,
+                       date_diff('day', DATE '2015-01-01',
+                           strptime(start, '%Y%m%dT%H%M%S')::DATE)::BIGINT
+                           AS day_i
+                FROM scenes
+            )
+            SELECT ip.scene_a, ip.scene_b, ip.overlap_cd2,
+                   abs(da.day_i - db.day_i)::BIGINT AS ddays
+            FROM ip
+            JOIN idd da ON da.scene_key = ip.scene_a
+            JOIN idd db ON db.scene_key = ip.scene_b
+            WHERE abs(da.day_i - db.day_i) <= 12
         """,
         "mgrs_zones": _mgrs_sql(),
         "raster_gradient": _gradient_sql(),

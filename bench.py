@@ -91,6 +91,7 @@ BENCH_QUERIES = (
     "orders_copurchase",
     "raster_flowdir",
     "tile_revisit",
+    "scene_insar_pairs",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",
