@@ -6030,6 +6030,93 @@ def q_tpch_q8(sf_dir: str):
     )
 
 
+def q_doc_minhash_recall(sf_dir: str):
+    """Approximation-quality audit of the MinHash+LSH candidate stage
+    against exact Jaccard ground truth — the measurement every tuned
+    dedup pipeline owes its operators: tp / fp / fn of the banded
+    candidate pairs (restricted to same-source, the exact stage's
+    blocking universe) versus the exact ≥0.5-Jaccard pairs. Candidates
+    attach sources through two co-partition joins (pair-volume-sized
+    exchanges); the set algebra folds driver-side under the documented
+    pair-volume bound (the LSH bucket contract bounds candidates, the
+    block contract bounds exact pairs; loud assert past 2M pairs).
+    Twin: the two pair CTEs + INTERSECT/EXCEPT counts."""
+    from pyrosar_ray.stages import collect_arrow, physical_select
+    from pyrosar_ray.stages.dedup_text import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+    from pyrosar_ray.stages.join import equi_join
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    cand = minhash_candidate_pairs(
+        _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    src = physical_select(docs, ["doc_id", "source"])
+
+    def _ren_a(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "src_a": batch["source"]}
+        )
+
+    def _ren_b(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "src_b": batch["source"]}
+        )
+
+    with_a = equi_join(
+        cand, src.map_batches(_ren_a, batch_format="pyarrow"),
+        on="id_a", right_on="doc_id", how="inner",
+    )
+    with_ab = equi_join(
+        physical_select(with_a, ["id_a", "id_b", "src_a"]),
+        src.map_batches(_ren_b, batch_format="pyarrow"),
+        on="id_b", right_on="doc_id", how="inner",
+    )
+
+    def _same_src(batch: pa.Table) -> pa.Table:
+        keep = (
+            batch["src_a"].to_numpy(zero_copy_only=False)
+            == batch["src_b"].to_numpy(zero_copy_only=False)
+        )
+        a = batch["id_a"].to_numpy()[keep]
+        b = batch["id_b"].to_numpy()[keep]
+        return pa.table({"pk": a * (1 << 32) + b})
+
+    mset_t = collect_arrow(
+        with_ab.map_batches(_same_src, batch_format="pyarrow"),
+        empty_schema={"pk": pa.int64()},
+    )
+    exact = jaccard_pairs(docs, block_col="source", threshold=0.5)
+
+    def _pack_e(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": batch["id_a"].to_numpy() * (1 << 32)
+                + batch["id_b"].to_numpy()
+            }
+        )
+
+    eset_t = collect_arrow(
+        exact.map_batches(_pack_e, batch_format="pyarrow"),
+        empty_schema={"pk": pa.int64()},
+    )
+    m = np.unique(mset_t["pk"].to_numpy())
+    e = np.unique(eset_t["pk"].to_numpy())
+    assert len(m) + len(e) <= 2_000_000, "pair volume exceeds the driver bound"
+    tp = int(np.isin(m, e).sum())
+    return pd.DataFrame(
+        {
+            "g": np.array([0], dtype=np.int64),
+            "tp": np.array([tp], dtype=np.int64),
+            "fp": np.array([len(m) - tp], dtype=np.int64),
+            "fn": np.array([len(e) - tp], dtype=np.int64),
+        }
+    )
+
+
 def q_scene_insar_pairs(sf_dir: str):
     """InSAR baseline-pair selection — the interferometric stack
     builder's input: unordered scene pairs whose footprints overlap
@@ -6583,7 +6670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_flowdir": q_raster_flowdir,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
-        "tile_areal": q_tile_areal,
+        "doc_minhash_recall": q_doc_minhash_recall,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
         "audio_features": q_audio_features,
@@ -6598,6 +6685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "tile_areal": q_tile_areal,
         "events_mad": q_events_mad,
         "doc_soft_dedup": q_doc_soft_dedup,
         "doc_html_extract": q_doc_html_extract,
@@ -8983,6 +9071,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash": _simhash_sql(),
         "doc_minhash_pairs": _minhash_sql(),
+        "doc_minhash_recall": f"""
+            WITH m AS ({_minhash_sql()}),
+            mss AS (
+                SELECT m.id_a, m.id_b
+                FROM m
+                JOIN documents da ON da.doc_id = m.id_a
+                JOIN documents db ON db.doc_id = m.id_b
+                WHERE da.source = db.source
+            ),
+            ex AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) a
+                JOIN (SELECT doc_id, source,
+                             list_distinct(string_split(text, ' ')) AS toks
+                      FROM documents) b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+                      (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.5
+            )
+            SELECT 0::BIGINT AS g,
+                   (SELECT COUNT(*) FROM
+                       (SELECT * FROM mss INTERSECT SELECT * FROM ex))
+                       ::BIGINT AS tp,
+                   (SELECT COUNT(*) FROM
+                       (SELECT * FROM mss EXCEPT SELECT * FROM ex))
+                       ::BIGINT AS fp,
+                   (SELECT COUNT(*) FROM
+                       (SELECT * FROM ex EXCEPT SELECT * FROM mss))
+                       ::BIGINT AS fn
+        """,
         "doc_hll": _hll_sql(),
         "doc_cms": _cms_sql(),
         "doc_clustering_coef": """
