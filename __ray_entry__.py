@@ -6040,7 +6040,15 @@ def q_doc_minhash_recall(sf_dir: str):
     exchanges); the set algebra folds driver-side under the documented
     pair-volume bound (the LSH bucket contract bounds candidates, the
     block contract bounds exact pairs; loud assert past 2M pairs).
-    Twin: the two pair CTEs + INTERSECT/EXCEPT counts."""
+    Twin: the two pair CTEs + INTERSECT/EXCEPT counts.
+
+    Reading the result: the candidate stage hashes 3-gram SHINGLES
+    while the exact stage measures distinct-WORD-set Jaccard — two
+    different similarity spaces, so the audit legitimately reports low
+    recall on this corpus (fn >> tp). That mismatch is exactly what
+    the query exists to surface: a production pipeline must pair a
+    candidate generator with a verifier over the SAME similarity
+    function, or quantify the gap as done here."""
     from pyrosar_ray.stages import collect_arrow, physical_select
     from pyrosar_ray.stages.dedup_text import (
         jaccard_pairs,
