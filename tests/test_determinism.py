@@ -47,6 +47,8 @@ QUERIES = [
     # MOR time travel: positional sidecar union must be identical at
     # any base read granularity
     "events_timetravel",
+    # packed tile-day dedup + partition-domain gap statistics
+    "tile_revisit",
 ]
 
 

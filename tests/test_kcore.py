@@ -80,3 +80,48 @@ def test_real_graph_parity(ray_session):
     assert (deg >= 2).all()
     got = drv.set_index("scene_key").core_deg
     assert (deg.sort_index() == got.sort_index()).all()
+
+
+def test_random_graphs_match_bruteforce(ray_session):
+    """Property: for random sparse graphs and several k, the cost-based
+    kcore equals a brute-force iterative peel."""
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        n_nodes, n_edges = 200, 500
+        a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        keep = a != b
+        lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+        packed = np.unique(lo * 1000 + hi)
+        lo, hi = packed // 1000, packed % 1000
+        for k in (2, 3, 4):
+            raw = kcore(_edges(list(zip(lo, hi))), k=k).to_pandas()
+            # brute force peel on adjacency sets
+            adj = {}
+            for u, v in zip(lo, hi):
+                adj.setdefault(int(u), set()).add(int(v))
+                adj.setdefault(int(v), set()).add(int(u))
+            changed = True
+            while changed:
+                changed = False
+                for u in list(adj):
+                    if len(adj[u]) < k:
+                        for v in adj.pop(u):
+                            if v in adj:
+                                adj[v].discard(u)
+                        changed = True
+            want = pd.DataFrame(
+                {
+                    "doc_id": sorted(adj),
+                    "core_deg": [len(adj[u]) for u in sorted(adj)],
+                }
+            )
+            if len(want) == 0:
+                # empty Dataset.to_pandas() drops columns (documented
+                # Ray wart) — only the row count is assertable here
+                assert len(raw) == 0
+            else:
+                got = raw.sort_values("doc_id", ignore_index=True)
+                pd.testing.assert_frame_equal(
+                    got.astype(np.int64), want.astype(np.int64)
+                )

@@ -96,3 +96,46 @@ def test_history_tiles_real_table(ray_session):
         | (ev.user_id != ev.user_id.shift())
     )
     assert len(out) == int(changed.sum())
+
+
+def test_random_streams_match_bruteforce(ray_session):
+    """Property: for random keyed streams, the distributed interval
+    build equals a single-process pandas reference exactly."""
+    rng = np.random.default_rng(42)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**9, n), unit="us"),
+            "user_id": rng.integers(0, 37, n),
+            "event_type": rng.choice(list("ABCD"), n),
+        }
+    )
+    got = (
+        scd2_intervals(ray.data.from_pandas(df).repartition(7))
+        .to_pandas()
+        .sort_values(["user_id", "valid_from"], ignore_index=True)
+    )
+    # brute force: per user, sort by (ts, id), collapse runs
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], ignore_index=True)
+        run_start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or g.event_type[i] != g.event_type[run_start]:
+                rows.append(
+                    (uid, g.event_type[run_start],
+                     g.ts[run_start].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                     None if i == len(g)
+                     else g.ts[i].strftime("%Y-%m-%d %H:%M:%S.%f"))
+                )
+                run_start = i
+    want = pd.DataFrame(
+        rows, columns=["user_id", "event_type", "valid_from", "valid_to"]
+    )
+    want["is_current"] = want.valid_to.isna().astype(np.int64)
+    want["valid_to"] = want.valid_to.fillna(SCD2_SENTINEL)
+    want = want.sort_values(["user_id", "valid_from"], ignore_index=True)
+    want["user_id"] = want["user_id"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[want.columns], want)
