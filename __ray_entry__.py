@@ -3420,6 +3420,61 @@ def _flowdir_sql() -> str:
         """
 
 
+def q_image_equalize(sf_dir: str):
+    """Per-image histogram equalization, integer-exact (the classic
+    contrast stretch): LUT = floor((cdf − cdf_min)·255 / (npix −
+    cdf_min)) from each image's own 256-bin histogram, applied per
+    pixel; emitted as the position-weighted sum of the equalized plane
+    (pins the permutation, not just the multiset), min/max and pixel
+    count. Row-local bincount+cumsum+gather over the decoded bytes; the
+    twin rebuilds histogram, CDF window, LUT and the weighted sum from
+    the fill formula."""
+    from pyrosar_ray.sources.images import patch_images_from_documents
+    from pyrosar_ray.stages.images import hist_equalize_stats
+
+    return hist_equalize_stats(patch_images_from_documents(sf_dir))
+
+
+def _equalize_sql() -> str:
+    v = "((doc_id * 7 + y * 13 + x * 5) % 251)"
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+            FROM documents
+        ), ys AS (
+            SELECT doc_id, w, unnest(range(0, h))::BIGINT AS y FROM imgs
+        ), pix AS (
+            SELECT doc_id, y, unnest(range(0, w))::BIGINT AS x,
+                   w FROM ys
+        ), px AS (
+            SELECT doc_id, {v} AS v, (y * w + x + 1)::BIGINT AS idx FROM pix
+        ), hist AS (
+            SELECT doc_id, v, COUNT(*)::BIGINT AS c FROM px GROUP BY 1, 2
+        ), cdf AS (
+            SELECT doc_id, v,
+                   SUM(c) OVER (PARTITION BY doc_id ORDER BY v)::BIGINT AS cdf
+            FROM hist
+        ), st AS (
+            SELECT doc_id, MIN(cdf)::BIGINT AS cdf_min,
+                   MAX(cdf)::BIGINT AS npix
+            FROM cdf GROUP BY 1
+        ), lut AS (
+            SELECT c.doc_id, c.v,
+                   CASE WHEN st.npix = st.cdf_min THEN 0
+                        ELSE (c.cdf - st.cdf_min) * 255
+                             // (st.npix - st.cdf_min) END AS eq
+            FROM cdf c JOIN st ON c.doc_id = st.doc_id
+        )
+        SELECT p.doc_id AS image_id,
+               SUM(l.eq * p.idx)::BIGINT AS eq_wsum,
+               MIN(l.eq)::BIGINT AS eq_min,
+               MAX(l.eq)::BIGINT AS eq_max,
+               COUNT(*)::BIGINT AS npix
+        FROM px p JOIN lut l ON l.doc_id = p.doc_id AND l.v = p.v
+        GROUP BY 1
+        """
+
+
 def q_image_patches(sf_dir: str):
     """ViT-style patch extraction through real byte decode: closed-form
     grayscale rasters (v = (id*7 + y*13 + x*5) % 251, ragged sizes) are
@@ -6678,7 +6733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_flowdir": q_raster_flowdir,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
-        "doc_minhash_recall": q_doc_minhash_recall,
+        "image_equalize": q_image_equalize,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
         "audio_features": q_audio_features,
@@ -6693,6 +6748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "doc_minhash_recall": q_doc_minhash_recall,
         "tile_areal": q_tile_areal,
         "events_mad": q_events_mad,
         "doc_soft_dedup": q_doc_soft_dedup,
@@ -9270,6 +9326,7 @@ def oracle_sql() -> dict[str, str]:
         "points_zorder": _zorder_sql(),
         "points_hilbert": _hilbert_sql().replace("{POINTS}", POINTS_SQL),
         "raster_flowdir": _flowdir_sql(),
+        "image_equalize": _equalize_sql(),
         "tile_revisit": f"""
             {_SCENES},
             lat_exp AS (

@@ -92,6 +92,7 @@ BENCH_QUERIES = (
     "raster_flowdir",
     "tile_revisit",
     "scene_insar_pairs",
+    "image_equalize",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",

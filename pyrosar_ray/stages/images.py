@@ -1048,3 +1048,47 @@ def aspect_bucket_assign(
         )
 
     return images.map_batches(_assign, batch_format="pyarrow")
+
+
+def hist_equalize_stats(
+    images: Dataset,
+    id_col: str = "image_id",
+) -> Dataset:
+    """Per-image histogram equalization, integer-exact: the classic
+    contrast-stretch LUT ``lut[v] = floor((cdf[v] - cdf_min) * 255 /
+    (npix - cdf_min))`` built from the image's OWN 256-bin histogram and
+    applied per pixel. Emitted per image: the position-weighted sum of
+    the equalized plane (``Σ eq[y,x]·(y·w + x + 1)`` — pins the pixel
+    permutation, not just the multiset), the equalized min/max, and the
+    pixel count. Constant images (cdf_min == npix) equalize to all
+    zeros by convention — shared with the twin. Row-local, zero
+    shuffle; bincount + cumsum + one LUT gather per image.
+    """
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        blobs = batch["bytes"].to_pylist()
+        out = {k: [] for k in (id_col, "eq_wsum", "eq_min", "eq_max", "npix")}
+        for i in range(len(ids)):
+            w, h = int(ws[i]), int(hs[i])
+            v = np.frombuffer(blobs[i], dtype=np.uint8).astype(np.int64)
+            npix = len(v)
+            hist = np.bincount(v, minlength=256)
+            cdf = np.cumsum(hist)
+            nz = np.flatnonzero(hist)
+            cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+            if npix == cdf_min:
+                eq = np.zeros(npix, dtype=np.int64)
+            else:
+                lut = (cdf - cdf_min) * 255 // (npix - cdf_min)
+                eq = lut[v]
+            out[id_col].append(int(ids[i]))
+            out["eq_wsum"].append(int((eq * (np.arange(npix) + 1)).sum()))
+            out["eq_min"].append(int(eq.min()) if npix else 0)
+            out["eq_max"].append(int(eq.max()) if npix else 0)
+            out["npix"].append(npix)
+        return pa.table({k: pa.array(c, type=pa.int64()) for k, c in out.items()})
+
+    return images.map_batches(_stats, batch_format="pyarrow", batch_size=128)
