@@ -6351,6 +6351,104 @@ def q_tile_revisit(sf_dir: str):
     )
 
 
+def q_orders_rfm(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles — the classic CRM scoring): per-customer last-order day,
+    order count and total spend fold through ONE keyed_agg; each metric
+    quintile-ranks through the engine's exact distributed ROW_NUMBER
+    (stages/rank.global_rank — two bounded exchanges per metric, no
+    global sort) and the EXACT standard-SQL NTILE bucket boundary (the
+    first n%5 groups take one extra row) applies row-local against the
+    broadcast customer count; segments join co-partitioned and a
+    125-cell groupby counts. All integer; twin = three NTILE windows."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import physical_select, table_from_pandas
+    from pyrosar_ray.stages.agg import keyed_agg
+    from pyrosar_ray.stages.join import equi_join
+    from pyrosar_ray.stages.rank import global_rank
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    US_PER_DAY = 86_400_000_000
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "last_day": batch["o_orderdate"].cast(pa.int64()).to_numpy()
+                // US_PER_DAY,
+                "n_orders": np.ones(batch.num_rows, dtype=np.int64),
+                "total_c": np.floor(
+                    batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    metrics = keyed_agg(
+        orders.map_batches(_proj, batch_format="pyarrow"),
+        "o_custkey",
+        {"last_day": "max", "n_orders": "sum", "total_c": "sum"},
+    ).materialize()
+    n = metrics.count()
+
+    def _ntile(rank: np.ndarray, n_rows: int, k: int = 5) -> np.ndarray:
+        # standard SQL NTILE: the first n%k groups take one extra row
+        big = n_rows % k
+        small = n_rows // k
+        r0 = rank - 1
+        cut = big * (small + 1)
+        return np.where(
+            r0 < cut,
+            r0 // (small + 1) if small + 1 else 0,
+            big + np.where(small, (r0 - cut) // max(small, 1), 0),
+        ).astype(np.int64) + 1
+
+    buckets = []
+    for col, out_name in (
+        ("last_day", "rb"), ("n_orders", "fb"), ("total_c", "mb")
+    ):
+        ranked = global_rank(
+            physical_select(metrics, ["o_custkey", col]),
+            score_col=col, id_col="o_custkey",
+        )
+
+        def _bucket(batch: pa.Table, _o=out_name) -> pa.Table:
+            return pa.table(
+                {
+                    "o_custkey": batch["o_custkey"],
+                    _o: _ntile(batch["rank"].to_numpy(), n),
+                }
+            )
+
+        buckets.append(ranked.map_batches(_bucket, batch_format="pyarrow"))
+
+    rf = equi_join(buckets[0], buckets[1], on="o_custkey", how="inner")
+    rfm = equi_join(
+        physical_select(rf, ["o_custkey", "rb", "fb"]),
+        buckets[2], on="o_custkey", how="inner",
+    )
+
+    def _seg_partial(batch: pa.Table) -> pa.Table:
+        seg = (
+            batch["rb"].to_numpy() * 100
+            + batch["fb"].to_numpy() * 10
+            + batch["mb"].to_numpy()
+        )
+        keys, counts = np.unique(seg, return_counts=True)
+        return pa.table(
+            {"segment": keys, "n_cust": counts.astype(np.int64)}
+        )
+
+    return (
+        rfm.map_batches(_seg_partial, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Sum("n_cust", alias_name="n_cust"))
+    )
+
+
 def q_events_scd2(sf_dir: str):
     """SCD Type-2 dimension history from a change stream: each user's
     event_type sequence collapses into validity intervals — one row per
@@ -6730,10 +6828,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_hilbert": q_points_hilbert,
         "events_new_users": q_events_new_users,
         "orders_copurchase": q_orders_copurchase,
-        "raster_flowdir": q_raster_flowdir,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
-        "image_equalize": q_image_equalize,
+        "orders_rfm": q_orders_rfm,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
         "audio_features": q_audio_features,
@@ -6748,6 +6845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
         # ---- round-5 window rotation.
+        "raster_flowdir": q_raster_flowdir,
+        "image_equalize": q_image_equalize,
         "doc_minhash_recall": q_doc_minhash_recall,
         "tile_areal": q_tile_areal,
         "events_mad": q_events_mad,
@@ -11070,6 +11169,26 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY 1
+        """,
+        "orders_rfm": """
+            WITH m AS (
+                SELECT o_custkey,
+                       MAX(epoch(o_orderdate)::BIGINT // 86400) AS last_day,
+                       COUNT(*)::BIGINT AS n_orders,
+                       SUM(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+                           AS total_c
+                FROM orders GROUP BY 1
+            ),
+            b AS (
+                SELECT o_custkey,
+                       NTILE(5) OVER (ORDER BY last_day, o_custkey) AS rb,
+                       NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS fb,
+                       NTILE(5) OVER (ORDER BY total_c, o_custkey) AS mb
+                FROM m
+            )
+            SELECT (rb * 100 + fb * 10 + mb)::BIGINT AS segment,
+                   COUNT(*)::BIGINT AS n_cust
+            FROM b GROUP BY 1
         """,
         "tpch_q15": """
             WITH rev AS (

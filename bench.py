@@ -93,6 +93,7 @@ BENCH_QUERIES = (
     "tile_revisit",
     "scene_insar_pairs",
     "image_equalize",
+    "orders_rfm",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",
