@@ -6242,8 +6242,12 @@ def q_scene_insar_pairs(sf_dir: str):
                 }
             )
 
+    # batch_size=None: one call per block — the gate is a searchsorted
+    # over the broadcast day table, so per-CALL overhead dominates at
+    # default batch size (5M candidate pairs / 1024 ≈ 5000 calls)
     return footprint_overlap_pairs(scenes).map_batches(
-        _TemporalGate, batch_format="pyarrow", concurrency=(1, 4)
+        _TemporalGate, batch_format="pyarrow", batch_size=None,
+        concurrency=(2, 8),
     )
 
 
