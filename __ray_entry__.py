@@ -4157,6 +4157,27 @@ def q_points_zscan(sf_dir: str):
     return zorder_scan(out, (-25.0, -10.0, 5.0, 20.0))
 
 
+def q_points_hscan(sf_dir: str):
+    """Hilbert-clustered write + min/max data skipping — points_zscan's
+    physical-layout sibling on the curve with the better locality
+    (consecutive keys always grid-adjacent, so a bucket's (lon, lat)
+    envelope is tighter and more row groups prune). The scan side is
+    key-agnostic — stats skipping reads only the footer envelopes — so
+    the RESULT is layout-independent and shares points_zscan's oracle
+    verbatim; the curve choice shows up as the skip ratio, measured in
+    tests/test_zscan.py (Hilbert survives <= Morton's row-group count
+    on the benchmark box)."""
+    import tempfile
+
+    from pyrosar_ray.functions.hilbert import hilbert_key
+    from pyrosar_ray.pipelines.tables import load_points
+    from pyrosar_ray.stages.zscan import zorder_scan, zorder_write
+
+    out = tempfile.mkdtemp(prefix="hscan_", dir="/tmp")
+    zorder_write(load_points(sf_dir), out, key_fn=hilbert_key).materialize()
+    return zorder_scan(out, (-25.0, -10.0, 5.0, 20.0))
+
+
 def q_events_mor(sf_dir: str):
     """Lakehouse merge-on-read: day-partitioned base parquet + Iceberg-
     style POSITIONAL delete sidecars (type='error' rows recorded as
@@ -6848,7 +6869,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- never-checked tail below (embed_kmeans/embed_sq_rerank/
         # ---- embed_pq_* through doc_split) — those remain
         # ---- gate-checked locally and are first in line for the
-        # ---- round-5 window rotation.
+        # ---- round-5 window rotation. (points_hscan shares
+        # ---- points_zscan's oracle values by design — layout twin —
+        # ---- so it stays out of the value-check window on purpose.)
+        "points_hscan": q_points_hscan,
         "raster_flowdir": q_raster_flowdir,
         "image_equalize": q_image_equalize,
         "doc_minhash_recall": q_doc_minhash_recall,
@@ -10923,6 +10947,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "points_zscan": f"""
+            WITH p AS ({POINTS_SQL})
+            SELECT point_id, lon, lat FROM p
+            WHERE lon >= -25 AND lon <= 5 AND lat >= -10 AND lat <= 20
+        """,
+        "points_hscan": f"""
             WITH p AS ({POINTS_SQL})
             SELECT point_id, lon, lat FROM p
             WHERE lon >= -25 AND lon <= 5 AND lat >= -10 AND lat <= 20

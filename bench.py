@@ -94,6 +94,7 @@ BENCH_QUERIES = (
     "scene_insar_pairs",
     "image_equalize",
     "orders_rfm",
+    "points_hscan",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",

@@ -38,13 +38,20 @@ _ROW_GROUP_SIZE = 512
 _BUCKET_SHIFT = 26  # top bits of the 32-bit key → ≤ 64 file buckets
 
 
-def zorder_write(points: Dataset, out_dir: str) -> Dataset:
-    """Cluster by Morton key into bucket files; returns the manifest
-    (bucket, n_rows, n_row_groups)."""
+def zorder_write(points: Dataset, out_dir: str, key_fn=None) -> Dataset:
+    """Cluster by a space-filling-curve key into bucket files; returns
+    the manifest (bucket, n_rows, n_row_groups).
+
+    ``key_fn(lon, lat) -> int64`` defaults to the Morton key; pass
+    ``functions.hilbert.hilbert_key`` for the Hilbert layout — the scan
+    side is key-agnostic (skipping reads only the lon/lat footer
+    stats), so the curve choice is purely a clustering-quality knob."""
     os.makedirs(out_dir, exist_ok=True)
+    if key_fn is None:
+        key_fn = morton_key
 
     def _key(batch: pa.Table) -> pa.Table:
-        z = morton_key(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        z = key_fn(batch["lon"].to_numpy(), batch["lat"].to_numpy())
         return batch.append_column("z", pa.array(z)).append_column(
             "bucket", pa.array((z >> _BUCKET_SHIFT).astype(np.int64))
         )
