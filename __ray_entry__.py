@@ -6376,6 +6376,70 @@ def q_tile_revisit(sf_dir: str):
     )
 
 
+def q_doc_kneser_ney(sf_dir: str):
+    """Kneser-Ney smoothed bigram LM scoring in exact fixed point —
+    the ccnet scorer's properly-smoothed sibling (absolute discount
+    d = 3/4, continuation probabilities): P(w2|w1) = (c12 − 3/4)⁺/c1 +
+    (3/4)·N1+(w1·)/c1 · N1+(·w2)/B rendered as ONE integer per seen
+    bigram, P_fp = ⌊((4·c12−3)⁺·B + 3·N1f·N1b)·2^20 / (4·c1·B)⌋ — the
+    driver builds the table in arbitrary-precision Python ints (no
+    overflow at any corpus size; the twin needs HUGEINT for the same
+    product), broadcasts it once (vocab²-bounded, the shipped-model
+    contract ccnet documents), and scoring is row-local: per-doc score
+    = ⌊Σ P_fp / n_bigrams⌋. Docs with no bigrams score 0. KN's point —
+    unseen-pair continuation mass — never triggers on a self-trained
+    corpus, so the seen-pair table is exhaustive here (documented)."""
+    import ray as _ray
+
+    from pyrosar_ray.stages.text import bigram_lm
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lm_rows = (
+        bigram_lm(docs.select_columns(["text"]))
+        .select_columns(["w1", "w2", "n"])
+        .take_all()
+    )  # model-sized broadcast (vocab²-bounded), shipped once
+    SCALE = 1 << 20
+    c1: dict[str, int] = {}
+    n1f: dict[str, int] = {}
+    n1b: dict[str, int] = {}
+    for r in lm_rows:
+        c1[r["w1"]] = c1.get(r["w1"], 0) + int(r["n"])
+        n1f[r["w1"]] = n1f.get(r["w1"], 0) + 1
+        n1b[r["w2"]] = n1b.get(r["w2"], 0) + 1
+    B = len(lm_rows)
+    pf = {
+        f"{r['w1']} {r['w2']}": (
+            (max(4 * int(r["n"]) - 3, 0) * B + 3 * n1f[r["w1"]] * n1b[r["w2"]])
+            * SCALE
+        ) // (4 * c1[r["w1"]] * B)
+        for r in lm_rows
+    }
+    pf_ref = _ray.put(pf)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from pyrosar_ray.stages.dsir import explode_grams
+
+        table = _ray.get(pf_ref)
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        _, big = explode_grams(df["text"])
+        vals = big.map(table).fillna(0).astype("int64")
+        num = vals.groupby(level=0).sum().reindex(df.index, fill_value=0)
+        nb = big.groupby(level=0).size().reindex(df.index, fill_value=0)
+        score = (num // nb.clip(lower=1)).astype("int64")
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+                "score": pa.array(score.to_numpy()),
+                "n_bigrams": pa.array(nb.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
 def q_orders_rfm(sf_dir: str):
     """RFM customer segmentation (recency / frequency / monetary
     quintiles — the classic CRM scoring): per-customer last-order day,
@@ -6856,6 +6920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "orders_rfm": q_orders_rfm,
+        "doc_kneser_ney": q_doc_kneser_ney,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
         "audio_features": q_audio_features,
@@ -11202,6 +11267,41 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY 1
+        """,
+        "doc_kneser_ney": """
+            WITH tl AS (
+                SELECT doc_id, str_split(text, ' ') AS l FROM documents
+            ), big AS (
+                SELECT doc_id, l[g.i] AS w1, l[g.i + 1] AS w2
+                FROM tl, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+            ), cnt AS (
+                SELECT w1, w2, COUNT(*)::BIGINT AS n FROM big GROUP BY 1, 2
+            ), ctx AS (
+                SELECT w1, SUM(n)::BIGINT AS c, COUNT(*)::BIGINT AS n1f
+                FROM cnt GROUP BY 1
+            ), bw AS (
+                SELECT w2, COUNT(*)::BIGINT AS n1b FROM cnt GROUP BY 1
+            ), bt AS (
+                SELECT COUNT(*)::BIGINT AS b FROM cnt
+            ), pf AS (
+                SELECT cnt.w1, cnt.w2,
+                       ((GREATEST(4 * cnt.n - 3, 0)::HUGEINT * bt.b
+                         + 3::HUGEINT * ctx.n1f * bw.n1b) * 1048576
+                        // (4::HUGEINT * ctx.c * bt.b))::BIGINT AS p
+                FROM cnt
+                JOIN ctx ON ctx.w1 = cnt.w1
+                JOIN bw ON bw.w2 = cnt.w2
+                CROSS JOIN bt
+            ), per AS (
+                SELECT b.doc_id, SUM(pf.p)::BIGINT AS num,
+                       COUNT(*)::BIGINT AS nb
+                FROM big b JOIN pf ON pf.w1 = b.w1 AND pf.w2 = b.w2
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.num // p.nb, 0)::BIGINT AS score,
+                   COALESCE(p.nb, 0)::BIGINT AS n_bigrams
+            FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
         """,
         "orders_rfm": """
             WITH m AS (

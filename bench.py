@@ -95,6 +95,7 @@ BENCH_QUERIES = (
     "image_equalize",
     "orders_rfm",
     "points_hscan",
+    "doc_kneser_ney",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",
