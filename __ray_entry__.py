@@ -6376,6 +6376,152 @@ def q_tile_revisit(sf_dir: str):
     )
 
 
+def q_part_abc(sf_dir: str):
+    """ABC / Pareto classification of parts by revenue share — the
+    inventory-analytics classic (A = parts inside the first 80% of
+    cumulative revenue in descending order, B to 95%, C the tail):
+    per-part revenue folds through one keyed_sum; the descending
+    running total runs through the engine's exact distributed
+    prefix-sum (stages/rank.global_cumsum — order = max_rev − rev so
+    the ascending scan IS the descending revenue order, partkey
+    tie-break shared with the twin's window); class boundaries apply
+    as exact integer cross-multiplies (cum·5 ≤ total·4, cum·20 ≤
+    total·19) against two driver scalars; a 3-row groupby finishes."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.agg import keyed_sum
+    from pyrosar_ray.stages.rank import global_cumsum
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "rev_c": np.floor(
+                    batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    rev = keyed_sum(
+        li.map_batches(_rev, batch_format="pyarrow"), "l_partkey", ["rev_c"]
+    ).materialize()
+    max_rev = int(rev.max("rev_c"))
+    total = int(rev.sum("rev_c"))
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "rev_c": batch["rev_c"],
+                "ord": max_rev - batch["rev_c"].to_numpy(),
+            }
+        )
+
+    cum = global_cumsum(
+        rev.map_batches(_ord, batch_format="pyarrow"),
+        order_col="ord", id_col="l_partkey", value_col="rev_c",
+        out_col="cum_c",
+    )
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        c = batch["cum_c"].to_numpy()
+        # global_cumsum emits (id, order, run_sum) only — revenue
+        # reconstructs exactly from the order key (ord = max_rev − rev)
+        rev_c = max_rev - batch["ord"].to_numpy()
+        abc = np.where(
+            c * 5 <= total * 4, "A", np.where(c * 20 <= total * 19, "B", "C")
+        )
+        df = pd.DataFrame(
+            {
+                "abc": abc,
+                "n_parts": np.ones(len(c), dtype=np.int64),
+                "class_rev_c": rev_c,
+            }
+        ).groupby("abc", as_index=False).sum()
+        return table_from_pandas(df)
+
+    return (
+        cum.map_batches(_classify, batch_format="pyarrow")
+        .groupby("abc")
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("class_rev_c", alias_name="class_rev_c"),
+        )
+    )
+
+
+def q_orders_cohort(sf_dir: str):
+    """Cohort LTV matrix — revenue by (first-order month, months since
+    first order), the growth team's retention-revenue table: each
+    customer's cohort month folds through one keyed_agg min, orders
+    join their customer's cohort co-partitioned, and the bounded
+    (cohort, age) matrix folds with per-batch partial combine. All
+    integer (month index = year·12 + month, revenue in cents); twin =
+    a MIN window over customers + the same double-key groupby."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.agg import keyed_agg
+    from pyrosar_ray.stages.join import equi_join
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        ts = pd.Series(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        month_i = (ts.dt.year * 12 + ts.dt.month).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "month_i": month_i,
+                "rev_c": np.floor(
+                    batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    om = orders.map_batches(_proj, batch_format="pyarrow").materialize()
+    first = keyed_agg(om, "o_custkey", {"month_i": "min"})
+
+    def _ren(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "cohort_m": batch["month_i"]}
+        )
+
+    joined = equi_join(
+        om, first.map_batches(_ren, batch_format="pyarrow"),
+        on="o_custkey", how="inner",
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "cohort_m": batch["cohort_m"].to_numpy(),
+                "age_m": batch["month_i"].to_numpy()
+                - batch["cohort_m"].to_numpy(),
+                "n_orders": np.ones(batch.num_rows, dtype=np.int64),
+                "revenue_c": batch["rev_c"].to_numpy(),
+            }
+        ).groupby(["cohort_m", "age_m"], as_index=False).sum()
+        return table_from_pandas(df)
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["cohort_m", "age_m"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_c", alias_name="revenue_c"),
+        )
+    )
+
+
 def q_doc_kneser_ney(sf_dir: str):
     """Kneser-Ney smoothed bigram LM scoring in exact fixed point —
     the ccnet scorer's properly-smoothed sibling (absolute discount
@@ -6913,14 +7059,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": q_tpch_q17,
         "events_scd2": q_events_scd2,
         "scene_kcore": q_scene_kcore,
-        "events_eqdelete": q_events_eqdelete,
         "points_hilbert": q_points_hilbert,
-        "events_new_users": q_events_new_users,
         "orders_copurchase": q_orders_copurchase,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "orders_rfm": q_orders_rfm,
         "doc_kneser_ney": q_doc_kneser_ney,
+        "part_abc": q_part_abc,
+        "orders_cohort": q_orders_cohort,
         "doc_crawl_curate": q_doc_crawl_curate,
         # -- newly hash-twinned this round (previously rows-only) --
         "audio_features": q_audio_features,
@@ -6937,6 +7083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-5 window rotation. (points_hscan shares
         # ---- points_zscan's oracle values by design — layout twin —
         # ---- so it stays out of the value-check window on purpose.)
+        "events_eqdelete": q_events_eqdelete,
+        "events_new_users": q_events_new_users,
         "points_hscan": q_points_hscan,
         "raster_flowdir": q_raster_flowdir,
         "image_equalize": q_image_equalize,
@@ -11267,6 +11415,48 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY 1
+        """,
+        "part_abc": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       SUM(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+                           AS rev_c
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT SUM(rev_c)::BIGINT AS total FROM rev),
+            c AS (
+                SELECT l_partkey, rev_c,
+                       SUM(rev_c) OVER (
+                           ORDER BY rev_c DESC, l_partkey
+                           ROWS UNBOUNDED PRECEDING
+                       )::BIGINT AS cum
+                FROM rev
+            )
+            SELECT CASE WHEN c.cum * 5 <= t.total * 4 THEN 'A'
+                        WHEN c.cum * 20 <= t.total * 19 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   COUNT(*)::BIGINT AS n_parts,
+                   SUM(c.rev_c)::BIGINT AS class_rev_c
+            FROM c, t GROUP BY 1
+        """,
+        "orders_cohort": """
+            WITH om AS (
+                SELECT o_custkey,
+                       (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT
+                           AS month_i,
+                       floor(o_totalprice * 100 + 0.5)::BIGINT AS rev_c
+                FROM orders
+            ),
+            w AS (
+                SELECT month_i, rev_c,
+                       MIN(month_i) OVER (PARTITION BY o_custkey)::BIGINT
+                           AS cohort_m
+                FROM om
+            )
+            SELECT cohort_m, (month_i - cohort_m)::BIGINT AS age_m,
+                   COUNT(*)::BIGINT AS n_orders,
+                   SUM(rev_c)::BIGINT AS revenue_c
+            FROM w GROUP BY 1, 2
         """,
         "doc_kneser_ney": """
             WITH tl AS (

@@ -96,6 +96,8 @@ BENCH_QUERIES = (
     "orders_rfm",
     "points_hscan",
     "doc_kneser_ney",
+    "part_abc",
+    "orders_cohort",
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",
