@@ -39,6 +39,20 @@ _GAP_US = 1_800_000_000  # 30-minute session gap
 # --------------------------------------------------------------- helpers
 
 
+def _check_pack(arr: np.ndarray, bits: int = 20, name: str = "key") -> np.ndarray:
+    """Guard for packed composite keys: the low field must fit in
+    ``bits`` bits or the pack silently collides (TPC-H partkey = 200k·sf
+    crosses 2^20 around sf≈5). A per-batch max check costs one numpy
+    reduction and turns scale-factor growth into a loud error instead
+    of wrong results."""
+    if len(arr) and int(arr.max()) >= (1 << bits):
+        raise ValueError(
+            f"packed-key overflow: {name} max {int(arr.max())} >= 2^{bits}; "
+            "widen the pack shift for this scale factor"
+        )
+    return arr
+
+
 def _scene_time_seconds(scenes):
     """Append t_sec = seconds since 2015-01-01 parsed from the start stamp."""
     import pandas as pd
@@ -4470,7 +4484,7 @@ def q_tpch_q2(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             pk = batch["l_partkey"].to_numpy()
-            sk = batch["l_suppkey"].to_numpy()
+            sk = _check_pack(batch["l_suppkey"].to_numpy(), name="l_suppkey")
             packed = np.unique(pk * (1 << 20) + sk)
             pk2 = packed >> 20
             sk2 = packed & ((1 << 20) - 1)
@@ -4574,7 +4588,7 @@ def q_orders_copurchase(sf_dir: str):
 
     def _op_dedup(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy()
-        pk = batch["l_partkey"].to_numpy()
+        pk = _check_pack(batch["l_partkey"].to_numpy(), name="l_partkey")
         packed = np.unique(ok * (1 << 20) + pk)
         return pa.table(
             {"op": packed, "one": np.ones(len(packed), dtype=np.int64)}
@@ -5423,8 +5437,8 @@ def q_tpch_q16(sf_dir: str):
 
     def _pair_dedup(batch: pa.Table) -> pa.Table:
         pk = batch["l_partkey"].to_numpy()
-        sk = batch["l_suppkey"].to_numpy()
-        packed = np.unique(pk * (1 << 20) + sk)  # suppkeys < 2^20 by key contract
+        sk = _check_pack(batch["l_suppkey"].to_numpy(), name="l_suppkey")
+        packed = np.unique(pk * (1 << 20) + sk)  # suppkeys < 2^20, guarded
         return pa.table(
             {"pk_sk": packed, "one": np.ones(len(packed), dtype=np.int64)}
         )
@@ -6306,6 +6320,12 @@ def q_tile_revisit(sf_dir: str):
                 - pd.Timestamp("2015-01-01")
             ).dt.days.to_numpy().astype(np.int64)
         )
+        # expand_bbox_tiles can emit lon = floor(xmax) = 180 for a bbox
+        # touching the antimeridian; a 360 multiplier would fold that
+        # into the next latitude row. Guard loudly (the shared tile
+        # helpers use 361 for the same reason — functions/tiles.py).
+        if len(lon) and int(lon.max()) >= 180:
+            raise ValueError("tile pack: lon >= 180 after expansion")
         tid = (lat + 90) * 360 + (lon + 180)
         packed = np.unique(tid * (1 << 20) + days[idx])
         return pa.table(

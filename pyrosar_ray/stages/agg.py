@@ -59,7 +59,19 @@ def keyed_agg(
     n = int(num_partitions)
     str_cols = set(str_value_cols or ())
 
+    partial_schema = pa.schema(
+        [(key_col, pa.int64())]
+        + [(c, pa.string() if c in str_cols else pa.int64()) for c in how]
+        + [(_PART, pa.int64())]
+    )
+
     def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # pandas groupby on an empty frame emits object columns
+            # that Arrow infers as null-typed; a null-typed block mixed
+            # into the groupby(_PART) exchange hits the
+            # schema-unification slow path. Emit a typed empty instead.
+            return partial_schema.empty_table()
         cols = {
             key_col: batch[key_col].to_numpy(zero_copy_only=False).astype(
                 np.int64

@@ -454,10 +454,16 @@ def kcore(
             {out_col: batch["u"], "core_deg": batch["d"]}
         )
 
+    # Re-check d >= k on the final aggregate (mirrors the driver path's
+    # `keep = alive_node & (deg >= k)`): if the peel loop exhausted
+    # max_rounds without converging, `live` can still reference nodes
+    # whose degree fell below k in the last unprocessed round — without
+    # this filter a non-converged run would silently emit them.
     return (
         live.map_batches(_dir, batch_format="pyarrow")
         .map_batches(_deg_partial, batch_format="pyarrow")
         .groupby("u")
         .aggregate(Sum("d", alias_name="d"))
+        .filter(expr=f"d >= {k}")
         .map_batches(_rename, batch_format="pyarrow")
     )
