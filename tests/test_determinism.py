@@ -49,6 +49,12 @@ QUERIES = [
     "events_timetravel",
     # packed tile-day dedup + partition-domain gap statistics
     "tile_revisit",
+    # fused aggregate→join with group_cols (keyed_agg_join: fold per
+    # (orderkey, nation, year) inside the join's own exchange)
+    "tpch_q7",
+    # one-exchange multi-metric rank (multi_global_rank) + NTILE fold
+    # through keyed_sum — the rfm chain's 4-exchange plan
+    "orders_rfm",
 ]
 
 

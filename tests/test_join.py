@@ -435,3 +435,33 @@ def test_broadcast_equi_join_rejects_outer():
         from pyrosar_ray.stages.join import broadcast_equi_join
 
         broadcast_equi_join(lds, lds, on="k", how="outer")
+
+
+def test_equi_join_partition_count_invariance(ray_session):
+    """equi_join emits identical rows at 8 / 32 / 128 partitions (the
+    precondition for the cluster-aware auto partition policy)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from pyrosar_ray.stages.join import equi_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 400, 5_000), "x": np.arange(5_000)}
+    )
+    right = pd.DataFrame({"k": np.arange(100, 500), "y": np.arange(400)})
+    outs = []
+    for nparts in (8, 32, 128):
+        out = (
+            equi_join(
+                ray.data.from_pandas(left).repartition(5),
+                ray.data.from_pandas(right),
+                on="k", num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values(["k", "x"], ignore_index=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])

@@ -150,3 +150,39 @@ def test_global_cumsum_empty():
                        "cents": pd.array([], dtype="int64")})
     ds = ray.data.from_pandas(df)
     assert global_cumsum(ds, "ts", "event_id", "cents").count() == 0
+
+
+def test_multi_global_rank_matches_single(ray_session):
+    """multi_global_rank's one-exchange-per-stage plan emits exactly the
+    per-metric ranks of three independent global_rank calls."""
+    import numpy as np
+
+    from pyrosar_ray.stages.rank import global_rank, multi_global_rank
+
+    rng = np.random.RandomState(3)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "id": rng.permutation(n).astype(np.int64),
+            "a": rng.randint(0, 40, n).astype(np.int64),
+            "b": rng.randint(-5, 5, n).astype(np.int64),
+            "c": rng.randint(0, 1_000_000, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        multi_global_rank(ds, ["a", "b", "c"], id_col="id", shift=8)
+        .to_pandas()
+        .sort_values(["metric", "id"], ignore_index=True)
+    )
+    for m, col in enumerate(["a", "b", "c"]):
+        single = (
+            global_rank(
+                ray.data.from_pandas(df[["id", col]]).repartition(7),
+                score_col=col, id_col="id", shift=8,
+            )
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        mine = got[got["metric"] == m].sort_values("id", ignore_index=True)
+        assert (mine["rank"].to_numpy() == single["rank"].to_numpy()).all()
