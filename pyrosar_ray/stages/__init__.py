@@ -48,6 +48,35 @@ def collect_arrow(ds, empty_schema=None):
     )
 
 
+def drop_empty_blocks(ds):
+    """Rebuild a MATERIALIZED Dataset without Ray's 0-column empty
+    boundary blocks.
+
+    Sort-based exchanges (groupby().map_groups — equi_join's local
+    stage rides on one) emit empty boundary splits as 0-COLUMN blocks
+    (a Ray internal; the same wart ``collect_arrow`` and
+    ``stages.groups`` document). Feeding those into ANOTHER exchange
+    hits the schema-unification slow path — measured 1.5 s → 23 s for
+    an identical 10M-row degree aggregate inside the distributed k-core
+    peel loop. Driver cost is one metadata walk over the block refs (no
+    block is fetched); only sensible between a materialized exchange
+    output and a following exchange in an iterative loop.
+    """
+    import ray
+
+    refs = []
+    dropped = False
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                dropped = True
+            else:
+                refs.append(block_ref)
+    if not dropped or not refs:
+        return ds
+    return ray.data.from_arrow_refs(refs)
+
+
 def physical_select(ds, cols):
     """``select_columns`` as a PHYSICAL map_batches projection.
 

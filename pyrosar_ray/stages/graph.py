@@ -352,8 +352,9 @@ def kcore(
     pair stage) peels in one vectorized driver kernel (rounds of
     bincount over a compacted index — O(m) per round, rounds = peel
     depth); a larger set runs the distributed plan — per round ONE
-    degree groupby over the live edge set plus two semi joins that drop
-    edges touching peeled nodes, with convergence probed by two driver
+    degree groupby over the directed live edge set plus ONE semi join
+    dropping edges whose TARGET was peeled (sufficient: see the inline
+    proof at the peel loop), with convergence probed by two driver
     scalars (live-node count, live-edge count). Nothing node- or
     corpus-sized ever reaches the driver on that path.
     """
@@ -415,14 +416,36 @@ def kcore(
         keys, counts = np.unique(batch["u"].to_numpy(), return_counts=True)
         return pa.table({"u": keys, "d": counts.astype(np.int64)})
 
-    live = edges.select_columns([a_col, b_col]).materialize()
+    # Edges store DIRECTED (both orientations, 2|E| rows, built once)
+    # so each peel round pays TWO exchanges, not three: one degree
+    # groupby + ONE semi join filtering on TARGET-alive alone. That
+    # single filter is sufficient: a dead node's out-edges linger, but
+    # they only feed ITS OWN degree recount — which stays < k forever,
+    # because its alive-target set can only shrink — while no live
+    # node's degree ever counts a dead neighbor (the edge pointing AT
+    # the dead node is exactly what the target filter drops). The
+    # lingering rows cost bounded extra volume (≤ the dead fraction of
+    # the original edge set) and never correctness; the final d >= k
+    # filter excludes the dead sources from the output.
+    live = (
+        edges.select_columns([a_col, b_col])
+        .map_batches(_dir, batch_format="pyarrow")
+        .materialize()
+    )
+    from pyrosar_ray.stages.agg import keyed_sum
+
     prev = (None, None)
     for _ in range(max_rounds):
-        deg = (
-            live.map_batches(_dir, batch_format="pyarrow")
-            .map_batches(_deg_partial, batch_format="pyarrow")
-            .groupby("u")
-            .aggregate(Sum("d", alias_name="d"))
+        # keyed_sum, not groupby().aggregate(): once the semi join has
+        # hash-scattered edges by target, per-block degree partials
+        # stop compressing (every block sees nearly the full node set)
+        # and Ray's sort-based aggregate pays a full sort of ~|V|·blocks
+        # partial rows — measured 19 s vs 1.5 s per round at 10M
+        # directed edges. The partition-domain exchange does the same
+        # exact sums on the 64-value domain.
+        deg = keyed_sum(
+            live.map_batches(_deg_partial, batch_format="pyarrow"),
+            "u", ["d"],
         )
         alive = physical_select(
             deg.filter(expr=f"d >= {k}"), ["u"]
@@ -430,22 +453,23 @@ def kcore(
         sig = (alive.count(), live.count())
         if sig[0] == 0:
             # every node peeled: the k-core is empty (also guards the
-            # semi joins below — an empty map_batches output has no
+            # semi join below — an empty map_batches output has no
             # schema for equi_join to plan from)
             return ray.data.from_arrow(empty)
         if sig == prev:
             break
         prev = sig
-        live = physical_select(
-            equi_join(
-                physical_select(
-                    equi_join(live, alive, on=a_col, right_on="u", how="semi"),
-                    [a_col, b_col],
-                ),
-                alive, on=b_col, right_on="u", how="semi",
-            ),
-            [a_col, b_col],
-        ).materialize()
+        from pyrosar_ray.stages import drop_empty_blocks
+
+        # drop the exchange's 0-column empty boundary blocks before the
+        # next round's degree groupby (see drop_empty_blocks: they cost
+        # a measured 15x on the following exchange)
+        live = drop_empty_blocks(
+            physical_select(
+                equi_join(live, alive, on="v", right_on="u", how="semi"),
+                ["u", "v"],
+            ).materialize()
+        )
     if live.count() == 0:
         return ray.data.from_arrow(empty)
 
@@ -454,16 +478,16 @@ def kcore(
             {out_col: batch["u"], "core_deg": batch["d"]}
         )
 
-    # Re-check d >= k on the final aggregate (mirrors the driver path's
-    # `keep = alive_node & (deg >= k)`): if the peel loop exhausted
-    # max_rounds without converging, `live` can still reference nodes
-    # whose degree fell below k in the last unprocessed round — without
-    # this filter a non-converged run would silently emit them.
+    # Re-check d >= k on the final aggregate: it excludes the lingering
+    # dead sources above, and (mirroring the driver path's
+    # `keep = alive_node & (deg >= k)`) guards a run that exhausted
+    # max_rounds without converging from silently emitting nodes whose
+    # degree fell below k in the last unprocessed round.
     return (
-        live.map_batches(_dir, batch_format="pyarrow")
-        .map_batches(_deg_partial, batch_format="pyarrow")
-        .groupby("u")
-        .aggregate(Sum("d", alias_name="d"))
+        keyed_sum(
+            live.map_batches(_deg_partial, batch_format="pyarrow"),
+            "u", ["d"],
+        )
         .filter(expr=f"d >= {k}")
         .map_batches(_rename, batch_format="pyarrow")
     )
