@@ -1490,21 +1490,25 @@ def q_embed_semdedup(sf_dir: str):
 
 
 def q_embed_pca(sf_dir: str):
-    """Distributed PCA projection (pass 2 of the embed_gram pipeline):
-    exact integer Gram -> driver eigh -> broadcast top-3 components ->
-    one matmul per batch, zero exchange on the corpus. No SQL twin —
-    impossibility note: the eigenvectors are LAPACK output, and
-    oracle_sql() is a STATIC string so it cannot re-derive them from
-    the data; every distributed pass of this pipeline is hash-checked
-    separately (the Gram exchange as embed_gram, the leading
-    eigenvector in integer fixed point as embed_power_iter) — only the
-    driver-side d×d eigh sits outside the oracle."""
-    from pyrosar_ray.stages.ann import pca_project
+    """Distributed PCA projection, integer-exact and hash-twinned
+    (formerly the last ML rows-only entry — r4 verdict directive #5):
+    pass 1 folds the corpus into the exact integer Gram (d²-row
+    exchange, the embed_gram twin); the driver derives the top-3 basis
+    by ORTHOGONAL ITERATION IN EXACT INTEGERS
+    (stages/ann.subspace_iteration_int — max-norm rescales and
+    cross-multiplied Gram–Schmidt, truncating division = SQL ``//``);
+    pass 2 projects every row with one int64 matmul per batch, zero
+    further exchange. The twin RE-DERIVES the same basis from the data
+    in unrolled HUGEINT CTEs (the doc_kneser_ney shipped-model
+    contract), so the per-row projection is provable end to end. The
+    float-eigh variant remains available as stages/ann.pca_project
+    (LAPACK output, no SQL twin — see its docstring)."""
+    from pyrosar_ray.stages.ann import pca_project_int
 
     emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return pca_project(emb, k=3)
+    return pca_project_int(emb, k=3, iters=4)
 
 
 def q_embed_gram(sf_dir: str):
@@ -2715,13 +2719,15 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_doc_langid(sf_dir: str):
-    """Trigram-profile language ID (actor pool). No SQL twin —
-    impossibility note: the driver-fit profiles are a langs × 2^14
-    float32 matrix, too large to embed as SQL literals and float32
-    log-prob scoring is summation-order-dependent; the hash-checked
-    sibling doc_langid_int proves the same actor-pool classification
-    shape with corpus-trained INTEGER profiles built inside both
-    engines (one bounded langs × 2^14 exchange)."""
+    """Trigram-profile language ID, FLOAT-profile variant — RETIRED
+    from the registry in round 5 (rows-only residue directive): the
+    registered, hash-twinned doc_langid_int runs the identical
+    distributed plan (actor-pool scoring over a corpus-trained
+    langs × 2^14 profile exchange) with floor-quantized integer
+    weights; the only delta here is float32 profile arithmetic, which
+    has no exact SQL twin (summation-order-dependent, profiles too
+    large for literals). The stage itself stays pytest-covered
+    (tests/test_text_ops.py) and callable for float-profile users."""
     import ray.data
 
     from pyrosar_ray.stages.text import LangID, lang_id
@@ -3859,6 +3865,86 @@ def _power_iter_sql(dim: int = 64, iters: int = 4, scale: int = 1 << 20) -> str:
     """
 
 
+
+def _subspace_iter_sql(
+    dim: int = 64, k: int = 3, iters: int = 4, scale: int = 1 << 20
+) -> str:
+    """Unrolled twin of q_embed_pca (integer orthogonal iteration): the
+    _GRAM_SQL upper triangle mirrored, then per iteration per component
+    the (matvec → max-rescale → cross-multiplied Gram–Schmidt against
+    the already-updated components → re-rescale) chain in HUGEINT
+    (``//`` truncates toward zero — matched by tdiv in
+    stages/ann.subspace_iteration_int), then the per-row projection as
+    exact sub-2^53 dot products. The twin RE-DERIVES the shipped basis
+    from the data — the doc_kneser_ney contract applied to PCA."""
+    cte = f"""
+        WITH tri AS MATERIALIZED ({_GRAM_SQL}),
+        g AS MATERIALIZED (
+            SELECT i, j, s FROM tri
+            UNION ALL
+            SELECT j AS i, i AS j, s FROM tri WHERE i < j
+        ),
+        idx AS (SELECT unnest(range({dim}))::BIGINT AS idx)"""
+    cur = []
+    for c in range(k):
+        cte += f""",
+        v0_{c} AS MATERIALIZED (
+            SELECT idx, CAST({scale} + {c} * idx AS HUGEINT) AS v FROM idx
+        )"""
+        cur.append(f"v0_{c}")
+    for t in range(1, iters + 1):
+        for c in range(k):
+            name = f"w{t}_{c}"
+            cte += f""",
+        {name} AS MATERIALIZED (
+            SELECT g.i AS idx, SUM(g.s::HUGEINT * p.v) AS v
+            FROM g JOIN {cur[c]} p ON g.j = p.idx GROUP BY g.i
+        ),
+        {name}m AS MATERIALIZED (SELECT MAX(ABS(v)) AS m FROM {name}),
+        {name}r AS MATERIALIZED (
+            SELECT idx, (v * {scale}) // m AS v FROM {name}, {name}m
+        )"""
+            prev = f"{name}r"
+            for p in range(c):
+                nm = f"o{t}_{c}_{p}"
+                cte += f""",
+        {nm}n AS MATERIALIZED (
+            SELECT SUM(a.v * b.v) AS n
+            FROM {prev} a JOIN {cur[p]} b ON a.idx = b.idx
+        ),
+        {nm}d AS MATERIALIZED (SELECT SUM(v * v) AS d FROM {cur[p]}),
+        {nm}u AS MATERIALIZED (
+            SELECT a.idx, a.v * d.d - b.v * n.n AS v
+            FROM {prev} a JOIN {cur[p]} b ON a.idx = b.idx, {nm}n n, {nm}d d
+        ),
+        {nm}m AS MATERIALIZED (SELECT MAX(ABS(v)) AS m FROM {nm}u),
+        {nm}r AS MATERIALIZED (
+            SELECT idx, (v * {scale}) // m AS v FROM {nm}u, {nm}m
+        )"""
+                prev = f"{nm}r"
+            cur[c] = prev
+    proj = ",\n               ".join(
+        f"CAST(SUM(ed.q::HUGEINT * c{c}.v) AS BIGINT) AS p{c}"
+        for c in range(k)
+    )
+    joins = " ".join(f"JOIN {cur[c]} c{c} ON c{c}.idx = ed.i" for c in range(k))
+    return cte + f""",
+        e2 AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding::DOUBLE[],
+                                          x -> floor(x * 1000000 + 0.5)) AS qe
+            FROM embeddings
+        ),
+        ed AS (
+            SELECT vec_id, unnest(range(len(qe)))::BIGINT AS i,
+                   unnest(qe)::BIGINT AS q
+            FROM e2
+        )
+        SELECT ed.vec_id,
+               {proj}
+        FROM ed {joins}
+        GROUP BY ed.vec_id
+    """
+
 def q_image_aspect_buckets(sf_dir: str):
     """Aspect-ratio bucketing for training batches (SDXL-style): each
     image picks the nearest-aspect bucket from a fixed prototype list,
@@ -4690,7 +4776,7 @@ def q_orders_copurchase(sf_dir: str):
 
     cnt = (
         collect_arrow(
-            op.map_batches(_CntPick, batch_format="pyarrow", concurrency=4)
+            op.map_batches(_CntPick, batch_format="pyarrow", concurrency=(1, 4))
             .groupby("l_partkey")
             .aggregate(Sum("c", alias_name="c")),
             empty_schema={"l_partkey": pa.int64(), "c": pa.int64()},
@@ -5123,7 +5209,7 @@ def q_tpch_q7(sf_dir: str):
                 }
             )
 
-    line = line.map_batches(_PruneFact, batch_format="pyarrow", concurrency=4)
+    line = line.map_batches(_PruneFact, batch_format="pyarrow", concurrency=(1, 4))
 
     cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -5610,7 +5696,7 @@ def q_tpch_q18(sf_dir: str):
                 return table_from_pandas(df)
 
         winners = collect_arrow(
-            orders.map_batches(_OrderPick, batch_format="pyarrow", concurrency=4)
+            orders.map_batches(_OrderPick, batch_format="pyarrow", concurrency=(1, 4))
         ).to_pandas()  # |winners| == |big|: bounded by the same count
         ckeys = np.sort(winners["o_custkey"].unique())
         ckeys_ref = _ray.put(ckeys)
@@ -5633,7 +5719,7 @@ def q_tpch_q18(sf_dir: str):
                 )
 
         names = collect_arrow(
-            cust.map_batches(_CustPick, batch_format="pyarrow", concurrency=4)
+            cust.map_batches(_CustPick, batch_format="pyarrow", concurrency=(1, 4))
         ).to_pandas()
         out = winners.merge(
             names, left_on="o_custkey", right_on="c_custkey"
@@ -7666,7 +7752,6 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "geocode_grd": q_geocode_grd,
         "geocode_slices": q_geocode_slices,
         "embed_pca": q_embed_pca,
-        "doc_langid": q_doc_langid,
         "doc_bpe": q_doc_bpe,
     }
 
@@ -12336,6 +12421,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn = 1
         """,
         "embed_power_iter": _power_iter_sql(),
+        "embed_pca": _subspace_iter_sql(),
         "doc_langid_int": _langid_int_sql(),
         "doc_warc_ingest": """
             -- closed-form twin of the WARC framing arithmetic:

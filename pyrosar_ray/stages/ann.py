@@ -1215,3 +1215,117 @@ def sq_rerank_topk(
         return group[["query_id", "neighbor_id", "rank"]]
 
     return exact.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
+def subspace_iteration_int(
+    gram: Dataset,
+    dim: int,
+    k: int = 3,
+    iters: int = 4,
+    scale: int = 1 << 20,
+) -> "list[list[int]]":
+    """Top-``k`` eigen-SUBSPACE by orthogonal iteration in EXACT
+    integers — :func:`power_iteration_int` generalized so distributed
+    PCA's projection becomes hash-twinnable end to end (the k=1 twin
+    proved the technique; this is the k>1 basis the pca query ships).
+
+    Per iteration, per component c (in order):
+
+        w   = G @ v_c                      (exact big-int matvec)
+        ŵ   = trunc(w·scale / max|w|)      (max-norm rescale, SQL ``//``)
+        for each already-updated p < c:    (Gram–Schmidt, cross-mult —
+            n = ŵ·v_p ; d = v_p·v_p        no division until the final
+            ŵ = ŵ·d − v_p·n                rescale keeps it exact)
+            ŵ = trunc(ŵ·scale / max|ŵ|)    (re-rescale bounds HUGEINT)
+
+    Start vectors ``v_c[j] = scale + c·j`` are linearly independent and
+    all-positive-slope, pinning signs without a canonicalization pass.
+    Every op is integer and sequential, so N and 4N clusters — and the
+    unrolled HUGEINT SQL twin — reproduce the basis bit-for-bit.
+    Magnitude bound (the twin's HUGEINT ceiling): |w| ≲ d·|G|·scale
+    stays under 1.7e38 past 10¹²-row corpora; the orthogonalization
+    terms are ≤ scale·d·scale² ≈ 7e19.
+    """
+    if iters < 1 or dim < 1 or k < 1 or k > dim or scale < 1:
+        raise ValueError("bad iters/dim/k/scale")
+    rows = gram.take_all()  # d²/2 rows — dimension-bounded by contract
+    g = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        g[i][j] = s
+        if i != j:
+            g[j][i] = s
+
+    def tdiv(a: int, b: int) -> int:  # truncation toward zero (SQL //)
+        return -((-a) // b) if a < 0 else a // b
+
+    def rescale(w: "list[int]") -> "list[int]":
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError("degenerate subspace: zero vector mid-iteration")
+        return [tdiv(x * scale, m) for x in w]
+
+    vs = [[scale + c * j for j in range(dim)] for c in range(k)]
+    for _ in range(iters):
+        for c in range(k):
+            w = [sum(g[i][j] * vs[c][j] for j in range(dim)) for i in range(dim)]
+            w = rescale(w)
+            for p in range(c):
+                vp = vs[p]
+                n = sum(w[i] * vp[i] for i in range(dim))
+                d = sum(x * x for x in vp)
+                w = [w[i] * d - vp[i] * n for i in range(dim)]
+                w = rescale(w)
+            vs[c] = w
+    return vs
+
+
+def pca_project_int(
+    corpus: Dataset,
+    k: int = 3,
+    iters: int = 4,
+    scale: int = 1 << 20,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Integer-exact distributed PCA projection — the hash-twinnable
+    face of :func:`pca_project` (whose float eigh basis has no SQL
+    twin; see its docstring). Pass 1 = :func:`embedding_gram` (bounded
+    d²-row exchange); the driver derives the top-``k`` basis via
+    :func:`subspace_iteration_int` (dimension-bounded big-int math, the
+    shipped-model contract: the SQL twin RE-DERIVES the same basis from
+    the data in unrolled HUGEINT CTEs); pass 2 projects every row with
+    one int64 matmul per batch — zero further exchange. Output:
+    ``(id, p0..p{k-1} int64)``; |p| ≤ d·q·scale ≈ 6.4e13 < 2^53, so the
+    twin's DOUBLE dot products are exact too.
+    """
+    vs = subspace_iteration_int(
+        embedding_gram(corpus, emb_col=emb_col), dim=_embedding_dim(corpus, emb_col),
+        k=k, iters=iters, scale=scale,
+    )
+    comps = np.array(vs, dtype=np.int64).T  # (d, k)
+    ref = ray.put(comps)
+
+    class _Project:
+        def __init__(self):
+            self.comps = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = quantize_embeddings(_stack_embeddings(batch, emb_col))
+            proj = q @ self.comps  # int64: |q|≤~1e6 · scale≤2^20 · d=64
+            out = {id_col: batch[id_col]}
+            for c in range(proj.shape[1]):
+                out[f"p{c}"] = pa.array(proj[:, c])
+            return pa.table(out)
+
+    return corpus.select_columns([id_col, emb_col]).map_batches(
+        _Project, batch_format="pyarrow", concurrency=(1, 8), batch_size=4096
+    )
+
+
+def _embedding_dim(corpus: Dataset, emb_col: str) -> int:
+    """Dimension probe from one row (cheap: limit(1) streams one block)."""
+    row = corpus.select_columns([emb_col]).limit(1).take_all()
+    if not row:
+        raise ValueError("empty corpus")
+    return len(row[0][emb_col])

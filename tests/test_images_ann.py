@@ -792,3 +792,54 @@ def test_sq_rerank_matches_bruteforce_cascade():
         order = cand[np.lexsort((cand, -exact))][:k]
         got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"]
         assert got.tolist() == order.tolist(), qid
+
+
+def test_subspace_iteration_int_spans_top_eigenspace():
+    """The integer orthogonal iteration converges (in span) to the top-k
+    eigenspace of the Gram matrix, basis vectors stay mutually
+    near-orthogonal, and the arithmetic is reproducible big-int ops."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pyrosar_ray.stages.ann import subspace_iteration_int
+
+    # symmetric PSD matrix with well-separated spectrum
+    rng = np.random.default_rng(2)
+    b = rng.integers(-5, 6, size=(6, 6)).astype(np.int64)
+    m = b @ b.T + np.diag([900, 400, 100, 0, 0, 0]).astype(np.int64)
+    rows = [
+        {"i": i, "j": j, "s": int(m[i, j])}
+        for i in range(6)
+        for j in range(i, 6)
+    ]
+    vs = subspace_iteration_int(
+        rd.from_pandas(pd.DataFrame(rows)), dim=6, k=3, iters=30
+    )
+    v = np.array(vs, dtype=np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    vals, vecs = np.linalg.eigh(m.astype(np.float64))
+    top = vecs[:, np.argsort(vals)[::-1][:3]]  # (d, 3)
+    # span check: projecting each iterated vector onto the top-3
+    # eigenspace loses (almost) nothing
+    resid = v.T - top @ (top.T @ v.T)
+    assert np.linalg.norm(resid) < 1e-3
+    # near-orthogonality of the integer basis
+    g = v @ v.T
+    off = g - np.diag(np.diag(g))
+    assert np.abs(off).max() < 1e-3
+
+
+def test_subspace_iteration_int_guards():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pyrosar_ray.stages.ann import subspace_iteration_int
+
+    rows = [{"i": 0, "j": 0, "s": 0}, {"i": 1, "j": 1, "s": 0}]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    with pytest.raises(ValueError):
+        subspace_iteration_int(ds, dim=2, k=1, iters=2)  # zero Gram
+    with pytest.raises(ValueError):
+        subspace_iteration_int(ds, dim=2, k=3, iters=2)  # k > dim
