@@ -62,12 +62,21 @@ def build_bloom(
     def _pos(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
         p = np.unique(bloom_positions(ids, m_bits, k))
-        return pa.table({"p": pa.array(p)})
+        return pa.table(
+            {"p": pa.array(p), "one": np.ones(len(p), dtype=np.int64)}
+        )
 
-    parts = ref.map_batches(_pos, batch_format="pyarrow")
-    distinct = parts.groupby("p").count()
+    # keyed_sum, not groupby().count(): at m ~ 2^23+ the sort-based
+    # aggregate over millions of position rows held ~16 s of a 20 s
+    # eq-delete cascade; the partition-domain exchange does the same
+    # dedup in well under a second (same exchange-volume bound: <= m
+    # partial rows however large the reference side is)
+    from .agg import keyed_sum
     from .spatial import materialize_small_side
 
+    distinct = keyed_sum(
+        ref.map_batches(_pos, batch_format="pyarrow"), "p", ["one"]
+    )
     tab = materialize_small_side(distinct, ["p"])
     bits = np.zeros(m_bits, dtype=bool)
     if len(tab):

@@ -283,3 +283,42 @@ def test_compact_preserves_scan_and_resets_sidecars(ray_session, tmp_path):
     # positions re-densified per day: 0..n-1 with no gaps
     for day, grp in after_scan.groupby("day"):
         assert sorted(grp.pos) == list(range(len(grp)))
+
+
+def test_eq_scan_bloom_cascade_identical(ray_session, tmp_path):
+    """Past the broadcast bound, eq_scan switches to the bloom +
+    exact-verify cascade (membership.bloom_anti_join) and must emit
+    EXACTLY the broadcast path's rows — bloom false positives ride the
+    exact anti-join, none are dropped."""
+    from pyrosar_ray.stages.mor import eq_scan
+
+    out, _ = _eq_layout(tmp_path)
+    want = (
+        eq_scan(out)
+        .to_pandas()
+        .sort_values(["event_id"], ignore_index=True)
+    )
+    # broadcast_bound=0 forces the cascade on the same layout; a tiny
+    # m_bits in the underlying bloom would raise the FP fraction but
+    # correctness is independent of it (exact verify)
+    got = (
+        eq_scan(out, broadcast_bound=0)
+        .to_pandas()
+        .sort_values(["event_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+    # as_of composes with the cascade too
+    want1 = (
+        eq_scan(out, as_of=1).to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    got1 = (
+        eq_scan(out, as_of=1, broadcast_bound=0)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got1[want1.columns.tolist()], want1, check_dtype=False
+    )

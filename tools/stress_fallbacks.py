@@ -118,12 +118,70 @@ def stress_keyed_agg(n_keys: int = 10_000_000, rows: int = 40_000_000) -> dict:
     }
 
 
+def stress_eqdelete(rows: int = 5_000_000, days: int = 40) -> dict:
+    """Equality-delete scan past the broadcast bound: synthetic base of
+    ``rows`` rows across ``days`` day files, ~10% of keys deleted over
+    two commits; the bloom + exact-verify cascade must emit exactly the
+    broadcast path's rows."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pyrosar_ray.stages.mor import eq_scan
+
+    out = tempfile.mkdtemp(prefix="eqstress_")
+    os.makedirs(f"{out}/base")
+    os.makedirs(f"{out}/eqdel")
+    per = rows // days
+    for d in range(days):
+        ids = np.arange(d * per, (d + 1) * per, dtype=np.int64)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": ids,
+                    "event_type": np.where(ids % 5 == 0, "error", "view"),
+                }
+            ),
+            f"{out}/base/day=2024-01-{d % 28 + 1:02d}x{d:02d}.parquet",
+        )
+    all_ids = np.arange(rows, dtype=np.int64)
+    pq.write_table(
+        pa.table({"event_id": all_ids[all_ids % 17 == 3]}),
+        f"{out}/eqdel/c1.parquet",
+    )
+    pq.write_table(
+        pa.table({"event_id": all_ids[all_ids % 23 == 7]}),
+        f"{out}/eqdel/c2.parquet",
+    )
+    t0 = time.time()
+    broadcast_n = eq_scan(out).count()
+    bsec = time.time() - t0
+    t0 = time.time()
+    cascade_n = eq_scan(out, broadcast_bound=0).count()
+    csec = time.time() - t0
+    shutil.rmtree(out)
+    return {
+        "stress": "eqdelete_bloom_cascade",
+        "base_rows": rows,
+        "delete_keys": int((all_ids % 17 == 3).sum() + (all_ids % 23 == 7).sum()),
+        "broadcast_sec": round(bsec, 1),
+        "cascade_sec": round(csec, 1),
+        "rows_broadcast": int(broadcast_n),
+        "rows_cascade": int(cascade_n),
+        "identical": bool(broadcast_n == cascade_n),
+    }
+
+
 def main() -> None:
     import ray
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=24_000_000)
-    ap.add_argument("--only", choices=["kcore", "agg"], default=None)
+    ap.add_argument(
+        "--only", choices=["kcore", "agg", "eqdel"], default=None
+    )
     args = ap.parse_args()
     if not ray.is_initialized():
         ray.init(
@@ -137,6 +195,8 @@ def main() -> None:
         print(json.dumps(stress_kcore(args.edges)))
     if args.only in (None, "agg"):
         print(json.dumps(stress_keyed_agg()))
+    if args.only in (None, "eqdel"):
+        print(json.dumps(stress_eqdelete()))
     ray.shutdown()
 
 
