@@ -4776,7 +4776,7 @@ def q_orders_copurchase(sf_dir: str):
 
     cnt = (
         collect_arrow(
-            op.map_batches(_CntPick, batch_format="pyarrow", concurrency=(1, 4))
+            op.map_batches(_CntPick, batch_format="pyarrow", concurrency=(2, 4))
             .groupby("l_partkey")
             .aggregate(Sum("c", alias_name="c")),
             empty_schema={"l_partkey": pa.int64(), "c": pa.int64()},
@@ -5696,7 +5696,7 @@ def q_tpch_q18(sf_dir: str):
                 return table_from_pandas(df)
 
         winners = collect_arrow(
-            orders.map_batches(_OrderPick, batch_format="pyarrow", concurrency=(1, 4))
+            orders.map_batches(_OrderPick, batch_format="pyarrow", concurrency=(2, 4))
         ).to_pandas()  # |winners| == |big|: bounded by the same count
         ckeys = np.sort(winners["o_custkey"].unique())
         ckeys_ref = _ray.put(ckeys)
@@ -5719,7 +5719,7 @@ def q_tpch_q18(sf_dir: str):
                 )
 
         names = collect_arrow(
-            cust.map_batches(_CustPick, batch_format="pyarrow", concurrency=(1, 4))
+            cust.map_batches(_CustPick, batch_format="pyarrow", concurrency=(2, 4))
         ).to_pandas()
         out = winners.merge(
             names, left_on="o_custkey", right_on="c_custkey"
@@ -7153,6 +7153,42 @@ def q_events_scd2(sf_dir: str):
     return scd2_intervals(events)
 
 
+
+def q_events_cusum(sf_dir: str):
+    """Per-user CUSUM change-point detection (Page 1954) over the event
+    value stream, drift k = 5.00, alarm threshold h = 20.00: the
+    sequential recursion max(0, S+x-k) evaluates through its exact
+    closed form (prefix sum minus clamped prefix min — see
+    stages/windows.keyed_cusum), so one user-keyed exchange + a
+    vectorized in-group scan produces the statistic AND the twin is two
+    standard window frames, integer-cent exact. The groomed round-4
+    note parked CUSUM as "recursive, rows-only or unrolled" — the
+    closed form retires that caveat."""
+    from pyrosar_ray.stages.windows import keyed_cusum
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "cents": np.floor(
+                    batch["value"].to_numpy() * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return keyed_cusum(
+        events.map_batches(_cents, batch_format="pyarrow"),
+        drift_c=500, threshold_c=2000,
+    )
+
+
 def q_scene_kcore(sf_dir: str):
     """k-core of the scene-footprint overlap graph (k=6): the dense
     acquisition kernel — scenes whose mutual-overlap neighborhood stays
@@ -7549,6 +7585,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
         "events_scd2": q_events_scd2,
+        "events_cusum": q_events_cusum,
         "scene_kcore": q_scene_kcore,
         "points_hilbert": q_points_hilbert,
         "orders_copurchase": q_orders_copurchase,
@@ -12095,6 +12132,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE n.n_regionkey = 1
               AND s.s_suppkey IN (SELECT ps_suppkey FROM cand)
+        """,
+        "events_cusum": """
+            WITH c AS (
+                SELECT user_id, ts, event_id,
+                       floor(value * 100 + 0.5)::BIGINT - 500 AS d
+                FROM events
+            ),
+            q AS (
+                SELECT user_id, ts, event_id,
+                       SUM(d) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS q
+                FROM c
+            )
+            SELECT user_id, event_id,
+                   (q - LEAST(0, MIN(q) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)))::BIGINT AS s_c,
+                   CASE WHEN q - LEAST(0, MIN(q) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)) > 2000
+                        THEN 1 ELSE 0 END::BIGINT AS alarm
+            FROM q
         """,
         "events_scd2": """
             WITH s AS (

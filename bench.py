@@ -101,6 +101,10 @@ BENCH_QUERIES = (
     "doc_ccnet_buckets",
     "events_mad",
     "tile_areal",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "embed_pca",
 )
 
 

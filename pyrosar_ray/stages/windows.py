@@ -312,3 +312,57 @@ def late_data_window(
             Sum("n_late", alias_name="n_late"),
         )
     )
+
+
+def keyed_cusum(
+    events,
+    drift_c: int,
+    threshold_c: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "cents",
+):
+    """Per-key CUSUM change-point scan (Page 1954), integer-exact.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + (x_t − k))`` looks
+    stateful-streaming-only, but it has the exact closed form
+    ``S_t = Q_t − min_{0≤j≤t} Q_j`` with ``Q_t`` the running sum of
+    ``x − k`` and ``Q_0 = 0`` — a prefix sum minus a prefix min, which
+    is (a) one vectorized pass per key here and (b) two standard SQL
+    window frames in the twin, so the "recursive → rows-only" caveat
+    from the round-4 grooming does not apply. One key-partitioned
+    exchange (the scd2/rolling contract: a key's events fit one group);
+    inside each group the scan orders by ``(ts, id)`` and emits the
+    statistic plus the ``S_t > h`` alarm flag.
+
+    Output: ``key_col, id_col, s_c (int64), alarm (int64 0/1)``.
+    """
+    import pyarrow as pa
+
+    from .groups import typed_groups
+
+    schema = {
+        key_col: pa.int64(),
+        id_col: pa.int64(),
+        "s_c": pa.int64(),
+        "alarm": pa.int64(),
+    }
+
+    @typed_groups(schema)
+    def _scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col], kind="mergesort")
+        d = g[value_col].to_numpy().astype(np.int64) - drift_c
+        q = np.cumsum(d)
+        m = np.minimum(np.minimum.accumulate(q), 0)
+        s = q - m
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy().astype(np.int64),
+                id_col: g[id_col].to_numpy().astype(np.int64),
+                "s_c": s,
+                "alarm": (s > threshold_c).astype(np.int64),
+            }
+        )
+
+    return events.groupby(key_col).map_groups(_scan, batch_format="pandas")

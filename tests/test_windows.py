@@ -238,3 +238,44 @@ def test_resample_events_zero_fill(sf_dir):
     assert len(u2) == 1 and u2.n.iloc[0] == 1 and u2.sum_cents.iloc[0] == 500
     with pytest.raises(ValueError):
         resample_events(events, width_us=0)
+
+
+def test_keyed_cusum_matches_sequential_recursion(ray_session):
+    """The closed form (prefix sum − clamped prefix min) equals the
+    textbook sequential recursion S_t = max(0, S_{t-1} + x_t − k) on
+    random per-key streams, alarms included."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from pyrosar_ray.stages.windows import keyed_cusum
+
+    rng = np.random.default_rng(17)
+    n = 4_000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": rng.integers(0, 10_000, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "cents": rng.integers(-900, 1200, n),
+        }
+    )
+    out = (
+        keyed_cusum(
+            ray.data.from_pandas(df).repartition(7),
+            drift_c=100, threshold_c=1500,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"], ignore_index=True)
+    )
+    rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        s = 0
+        for _, r in g.iterrows():
+            s = max(0, s + int(r["cents"]) - 100)
+            rows.append((uid, int(r["event_id"]), s, int(s > 1500)))
+    want = (
+        pd.DataFrame(rows, columns=["user_id", "event_id", "s_c", "alarm"])
+        .sort_values(["user_id", "event_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
