@@ -665,12 +665,16 @@ def footprint_overlap_pairs(scenes, min_pairs_cell_warn: int = 100_000):
     quantization law as stages/tiling.tile_coverage).
 
     Plan: flat-expand each bbox to its covered 1° tiles (bounded
-    fan-out), ONE groupby(cell) exchange, and a vectorized triangular
-    all-pairs test per cell. A pair co-located in several cells is
-    emitted exactly once — by the cell containing the intersection's
-    min corner (both bboxes necessarily cover that tile). Per-cell
-    candidate count bounds the quadratic term exactly like the jaccard
-    block contract; pre-partition on a finer grid if a cell runs hot.
+    fan-out), ONE exchange over the 64-value PARTITION domain
+    (cell-hashed — a raw groupby(cell) paid one map_groups UDF call +
+    pandas conversion per occupied cell, thousands per run; the
+    partition form converts once per partition and scans cells as
+    sorted runs), then a vectorized triangular all-pairs test per cell
+    run. A pair co-located in several cells is emitted exactly once —
+    by the cell containing the intersection's min corner (both bboxes
+    necessarily cover that tile). Per-cell candidate count bounds the
+    quadratic term exactly like the jaccard block contract;
+    pre-partition on a finer grid if a cell runs hot.
     """
     import pandas as pd
 
@@ -694,6 +698,14 @@ def footprint_overlap_pairs(scenes, min_pairs_cell_warn: int = 100_000):
             }
         )
 
+    from .agg import _MIX
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((cells * _MIX) >> np.uint64(40)).astype(np.int64) % 64
+        return batch.append_column("_p", pa.array(part))
+
     @typed_groups(
         {
             "scene_a": pa.int64(),
@@ -701,46 +713,60 @@ def footprint_overlap_pairs(scenes, min_pairs_cell_warn: int = 100_000):
             "overlap_cd2": pa.int64(),
         }
     )
-    def _pairs(group: "pd.DataFrame") -> "pd.DataFrame":
-        cell = int(group["cell"].iloc[0])
-        lon_c = (cell % 361 - 180) * 100
-        lat_c = (cell // 361 - 90) * 100
-        keys = group["scene_key"].to_numpy()
-        order = np.argsort(keys, kind="stable")
-        keys = keys[order]
-        x0 = group["cx0"].to_numpy()[order]
-        x1 = group["cx1"].to_numpy()[order]
-        y0 = group["cy0"].to_numpy()[order]
-        y1 = group["cy1"].to_numpy()[order]
-        n = len(keys)
-        if n < 2:
-            return pd.DataFrame({"scene_a": [], "scene_b": [], "overlap_cd2": []})
-        ia, ib = np.triu_indices(n, k=1)
-        ox0 = np.maximum(x0[ia], x0[ib])
-        oy0 = np.maximum(y0[ia], y0[ib])
-        w = np.minimum(x1[ia], x1[ib]) - ox0
-        h = np.minimum(y1[ia], y1[ib]) - oy0
-        # positive intersection, owned by the min-corner's tile
-        own = (
-            (w > 0)
-            & (h > 0)
-            & (ox0 - lon_c >= 0)
-            & (ox0 - lon_c < 100)
-            & (oy0 - lat_c >= 0)
-            & (oy0 - lat_c < 100)
+    def _pairs_part(group: "pd.DataFrame") -> "pd.DataFrame":
+        df = group.sort_values(["cell", "scene_key"], kind="mergesort")
+        cell = df["cell"].to_numpy().astype(np.int64)
+        keys = df["scene_key"].to_numpy().astype(np.int64)
+        x0 = df["cx0"].to_numpy().astype(np.int64)
+        x1 = df["cx1"].to_numpy().astype(np.int64)
+        y0 = df["cy0"].to_numpy().astype(np.int64)
+        y1 = df["cy1"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], cell[1:] != cell[:-1]])
         )
+        ends = np.append(starts[1:], len(cell))
+        out_a, out_b, out_o = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            lon_c = (int(cell[s]) % 361 - 180) * 100
+            lat_c = (int(cell[s]) // 361 - 90) * 100
+            ia, ib = np.triu_indices(n, k=1)
+            ia += s
+            ib += s
+            ox0 = np.maximum(x0[ia], x0[ib])
+            oy0 = np.maximum(y0[ia], y0[ib])
+            w = np.minimum(x1[ia], x1[ib]) - ox0
+            h = np.minimum(y1[ia], y1[ib]) - oy0
+            # positive intersection, owned by the min-corner's tile
+            own = (
+                (w > 0)
+                & (h > 0)
+                & (ox0 - lon_c >= 0)
+                & (ox0 - lon_c < 100)
+                & (oy0 - lat_c >= 0)
+                & (oy0 - lat_c < 100)
+            )
+            out_a.append(keys[ia[own]])
+            out_b.append(keys[ib[own]])
+            out_o.append((w[own] * h[own]).astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"scene_a": [], "scene_b": [], "overlap_cd2": []})
         return pd.DataFrame(
             {
-                "scene_a": keys[ia[own]],
-                "scene_b": keys[ib[own]],
-                "overlap_cd2": (w[own] * h[own]).astype(np.int64),
+                "scene_a": np.concatenate(out_a),
+                "scene_b": np.concatenate(out_b),
+                "overlap_cd2": np.concatenate(out_o),
             }
         )
 
-    exploded = scenes.select_columns(
-        ["scene_key", "xmin", "ymin", "xmax", "ymax"]
-    ).map_batches(_explode, batch_format="pyarrow")
-    return exploded.groupby("cell").map_groups(_pairs, batch_format="pandas")
+    exploded = (
+        scenes.select_columns(["scene_key", "xmin", "ymin", "xmax", "ymax"])
+        .map_batches(_explode, batch_format="pyarrow")
+        .map_batches(_tag, batch_format="pyarrow")
+    )
+    return exploded.groupby("_p").map_groups(_pairs_part, batch_format="pandas")
 
 
 def spatial_radius_join(
