@@ -236,21 +236,28 @@ def tile_areal_transfer(
         t = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(t, inv, term)
         return pa.table(
+            {"cell": pa.array(uniq), "n": pa.array(n), "t": pa.array(t)}
+        )
+
+    def _render(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy()
+        return pa.table(
             {
                 "tile": pa.array(
-                    tile_names_1deg(uniq // 361 - 90, uniq % 361 - 180)
+                    tile_names_1deg(cell // 361 - 90, cell % 361 - 180)
                 ),
-                "n": pa.array(n),
-                "t": pa.array(t),
+                "n_scenes": batch["n"],
+                "transferred_u": batch["t"],
             }
         )
 
-    return (
+    from .agg import keyed_sum
+
+    # keyed_sum over the integer cell (then render names row-local):
+    # the sort-based groupby over ~44k STRING tile keys x blocks of
+    # partials held most of this query's wall time at sf0.1
+    return keyed_sum(
         scenes.select_columns(["xmin", "ymin", "xmax", "ymax", attr_col])
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby("tile")
-        .aggregate(
-            Sum("n", alias_name="n_scenes"),
-            Sum("t", alias_name="transferred_u"),
-        )
-    )
+        .map_batches(_partial, batch_format="pyarrow"),
+        "cell", ["n", "t"],
+    ).map_batches(_render, batch_format="pyarrow")
