@@ -4673,21 +4673,18 @@ def q_orders_copurchase(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
 
-    def _op_dedup(batch: pa.Table) -> pa.Table:
+    def _op_partial(batch: pa.Table) -> pa.Table:
+        # pre-dedup (order, part) within the batch and tag with the
+        # ORDER's partition hash: the dedup completes inside the pair
+        # exchange itself (every row of an order lands in one
+        # partition), folding the old separate dedup keyed_sum into the
+        # emission exchange — one barrier instead of two
         ok = batch["l_orderkey"].to_numpy()
         pk = _check_pack(batch["l_partkey"].to_numpy(), name="l_partkey")
         packed = np.unique(ok * (1 << 20) + pk)
-        return pa.table(
-            {"op": packed, "one": np.ones(len(packed), dtype=np.int64)}
-        )
-
-    op = keyed_sum(li.map_batches(_op_dedup, batch_format="pyarrow"), "op", ["one"])
-
-    def _tag_order(batch: pa.Table) -> pa.Table:
-        packed = batch["op"].to_numpy()
-        ok = (packed >> 20).astype(np.uint64)
+        ok2 = (packed >> 20).astype(np.uint64)
         with np.errstate(over="ignore"):
-            part = ((ok * _MIX) >> np.uint64(40)).astype(np.int64) % 64
+            part = ((ok2 * _MIX) >> np.uint64(40)).astype(np.int64) % 64
         return pa.table(
             {
                 "l_orderkey": packed >> 20,
@@ -4696,34 +4693,59 @@ def q_orders_copurchase(sf_dir: str):
             }
         )
 
-    @typed_groups({"pair": pa.int64(), "support": pa.int64()})
-    def _emit_pairs(group: pa.Table) -> pd.DataFrame:
-        df = group.to_pandas().sort_values(
-            ["l_orderkey", "l_partkey"], ignore_index=True
+    @typed_groups({"l_orderkey": pa.int64(), "l_partkey": pa.int64()})
+    def _dedup_rows(group: pa.Table) -> pd.DataFrame:
+        ok0 = group["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk0 = group["l_partkey"].to_numpy(zero_copy_only=False)
+        # complete the (order, part) dedup: np.unique of the packed key
+        # also yields the (ok, pk)-sorted order the emission needs
+        packed = np.unique(ok0 * (1 << 20) + pk0)
+        return pd.DataFrame(
+            {
+                "l_orderkey": packed >> 20,
+                "l_partkey": packed & ((1 << 20) - 1),
+            }
         )
-        ok = df["l_orderkey"].to_numpy()
-        pk = df["l_partkey"].to_numpy()
+
+    # baskets: globally deduped, order-complete per block — reused by
+    # the pair emission AND the marginal counts (the old plan paid a
+    # separate dedup keyed_sum exchange for each consumer)
+    baskets = (
+        li.map_batches(_op_partial, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(_dedup_rows, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _emit_pairs(batch: pa.Table) -> pa.Table:
+        # batch == one partition group (batch_size=None over the
+        # materialized groups): runs are contiguous and order-complete
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
         # vectorized triangular emission: within an order's sorted part
         # run, every pair appears at exactly one index distance j, so
         # max-basket-size passes of one shift-compare each cover all
         # pairs — no Python loop over orders
-        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]])) if len(ok) else np.array([], dtype=np.int64)
         max_run = int(np.diff(np.append(starts, len(ok))).max()) if len(ok) else 0
         pairs = []
         for j in range(1, max_run):
             same = ok[:-j] == ok[j:]
             pairs.append(pk[:-j][same] * (1 << 32) + pk[j:][same])
         if not pairs:
-            return pd.DataFrame({"pair": [], "support": []})
-        allp = np.concatenate(pairs)
-        return pd.DataFrame(
-            {"pair": allp, "support": np.ones(len(allp), dtype=np.int64)}
-        )
+            return pa.table(
+                {"pair": pa.array([], type=pa.int64()),
+                 "support": pa.array([], type=pa.int64())}
+            )
+        # local support fold shrinks the downstream exchange to the
+        # partition's distinct pairs
+        u, c = np.unique(np.concatenate(pairs), return_counts=True)
+        return pa.table({"pair": u, "support": c.astype(np.int64)})
 
     supports = keyed_sum(
-        op.map_batches(_tag_order, batch_format="pyarrow")
-        .groupby(_PART)
-        .map_groups(_emit_pairs, batch_format="pyarrow"),
+        baskets.map_batches(
+            _emit_pairs, batch_format="pyarrow", batch_size=None
+        ),
         "pair", ["support"],
     )
 
@@ -4761,40 +4783,51 @@ def q_orders_copurchase(sf_dir: str):
             self.keys = _ray.get(wanted_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pk = (batch["op"].to_numpy() & ((1 << 20) - 1)).astype(np.int64)
-            if not len(self.keys):
-                return pa.table(
-                    {"l_partkey": pa.array([], type=pa.int64()),
-                     "c": pa.array([], type=pa.int64())}
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(self.keys):
+                pos = np.clip(
+                    np.searchsorted(self.keys, pk), 0, len(self.keys) - 1
                 )
-            pos = np.clip(np.searchsorted(self.keys, pk), 0, len(self.keys) - 1)
-            keep = self.keys[pos] == pk
-            keys, counts = np.unique(pk[keep], return_counts=True)
+                keep = self.keys[pos] == pk
+                keys, counts = np.unique(pk[keep], return_counts=True)
+            else:
+                keys = np.array([], dtype=np.int64)
+                counts = np.array([], dtype=np.int64)
+            # distinct-order partial rides along as ONE sentinel row
+            # (l_partkey = -1) per block: baskets is globally deduped
+            # and orders are partition-exclusive, so per-block uniques
+            # sum to the exact distinct-order count — every block emits
+            # its sentinel even when no wanted part appears in it
             return pa.table(
-                {"l_partkey": keys, "c": counts.astype(np.int64)}
+                {
+                    "l_partkey": np.concatenate(
+                        [keys, np.array([-1], dtype=np.int64)]
+                    ),
+                    "c": np.concatenate(
+                        [counts.astype(np.int64),
+                         np.array([0], dtype=np.int64)]
+                    ),
+                    "n_ok": np.concatenate(
+                        [np.zeros(len(keys), dtype=np.int64),
+                         np.array([len(np.unique(ok))], dtype=np.int64)]
+                    ),
+                }
             )
 
-    cnt = (
-        collect_arrow(
-            op.map_batches(_CntPick, batch_format="pyarrow", concurrency=(2, 4))
-            .groupby("l_partkey")
-            .aggregate(Sum("c", alias_name="c")),
-            empty_schema={"l_partkey": pa.int64(), "c": pa.int64()},
-        )
-        .to_pandas()
-        .set_index("l_partkey")["c"]
-    )
-    def _ok_partial(batch: pa.Table) -> pa.Table:
-        oks = np.unique(batch["op"].to_numpy() >> 20)
-        return pa.table(
-            {"ok": oks, "one": np.ones(len(oks), dtype=np.int64)}
-        )
-
-    # distinct orderkeys = row count AFTER the keyed merge (a per-batch
-    # unique alone would double-count orders spanning batches)
-    n_orders = keyed_sum(
-        op.map_batches(_ok_partial, batch_format="pyarrow"), "ok", ["one"]
-    ).count() if len(top) else 0
+    # the (rows already deduped) marginal counts: a bounded <=40-key
+    # driver fold — no exchange at all
+    mtab = collect_arrow(
+        baskets.map_batches(
+            _CntPick, batch_format="pyarrow", batch_size=None,
+            concurrency=(2, 4),
+        ),
+        empty_schema={
+            "l_partkey": pa.int64(), "c": pa.int64(), "n_ok": pa.int64(),
+        },
+    ).to_pandas()
+    cnt = mtab[mtab.l_partkey >= 0].groupby("l_partkey")["c"].sum()
+    n_orders = int(mtab.loc[mtab.l_partkey < 0, "n_ok"].sum()) if len(top) else 0
     out = pd.DataFrame(
         {
             "p1": top["p1"].astype(np.int64),
