@@ -27,6 +27,7 @@ from pyrosar_ray.derive import (
     OSV_DURATION,
     OSV_SQL,
     POINTS_SQL,
+    LINEITEM_EXT_SQL,
     PARTSUPP_SQL,
     QUADS_SQL,
     SCENES_SQL,
@@ -4587,10 +4588,6 @@ def q_tpch_q2(sf_dir: str):
     # autoscaling (1, 4): two fixed pools of 4 would reserve every CPU
     # of an 8-CPU session and starve the task operators (the round-3
     # actor-livelock finding)
-    best = keyed_agg(
-        li.map_batches(_PackBal, batch_format="pyarrow", concurrency=(1, 4)),
-        "l_partkey", {"packed_bal": "min"},
-    )
     part = _read_parquet(
         f"{sf_dir}/part.parquet",
         columns=["p_partkey", "p_brand", "p_size"],
@@ -4606,9 +4603,15 @@ def q_tpch_q2(sf_dir: str):
             }
         )
 
-    joined = equi_join(
-        best, part.map_batches(_part_proj, batch_format="pyarrow"),
-        on="l_partkey", right_on="p_partkey", how="inner",
+    # fused ARGMIN-aggregate + join (keyed_agg_join): the per-part min
+    # fold lands co-partitioned with the part join — one exchange
+    from pyrosar_ray.stages.agg import keyed_agg_join
+
+    joined = keyed_agg_join(
+        li.map_batches(_PackBal, batch_format="pyarrow", concurrency=(1, 4)),
+        "l_partkey", {"packed_bal": "min"},
+        part.map_batches(_part_proj, batch_format="pyarrow"),
+        right_on="p_partkey",
     )
     nation = _read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
@@ -6454,6 +6457,266 @@ def q_tpch_q20(sf_dir: str):
     return supp.map_batches(_Pick, batch_format="pyarrow", concurrency=(1, 2))
 
 
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shipping-mode line counts, over the engine-derived
+    lineitem extension columns (the fixture ships no l_shipmode /
+    l_commitdate / l_receiptdate; pyrosar_ray.derive.lineitem_ext
+    derives them as pure integer functions of (orderkey, linenumber)
+    — the partsupp technique, FIXTURES.md): the late-delivery
+    predicates and mode slice apply ROW-LOCAL in the scan, per-(order,
+    mode) line counts fold INSIDE the orderkey exchange they pay to
+    meet orders' priority flag (keyed_agg_join group_cols), and a
+    2-row groupby finishes."""
+    from ray.data.aggregate import Sum
+
+    from pyrosar_ray.derive import SHIPMODES, lineitem_ext
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.agg import keyed_agg_join
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
+    want = {SHIPMODES.index("MAIL"), SHIPMODES.index("SHIP")}
+    lo_us = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi_us = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def _slice(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        ln = batch["l_linenumber"].to_numpy()
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+        mode_i, commit, receipt = lineitem_ext(ok, ln, ship)
+        keep = (
+            np.isin(mode_i, list(want))
+            & (commit < receipt)
+            & (ship < commit)
+            & (receipt >= lo_us)
+            & (receipt < hi_us)
+        )
+        part = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": ok[keep],
+                    "mode_i": mode_i[keep],
+                    "n": np.ones(int(keep.sum()), dtype=np.int64),
+                }
+            )
+            .groupby(["l_orderkey", "mode_i"], as_index=False)
+            .sum()
+        )
+        return table_from_pandas(part)
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def _prio(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(pr, ["1-URGENT", "2-HIGH"]).astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"], "prio_high": high})
+
+    lo = keyed_agg_join(
+        li.map_batches(_slice, batch_format="pyarrow"),
+        "l_orderkey", {"n": "sum"},
+        orders.map_batches(_prio, batch_format="pyarrow"),
+        right_on="o_orderkey", group_cols=["mode_i"],
+    )
+
+    def _split(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        high = batch["prio_high"].to_numpy()
+        mode_i = batch["mode_i"].to_numpy()
+        df = (
+            pd.DataFrame(
+                {
+                    "l_shipmode": np.array(SHIPMODES)[mode_i],
+                    "high_line_count": n * high,
+                    "low_line_count": n * (1 - high),
+                }
+            )
+            .groupby("l_shipmode", as_index=False)
+            .sum()
+        )
+        return table_from_pandas(df)
+
+    return (
+        lo.map_batches(_split, batch_format="pyarrow")
+        .groupby("l_shipmode")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (region-1 slice for
+    a non-trivial result set on this fixture), over the derived
+    l_commitdate / l_receiptdate (see tpch_q12): the correlated
+    EXISTS / NOT-EXISTS pair reformulates as per-order set statistics
+    — a qualifying lineitem belongs to an order with >1 distinct
+    suppliers whose only LATE supplier is its own — computed in ONE
+    orderkey co-partition exchange (lineitem flags union orders'
+    status-F rows, packed-key dedup + run-length distinct counts, all
+    vectorized); per-supplier waits fold through a bounded keyed_sum
+    and the supplier/nation dimensions attach from a broadcast map."""
+    import ray as _ray
+
+    from pyrosar_ray.derive import lineitem_ext
+    from pyrosar_ray.stages import collect_arrow, table_from_pandas
+    from pyrosar_ray.stages.agg import _MIX, _PART, keyed_sum
+    from pyrosar_ray.stages.groups import typed_groups
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate"],
+    )
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        ln = batch["l_linenumber"].to_numpy()
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+        _, commit, receipt = lineitem_ext(ok, ln, ship)
+        sk = _check_pack(batch["l_suppkey"].to_numpy(), name="l_suppkey")
+        okk = ok.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((okk * _MIX) >> np.uint64(40)).astype(np.int64) % 64
+        return pa.table(
+            {
+                "l_orderkey": ok,
+                "sk": sk,
+                "late": (receipt > commit).astype(np.int64),
+                "is_f": np.zeros(len(ok), dtype=np.int64),
+                _PART: part,
+            }
+        )
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+    )
+
+    def _status(batch: pa.Table) -> pa.Table:
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        keep = st == "F"
+        ok = batch["o_orderkey"].to_numpy()[keep]
+        okk = ok.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((okk * _MIX) >> np.uint64(40)).astype(np.int64) % 64
+        m = len(ok)
+        return pa.table(
+            {
+                "l_orderkey": ok,
+                "sk": np.full(m, -1, dtype=np.int64),
+                "late": np.zeros(m, dtype=np.int64),
+                "is_f": np.ones(m, dtype=np.int64),
+                _PART: part,
+            }
+        )
+
+    @typed_groups({"s_suppkey": pa.int64(), "numwait": pa.int64()})
+    def _per_order(group: pa.Table) -> pd.DataFrame:
+        df = group.to_pandas()
+        okf = np.sort(df.loc[df.is_f == 1, "l_orderkey"].to_numpy())
+        rows = df[df.is_f == 0]
+        ok = rows["l_orderkey"].to_numpy()
+        sk = rows["sk"].to_numpy()
+        late = rows["late"].to_numpy().astype(bool)
+        if not len(ok) or not len(okf):
+            return pd.DataFrame({"s_suppkey": [], "numwait": []})
+        # status-F membership (sorted probe)
+        pos = np.clip(np.searchsorted(okf, ok), 0, len(okf) - 1)
+        inf = okf[pos] == ok
+        ok, sk, late = ok[inf], sk[inf], late[inf]
+        if not len(ok):
+            return pd.DataFrame({"s_suppkey": [], "numwait": []})
+        # per-order distinct supplier / distinct-late-supplier counts
+        pair = np.unique(ok * (1 << 20) + sk)
+        p_ok = pair >> 20
+        o_ids, n_supp = np.unique(p_ok, return_counts=True)
+        lpair = np.unique(ok[late] * (1 << 20) + sk[late])
+        lp_ok = lpair >> 20
+        lo_ids, n_late = np.unique(lp_ok, return_counts=True)
+        # qualifying orders: >1 suppliers, exactly 1 late supplier
+        pos2 = np.clip(np.searchsorted(o_ids, lo_ids), 0, len(o_ids) - 1)
+        ns = n_supp[pos2]
+        qual = lo_ids[(n_late == 1) & (ns > 1)]
+        if not len(qual):
+            return pd.DataFrame({"s_suppkey": [], "numwait": []})
+        # count late rows per qualifying order; all belong to its sole
+        # late supplier (n_late == 1), recovered from the lpair table
+        posq = np.clip(np.searchsorted(lp_ok, qual), 0, len(lp_ok) - 1)
+        sole_supp = lpair[posq] & ((1 << 20) - 1)
+        okq = np.sort(qual)
+        posr = np.clip(np.searchsorted(okq, ok[late]), 0, len(okq) - 1)
+        inq = okq[posr] == ok[late]
+        cnt_ok, cnt = np.unique(ok[late][inq], return_counts=True)
+        # cnt_ok == sorted(qual) == okq by construction
+        poss = np.clip(np.searchsorted(qual, cnt_ok), 0, len(qual) - 1)
+        supp_of = sole_supp[poss]
+        out = (
+            pd.DataFrame({"s_suppkey": supp_of, "numwait": cnt})
+            .groupby("s_suppkey", as_index=False)
+            .sum()
+        )
+        return out
+
+    waits = keyed_sum(
+        li.map_batches(_flags, batch_format="pyarrow")
+        .union(orders.map_batches(_status, batch_format="pyarrow"))
+        .groupby(_PART)
+        .map_groups(_per_order, batch_format="pyarrow"),
+        "s_suppkey", ["numwait"],
+    )
+
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).to_pandas()  # dimension table: broadcast by design
+    nation = _read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region_nk = set(
+        nation.loc[nation.n_regionkey == 1, "n_nationkey"].astype(int)
+    )
+    keep_sk = np.sort(
+        supp.loc[
+            supp.s_nationkey.isin(region_nk), "s_suppkey"
+        ].to_numpy().astype(np.int64)
+    )
+    names = dict(zip(supp.s_suppkey.astype(int), supp.s_name))
+    keep_ref = _ray.put(keep_sk)
+
+    class _Pick:
+        def __init__(self):
+            self.keys = _ray.get(keep_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["s_suppkey"].to_numpy()
+            if len(self.keys):
+                pos = np.clip(
+                    np.searchsorted(self.keys, sk), 0, len(self.keys) - 1
+                )
+                keep = self.keys[pos] == sk
+            else:
+                keep = np.zeros(len(sk), dtype=bool)
+            out = pd.DataFrame(
+                {
+                    "s_name": [names[int(s)] for s in sk[keep]],
+                    "numwait": batch["numwait"].to_numpy()[keep],
+                }
+            )
+            return table_from_pandas(out) if len(out) else pa.table(
+                {"s_name": pa.array([], type=pa.string()),
+                 "numwait": pa.array([], type=pa.int64())}
+            )
+
+    return waits.map_batches(
+        _Pick, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
 def q_tpch_q8(sf_dir: str):
     """TPC-H Q8 national market share: NATION_3's share of the revenue
     that suppliers deliver to customers of NATION_3's region, per ship
@@ -7617,6 +7880,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q21": q_tpch_q21,
         "events_scd2": q_events_scd2,
         "events_cusum": q_events_cusum,
         "scene_kcore": q_scene_kcore,
@@ -12165,6 +12430,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE n.n_regionkey = 1
               AND s.s_suppkey IN (SELECT ps_suppkey FROM cand)
+        """,
+        "tpch_q12": f"""
+            WITH lx AS ({LINEITEM_EXT_SQL})
+            SELECT l_shipmode,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+            FROM orders JOIN lx ON o_orderkey = l_orderkey
+            WHERE l_shipmode IN ('MAIL', 'SHIP')
+              AND l_commitdate < l_receiptdate
+              AND l_shipdate < l_commitdate
+              AND l_receiptdate >= TIMESTAMP '1996-01-01'
+              AND l_receiptdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_shipmode
+        """,
+        "tpch_q21": f"""
+            WITH lx AS ({LINEITEM_EXT_SQL}),
+            l1 AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_receiptdate > l_commitdate) AS late
+                FROM lx
+            ),
+            o AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+            per AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS n_supp,
+                       COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+                           AS n_late
+                FROM l1 GROUP BY 1
+            )
+            SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+            FROM l1
+            JOIN per ON per.l_orderkey = l1.l_orderkey
+            JOIN o ON o.o_orderkey = l1.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE l1.late AND per.n_supp > 1 AND per.n_late = 1
+              AND n.n_regionkey = 1
+            GROUP BY 1
         """,
         "events_cusum": """
             WITH c AS (

@@ -408,3 +408,48 @@ PARTSUPP_SQL = """
            (l_partkey * 523 + l_suppkey * 1009) % 99900 + 100 AS ps_supplycost_c
     FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
 """
+
+
+# ------------------------------------------- lineitem extension columns
+
+#: dbgen ship modes, indexed by the derivation formula below
+SHIPMODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+
+
+def lineitem_ext(
+    ok: np.ndarray, ln: np.ndarray, ship_us: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Derived lineitem columns the fixture omits (unblocks TPC-H
+    Q12/Q21 the same way the derived partsupp unblocked Q9/Q11/Q20):
+
+        l_shipmode    = SHIPMODES[(ok·7 + ln·13) % 7]
+        l_commitdate  = l_shipdate + ((ok·31 + ln·7) % 61 − 30) days
+        l_receiptdate = l_shipdate + ((ok·17 + ln·11) % 30 + 1) days
+
+    Pure integer functions of the row key; the SQL twin evaluates the
+    identical expressions (LINEITEM_EXT_SQL). ``ship_us`` is the ship
+    timestamp in integer microseconds; returns (mode_idx int64,
+    commit_us, receipt_us). Receipt is always strictly after ship;
+    commit straddles ship by ±30 days so the late-delivery predicates
+    (commit < receipt, ship < commit) select non-trivial subsets.
+    """
+    ok = ok.astype(np.int64)
+    ln = ln.astype(np.int64)
+    us_day = 86_400_000_000
+    mode_idx = (ok * 7 + ln * 13) % 7
+    commit_us = ship_us + ((ok * 31 + ln * 7) % 61 - 30) * us_day
+    receipt_us = ship_us + ((ok * 17 + ln * 11) % 30 + 1) * us_day
+    return mode_idx, commit_us, receipt_us
+
+
+LINEITEM_EXT_SQL = """
+    SELECT l.*,
+           ['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'][
+               (l_orderkey * 7 + l_linenumber * 13) % 7 + 1
+           ] AS l_shipmode,
+           l_shipdate + ((l_orderkey * 31 + l_linenumber * 7) % 61 - 30)
+               * INTERVAL 1 DAY AS l_commitdate,
+           l_shipdate + ((l_orderkey * 17 + l_linenumber * 11) % 30 + 1)
+               * INTERVAL 1 DAY AS l_receiptdate
+    FROM lineitem l
+"""
