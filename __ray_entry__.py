@@ -963,6 +963,19 @@ def q_events_rolling(sf_dir: str):
     return rolling_sum(events, frame_rows=3)
 
 
+def q_events_ewma(sf_dir: str):
+    """Truncated EWMA per user (16-row window, α=1/2) in exact dyadic
+    fixed point — the streaming smoother, rendered hash-equal via
+    integer weights 2^(15-j); see stages/windows.rolling_ewma. Twin:
+    ROW_NUMBER self-join with a `1 << (15 - lag)` weight."""
+    from pyrosar_ray.stages.windows import rolling_ewma
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return rolling_ewma(events, frame_rows=16)
+
+
 def q_doc_term_topk(sf_dir: str):
     """Corpus-wide top-50 tokens (vocabulary-sized sort, never the corpus)."""
     import ray.data
@@ -1660,6 +1673,18 @@ def q_doc_quality_filter(sf_dir: str):
     return scored.map_batches(_keep, batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens", "stop_ratio"]
     )
+
+
+def q_doc_gopher_filter(sf_dir: str):
+    """Gopher-rule quality gate (Rae et al. 2021): word-count band,
+    cross-multiplied mean-word-length band, ≥2 distinct stopwords, and
+    the ≤10% top-token repetition rule — the published pre-training
+    curation filter, integer-exact end to end. Survivors keep their
+    four signals so the twin proves each rule, not just the verdict."""
+    from pyrosar_ray.stages.text import gopher_filter
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_filter(docs)
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
@@ -4844,6 +4869,120 @@ def q_orders_copurchase(sf_dir: str):
     return out
 
 
+def q_orders_brand_lift(sf_dir: str):
+    """Association-rule mining at the brand level: for every brand pair
+    co-purchased in at least one order, the support, both marginals and
+    the lift — lift(a,b) = N·c_ab / (c_a·c_b), the standard basket
+    metric, emitted with its exact integer numerator parts plus the one
+    double division. The 25-brand vocabulary makes every aggregate
+    bounded: (order, brand) pairs dedup inside the partition-domain
+    pair-emission exchange (the orders_copurchase plan, one barrier),
+    pair supports, brand marginals AND the distinct-order count all
+    fold through ONE keyed_sum over a ≤(300+25+1)-key domain (record
+    kinds packed into disjoint key ranges), and the lift arithmetic is
+    a driver fold of that tiny table. The part→brand dimension
+    broadcasts once via ray.put (at 100 TB the part table is still the
+    small side; past broadcast comfort the brand id would ride a
+    co-partition join instead). Twin: DISTINCT order-brand CTE,
+    self-join pair counts, marginal counts, COUNT(DISTINCT orderkey)."""
+    import ray as _ray
+
+    from pyrosar_ray.stages import collect_arrow, table_from_pandas
+    from pyrosar_ray.stages.agg import _MIX, _PART, keyed_sum
+    from pyrosar_ray.stages.groups import typed_groups
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    brands = np.sort(part["p_brand"].unique())
+    bid = {b: i for i, b in enumerate(brands)}
+    if len(brands) >= 32:
+        raise ValueError("brand pack: vocabulary >= 32 needs a wider shift")
+    lut = np.zeros(int(part["p_partkey"].max()) + 1, dtype=np.int64)
+    lut[part["p_partkey"].to_numpy()] = part["p_brand"].map(bid).to_numpy()
+    lut_ref = _ray.put(lut)
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    class _ObPartial:
+        def __init__(self):
+            self.lut = _ray.get(lut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch["l_orderkey"].to_numpy()
+            b = self.lut[batch["l_partkey"].to_numpy()]
+            packed = np.unique(ok * 32 + b)
+            ok2 = (packed >> 5).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                partn = ((ok2 * _MIX) >> np.uint64(40)).astype(np.int64) % 64
+            return pa.table(
+                {"ob": packed, _PART: partn}
+            )
+
+    @typed_groups({"key": pa.int64(), "cnt": pa.int64()})
+    def _emit(group: pa.Table) -> pd.DataFrame:
+        packed = np.unique(group["ob"].to_numpy(zero_copy_only=False))
+        ok = packed >> 5
+        b = packed & 31
+        # key spaces: pairs = 2048 + b1*32 + b2; marginals = 1024 + b;
+        # distinct-order sentinel = 0
+        keys = [np.array([0], dtype=np.int64)]
+        cnts = [np.array([len(np.unique(ok))], dtype=np.int64)]
+        u, c = np.unique(b, return_counts=True)
+        keys.append(1024 + u)
+        cnts.append(c.astype(np.int64))
+        starts = (
+            np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+            if len(ok) else np.array([], dtype=np.int64)
+        )
+        max_run = (
+            int(np.diff(np.append(starts, len(ok))).max()) if len(ok) else 0
+        )
+        pair_parts = []
+        for j in range(1, max_run):
+            same = ok[:-j] == ok[j:]
+            pair_parts.append(b[:-j][same] * 32 + b[j:][same])
+        if pair_parts:
+            pu, pc = np.unique(np.concatenate(pair_parts), return_counts=True)
+            keys.append(2048 + pu)
+            cnts.append(pc.astype(np.int64))
+        return pd.DataFrame(
+            {"key": np.concatenate(keys), "cnt": np.concatenate(cnts)}
+        )
+
+    folded = keyed_sum(
+        li.map_batches(_ObPartial, batch_format="pyarrow", concurrency=(2, 8))
+        .groupby(_PART)
+        .map_groups(_emit, batch_format="pyarrow"),
+        "key", ["cnt"],
+    )
+    t = collect_arrow(
+        folded, empty_schema={"key": pa.int64(), "cnt": pa.int64()}
+    ).to_pandas()
+    n_orders = int(t.loc[t.key == 0, "cnt"].sum())
+    marg = t[(t.key >= 1024) & (t.key < 2048)].set_index(t.key[(t.key >= 1024) & (t.key < 2048)] - 1024)["cnt"]
+    pairs = t[t.key >= 2048].copy()
+    b1 = (pairs["key"].to_numpy() - 2048) >> 5
+    b2 = (pairs["key"].to_numpy() - 2048) & 31
+    c_ab = pairs["cnt"].to_numpy()
+    c_a = marg.reindex(b1).to_numpy().astype(np.int64)
+    c_b = marg.reindex(b2).to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "brand_a": brands[b1],
+            "brand_b": brands[b2],
+            "c_ab": c_ab.astype(np.int64),
+            "c_a": c_a,
+            "c_b": c_b,
+            "n_orders": np.full(len(c_ab), n_orders, dtype=np.int64),
+            "lift": (n_orders * c_ab).astype(np.float64) / (c_a * c_b).astype(np.float64),
+        }
+    ).sort_values(["brand_a", "brand_b"], ignore_index=True)
+    return out
+
+
 def q_events_new_users(sf_dir: str):
     """Daily growth accounting: per day, the DISTINCT active users, the
     first-time (new) users, and the running cumulative of new users.
@@ -7009,6 +7148,38 @@ def q_scene_insar_pairs(sf_dir: str):
     )
 
 
+def q_scene_stacks(sf_dir: str):
+    """Interferometric stack grouping — connected components over the
+    InSAR pair graph (footprint overlap AND ≤12-day separation),
+    labeled by the component's minimum scene key. This is the grouping
+    a stack processor runs AFTER pair selection: every scene connected
+    through a chain of valid interferograms lands in one stack. The
+    temporal gate keeps components bounded (a repeat-pass constellation
+    chains at most a handful of acquisitions per footprint within the
+    baseline window), so the cost-based CC (stages/dedup_text.cc_pairs)
+    resolves driver-side here and falls back to the distributed
+    large-star/small-star rounds past the edge bound. Output:
+    (scene_key, stack_id). Twin: the insar pair CTE + recursive-CTE
+    transitive closure, the doc_dup_clusters pattern."""
+    from pyrosar_ray.stages.dedup_text import cc_pairs
+
+    pairs = q_scene_insar_pairs(sf_dir)
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id_a": batch["scene_a"], "id_b": batch["scene_b"]}
+        )
+
+    cc = cc_pairs(pairs.map_batches(_edges, batch_format="pyarrow"))
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"scene_key": batch["doc_id"], "stack_id": batch["cluster_id"]}
+        )
+
+    return cc.map_batches(_rename, batch_format="pyarrow")
+
+
 def q_tile_revisit(sf_dir: str):
     """Per-tile revisit statistics — the SAR time-series planning
     query (how often is each 1° tile re-imaged, and what is its worst
@@ -7887,8 +8058,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "scene_kcore": q_scene_kcore,
         "points_hilbert": q_points_hilbert,
         "orders_copurchase": q_orders_copurchase,
+        "orders_brand_lift": q_orders_brand_lift,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
+        "scene_stacks": q_scene_stacks,
         "orders_rfm": q_orders_rfm,
         "doc_kneser_ney": q_doc_kneser_ney,
         "part_abc": q_part_abc,
@@ -8076,9 +8249,11 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "dedup_duplicates": q_dedup_duplicates,
         "session_counts": q_session_counts,
         "doc_quality_filter": q_doc_quality_filter,
+        "doc_gopher_filter": q_doc_gopher_filter,
         "events_window": q_events_window,
         "events_window_hop": q_events_window_hop,
         "events_rolling": q_events_rolling,
+        "events_ewma": q_events_ewma,
         "events_window_users": q_events_window_users,
         "doc_sample": q_doc_sample,
         "doc_domain_cap": q_doc_domain_cap,
@@ -10174,6 +10349,22 @@ def oracle_sql() -> dict[str, str]:
                    )::BIGINT AS roll_cents
             FROM events
         """,
+        "events_ewma": """
+            WITH rn AS (
+                SELECT user_id, event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS r
+                FROM events
+            )
+            SELECT a.user_id, a.event_id,
+                   SUM(b.cents * (1::BIGINT << (15 - (a.r - b.r))))::BIGINT
+                       AS ewma_fp
+            FROM rn a JOIN rn b
+              ON a.user_id = b.user_id AND b.r BETWEEN a.r - 15 AND a.r
+            GROUP BY a.user_id, a.event_id
+        """,
         "doc_term_topk": """
             SELECT token, n FROM (
                 SELECT token, COUNT(*)::BIGINT AS n
@@ -10561,6 +10752,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN idd da ON da.scene_key = ip.scene_a
             JOIN idd db ON db.scene_key = ip.scene_b
             WHERE abs(da.day_i - db.day_i) <= 12
+        """,
+        "scene_stacks": f"""
+            WITH RECURSIVE scenes AS ({SCENES_SQL}), ic AS (
+                SELECT scene_key,
+                       CAST(round(xmin * 100) AS BIGINT) AS x0,
+                       CAST(round(xmax * 100) AS BIGINT) AS x1,
+                       CAST(round(ymin * 100) AS BIGINT) AS y0,
+                       CAST(round(ymax * 100) AS BIGINT) AS y1
+                FROM scenes
+            ),
+            idd AS (
+                SELECT scene_key,
+                       date_diff('day', DATE '2015-01-01',
+                           strptime(start, '%Y%m%dT%H%M%S')::DATE)::BIGINT
+                           AS day_i
+                FROM scenes
+            ),
+            ip AS (
+                SELECT a.scene_key AS sa, b.scene_key AS sb
+                FROM ic a JOIN ic b ON a.scene_key < b.scene_key
+                 AND a.x0 < b.x1 AND b.x0 < a.x1
+                 AND a.y0 < b.y1 AND b.y0 < a.y1
+                JOIN idd da ON da.scene_key = a.scene_key
+                JOIN idd db ON db.scene_key = b.scene_key
+                WHERE abs(da.day_i - db.day_i) <= 12
+            ),
+            und AS (
+                SELECT sa AS u, sb AS v FROM ip
+                UNION
+                SELECT sb, sa FROM ip
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+                WHERE e.v <> r.u
+            )
+            SELECT u::BIGINT AS scene_key, LEAST(u, MIN(v))::BIGINT AS stack_id
+            FROM reach GROUP BY u
         """,
         "mgrs_zones": _mgrs_sql(),
         "raster_gradient": _gradient_sql(),
@@ -11545,6 +11775,26 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE n_tokens >= 8 AND n_uniq_tokens * 10 >= n_tokens * 6
               AND stop_ratio < 0.35
+        """,
+        "doc_gopher_filter": f"""
+            SELECT doc_id, n_words, sum_wlen, n_stop_distinct, max_tok_freq
+            FROM (
+                SELECT doc_id,
+                       len(toks)::BIGINT AS n_words,
+                       (length(text) - len(toks) + 1)::BIGINT AS sum_wlen,
+                       len(list_filter({stop_list},
+                                       x -> list_contains(toks, x)))::BIGINT
+                           AS n_stop_distinct,
+                       list_max(list_transform(list_distinct(toks),
+                                x -> len(list_filter(toks, y -> y = x))))::BIGINT
+                           AS max_tok_freq
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                      FROM documents)
+            )
+            WHERE n_words BETWEEN 30 AND 100000
+              AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+              AND n_stop_distinct >= 2
+              AND max_tok_freq * 100 <= n_words * 10
         """,
         "doc_jaccard_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -12545,6 +12795,30 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
                        ::BIGINT AS cum_users
             FROM a LEFT JOIN n ON a.day = n.day
+        """,
+        "orders_brand_lift": """
+            WITH ob AS (
+                SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+            ),
+            n AS (SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+                  FROM lineitem),
+            m AS (SELECT p_brand, COUNT(*)::BIGINT AS c FROM ob
+                  GROUP BY p_brand),
+            p AS (
+                SELECT a.p_brand AS ba, b.p_brand AS bb,
+                       COUNT(*)::BIGINT AS c_ab
+                FROM ob a JOIN ob b
+                  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+                GROUP BY 1, 2
+            )
+            SELECT ba AS brand_a, bb AS brand_b, c_ab,
+                   ma.c AS c_a, mb.c AS c_b, n_orders,
+                   (n_orders * c_ab) / (ma.c * mb.c) AS lift
+            FROM p
+            JOIN m ma ON ma.p_brand = p.ba
+            JOIN m mb ON mb.p_brand = p.bb
+            CROSS JOIN n
         """,
         "orders_copurchase": """
             WITH op AS (

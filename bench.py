@@ -105,6 +105,12 @@ BENCH_QUERIES = (
     "tpch_q11",
     "tpch_q20",
     "embed_pca",
+    "tpch_q12",
+    "tpch_q21",
+    "doc_gopher_filter",
+    "scene_stacks",
+    "events_ewma",
+    "orders_brand_lift",
 )
 
 

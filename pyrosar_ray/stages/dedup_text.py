@@ -669,16 +669,30 @@ def dup_clusters(
     (:func:`cc_distributed`), which never materialize more than one
     edge block per task. ``mode`` forces ``"driver"`` / ``"distributed"``.
     """
+    pairs_ds = jaccard_pairs(
+        docs, block_col=block_col, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    ).select_columns(["id_a", "id_b"])
+    return cc_pairs(pairs_ds, mode=mode, driver_edge_bound=driver_edge_bound)
+
+
+def cc_pairs(
+    pairs_ds: Dataset,
+    mode: str = "auto",
+    driver_edge_bound: int = 2_000_000,
+) -> Dataset:
+    """Connected components of an (id_a, id_b) edge Dataset with the
+    cost-based driver/distributed plan split of :func:`dup_clusters`.
+
+    The edge count is known exactly after one ``materialize`` of the
+    (already tiny relative to the corpus) pair set; ≤ the bound labels
+    with the vectorized driver kernel, past it the large-star /
+    small-star rounds keep everything distributed. Output:
+    ``(doc_id, cluster_id)`` with cluster_id = component minimum.
+    """
     import ray
 
-    pairs_ds = (
-        jaccard_pairs(
-            docs, block_col=block_col, threshold=threshold,
-            text_col=text_col, id_col=id_col,
-        )
-        .select_columns(["id_a", "id_b"])
-        .materialize()
-    )
+    pairs_ds = pairs_ds.materialize()
     n_edges = pairs_ds.count()
     empty = pa.table(
         {

@@ -75,6 +75,75 @@ def quality_scores(docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
     return docs.map_batches(_scores, batch_format="pyarrow")
 
 
+def gopher_filter(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stop_distinct: int = 2,
+    max_top_freq_pct: int = 10,
+) -> Dataset:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1),
+    restricted to the rules that are integer-exact on this corpus.
+
+    A document survives when ALL hold:
+
+    - word count in ``[min_words, max_words]``;
+    - mean word length in ``[min_mean_len, max_mean_len]`` — tested as
+      the cross-multiplied integer inequality ``min·n ≤ Σlen ≤ max·n``
+      where ``Σlen = len(text) − (n_words − 1)`` (split on single
+      spaces: total token length is text length minus separator count,
+      exact on both engine and oracle);
+    - at least ``min_stop_distinct`` DISTINCT stopwords from
+      :data:`STOPWORDS` present (Gopher's "contains ≥2 stop words");
+    - the most frequent token accounts for at most
+      ``max_top_freq_pct``% of the words (the repetition rule), tested
+      as ``max_freq · 100 ≤ n_words · pct``.
+
+    Every signal is an integer, so the survivor set is bit-equal to the
+    SQL twin. Stateless ``map_batches``; zero exchange — the filter is
+    embarrassingly parallel at any corpus size.
+    """
+    stopset = frozenset(STOPWORDS)
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype("string")
+        tokens = s.str.split(" ")
+        n_words = tokens.map(len).to_numpy().astype(np.int64)
+        sum_wlen = s.str.len().to_numpy().astype(np.int64) - n_words + 1
+        n_stop = tokens.map(lambda t: len(stopset.intersection(t))).to_numpy().astype(np.int64)
+
+        def _maxfreq(t: list) -> int:
+            c: dict = {}
+            for w in t:
+                c[w] = c.get(w, 0) + 1
+            return max(c.values())
+
+        max_freq = tokens.map(_maxfreq).to_numpy().astype(np.int64)
+        keep = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (min_mean_len * n_words <= sum_wlen)
+            & (sum_wlen <= max_mean_len * n_words)
+            & (n_stop >= min_stop_distinct)
+            & (max_freq * 100 <= n_words * max_top_freq_pct)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col].to_numpy()[keep],
+                "n_words": pa.array(n_words[keep]),
+                "sum_wlen": pa.array(sum_wlen[keep]),
+                "n_stop_distinct": pa.array(n_stop[keep]),
+                "max_tok_freq": pa.array(max_freq[keep]),
+            }
+        )
+
+    return docs.map_batches(_gate, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- lang id
 
 

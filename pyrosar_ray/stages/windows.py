@@ -168,6 +168,52 @@ def rolling_sum(
     return events.groupby(key_col).map_groups(_roll, batch_format="pandas")
 
 
+def rolling_ewma(
+    events: Dataset,
+    frame_rows: int = 16,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> Dataset:
+    """Per-key exponentially-weighted moving average over the last
+    ``frame_rows`` rows, exact in dyadic fixed point.
+
+    The classic EWMA (α = 1/2) is recursive and therefore not
+    finite-window; the production streaming form truncates it to a
+    window, and with dyadic weights the truncated sum is EXACT in
+    integers: the row at offset ``j`` back (0 = current) carries weight
+    ``2^(frame_rows-1-j)``, so the output ``ewma_fp`` is the fixed-point
+    value ``Σ cents_{t-j} · 2^(15-j)`` — bit-equal on any engine, no
+    float accumulation order to disagree about. Missing predecessors at
+    a partition head simply contribute nothing (the SQL frame
+    semantics).
+
+    Same plan shape as :func:`rolling_sum`: one hash exchange on the
+    key, then a per-group sorted sliding-window dot product
+    (``sliding_window_view @ weights`` — vectorized, no per-row
+    Python). int64-safe: cents < 2^25, weights sum < 2^17.
+    """
+
+    w = (1 << np.arange(frame_rows, dtype=np.int64))  # col j ↔ offset frame-1-j
+
+    def _ewma(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort")
+        cents = np.floor(df[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        padded = np.concatenate([np.zeros(frame_rows - 1, dtype=np.int64), cents])
+        win = np.lib.stride_tricks.sliding_window_view(padded, frame_rows)
+        out = win @ w
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "ewma_fp": out,
+            }
+        )
+
+    return events.groupby(key_col).map_groups(_ewma, batch_format="pandas")
+
+
 def tumbling_distinct(
     events: Dataset,
     width_us: int,

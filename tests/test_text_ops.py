@@ -670,3 +670,58 @@ def test_lang_id_int_accuracy_and_repartition_invariance():
     got = lang_id_int(toy).to_pandas()
     truth = {r["doc_id"]: r["lang"] for r in rows}
     assert (got["pred_lang"] == got["doc_id"].map(truth)).all()
+
+
+def test_gopher_filter_rules_bite_individually():
+    import pandas as pd
+    import ray.data as rd
+
+    from pyrosar_ray.stages.text import gopher_filter
+
+    base = ("the of and to in " + "word" + " different tokens here now " ) * 6
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                base.strip(),                         # passes all rules
+                "short text only",                    # fails word count
+                ("the " * 60).strip(),                # fails repetition + stop distinct
+                ("zz " * 60).strip(),                 # fails stopwords + mean len (2.0 < 3)
+                ("the of " + "supercalifragilistic " * 58).strip(),  # mean len > 10
+            ],
+        }
+    )
+    out = gopher_filter(rd.from_pandas(docs).repartition(3)).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    row = out.iloc[0]
+    toks = docs.loc[0, "text"].split(" ")
+    assert row["n_words"] == len(toks)
+    assert row["sum_wlen"] == sum(len(t) for t in toks)
+    assert row["n_stop_distinct"] == 5
+    from collections import Counter
+
+    assert row["max_tok_freq"] == max(Counter(toks).values())
+
+
+def test_gopher_filter_empty_and_partition_invariance():
+    import pandas as pd
+    import ray.data as rd
+
+    from pyrosar_ray.stages.text import gopher_filter
+
+    rng = np.random.default_rng(5)
+    vocab = ["the", "a", "of", "and", "to", "in", "data", "rays",
+             "scans", "sorting", "pipeline", "window", "stream"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(5, 70)))
+                for _ in range(80)
+            ],
+        }
+    )
+    a = gopher_filter(rd.from_pandas(docs)).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = gopher_filter(rd.from_pandas(docs).repartition(7)).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert len(a) > 0  # the corpus must exercise the keep path
+    assert a.equals(b)

@@ -279,3 +279,37 @@ def test_keyed_cusum_matches_sequential_recursion(ray_session):
         .sort_values(["user_id", "event_id"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_rolling_ewma_matches_bruteforce():
+    from pyrosar_ray.stages.windows import rolling_ewma
+
+    rng = np.random.default_rng(21)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 4, n),
+            "ts": np.datetime64("2024-01-01", "us")
+            + rng.integers(0, 10**9, n).astype("timedelta64[us]"),
+            "value": rng.normal(10, 3, n).round(2),
+        }
+    )
+    got = (
+        rolling_ewma(ray.data.from_pandas(df).repartition(5), frame_rows=16)
+        .to_pandas()
+        .set_index("event_id")["ewma_fp"]
+    )
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    ref = {}
+    srt = df.assign(cents=cents).sort_values(["ts", "event_id"])
+    for _, g in srt.groupby("user_id"):
+        c = g["cents"].to_numpy()
+        for i, eid in enumerate(g["event_id"].to_numpy()):
+            acc = 0
+            for j in range(min(16, i + 1)):
+                acc += int(c[i - j]) << (15 - j)
+            ref[eid] = acc
+    assert len(got) == n
+    for eid in df["event_id"]:
+        assert got.loc[eid] == ref[eid]
