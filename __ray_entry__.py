@@ -5189,15 +5189,29 @@ def q_tpch_q3(sf_dir: str):
         )
 
     from pyrosar_ray.stages import physical_select
+    from pyrosar_ray.stages.join import broadcast_equi_join
 
-    # physical projection: this feeds the second equi_join, whose column
-    # plan comes from schema() — see stages.physical_select
-    ord_cust = physical_select(
-        equi_join(
-            orders.map_batches(_ocust, batch_format="pyarrow"), cust, on="c_custkey"
-        ),
-        ["o_orderkey", "o_orderdate", "o_orderpriority"],
-    )
+    # cost-based dimension tail (the Q18 switch): the BUILDING segment
+    # is 20% of customer and key-only (sf1000 ≈ 30M int64 keys ≈ 240 MB
+    # broadcast), so below the bound customer⋈orders becomes a map-side
+    # semi probe — the chain's only barrier is the orderkey exchange.
+    cust = cust.materialize()
+    if cust.count() <= 5_000_000:
+        ord_cust = physical_select(
+            broadcast_equi_join(
+                orders.map_batches(_ocust, batch_format="pyarrow"),
+                cust, on="c_custkey", how="semi",
+            ),
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+    else:
+        ord_cust = physical_select(
+            equi_join(
+                orders.map_batches(_ocust, batch_format="pyarrow"),
+                cust, on="c_custkey",
+            ),
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
 
     li = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -5400,17 +5414,33 @@ def q_tpch_q7(sf_dir: str):
             }
         )
 
-    cust = cust.map_batches(_prune_cust, batch_format="pyarrow")
+    cust = cust.map_batches(_prune_cust, batch_format="pyarrow").materialize()
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     from pyrosar_ray.stages import physical_select
+    from pyrosar_ray.stages.join import broadcast_equi_join
 
-    # physical projection: feeds the next equi_join (see physical_select)
-    oc = physical_select(
-        equi_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner"),
-        ["o_orderkey", "cust_nk"],
-    )
+    # cost-based dimension tail (the Q18 switch): the two-nation
+    # customer slice is 8% of a 1e-2-of-fact table — broadcastable at
+    # any realistic scale factor (sf1000 ≈ 12M keys ≈ 200 MB), so the
+    # orders⋈customer exchange becomes a map-side probe and the chain
+    # pays ONE barrier (the keyed_agg_join). Past the bound the plan
+    # falls back to the co-partition join unchanged.
+    if cust.count() <= 5_000_000:
+        oc = physical_select(
+            broadcast_equi_join(
+                orders, cust, on="o_custkey", right_on="c_custkey"
+            ),
+            ["o_orderkey", "cust_nk"],
+        )
+    else:
+        oc = physical_select(
+            equi_join(
+                orders, cust, on="o_custkey", right_on="c_custkey", how="inner"
+            ),
+            ["o_orderkey", "cust_nk"],
+        )
     # fused pre-aggregate + join (keyed_agg_join): the fact folds per
     # (orderkey, supp_nation, year) inside the orderkey exchange it
     # already pays to meet orders⋈customer — the large exchange carries
@@ -6895,14 +6925,31 @@ def q_tpch_q8(sf_dir: str):
         keep = np.isin(nk, list(region_nations))
         return pa.table({"c_custkey": batch["c_custkey"].to_numpy()[keep]})
 
-    cust = cust.map_batches(_prune_cust, batch_format="pyarrow")
+    cust = cust.map_batches(_prune_cust, batch_format="pyarrow").materialize()
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    oc = physical_select(
-        equi_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner"),
-        ["o_orderkey"],
-    )
+    from pyrosar_ray.stages.join import broadcast_equi_join
+
+    # cost-based dimension tail (the Q18 switch): the region slice is
+    # 20% of customer — a key-only semi side (sf1000 ≈ 30M int64 keys ≈
+    # 240 MB broadcast) — so below the bound orders⋈customer becomes a
+    # map-side semi probe and the chain keeps ONE barrier (the orderkey
+    # exchange); past it, the co-partition join unchanged.
+    if cust.count() <= 5_000_000:
+        oc = physical_select(
+            broadcast_equi_join(
+                orders, cust, on="o_custkey", right_on="c_custkey", how="semi"
+            ),
+            ["o_orderkey"],
+        )
+    else:
+        oc = physical_select(
+            equi_join(
+                orders, cust, on="o_custkey", right_on="c_custkey", how="inner"
+            ),
+            ["o_orderkey"],
+        )
 
     supp = _read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
