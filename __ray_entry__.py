@@ -3522,6 +3522,49 @@ def _equalize_sql() -> str:
         """
 
 
+def q_image_resize_box(sf_dir: str):
+    """2× box downsample (sum-pooling) through real byte decode: the
+    closed-form grayscale rasters shrink by an exact 2×2 block sum —
+    the integer-exact form of average-pool resize, trailing odd
+    row/column cropped. Emitted: output dims, position-weighted sum of
+    the downsampled plane (pins the block layout), min/max. The twin
+    recomputes every block sum from the fill formula."""
+    from pyrosar_ray.sources.images import patch_images_from_documents
+    from pyrosar_ray.stages.images import box_downsample_stats
+
+    return box_downsample_stats(patch_images_from_documents(sf_dir), factor=2)
+
+
+def _resize_box_sql() -> str:
+    v = "(doc_id * 7 + (2*y2{dy}) * 13 + (2*x2{dx}) * 5) % 251"
+    cells = " + ".join(
+        f"(({v.format(dy='+1' if dy else '', dx='+1' if dx else '')}))"
+        for dy in (0, 1)
+        for dx in (0, 1)
+    )
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id, (8 + doc_id % 9) // 2 AS w2,
+                   (6 + doc_id % 7) // 2 AS h2
+            FROM documents
+        ), ys AS (
+            SELECT doc_id, w2, unnest(range(0, h2))::BIGINT AS y2 FROM imgs
+        ), pix AS (
+            SELECT doc_id, w2, y2, unnest(range(0, w2))::BIGINT AS x2 FROM ys
+        ), blk AS (
+            SELECT doc_id, ({cells})::BIGINT AS s,
+                   (y2 * w2 + x2 + 1)::BIGINT AS idx
+            FROM pix
+        )
+        SELECT i.doc_id AS image_id, i.w2::BIGINT AS w2, i.h2::BIGINT AS h2,
+               COALESCE(SUM(b.s * b.idx), 0)::BIGINT AS ds_wsum,
+               COALESCE(MIN(b.s), 0)::BIGINT AS ds_min,
+               COALESCE(MAX(b.s), 0)::BIGINT AS ds_max
+        FROM imgs i LEFT JOIN blk b ON b.doc_id = i.doc_id
+        GROUP BY 1, 2, 3
+        """
+
+
 def q_image_patches(sf_dir: str):
     """ViT-style patch extraction through real byte decode: closed-form
     grayscale rasters (v = (id*7 + y*13 + x*5) % 251, ragged sizes) are
@@ -8134,6 +8177,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "points_hscan": q_points_hscan,
         "raster_flowdir": q_raster_flowdir,
         "image_equalize": q_image_equalize,
+        "image_resize_box": q_image_resize_box,
         "doc_minhash_recall": q_doc_minhash_recall,
         "tile_areal": q_tile_areal,
         "events_mad": q_events_mad,
@@ -10730,6 +10774,7 @@ def oracle_sql() -> dict[str, str]:
         "points_hilbert": _hilbert_sql().replace("{POINTS}", POINTS_SQL),
         "raster_flowdir": _flowdir_sql(),
         "image_equalize": _equalize_sql(),
+        "image_resize_box": _resize_box_sql(),
         "tile_revisit": f"""
             {_SCENES},
             lat_exp AS (

@@ -111,6 +111,7 @@ BENCH_QUERIES = (
     "scene_stacks",
     "events_ewma",
     "orders_brand_lift",
+    "image_resize_box",
 )
 
 

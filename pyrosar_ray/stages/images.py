@@ -1050,6 +1050,59 @@ def aspect_bucket_assign(
     return images.map_batches(_assign, batch_format="pyarrow")
 
 
+def box_downsample_stats(
+    images: Dataset,
+    factor: int = 2,
+    id_col: str = "image_id",
+) -> Dataset:
+    """Per-image box downsample (sum-pooling), integer-exact: each
+    output pixel is the SUM of its ``factor×factor`` input block — the
+    exact-arithmetic form of average pooling (the consumer divides by
+    ``factor²``; keeping the sum avoids the rounding convention
+    entirely). Trailing rows/columns that do not fill a block are
+    dropped (the same edge-crop contract as :func:`image_patches`).
+    Emitted per image: output dims, the position-weighted sum of the
+    downsampled plane (``Σ out[y,x]·(y·w2 + x + 1)`` — pins the block
+    layout), and the output min/max. Row-local, zero shuffle; one
+    reshape-sum per image.
+    """
+    f = int(factor)
+    if f < 1:
+        raise ValueError("factor must be >= 1")
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        blobs = batch["bytes"].to_pylist()
+        out = {
+            k: []
+            for k in (id_col, "w2", "h2", "ds_wsum", "ds_min", "ds_max")
+        }
+        for i in range(len(ids)):
+            w, h = int(ws[i]), int(hs[i])
+            v = np.frombuffer(blobs[i], dtype=np.uint8).astype(np.int64)
+            v = v.reshape(h, w)
+            h2, w2 = h // f, w // f
+            blk = (
+                v[: h2 * f, : w2 * f]
+                .reshape(h2, f, w2, f)
+                .sum(axis=(1, 3))
+                if h2 and w2
+                else np.zeros((0, 0), dtype=np.int64)
+            )
+            flat = blk.reshape(-1)
+            out[id_col].append(int(ids[i]))
+            out["w2"].append(w2)
+            out["h2"].append(h2)
+            out["ds_wsum"].append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            out["ds_min"].append(int(flat.min()) if flat.size else 0)
+            out["ds_max"].append(int(flat.max()) if flat.size else 0)
+        return pa.table({k: pa.array(c, type=pa.int64()) for k, c in out.items()})
+
+    return images.map_batches(_stats, batch_format="pyarrow", batch_size=128)
+
+
 def hist_equalize_stats(
     images: Dataset,
     id_col: str = "image_id",

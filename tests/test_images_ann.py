@@ -843,3 +843,33 @@ def test_subspace_iteration_int_guards():
         subspace_iteration_int(ds, dim=2, k=1, iters=2)  # zero Gram
     with pytest.raises(ValueError):
         subspace_iteration_int(ds, dim=2, k=3, iters=2)  # k > dim
+
+
+def test_box_downsample_sum_pool_exact():
+    """2x2 block sums equal the numpy pooling reference; odd edges crop."""
+    from pyrosar_ray.stages.images import box_downsample_stats
+
+    w, h = 9, 7  # odd both ways: crops to 8x6 -> 4x3 output
+    arr = ((np.arange(h * w, dtype=np.int64) * 31) % 251).astype(np.uint8).reshape(h, w)
+    images = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([3], type=pa.int64()),
+                "bytes": pa.array([arr.tobytes()], type=pa.binary()),
+                "w": pa.array([w], type=pa.int32()),
+                "h": pa.array([h], type=pa.int32()),
+                "fmt": pa.array(["raw_gray"]),
+            }
+        )
+    )
+    out = box_downsample_stats(images, factor=2).to_pandas().iloc[0]
+    ref = arr[:6, :8].astype(np.int64).reshape(3, 2, 4, 2).sum(axis=(1, 3))
+    assert (out.w2, out.h2) == (4, 3)
+    flat = ref.reshape(-1)
+    assert out.ds_wsum == int((flat * (np.arange(flat.size) + 1)).sum())
+    assert out.ds_min == flat.min() and out.ds_max == flat.max()
+    # factor=1 is the identity pooling: weighted sum over the raw plane
+    ident = box_downsample_stats(images, factor=1).to_pandas().iloc[0]
+    raw = arr.astype(np.int64).reshape(-1)
+    assert (ident.w2, ident.h2) == (w, h)
+    assert ident.ds_wsum == int((raw * (np.arange(raw.size) + 1)).sum())
