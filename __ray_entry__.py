@@ -2128,6 +2128,36 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_int(emb, k=12, iters=3, seed=13)
 
 
+def q_spatial_dbscan(sf_dir: str):
+    """DBSCAN density clustering over the synthetic point table (eps =
+    1.00° as 100 centidegrees, minPts = 4 including self), deterministic
+    variant — core points cluster as connected components of the
+    core–core eps-graph (min-id labels), border points take the minimum
+    neighboring core label, noise drops. Exact integer centidegree
+    metric end to end; see stages/spatial.dbscan_labels for the plan
+    (salted-cell pair exchange → degree keyed_sum → semi-join core
+    filter → cost-based CC → border min-fold). Twin: bucketed 3×3 cell
+    self-join + recursive-CTE closure + the same border rule."""
+    from pyrosar_ray.pipelines.tables import load_points
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.spatial import dbscan_labels
+
+    out = dbscan_labels(load_points(sf_dir), radius_cd=100, min_pts=4)
+    # collect_arrow with a pinned schema: a sub-density corpus (sf0.001)
+    # clusters NOTHING, and Ray's to_pandas drops the schema of an
+    # all-empty dataset — the typed collect keeps the gate comparable.
+    # The label table is the deliverable (bounded by the clustered
+    # subset); a production run would write_parquet instead.
+    return collect_arrow(
+        out,
+        empty_schema={
+            "point_id": pa.int64(),
+            "cluster_id": pa.int64(),
+            "is_core": pa.int64(),
+        },
+    )
+
+
 def q_spatial_radius_join(sf_dir: str):
     """Distance-threshold join: every (sampled point, scene centroid)
     pair within 1500 milli-degrees, exact INTEGER milli-degree metric
@@ -8112,6 +8142,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "raster_pyramid": q_raster_pyramid,
         "doc_dsir": q_doc_dsir,
         "spatial_radius_join": q_spatial_radius_join,
+        "spatial_dbscan": q_spatial_dbscan,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "events_timetravel": q_events_timetravel,
         "image_mosaic": q_image_mosaic,
@@ -10548,6 +10579,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_dsir": _dsir_sql(),
         "doc_anchor_agg": _anchor_agg_sql(),
+        "spatial_dbscan": f"""
+            WITH RECURSIVE points AS ({POINTS_SQL}), p AS (
+                SELECT point_id,
+                       CAST(round(lon * 100) AS BIGINT) AS x,
+                       CAST(round(lat * 100) AS BIGINT) AS y,
+                       CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy
+                FROM points
+            ),
+            pairs AS (
+                SELECT a.point_id AS ia, b.point_id AS ib
+                FROM p a JOIN p b
+                  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                 AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+                 AND a.point_id < b.point_id
+                 AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 10000
+            ),
+            deg AS (
+                SELECT point_id, COUNT(*) AS nb FROM (
+                    SELECT ia AS point_id FROM pairs
+                    UNION ALL SELECT ib FROM pairs
+                ) GROUP BY 1
+            ),
+            core AS (SELECT point_id FROM deg WHERE nb + 1 >= 4),
+            cce AS (
+                SELECT ia, ib FROM pairs
+                WHERE ia IN (SELECT point_id FROM core)
+                  AND ib IN (SELECT point_id FROM core)
+            ),
+            und AS (
+                SELECT ia AS u, ib AS v FROM cce
+                UNION SELECT ib, ia FROM cce
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM und
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            lbl AS (
+                SELECT u AS point_id, LEAST(u, MIN(v)) AS cluster_id
+                FROM reach GROUP BY u
+            ),
+            core_lbl AS (
+                SELECT c.point_id,
+                       COALESCE(l.cluster_id, c.point_id) AS cluster_id
+                FROM core c LEFT JOIN lbl l ON l.point_id = c.point_id
+            ),
+            bc AS (
+                SELECT ia AS bpt, ib AS cpt FROM pairs
+                WHERE ia NOT IN (SELECT point_id FROM core)
+                  AND ib IN (SELECT point_id FROM core)
+                UNION ALL
+                SELECT ib, ia FROM pairs
+                WHERE ib NOT IN (SELECT point_id FROM core)
+                  AND ia IN (SELECT point_id FROM core)
+            )
+            SELECT point_id::BIGINT AS point_id,
+                   cluster_id::BIGINT AS cluster_id, 1::BIGINT AS is_core
+            FROM core_lbl
+            UNION ALL
+            SELECT bc.bpt, MIN(cl.cluster_id), 0
+            FROM bc JOIN core_lbl cl ON cl.point_id = bc.cpt
+            GROUP BY bc.bpt
+        """,
         "spatial_radius_join": """
             WITH s AS (
                 SELECT o_orderkey AS scene_key,

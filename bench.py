@@ -112,6 +112,7 @@ BENCH_QUERIES = (
     "events_ewma",
     "orders_brand_lift",
     "image_resize_box",
+    "spatial_dbscan",
 )
 
 

@@ -917,6 +917,265 @@ def spatial_radius_join(
     )
 
 
+def point_radius_pairs(
+    points: Dataset,
+    radius_cd: int = 100,
+    cell_cd: int = 100,
+    num_partitions: int = 64,
+    point_cols: tuple[str, str, str] = ("point_id", "lon", "lat"),
+) -> Dataset:
+    """All point pairs within ``radius_cd`` centidegrees — the self-join
+    sibling of :func:`spatial_radius_join`, same exactly-once plan.
+
+    Every point plays BOTH roles: replicated to its 3×3 cell
+    neighborhood (side 0) and anchored to its own cell (side 1). A pair
+    ``(a, b)`` with ``a < b`` is then tested in exactly one group —
+    b's own cell, with a arriving replicated — because the kernel keeps
+    only ``replicated_id < own_id``; no dedup exchange. Coordinates
+    quantize to the centidegree lattice (``round(x·100)`` recovers the
+    synthesis integers exactly). Output: ``(id_a, id_b, dist2_u)``
+    with ``id_a < id_b`` and the exact squared centidegree distance.
+    """
+    pid, plon, plat = point_cols
+    r2 = int(radius_cd) * int(radius_cd)
+    if cell_cd < radius_cd:
+        raise ValueError("cell_cd must be >= radius_cd for 3x3 coverage")
+
+    def _cell_ids(cx_cell: np.ndarray, cy_cell: np.ndarray) -> np.ndarray:
+        return (cx_cell + 512) * 2048 + (cy_cell + 512)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        x = np.rint(batch[plon].to_numpy() * 100.0).astype(np.int64)
+        y = np.rint(batch[plat].to_numpy() * 100.0).astype(np.int64)
+        ids = batch[pid].combine_chunks().cast(pa.int64()).to_numpy()
+        n = len(ids)
+        cx, cy = x // cell_cd, y // cell_cd
+        dx = np.array([-1, 0, 1] * 3, dtype=np.int64)
+        dy = np.array([-1] * 3 + [0] * 3 + [1] * 3, dtype=np.int64)
+        rep_cells = _cell_ids(
+            np.repeat(cx, 9) + np.tile(dx, n), np.repeat(cy, 9) + np.tile(dy, n)
+        )
+        m = 9 * n
+        return pa.table(
+            {
+                "_cell": pa.array(np.concatenate([rep_cells, _cell_ids(cx, cy)])),
+                "_side": pa.array(
+                    np.concatenate(
+                        [np.zeros(m, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                "_pid": pa.array(np.concatenate([np.repeat(ids, 9), ids])),
+                "ax": pa.array(np.concatenate([np.repeat(x, 9), x])),
+                "ay": pa.array(np.concatenate([np.repeat(y, 9), y])),
+            }
+        )
+
+    def _part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part",
+            pa.array(_cell_partition(batch["_cell"].to_numpy(), num_partitions)),
+        )
+
+    from .groups import typed_groups
+
+    schema = {"id_a": pa.int64(), "id_b": pa.int64(), "dist2_u": pa.int64()}
+
+    @typed_groups(schema)
+    def _join(tab: pa.Table) -> pa.Table:
+        side = tab["_side"].to_numpy()
+        cell = tab["_cell"].to_numpy()
+        ax = tab["ax"].to_numpy()
+        ay = tab["ay"].to_numpy()
+        ids = tab["_pid"].to_numpy(zero_copy_only=False)
+        s_sel = np.flatnonzero(side == 0)
+        p_sel = np.flatnonzero(side == 1)
+        if not len(s_sel) or not len(p_sel):
+            return pa.table({c: pa.array([], type=t) for c, t in schema.items()})
+        order = np.argsort(cell[s_sel], kind="stable")
+        s_sel = s_sel[order]
+        s_cell = cell[s_sel]
+        starts = np.searchsorted(s_cell, cell[p_sel], "left")
+        ends = np.searchsorted(s_cell, cell[p_sel], "right")
+        cnt = ends - starts
+        if cnt.sum() == 0:
+            return pa.table({c: pa.array([], type=t) for c, t in schema.items()})
+        p_idx = np.repeat(np.arange(len(p_sel)), cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        s_idx = np.repeat(starts, cnt) + offs
+        px, py = ax[p_sel][p_idx], ay[p_sel][p_idx]
+        sx, sy = ax[s_sel][s_idx], ay[s_sel][s_idx]
+        d2 = (sx - px) * (sx - px) + (sy - py) * (sy - py)
+        ia = ids[s_sel][s_idx]
+        ib = ids[p_sel][p_idx]
+        keep = (d2 <= r2) & (ia < ib)
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep].astype(np.int64)),
+                "id_b": pa.array(ib[keep].astype(np.int64)),
+                "dist2_u": pa.array(d2[keep]),
+            }
+        )
+
+    return (
+        points.select_columns(list(point_cols))
+        .map_batches(_tag, batch_format="pyarrow")
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_join, batch_format="pyarrow")
+    )
+
+
+def dbscan_labels(
+    points: Dataset,
+    radius_cd: int = 100,
+    min_pts: int = 4,
+    cell_cd: int = 100,
+    point_cols: tuple[str, str, str] = ("point_id", "lon", "lat"),
+) -> Dataset:
+    """DBSCAN (Ester et al. 1996) over the integer centidegree lattice,
+    deterministic variant: cores are points with ``|N_eps| >= min_pts``
+    (neighborhood INCLUDING the point itself), clusters are connected
+    components of the core–core eps-graph labeled by the component's
+    minimum point id, and border points attach to the MINIMUM cluster
+    label among their core neighbors (the tie rule that makes the
+    labeling order-free — textbook DBSCAN leaves border assignment
+    implementation-defined). Noise points are omitted.
+
+    Every stage is an existing distributed primitive: the eps-pair set
+    comes from :func:`point_radius_pairs` (one salted-cell exchange,
+    exactly-once emission), degrees fold through one ``keyed_sum``,
+    core–core edges filter through hash semi-joins, components resolve
+    via the cost-based CC (``dedup_text.cc_pairs``), and the border
+    pass is one inner join + one min-fold. No stage materializes the
+    point set; driver structures are bounded by the CC edge bound.
+
+    Output: ``(point_id, cluster_id, is_core)`` for cores (1) and
+    borders (0).
+    """
+    import pyarrow.compute as pc
+
+    from .agg import keyed_agg, keyed_sum
+    from .dedup_text import cc_pairs
+    from .join import equi_join
+
+    pairs = point_radius_pairs(
+        points, radius_cd=radius_cd, cell_cd=cell_cd, point_cols=point_cols
+    ).materialize()
+
+    def _endpoints(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "point_id": np.concatenate([a, b]),
+                "one": np.ones(2 * len(a), dtype=np.int64),
+            }
+        )
+
+    deg = keyed_sum(
+        pairs.map_batches(_endpoints, batch_format="pyarrow"), "point_id", ["one"]
+    )
+    core = deg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["one"], min_pts - 1)).select(
+            ["point_id"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if core.count() == 0:
+        # sub-density corpus: no cores, no clusters (an all-empty
+        # materialized dataset reports schema None — nothing to join)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "point_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                    "is_core": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    # core-core edges -> components; singleton cores label themselves
+    cc_edges = equi_join(
+        equi_join(pairs, core, on="id_a", right_on="point_id", how="semi"),
+        core, on="id_b", right_on="point_id", how="semi",
+    )
+    comp = cc_pairs(cc_edges.select_columns(["id_a", "id_b"]))
+
+    def _comp_rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"point_id": batch["doc_id"], "cluster_id": batch["cluster_id"]}
+        )
+
+    comp = comp.map_batches(_comp_rename, batch_format="pyarrow")
+    core_lbl = equi_join(core, comp, on="point_id", how="left")
+
+    def _fill_self(batch: pa.Table) -> pa.Table:
+        pid_np = batch["point_id"].to_numpy(zero_copy_only=False)
+        cl = batch["cluster_id"].to_pandas().fillna(-1).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "point_id": pid_np,
+                "cluster_id": np.where(cl < 0, pid_np, cl),
+                "is_core": np.ones(len(pid_np), dtype=np.int64),
+            }
+        )
+
+    core_lbl = core_lbl.map_batches(_fill_self, batch_format="pyarrow").materialize()
+
+    # border points: non-core endpoints of mixed pairs, min core label
+    def _ab(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"border_id": batch["id_a"], "core_id": batch["id_b"]}
+        )
+
+    def _ba(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"border_id": batch["id_b"], "core_id": batch["id_a"]}
+        )
+
+    mixed_a = equi_join(  # id_a border, id_b core
+        equi_join(pairs, core, on="id_a", right_on="point_id", how="anti"),
+        core, on="id_b", right_on="point_id", how="semi",
+    ).map_batches(_ab, batch_format="pyarrow")
+    mixed_b = equi_join(
+        equi_join(pairs, core, on="id_b", right_on="point_id", how="anti"),
+        core, on="id_a", right_on="point_id", how="semi",
+    ).map_batches(_ba, batch_format="pyarrow")
+    # materialize: a union of map_batches chains reports schema() None,
+    # which the downstream equi_join plans columns from (the documented
+    # lazy-schema landmine); the mixed-pair set is a bounded subset of
+    # the eps-pair set, so the materialization is pair-scale, not
+    # point-scale
+    border_core = mixed_a.union(mixed_b).materialize()
+    if border_core.count() == 0:
+        # no mixed pairs -> no border points (an all-empty materialized
+        # dataset also reports schema None, so the join cannot plan)
+        return core_lbl
+    border_lbl = keyed_agg(
+        equi_join(
+            border_core,
+            core_lbl.select_columns(["point_id", "cluster_id"]),
+            on="core_id", right_on="point_id", how="inner",
+        ).select_columns(["border_id", "cluster_id"]),
+        "border_id", {"cluster_id": "min"},
+    )
+
+    def _border_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "point_id": batch["border_id"],
+                "cluster_id": batch["cluster_id"],
+                "is_core": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+
+    return core_lbl.union(
+        border_lbl.map_batches(_border_out, batch_format="pyarrow")
+    )
+
+
 def grid_focal_sum(
     points: Dataset,
     point_cols: tuple[str, str, str] = ("point_id", "lon", "lat"),

@@ -256,3 +256,72 @@ def test_partitioned_join_hot_cell_res_mitigation():
     # the mitigation actually spreads: at res=4 the points span many cells
     cells4 = add_point_cells(rd.from_pandas(pts), res=4).to_pandas()["cell"]
     assert cells4.nunique() >= 200
+
+
+def _dbscan_reference(xy, eps_cd, min_pts):
+    """Brute-force deterministic DBSCAN: min-id component labels for
+    cores, min neighboring core label for borders."""
+    n = len(xy)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    nbr = d2 <= eps_cd * eps_cd
+    core = nbr.sum(1) >= min_pts  # includes self
+    label = {}
+    for i in np.flatnonzero(core):
+        label[i] = i
+    changed = True
+    while changed:
+        changed = False
+        for i in np.flatnonzero(core):
+            for j in np.flatnonzero(nbr[i] & core):
+                if label[j] < label[i]:
+                    label[i] = label[j]
+                    changed = True
+    rows = {}
+    ids = np.arange(n) * 10 + 3  # non-trivial point ids
+    for i in np.flatnonzero(core):
+        rows[int(ids[i])] = (int(ids[label[i]]), 1)
+    for i in np.flatnonzero(~core):
+        cands = [label[j] for j in np.flatnonzero(nbr[i] & core) if j != i]
+        if cands:
+            rows[int(ids[i])] = (int(ids[min(cands)]), 0)
+    return ids, rows
+
+
+def test_dbscan_labels_with_border_points():
+    """Engine DBSCAN equals brute force on a layout with real borders:
+    a dense blob (cores), satellite points in eps of exactly one core
+    (borders), and isolated noise."""
+    from pyrosar_ray.stages.spatial import dbscan_labels
+
+    pts_cd = np.array([
+        # blob A: 5 mutually-close points (all core at min_pts=4)
+        [0, 0], [30, 0], [0, 30], [30, 30], [15, 15],
+        # border of blob A: within 100cd of corner points only
+        [120, 0],
+        # blob B across the map: 4 points pairwise within eps
+        [20000, 5000], [20060, 5000], [20000, 5060], [20060, 5060],
+        # border of blob B
+        [20000, 5155],
+        # noise
+        [-15000, -7000], [-15000, -6950],
+    ], dtype=np.int64)
+    ids, want = _dbscan_reference(pts_cd, eps_cd=100, min_pts=4)
+    df = pd.DataFrame(
+        {
+            "point_id": ids.astype(np.int64),
+            "lon": pts_cd[:, 0] / 100.0,
+            "lat": pts_cd[:, 1] / 100.0,
+        }
+    )
+    out = (
+        dbscan_labels(rd.from_pandas(df).repartition(5), radius_cd=100, min_pts=4)
+        .to_pandas()
+        .set_index("point_id")
+    )
+    assert len(out) == len(want)
+    for pid, (cl, is_core) in want.items():
+        assert out.loc[pid, "cluster_id"] == cl, pid
+        assert out.loc[pid, "is_core"] == is_core, pid
+    # sanity on the layout itself: both borders and noise are present
+    assert sum(1 for _, c in want.values() if c == 0) == 2
+    assert len(want) == len(pts_cd) - 2
