@@ -5056,6 +5056,85 @@ def q_orders_brand_lift(sf_dir: str):
     return out
 
 
+def q_orders_trend(sf_dir: str):
+    """Revenue-trend estimation per order priority: the exact OLS slope
+    of daily revenue over the day index, emitted as its integer moment
+    components (n, Σx, Σy, Σxy, Σx²) plus the one double division
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) — the regression analytics
+    op with no float accumulation anywhere. Daily revenue folds through
+    ONE packed-key keyed_sum (priority digit·2²⁰ + day index — the day
+    domain is bounded by the fixture's date span, guarded loudly), the
+    ≤5·3700-row (priority, day) table is a bounded-domain driver fold
+    (the events_mad contract) computed in arbitrary-precision Python
+    ints, and the moment components are guarded back into int64 so
+    scale growth errors loudly instead of wrapping. Twin: per-day SUM,
+    per-priority integer moments, the same BIGINT casts and double
+    division."""
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+    EPOCH = np.datetime64("1992-01-01", "us")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        day = (us - EPOCH.astype(np.int64)) // 86_400_000_000
+        _check_pack(day, name="day_i")
+        prio = np.array(
+            [int(s[0]) for s in batch["o_orderpriority"].to_pylist()],
+            dtype=np.int64,
+        )
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"pd_": prio * (1 << 20) + day, "c": cents})
+            .groupby("pd_", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {"pd_": df["pd_"].to_numpy(), "c": df["c"].to_numpy()}
+        )
+
+    folded = collect_arrow(
+        keyed_sum(
+            orders.map_batches(_partial, batch_format="pyarrow"), "pd_", ["c"]
+        ),
+        empty_schema={"pd_": pa.int64(), "c": pa.int64()},
+    ).to_pandas()
+    packed = folded["pd_"].to_numpy()
+    rows = []
+    for p in sorted(np.unique(packed >> 20)):
+        sel = (packed >> 20) == p
+        xs = [int(v) for v in (packed[sel] & ((1 << 20) - 1))]
+        ys = [int(v) for v in folded["c"].to_numpy()[sel]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sx2 = sum(x * x for x in xs)
+        num = n * sxy - sx * sy
+        den = n * sx2 - sx * sx
+        for v, name in ((sy, "sum_y_c"), (sxy, "sum_xy"), (num, "slope_num")):
+            if abs(v) >= 1 << 63:
+                raise ValueError(
+                    f"orders_trend: {name} overflows int64 at this scale"
+                )
+        rows.append(
+            {
+                "prio": int(p), "n_days": n, "sum_x": sx, "sum_y_c": sy,
+                "sum_xy": sxy, "sum_x2": sx2,
+                "slope": float(num) / float(den) if den else 0.0,
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {c: np.int64 for c in
+         ("prio", "n_days", "sum_x", "sum_y_c", "sum_xy", "sum_x2")}
+    )
+
+
 def q_events_new_users(sf_dir: str):
     """Daily growth accounting: per day, the DISTINCT active users, the
     first-time (new) users, and the running cumulative of new users.
@@ -8180,6 +8259,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "points_hilbert": q_points_hilbert,
         "orders_copurchase": q_orders_copurchase,
         "orders_brand_lift": q_orders_brand_lift,
+        "orders_trend": q_orders_trend,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "scene_stacks": q_scene_stacks,
@@ -12983,6 +13063,30 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
                        ::BIGINT AS cum_users
             FROM a LEFT JOIN n ON a.day = n.day
+        """,
+        "orders_trend": """
+            WITH d AS (
+                SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                           AS prio,
+                       date_diff('day', DATE '1992-01-01',
+                                 o_orderdate)::BIGINT AS x,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+                FROM orders
+            ),
+            byday AS (
+                SELECT prio, x, SUM(c)::BIGINT AS y FROM d GROUP BY 1, 2
+            ),
+            comp AS (
+                SELECT prio, COUNT(*)::BIGINT AS n_days,
+                       SUM(x)::BIGINT AS sum_x, SUM(y)::BIGINT AS sum_y_c,
+                       SUM(x * y)::BIGINT AS sum_xy,
+                       SUM(x * x)::BIGINT AS sum_x2
+                FROM byday GROUP BY 1
+            )
+            SELECT prio, n_days, sum_x, sum_y_c, sum_xy, sum_x2,
+                   (n_days * sum_xy - sum_x * sum_y_c)
+                   / (n_days * sum_x2 - sum_x * sum_x) AS slope
+            FROM comp
         """,
         "orders_brand_lift": """
             WITH ob AS (

@@ -113,6 +113,7 @@ BENCH_QUERIES = (
     "orders_brand_lift",
     "image_resize_box",
     "spatial_dbscan",
+    "orders_trend",
 )
 
 
