@@ -1031,6 +1031,7 @@ def dbscan_labels(
     min_pts: int = 4,
     cell_cd: int = 100,
     point_cols: tuple[str, str, str] = ("point_id", "lon", "lat"),
+    core_broadcast_bound: int = 5_000_000,
 ) -> Dataset:
     """DBSCAN (Ester et al. 1996) over the integer centidegree lattice,
     deterministic variant: cores are points with ``|N_eps| >= min_pts``
@@ -1096,12 +1097,53 @@ def dbscan_labels(
             )
         )
 
-    # core-core edges -> components; singleton cores label themselves
-    cc_edges = equi_join(
-        equi_join(pairs, core, on="id_a", right_on="point_id", how="semi"),
-        core, on="id_b", right_on="point_id", how="semi",
-    )
-    comp = cc_pairs(cc_edges.select_columns(["id_a", "id_b"]))
+    # core-core edges -> components; singleton cores label themselves.
+    # Cost-based classification: the core KEY SET is 8 bytes/point —
+    # broadcastable far past any sf this sandbox generates (bound
+    # disclosed below) — so both the core-core filter and the mixed
+    # (border, core) extraction happen in ONE map-side pass over the
+    # pair set with ZERO join exchanges; past the bound the plan falls
+    # back to hash semi/anti joins (4 pair-set exchanges).
+    import ray as _ray
+
+    n_core = core.count()
+    core_bcast = n_core <= core_broadcast_bound
+    if core_bcast:
+        from . import collect_arrow
+
+        core_keys = np.sort(
+            collect_arrow(
+                core, empty_schema={"point_id": pa.int64()}
+            )["point_id"].to_numpy()
+        )
+        core_ref = _ray.put(core_keys)
+
+        def _is_core(keys: np.ndarray, arr: np.ndarray) -> np.ndarray:
+            pos = np.clip(np.searchsorted(keys, arr), 0, len(keys) - 1)
+            return keys[pos] == arr
+
+        class _CCEdges:
+            def __init__(self):
+                self.keys = _ray.get(core_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = batch["id_a"].to_numpy(zero_copy_only=False)
+                b = batch["id_b"].to_numpy(zero_copy_only=False)
+                keep = _is_core(self.keys, a) & _is_core(self.keys, b)
+                return pa.table({"id_a": a[keep], "id_b": b[keep]})
+
+        cc_edges = pairs.map_batches(
+            _CCEdges, batch_format="pyarrow", concurrency=(2, 8)
+        )
+    else:
+        cc_edges = equi_join(
+            equi_join(pairs, core, on="id_a", right_on="point_id", how="semi"),
+            core, on="id_b", right_on="point_id", how="semi",
+        ).select_columns(["id_a", "id_b"])
+    # a supercritical density (eps-graph percolates) makes the edge set
+    # pair-scale; the driver CC kernel (pointer jumping, O(log diameter)
+    # rounds) handles it to the same disclosed bound as scene_kcore
+    comp = cc_pairs(cc_edges, driver_edge_bound=20_000_000)
 
     def _comp_rename(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1125,30 +1167,55 @@ def dbscan_labels(
     core_lbl = core_lbl.map_batches(_fill_self, batch_format="pyarrow").materialize()
 
     # border points: non-core endpoints of mixed pairs, min core label
-    def _ab(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"border_id": batch["id_a"], "core_id": batch["id_b"]}
-        )
+    if core_bcast:
 
-    def _ba(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"border_id": batch["id_b"], "core_id": batch["id_a"]}
-        )
+        class _Mixed:
+            def __init__(self):
+                self.keys = _ray.get(core_ref)
 
-    mixed_a = equi_join(  # id_a border, id_b core
-        equi_join(pairs, core, on="id_a", right_on="point_id", how="anti"),
-        core, on="id_b", right_on="point_id", how="semi",
-    ).map_batches(_ab, batch_format="pyarrow")
-    mixed_b = equi_join(
-        equi_join(pairs, core, on="id_b", right_on="point_id", how="anti"),
-        core, on="id_a", right_on="point_id", how="semi",
-    ).map_batches(_ba, batch_format="pyarrow")
-    # materialize: a union of map_batches chains reports schema() None,
-    # which the downstream equi_join plans columns from (the documented
-    # lazy-schema landmine); the mixed-pair set is a bounded subset of
-    # the eps-pair set, so the materialization is pair-scale, not
-    # point-scale
-    border_core = mixed_a.union(mixed_b).materialize()
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = batch["id_a"].to_numpy(zero_copy_only=False)
+                b = batch["id_b"].to_numpy(zero_copy_only=False)
+                ca = _is_core(self.keys, a)
+                cb = _is_core(self.keys, b)
+                ab = ~ca & cb  # a border, b core
+                ba = ca & ~cb
+                return pa.table(
+                    {
+                        "border_id": np.concatenate([a[ab], b[ba]]),
+                        "core_id": np.concatenate([b[ab], a[ba]]),
+                    }
+                )
+
+        border_core = pairs.map_batches(
+            _Mixed, batch_format="pyarrow", concurrency=(2, 8)
+        ).materialize()
+    else:
+
+        def _ab(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"border_id": batch["id_a"], "core_id": batch["id_b"]}
+            )
+
+        def _ba(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"border_id": batch["id_b"], "core_id": batch["id_a"]}
+            )
+
+        mixed_a = equi_join(  # id_a border, id_b core
+            equi_join(pairs, core, on="id_a", right_on="point_id", how="anti"),
+            core, on="id_b", right_on="point_id", how="semi",
+        ).map_batches(_ab, batch_format="pyarrow")
+        mixed_b = equi_join(
+            equi_join(pairs, core, on="id_b", right_on="point_id", how="anti"),
+            core, on="id_a", right_on="point_id", how="semi",
+        ).map_batches(_ba, batch_format="pyarrow")
+        # materialize: a union of map_batches chains reports schema()
+        # None, which the downstream equi_join plans columns from (the
+        # documented lazy-schema landmine); the mixed-pair set is a
+        # bounded subset of the eps-pair set, so the materialization is
+        # pair-scale, not point-scale
+        border_core = mixed_a.union(mixed_b).materialize()
     if border_core.count() == 0:
         # no mixed pairs -> no border points (an all-empty materialized
         # dataset also reports schema None, so the join cannot plan)

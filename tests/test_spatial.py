@@ -325,3 +325,32 @@ def test_dbscan_labels_with_border_points():
     # sanity on the layout itself: both borders and noise are present
     assert sum(1 for _, c in want.values() if c == 0) == 2
     assert len(want) == len(pts_cd) - 2
+
+
+def test_dbscan_broadcast_and_join_plans_agree():
+    """The core-set broadcast classification and the semi/anti join
+    fallback emit identical labelings (forced via core_broadcast_bound)."""
+    from pyrosar_ray.stages.spatial import dbscan_labels
+
+    rng = np.random.default_rng(11)
+    n = 150
+    df = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64) * 7 + 1,
+            "lon": np.round(rng.uniform(-5, 5, n), 2),
+            "lat": np.round(rng.uniform(-5, 5, n), 2),
+        }
+    )
+    kw = dict(radius_cd=100, min_pts=4)
+    a = (
+        dbscan_labels(rd.from_pandas(df).repartition(4), **kw)
+        .to_pandas().sort_values("point_id", ignore_index=True)
+    )
+    b = (
+        dbscan_labels(
+            rd.from_pandas(df).repartition(4), core_broadcast_bound=0, **kw
+        )
+        .to_pandas().sort_values("point_id", ignore_index=True)
+    )
+    assert len(a) > 0  # the dense toy box must cluster something
+    assert a.equals(b)
