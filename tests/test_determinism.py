@@ -55,6 +55,17 @@ QUERIES = [
     # one-exchange multi-metric rank (multi_global_rank) + NTILE fold
     # through keyed_sum — the rfm chain's 4-exchange plan
     "orders_rfm",
+    # DBSCAN: salted-cell pair self-join (exactly-once), broadcast
+    # core classification, cost-based CC, border min-label — the full
+    # composition must label identically at any block count
+    "spatial_dbscan",
+    # partition-domain basket exchange + packed-key marginal/pair/count
+    # fold into one keyed_sum domain
+    "orders_brand_lift",
+    # per-key ordered sliding-window dot product (EWMA fixed point)
+    "events_ewma",
+    # stateless integer quality gate (pure map — the control pattern)
+    "doc_gopher_filter",
 ]
 
 
