@@ -8163,9 +8163,9 @@ _WINDOW_R5 = [
     "embed_sq_rerank", "embed_pq_codes", "embed_pq_adc", "ann_lsh_topk",
     "image_process", "image_neardup", "doc_html_extract",
     "doc_incremental_dedup", "join_bloom_inner", "events_stats_incremental",
-    "doc_checksums", "orders_by_nation", "events_cumsum", "doc_global_rank",
-    "scene_overlap_area", "embed_ivf_recall", "audio_adpcm_meta",
-    "embed_hard_negatives", "join_sample", "video_gif_frames",
+    "orders_by_nation", "events_cumsum", "doc_global_rank",
+    "scene_overlap_area", "embed_ivf_recall",
+    "embed_hard_negatives", "join_sample",
     "doc_langid_int", "embed_power_iter", "doc_split_leakfree",
     "image_aspect_buckets", "doc_weighted_sample", "doc_pmi",
     "doc_bigram_lm", "doc_inverted_index", "events_pivot", "events_unpivot",
@@ -8173,9 +8173,15 @@ _WINDOW_R5 = [
     "doc_clustering_coef", "events_winsorize", "events_retention",
     "events_transitions", "image_caption_curate", "image_patches",
     "spatial_join_poly", "doc_curriculum", "doc_bloom_anti",
-    "spatial_knn_rtree", "spatial_knn_hex", "doc_cms", "doc_chunk",
+    "spatial_knn_rtree", "spatial_knn_hex", "doc_cms",
     "tile_coverage", "scene_name_neardup", "cust_semi_orders",
     "events_latest",
+    # round-5 second-session surfaces: fresh exchange logic deserves
+    # driver evidence more than a fourth row-local sibling (displaced
+    # doc_checksums / audio_adpcm_meta / video_gif_frames / doc_chunk
+    # keep full-sweep evidence; their plan families are driver-checked
+    # via doc_fingerprint / audio_meta / video_frames / doc_chunk_dedup)
+    "spatial_dbscan", "scene_stacks", "orders_brand_lift", "events_ewma",
 ]
 
 
