@@ -170,9 +170,21 @@ def q_scene_name_neardup(sf_dir: str):
     pairs whose 1-deletion neighborhoods intersect + exact Levenshtein
     (pins the engine's DP against DuckDB's levenshtein())."""
     from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages import collect_arrow
     from pyrosar_ray.stages.dedup_text import deletion_neighborhood_pairs
 
-    return deletion_neighborhood_pairs(load_scenes(sf_dir), col="outname_base")
+    out = deletion_neighborhood_pairs(load_scenes(sf_dir), col="outname_base")
+    # typed collect: a tiny corpus (sf0.001) yields zero near-dup pairs
+    # and Ray's to_pandas drops the schema of an all-empty dataset; the
+    # pair set is dedup-output-sized (bounded) by construction
+    return collect_arrow(
+        out,
+        empty_schema={
+            "name_a": pa.string(),
+            "name_b": pa.string(),
+            "dist": pa.int64(),
+        },
+    )
 
 
 def q_tile_coverage(sf_dir: str):
