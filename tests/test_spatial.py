@@ -354,3 +354,41 @@ def test_dbscan_broadcast_and_join_plans_agree():
     )
     assert len(a) > 0  # the dense toy box must cluster something
     assert a.equals(b)
+
+
+@pytest.mark.parametrize("seed,box", [
+    (1, (-2, 2, -2, 2)),        # around the origin (negative cells)
+    (2, (176, 180, -90, -86)),  # antimeridian / pole corner
+    (3, (-1.5, -0.5, 3.0, 4.0)),  # entirely off-origin
+])
+def test_point_radius_pairs_matches_bruteforce(seed, box):
+    """The salted-cell self-join emits exactly the brute-force pair set
+    (including eps-boundary distances and negative-cell floors)."""
+    from pyrosar_ray.stages.spatial import point_radius_pairs
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    x0, x1, y0, y1 = box
+    df = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64) * 3 + 1,
+            "lon": np.round(rng.uniform(x0, x1, n), 2),
+            "lat": np.round(rng.uniform(y0, y1, n), 2),
+        }
+    )
+    got = (
+        point_radius_pairs(rd.from_pandas(df).repartition(4), radius_cd=100)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    xy = np.stack(
+        [np.rint(df.lon.to_numpy() * 100), np.rint(df.lat.to_numpy() * 100)]
+    ).T.astype(np.int64)
+    ids = df.point_id.to_numpy()
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    ia, ib = np.nonzero((d2 <= 100 * 100) & (ids[:, None] < ids[None, :]))
+    want = pd.DataFrame(
+        {"id_a": ids[ia], "id_b": ids[ib], "dist2_u": d2[ia, ib]}
+    ).sort_values(["id_a", "id_b"], ignore_index=True)
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
