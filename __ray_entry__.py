@@ -5147,6 +5147,74 @@ def q_orders_trend(sf_dir: str):
     )
 
 
+def q_events_coincidence(sf_dir: str):
+    """Stream-correlation mining — the time-band self-join: unordered
+    pairs of same-user events of DIFFERENT types within 5 minutes,
+    counted per lexicographic type pair. Plan: one hash exchange on
+    user, per-group sorted two-pointer band (searchsorted ends +
+    repeat/offset gather — the radius-join window kernel on the time
+    axis, no per-row Python), local type-pair bincount, then one
+    keyed_sum over the ≤C(5,2)-key pair domain and a driver render of
+    the type names. Exact int64 microsecond band on both sides. Twin:
+    self-join on user with |Δepoch_us| ≤ 300e6 and event_id <."""
+    from pyrosar_ray.stages import collect_arrow, table_from_pandas
+    from pyrosar_ray.stages.agg import keyed_sum
+    from pyrosar_ray.stages.groups import typed_groups
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    types = sorted(
+        r["event_type"]
+        for r in events.select_columns(["event_type"])
+        .groupby("event_type")
+        .count()
+        .take_all()
+    )
+    tid = {t: i for i, t in enumerate(types)}
+    nt = len(types)
+    BAND_US = 300_000_000
+
+    @typed_groups({"pair": pa.int64(), "n": pa.int64()})
+    def _band(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ty = df["event_type"].map(tid).to_numpy().astype(np.int64)
+        ends = np.searchsorted(t, t + BAND_US, "right")
+        cnt = ends - np.arange(len(t)) - 1
+        if cnt.sum() == 0:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        i_idx = np.repeat(np.arange(len(t)), cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        j_idx = i_idx + 1 + offs
+        ta, tb = ty[i_idx], ty[j_idx]
+        keep = ta != tb
+        lo = np.minimum(ta[keep], tb[keep])
+        hi = np.maximum(ta[keep], tb[keep])
+        u, c = np.unique(lo * nt + hi, return_counts=True)
+        return pd.DataFrame({"pair": u, "n": c.astype(np.int64)})
+
+    folded = collect_arrow(
+        keyed_sum(
+            events.groupby("user_id").map_groups(_band, batch_format="pandas"),
+            "pair", ["n"],
+        ),
+        empty_schema={"pair": pa.int64(), "n": pa.int64()},
+    ).to_pandas()
+    pairs = folded["pair"].to_numpy()
+    return pd.DataFrame(
+        {
+            "type_a": [types[p // nt] for p in pairs],
+            "type_b": [types[p % nt] for p in pairs],
+            "n_pairs": folded["n"].to_numpy().astype(np.int64),
+        }
+    ).sort_values(["type_a", "type_b"], ignore_index=True)
+
+
 def q_events_new_users(sf_dir: str):
     """Daily growth accounting: per day, the DISTINCT active users, the
     first-time (new) users, and the running cumulative of new users.
@@ -8278,6 +8346,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "orders_copurchase": q_orders_copurchase,
         "orders_brand_lift": q_orders_brand_lift,
         "orders_trend": q_orders_trend,
+        "events_coincidence": q_events_coincidence,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "scene_stacks": q_scene_stacks,
@@ -13081,6 +13150,16 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
                        ::BIGINT AS cum_users
             FROM a LEFT JOIN n ON a.day = n.day
+        """,
+        "events_coincidence": """
+            SELECT LEAST(a.event_type, b.event_type) AS type_a,
+                   GREATEST(a.event_type, b.event_type) AS type_b,
+                   COUNT(*)::BIGINT AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+             AND a.event_type <> b.event_type
+            GROUP BY 1, 2
         """,
         "orders_trend": """
             WITH d AS (

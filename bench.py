@@ -114,6 +114,7 @@ BENCH_QUERIES = (
     "image_resize_box",
     "spatial_dbscan",
     "orders_trend",
+    "events_coincidence",
 )
 
 

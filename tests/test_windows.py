@@ -313,3 +313,45 @@ def test_rolling_ewma_matches_bruteforce():
     assert len(got) == n
     for eid in df["event_id"]:
         assert got.loc[eid] == ref[eid]
+
+
+def test_events_coincidence_band_kernel_bruteforce():
+    """The per-user two-pointer band matches a brute-force time-band
+    self-join, including the exact 300s boundary and same-ts ties."""
+    import __ray_entry__ as entry
+    import os, tempfile, pyarrow.parquet as ppq
+
+    rng = np.random.default_rng(3)
+    n = 250
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + rng.integers(0, 3_600_000_000, n).astype("timedelta64[us]")
+    ts[10] = ts[11]                      # tie
+    ts[20] = ts[21] + np.timedelta64(300_000_000, "us")  # exact boundary
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, 6, n),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": np.zeros(n),
+            "props": ["{}"] * n,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ppq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                        os.path.join(d, "events.parquet"))
+        got = entry.q_events_coincidence(d).set_index(["type_a", "type_b"])
+    t_us = df.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (
+                df.user_id[i] == df.user_id[j]
+                and abs(int(t_us[i]) - int(t_us[j])) <= 300_000_000
+                and df.event_type[i] != df.event_type[j]
+            ):
+                k = tuple(sorted((df.event_type[i], df.event_type[j])))
+                want[k] = want.get(k, 0) + 1
+    assert len(got) == len(want) > 0
+    for k, v in want.items():
+        assert got.loc[k, "n_pairs"] == v
