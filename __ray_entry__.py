@@ -7459,6 +7459,93 @@ def q_scene_stacks(sf_dir: str):
     return cc.map_batches(_rename, batch_format="pyarrow")
 
 
+def q_scene_assortativity(sf_dir: str):
+    """Degree assortativity of the footprint-overlap graph (Newman
+    2002) — do heavily-overlapped scenes overlap each other? The
+    Pearson correlation of endpoint degrees over the directed edge
+    list, shipped as its exact integer moments (n = 2E, Σdeg,
+    Σdeg², Σdeg_a·deg_b doubled) plus the one double division
+    r = (n·Sxy − Sx²) / (n·Sx2 − Sx²) — float-accumulation-free like
+    orders_trend. Plan: the bounded tile-ownership pair exchange
+    (footprint_overlap_pairs), endpoint degrees through one keyed_sum,
+    a broadcast degree lookup (8 bytes/vertex — the dbscan core-set
+    contract, bound disclosed there), per-batch integer partials, one
+    scalar fold. Twin: the pair CTE + degree CTE + the same moments."""
+    import ray as _ray
+
+    from pyrosar_ray.pipelines.tables import load_scenes
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+    from pyrosar_ray.stages.spatial import footprint_overlap_pairs
+
+    pairs = footprint_overlap_pairs(load_scenes(sf_dir)).materialize()
+
+    def _endpoints(batch: pa.Table) -> pa.Table:
+        a = batch["scene_a"].to_numpy(zero_copy_only=False)
+        b = batch["scene_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "scene_key": np.concatenate([a, b]),
+                "one": np.ones(2 * len(a), dtype=np.int64),
+            }
+        )
+
+    deg = collect_arrow(
+        keyed_sum(
+            pairs.map_batches(_endpoints, batch_format="pyarrow"),
+            "scene_key", ["one"],
+        ),
+        empty_schema={"scene_key": pa.int64(), "one": pa.int64()},
+    )
+    keys = deg["scene_key"].to_numpy()
+    order = np.argsort(keys)
+    dref = _ray.put((keys[order], deg["one"].to_numpy()[order]))
+
+    class _Moments:
+        def __init__(self):
+            self.keys, self.deg = _ray.get(dref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["scene_a"].to_numpy(zero_copy_only=False)
+            b = batch["scene_b"].to_numpy(zero_copy_only=False)
+            da = self.deg[np.searchsorted(self.keys, a)]
+            db = self.deg[np.searchsorted(self.keys, b)]
+            return pa.table(
+                {
+                    "n": np.array([2 * len(a)], dtype=np.int64),
+                    "s1": np.array([int((da + db).sum())], dtype=np.int64),
+                    "s2": np.array(
+                        [int((da * da + db * db).sum())], dtype=np.int64
+                    ),
+                    "sxy": np.array(
+                        [2 * int((da * db).sum())], dtype=np.int64
+                    ),
+                }
+            )
+
+    m = collect_arrow(
+        pairs.map_batches(_Moments, batch_format="pyarrow", concurrency=(1, 4)),
+        empty_schema={
+            "n": pa.int64(), "s1": pa.int64(), "s2": pa.int64(),
+            "sxy": pa.int64(),
+        },
+    ).to_pandas()
+    n = int(m["n"].sum())
+    s1 = int(m["s1"].sum())
+    s2 = int(m["s2"].sum())
+    sxy = int(m["sxy"].sum())
+    den = n * s2 - s1 * s1
+    return pd.DataFrame(
+        {
+            "n_dir_edges": [n], "sum_deg": [s1], "sum_deg2": [s2],
+            "sum_prod2": [sxy],
+            "r": [float(n * sxy - s1 * s1) / float(den) if den else 0.0],
+        }
+    ).astype(
+        {c: np.int64 for c in ("n_dir_edges", "sum_deg", "sum_deg2", "sum_prod2")}
+    )
+
+
 def q_tile_revisit(sf_dir: str):
     """Per-tile revisit statistics — the SAR time-series planning
     query (how often is each 1° tile re-imaged, and what is its worst
@@ -8350,6 +8437,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "scene_stacks": q_scene_stacks,
+        "scene_assortativity": q_scene_assortativity,
         "orders_rfm": q_orders_rfm,
         "doc_kneser_ney": q_doc_kneser_ney,
         "part_abc": q_part_abc,
@@ -11107,6 +11195,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN idd da ON da.scene_key = ip.scene_a
             JOIN idd db ON db.scene_key = ip.scene_b
             WHERE abs(da.day_i - db.day_i) <= 12
+        """,
+        "scene_assortativity": f"""
+            {_SCENES}, ic AS (
+                SELECT scene_key,
+                       CAST(round(xmin * 100) AS BIGINT) AS x0,
+                       CAST(round(xmax * 100) AS BIGINT) AS x1,
+                       CAST(round(ymin * 100) AS BIGINT) AS y0,
+                       CAST(round(ymax * 100) AS BIGINT) AS y1
+                FROM scenes
+            ),
+            ip AS (
+                SELECT a.scene_key AS sa, b.scene_key AS sb
+                FROM ic a JOIN ic b ON a.scene_key < b.scene_key
+                 AND a.x0 < b.x1 AND b.x0 < a.x1
+                 AND a.y0 < b.y1 AND b.y0 < a.y1
+            ),
+            deg AS (
+                SELECT k, COUNT(*)::BIGINT AS d FROM (
+                    SELECT sa AS k FROM ip UNION ALL SELECT sb FROM ip
+                ) GROUP BY 1
+            ),
+            mom AS (
+                SELECT SUM(2)::BIGINT AS n_dir_edges,
+                       SUM(da.d + db.d)::BIGINT AS sum_deg,
+                       SUM(da.d * da.d + db.d * db.d)::BIGINT AS sum_deg2,
+                       SUM(2 * da.d * db.d)::BIGINT AS sum_prod2
+                FROM ip
+                JOIN deg da ON da.k = ip.sa
+                JOIN deg db ON db.k = ip.sb
+            )
+            SELECT n_dir_edges, sum_deg, sum_deg2, sum_prod2,
+                   (n_dir_edges * sum_prod2 - sum_deg * sum_deg)
+                   / (n_dir_edges * sum_deg2 - sum_deg * sum_deg) AS r
+            FROM mom
         """,
         "scene_stacks": f"""
             WITH RECURSIVE scenes AS ({SCENES_SQL}), ic AS (

@@ -115,6 +115,7 @@ BENCH_QUERIES = (
     "spatial_dbscan",
     "orders_trend",
     "events_coincidence",
+    "scene_assortativity",
 )
 
 
