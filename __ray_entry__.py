@@ -2170,6 +2170,61 @@ def q_spatial_dbscan(sf_dir: str):
     )
 
 
+def q_points_idw(sf_dir: str):
+    """Inverse-distance-weighted interpolation (the classic GIS
+    gridding op) of a per-point attribute (v = point_id % 1000) onto a
+    4° grid, exact: each in-radius (≤ 3°) point contributes the FLOORED
+    fixed-point terms num += ⌊v·S/d²⌋, den += ⌊S/d²⌋ (S = 2⁴⁰, d² in
+    integer millidegree²), so both accumulators are order-independent
+    integers and the IDW value is the consumer's num/den. Grid centers
+    sit at k·4° + 0.005° — off the point lattice (multiples of 10 md),
+    so d² ≥ 25 and the 1/d² singularity cannot occur (disclosed grid
+    convention). Plan: the replicated-side radius join
+    (spatial_radius_join — grid cells as degenerate bboxes), then one
+    keyed_sum over the bounded cell domain. Twin: the 3×3 cell-bucket
+    join + the same floors."""
+    import ray.data as _rd
+
+    from pyrosar_ray.pipelines.tables import load_points
+    from pyrosar_ray.stages.agg import keyed_sum
+    from pyrosar_ray.stages.spatial import spatial_radius_join
+
+    S = 1 << 40
+    cells = []
+    for kx in range(-45, 45):
+        for ky in range(-22, 23):
+            cells.append(
+                {
+                    "scene_key": (kx + 45) * 45 + (ky + 22),
+                    "xmin": kx * 4 + 0.005, "xmax": kx * 4 + 0.005,
+                    "ymin": ky * 4 + 0.005, "ymax": ky * 4 + 0.005,
+                }
+            )
+    grid = _rd.from_pandas(pd.DataFrame(cells))
+
+    joined = spatial_radius_join(
+        grid, load_points(sf_dir), radius_md=3000, cell_md=4000
+    )
+
+    def _terms(batch: pa.Table) -> pa.Table:
+        pid = batch["point_id"].to_numpy(zero_copy_only=False)
+        d2 = batch["dist2_u"].to_numpy(zero_copy_only=False)
+        v = pid % 1000
+        return pa.table(
+            {
+                "cell": batch["scene_key"].to_numpy(zero_copy_only=False),
+                "num": v * S // d2,
+                "den": S // d2,
+                "n": np.ones(len(d2), dtype=np.int64),
+            }
+        )
+
+    return keyed_sum(
+        joined.map_batches(_terms, batch_format="pyarrow"),
+        "cell", ["num", "den", "n"],
+    )
+
+
 def q_spatial_radius_join(sf_dir: str):
     """Distance-threshold join: every (sampled point, scene centroid)
     pair within 1500 milli-degrees, exact INTEGER milli-degree metric
@@ -8395,6 +8450,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_dsir": q_doc_dsir,
         "spatial_radius_join": q_spatial_radius_join,
         "spatial_dbscan": q_spatial_dbscan,
+        "points_idw": q_points_idw,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "events_timetravel": q_events_timetravel,
         "image_mosaic": q_image_mosaic,
@@ -10834,6 +10890,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_dsir": _dsir_sql(),
         "doc_anchor_agg": _anchor_agg_sql(),
+        "points_idw": f"""
+            WITH points AS ({POINTS_SQL}), pm AS (
+                SELECT point_id,
+                       CAST(round(lon * 1000) AS BIGINT) AS x,
+                       CAST(round(lat * 1000) AS BIGINT) AS y
+                FROM points
+            ),
+            grid AS (
+                SELECT ((kx + 45) * 45 + (ky + 22))::BIGINT AS cell,
+                       (kx * 4000 + 5)::BIGINT AS cx,
+                       (ky * 4000 + 5)::BIGINT AS cy
+                FROM range(-45, 45) t(kx), range(-22, 23) u(ky)
+            ),
+            g9 AS (
+                SELECT cell, cx, cy,
+                       CAST(floor(cx / 4000.0) AS BIGINT) + dx AS bx,
+                       CAST(floor(cy / 4000.0) AS BIGINT) + dy AS by
+                FROM grid, range(-1, 2) a(dx), range(-1, 2) b(dy)
+            ),
+            cand AS (
+                SELECT g.cell,
+                       (p.x - g.cx) * (p.x - g.cx)
+                       + (p.y - g.cy) * (p.y - g.cy) AS d2,
+                       p.point_id % 1000 AS v
+                FROM g9 g JOIN pm p
+                  ON CAST(floor(p.x / 4000.0) AS BIGINT) = g.bx
+                 AND CAST(floor(p.y / 4000.0) AS BIGINT) = g.by
+            )
+            SELECT cell,
+                   SUM((v * 1099511627776) // d2)::BIGINT AS num,
+                   SUM(1099511627776 // d2)::BIGINT AS den,
+                   COUNT(*)::BIGINT AS n
+            FROM cand WHERE d2 <= 9000000
+            GROUP BY cell
+        """,
         "spatial_dbscan": f"""
             WITH RECURSIVE points AS ({POINTS_SQL}), p AS (
                 SELECT point_id,

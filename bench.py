@@ -116,6 +116,7 @@ BENCH_QUERIES = (
     "orders_trend",
     "events_coincidence",
     "scene_assortativity",
+    "points_idw",
 )
 
 
