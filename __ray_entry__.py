@@ -3662,6 +3662,58 @@ def _resize_box_sql() -> str:
         """
 
 
+def q_image_hist_match(sf_dir: str):
+    """Histogram matching to a fixed triangular reference — the
+    radiometric normalization every mosaic pipeline runs before
+    stitching (the reference's tone-curve analogue), integer-exact via
+    the cross-multiplied LUT inequality (stages/images.hist_match_stats).
+    Emits the matched plane's position-weighted sum + min/max + npix;
+    the twin rebuilds source CDF, reference CDF and the argmin LUT from
+    the fill formula."""
+    from pyrosar_ray.sources.images import patch_images_from_documents
+    from pyrosar_ray.stages.images import hist_match_stats
+
+    return hist_match_stats(patch_images_from_documents(sf_dir))
+
+
+def _hist_match_sql() -> str:
+    v = "((doc_id * 7 + y * 13 + x * 5) % 251)"
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+            FROM documents
+        ), ys AS (
+            SELECT doc_id, w, unnest(range(0, h))::BIGINT AS y FROM imgs
+        ), pix AS (
+            SELECT doc_id, y, unnest(range(0, w))::BIGINT AS x, w FROM ys
+        ), px AS (
+            SELECT doc_id, {v} AS v, (y * w + x + 1)::BIGINT AS idx FROM pix
+        ), hist AS (
+            SELECT doc_id, v, COUNT(*)::BIGINT AS c FROM px GROUP BY 1, 2
+        ), cdf AS (
+            SELECT doc_id, v,
+                   SUM(c) OVER (PARTITION BY doc_id ORDER BY v)::BIGINT AS cdf
+            FROM hist
+        ), st AS (
+            SELECT doc_id, MAX(cdf)::BIGINT AS npix FROM cdf GROUP BY 1
+        ), lut AS (
+            SELECT c.doc_id, c.v, MIN(r.g)::BIGINT AS hm
+            FROM cdf c
+            JOIN st ON st.doc_id = c.doc_id
+            JOIN range(0, 256) r(g)
+              ON (r.g + 1) * (r.g + 2) * st.npix >= c.cdf * 65792
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_id AS image_id,
+               SUM(l.hm * p.idx)::BIGINT AS hm_wsum,
+               MIN(l.hm)::BIGINT AS hm_min,
+               MAX(l.hm)::BIGINT AS hm_max,
+               COUNT(*)::BIGINT AS npix
+        FROM px p JOIN lut l ON l.doc_id = p.doc_id AND l.v = p.v
+        GROUP BY 1
+        """
+
+
 def q_image_patches(sf_dir: str):
     """ViT-style patch extraction through real byte decode: closed-form
     grayscale rasters (v = (id*7 + y*13 + x*5) % 251, ragged sizes) are
@@ -8520,6 +8572,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "raster_flowdir": q_raster_flowdir,
         "image_equalize": q_image_equalize,
         "image_resize_box": q_image_resize_box,
+        "image_hist_match": q_image_hist_match,
         "doc_minhash_recall": q_doc_minhash_recall,
         "tile_areal": q_tile_areal,
         "events_mad": q_events_mad,
@@ -11217,6 +11270,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_flowdir": _flowdir_sql(),
         "image_equalize": _equalize_sql(),
         "image_resize_box": _resize_box_sql(),
+        "image_hist_match": _hist_match_sql(),
         "tile_revisit": f"""
             {_SCENES},
             lat_exp AS (

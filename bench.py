@@ -117,6 +117,7 @@ BENCH_QUERIES = (
     "events_coincidence",
     "scene_assortativity",
     "points_idw",
+    "image_hist_match",
 )
 
 

@@ -1103,6 +1103,48 @@ def box_downsample_stats(
     return images.map_batches(_stats, batch_format="pyarrow", batch_size=128)
 
 
+def hist_match_stats(
+    images: Dataset,
+    id_col: str = "image_id",
+) -> Dataset:
+    """Histogram matching to a FIXED triangular reference — the
+    radiometric-normalization op (match every image's tone curve to a
+    common reference before mosaicking), integer-exact: the reference
+    histogram is ``h_ref[g] = g+1`` (CDF ``(g+1)(g+2)/2`` over
+    ``T = 32896``), and the matching LUT is the standard
+    ``lut[v] = min{g : CDF_ref(g) ≥ CDF_src(v)}`` evaluated as the
+    cross-multiplied integer inequality ``(g+1)(g+2)·npix ≥ 2·cdf·T``
+    — no division, no float, so the matched plane is bit-equal to the
+    twin. Emitted per image: the position-weighted sum of the matched
+    plane, min/max, and the pixel count (the hist_equalize_stats
+    contract). Row-local, zero shuffle.
+    """
+    T2 = 2 * 32896  # 2·Σ(g+1)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        blobs = batch["bytes"].to_pylist()
+        g = np.arange(256, dtype=np.int64)
+        ref_half = (g + 1) * (g + 2)  # 2·CDF_ref(g)
+        out = {k: [] for k in (id_col, "hm_wsum", "hm_min", "hm_max", "npix")}
+        for i in range(len(ids)):
+            v = np.frombuffer(blobs[i], dtype=np.uint8).astype(np.int64)
+            npix = len(v)
+            cdf = np.cumsum(np.bincount(v, minlength=256))
+            # min g with (g+1)(g+2)·npix >= 2·cdf[v]·T  (strictly
+            # increasing left side -> one searchsorted per image)
+            lut = np.searchsorted(ref_half * npix, cdf * T2, "left")
+            hm = lut[v]
+            out[id_col].append(int(ids[i]))
+            out["hm_wsum"].append(int((hm * (np.arange(npix) + 1)).sum()))
+            out["hm_min"].append(int(hm.min()) if npix else 0)
+            out["hm_max"].append(int(hm.max()) if npix else 0)
+            out["npix"].append(npix)
+        return pa.table({k: pa.array(c, type=pa.int64()) for k, c in out.items()})
+
+    return images.map_batches(_stats, batch_format="pyarrow", batch_size=128)
+
+
 def hist_equalize_stats(
     images: Dataset,
     id_col: str = "image_id",

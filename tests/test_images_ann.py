@@ -873,3 +873,40 @@ def test_box_downsample_sum_pool_exact():
     raw = arr.astype(np.int64).reshape(-1)
     assert (ident.w2, ident.h2) == (w, h)
     assert ident.ds_wsum == int((raw * (np.arange(raw.size) + 1)).sum())
+
+
+def test_hist_match_identity_and_monotone():
+    """Matching an image whose histogram IS the triangular reference
+    leaves levels monotone-nondecreasing; a constant image maps to the
+    level whose reference CDF first covers the whole mass."""
+    from pyrosar_ray.stages.images import hist_match_stats
+
+    # constant image: cdf(v)=npix for the single level -> lut maps to
+    # min g with (g+1)(g+2) >= 2*32896 = 65792 -> g = 255
+    const = np.full((4, 4), 9, dtype=np.uint8)
+    # ramp image: one pixel of each level 0..15
+    ramp = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    images = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([1, 2], type=pa.int64()),
+                "bytes": pa.array(
+                    [const.tobytes(), ramp.tobytes()], type=pa.binary()
+                ),
+                "w": pa.array([4, 4], type=pa.int32()),
+                "h": pa.array([4, 4], type=pa.int32()),
+                "fmt": pa.array(["raw_gray"] * 2),
+            }
+        )
+    )
+    out = hist_match_stats(images).to_pandas().set_index("image_id")
+    assert out.loc[1, "hm_min"] == out.loc[1, "hm_max"] == 255
+    # brute-force reference for the ramp
+    v = ramp.reshape(-1).astype(np.int64)
+    cdf = np.cumsum(np.bincount(v, minlength=256))
+    g = np.arange(256, dtype=np.int64)
+    lut = np.searchsorted((g + 1) * (g + 2) * 16, cdf * 65792, "left")
+    hm = lut[v]
+    assert out.loc[2, "hm_wsum"] == int((hm * (np.arange(16) + 1)).sum())
+    assert out.loc[2, "hm_min"] == hm.min() and out.loc[2, "hm_max"] == hm.max()
+    assert (np.diff(hm) >= 0).all()
