@@ -5322,6 +5322,83 @@ def q_events_coincidence(sf_dir: str):
     ).sort_values(["type_a", "type_b"], ignore_index=True)
 
 
+_SKYLINE_MAX = np.iinfo(np.int64).max
+
+
+def _skyline_kernel(keys: np.ndarray, p: np.ndarray, d: np.ndarray):
+    """Exact 2-D skyline (maximize p, minimize d): keep rows not
+    dominated by any (p' ≥ p, d' ≤ d) row with one strict inequality.
+    Sort by (p desc, d asc); a row survives iff the min d over all
+    STRICTLY higher-p rows exceeds its d AND it ties the min d of its
+    own price group (exact duplicates all survive — nothing strictly
+    dominates them). Vectorized group arithmetic, no Python loop."""
+    if len(p) == 0:
+        return keys, p, d
+    order = np.lexsort((d, -p))
+    ks, ps, ds = keys[order], p[order], d[order]
+    new_grp = np.concatenate([[True], ps[1:] != ps[:-1]])
+    grp_id = np.cumsum(new_grp) - 1
+    cm = np.minimum.accumulate(ds)
+    grp_end = np.flatnonzero(np.concatenate([new_grp[1:], [True]]))
+    hi_min = np.where(grp_id > 0, cm[grp_end[grp_id - 1]], _SKYLINE_MAX)
+    peer_min = ds[np.flatnonzero(new_grp)][grp_id]
+    keep = (hi_min > ds) & (peer_min == ds)
+    return ks[keep], ps[keep], ds[keep]
+
+
+def q_orders_skyline(sf_dir: str):
+    """Skyline / Pareto-front query (Börzsönyi et al. 2001): the orders
+    no other order dominates on (totalprice max, orderdate min) — the
+    classic multi-objective DB operator. Plan: every batch prunes to
+    its LOCAL skyline (locally-dominated rows are globally dominated,
+    so the union of local skylines contains the global one; for random
+    data the local skyline is ~log-sized), the candidate union collects
+    under a loud bound, and one driver re-run of the same vectorized
+    kernel finishes exactly. Integer cents / day index end to end;
+    exact ties all survive (nothing strictly dominates them). Twin: two
+    window minima — min d over strictly-higher-p rows (RANGE frame) and
+    the price-group min."""
+    from pyrosar_ray.stages import collect_arrow
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    EPOCH_US = np.datetime64("1992-01-01", "us").astype(np.int64)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        d = (us - EPOCH_US) // 86_400_000_000
+        p = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        k, p2, d2 = _skyline_kernel(
+            batch["o_orderkey"].to_numpy(), p, d.astype(np.int64)
+        )
+        return pa.table({"o_orderkey": k, "price_c": p2, "day_i": d2})
+
+    cand = collect_arrow(
+        orders.map_batches(_local, batch_format="pyarrow"),
+        empty_schema={
+            "o_orderkey": pa.int64(), "price_c": pa.int64(),
+            "day_i": pa.int64(),
+        },
+    )
+    if len(cand) > 2_000_000:
+        raise ValueError(
+            "skyline candidate union exceeds the driver bound — "
+            "repartition and re-prune before collecting"
+        )
+    k, p, d = _skyline_kernel(
+        cand["o_orderkey"].to_numpy(),
+        cand["price_c"].to_numpy(),
+        cand["day_i"].to_numpy(),
+    )
+    return pd.DataFrame(
+        {"o_orderkey": k, "price_c": p, "day_i": d}
+    ).sort_values("o_orderkey", ignore_index=True)
+
+
 def q_events_new_users(sf_dir: str):
     """Daily growth accounting: per day, the DISTINCT active users, the
     first-time (new) users, and the running cumulative of new users.
@@ -8542,6 +8619,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "orders_brand_lift": q_orders_brand_lift,
         "orders_trend": q_orders_trend,
         "events_coincidence": q_events_coincidence,
+        "orders_skyline": q_orders_skyline,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "scene_stacks": q_scene_stacks,
@@ -13417,6 +13495,27 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
                        ::BIGINT AS cum_users
             FROM a LEFT JOIN n ON a.day = n.day
+        """,
+        "orders_skyline": """
+            WITH o AS (
+                SELECT o_orderkey,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS price_c,
+                       date_diff('day', DATE '1992-01-01',
+                                 o_orderdate)::BIGINT AS day_i
+                FROM orders
+            ),
+            m AS (
+                SELECT *,
+                       MIN(day_i) OVER (
+                           ORDER BY price_c
+                           RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                       ) AS hi_min,
+                       MIN(day_i) OVER (PARTITION BY price_c) AS peer_min
+                FROM o
+            )
+            SELECT o_orderkey, price_c, day_i FROM m
+            WHERE (hi_min IS NULL OR hi_min > day_i) AND peer_min = day_i
         """,
         "events_coincidence": """
             SELECT LEAST(a.event_type, b.event_type) AS type_a,

@@ -118,6 +118,7 @@ BENCH_QUERIES = (
     "scene_assortativity",
     "points_idw",
     "image_hist_match",
+    "orders_skyline",
 )
 
 

@@ -355,3 +355,32 @@ def test_events_coincidence_band_kernel_bruteforce():
     assert len(got) == len(want) > 0
     for k, v in want.items():
         assert got.loc[k, "n_pairs"] == v
+
+
+def test_skyline_kernel_bruteforce_with_ties():
+    from __ray_entry__ import _skyline_kernel
+
+    rng = np.random.default_rng(7)
+    n = 400
+    # small value ranges force price ties AND exact duplicate pairs
+    p = rng.integers(0, 25, n)
+    d = rng.integers(0, 25, n)
+    keys = np.arange(n, dtype=np.int64)
+    k, kp, kd = _skyline_kernel(keys, p.copy(), d.copy())
+    keep = set(k.tolist())
+    for i in range(n):
+        dom = bool(
+            ((p >= p[i]) & (d <= d[i]) & ((p > p[i]) | (d < d[i]))).any()
+        )
+        assert (i not in keep) == dom, i
+    # local-prune composition: pruning halves first never loses a
+    # global skyline member
+    h = n // 2
+    k1, p1, d1 = _skyline_kernel(keys[:h], p[:h].copy(), d[:h].copy())
+    k2, p2, d2 = _skyline_kernel(keys[h:], p[h:].copy(), d[h:].copy())
+    ku, pu, du = (
+        np.concatenate([k1, k2]), np.concatenate([p1, p2]),
+        np.concatenate([d1, d2]),
+    )
+    kf, _, _ = _skyline_kernel(ku, pu, du)
+    assert set(kf.tolist()) == keep
