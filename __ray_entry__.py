@@ -5346,6 +5346,49 @@ def _skyline_kernel(keys: np.ndarray, p: np.ndarray, d: np.ndarray):
     return ks[keep], ps[keep], ds[keep]
 
 
+def q_events_sparse_hours(sf_dir: str):
+    """Pipeline-health gap detection: the hours (between the stream's
+    first and last hour) whose event count falls below HALF the mean
+    hourly rate — INCLUDING fully silent hours, which a plain groupby
+    never surfaces. The threshold is the exact cross-multiplied
+    inequality 2·n_h·n_hours < total (no division); hourly counts fold
+    through one keyed_sum into the bounded hour domain and the dense
+    fill + threshold is a driver fold of that table (the events_mad
+    bounded-domain contract). Twin: generate_series over the hour span
+    + LEFT JOIN + the same inequality."""
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    events = _read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    US_PER_H = 3_600_000_000
+
+    def _hours(batch: pa.Table) -> pa.Table:
+        h = batch["ts"].cast(pa.int64()).to_numpy() // US_PER_H
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"hour_i": u, "n": c.astype(np.int64)})
+
+    t = collect_arrow(
+        keyed_sum(
+            events.map_batches(_hours, batch_format="pyarrow"), "hour_i", ["n"]
+        ),
+        empty_schema={"hour_i": pa.int64(), "n": pa.int64()},
+    ).to_pandas()
+    if not len(t):
+        return pd.DataFrame(
+            {"hour_i": pd.Series([], dtype="int64"),
+             "n": pd.Series([], dtype="int64")}
+        )
+    lo, hi = int(t["hour_i"].min()), int(t["hour_i"].max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[t["hour_i"].to_numpy() - lo] = t["n"].to_numpy()
+    total = int(dense.sum())
+    n_hours = hi - lo + 1
+    sparse = np.flatnonzero(2 * dense * n_hours < total)
+    return pd.DataFrame(
+        {"hour_i": (sparse + lo).astype(np.int64), "n": dense[sparse]}
+    )
+
+
 def q_orders_skyline(sf_dir: str):
     """Skyline / Pareto-front query (Börzsönyi et al. 2001): the orders
     no other order dominates on (totalprice max, orderdate min) — the
@@ -8620,6 +8663,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "orders_trend": q_orders_trend,
         "events_coincidence": q_events_coincidence,
         "orders_skyline": q_orders_skyline,
+        "events_sparse_hours": q_events_sparse_hours,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "scene_stacks": q_scene_stacks,
@@ -13495,6 +13539,27 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
                        ::BIGINT AS cum_users
             FROM a LEFT JOIN n ON a.day = n.day
+        """,
+        "events_sparse_hours": """
+            WITH h AS (
+                SELECT epoch_us(ts) // 3600000000 AS hour_i FROM events
+            ),
+            c AS (SELECT hour_i, COUNT(*)::BIGINT AS n FROM h GROUP BY 1),
+            span AS (
+                SELECT MIN(hour_i) AS lo, MAX(hour_i) AS hi,
+                       COUNT(*)::BIGINT AS total
+                FROM h
+            ),
+            dense AS (
+                SELECT g.hour_i, COALESCE(c.n, 0)::BIGINT AS n,
+                       span.total, (span.hi - span.lo + 1) AS n_hours
+                FROM span,
+                     LATERAL (SELECT unnest(range(span.lo, span.hi + 1))
+                                  AS hour_i) g
+                LEFT JOIN c ON c.hour_i = g.hour_i
+            )
+            SELECT hour_i::BIGINT AS hour_i, n FROM dense
+            WHERE 2 * n * n_hours < total
         """,
         "orders_skyline": """
             WITH o AS (

@@ -119,6 +119,7 @@ BENCH_QUERIES = (
     "points_idw",
     "image_hist_match",
     "orders_skyline",
+    "events_sparse_hours",
 )
 
 
