@@ -66,6 +66,11 @@ QUERIES = [
     "events_ewma",
     # stateless integer quality gate (pure map — the control pattern)
     "doc_gopher_filter",
+    # local-prune skyline: per-block pruning depends on block contents,
+    # the candidate-union + driver re-run must erase that dependence
+    "orders_skyline",
+    # replicated-side radius join + floored fixed-point IDW term fold
+    "points_idw",
 ]
 
 
