@@ -5346,6 +5346,59 @@ def _skyline_kernel(keys: np.ndarray, p: np.ndarray, d: np.ndarray):
     return ks[keep], ps[keep], ds[keep]
 
 
+def q_orders_yoy(sf_dir: str):
+    """Year-over-year growth — the reporting classic: monthly revenue
+    against the same month one year earlier, exact integer cents plus
+    the one double division growth = (rev − prev)/prev. Monthly sums
+    fold through one keyed_sum into the bounded month domain
+    ((year−1992)·12 + month−1); the YoY pairing is a driver fold of
+    that ≤120-row table. Output only months whose prior-year month
+    exists. Twin: month GROUP BY + self-join on month_i − 12."""
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch["o_orderdate"]).to_numpy().astype(np.int64)
+        mo = pc.month(batch["o_orderdate"]).to_numpy().astype(np.int64)
+        m = (y - 1992) * 12 + mo - 1
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"month_i": m, "rev_c": cents})
+            .groupby("month_i", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {"month_i": df["month_i"].to_numpy(), "rev_c": df["rev_c"].to_numpy()}
+        )
+
+    t = collect_arrow(
+        keyed_sum(
+            orders.map_batches(_partial, batch_format="pyarrow"),
+            "month_i", ["rev_c"],
+        ),
+        empty_schema={"month_i": pa.int64(), "rev_c": pa.int64()},
+    ).to_pandas()
+    rev = dict(zip(t["month_i"].astype(int), t["rev_c"].astype(int)))
+    rows = [
+        {
+            "month_i": m, "rev_c": r, "rev_prev_c": rev[m - 12],
+            "growth": float(r - rev[m - 12]) / float(rev[m - 12]),
+        }
+        for m, r in sorted(rev.items())
+        if m - 12 in rev
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["month_i", "rev_c", "rev_prev_c", "growth"],
+    ).astype({c: np.int64 for c in ("month_i", "rev_c", "rev_prev_c")})
+
+
 def q_events_sparse_hours(sf_dir: str):
     """Pipeline-health gap detection: the hours (between the stream's
     first and last hour) whose event count falls below HALF the mean
@@ -8664,6 +8717,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_coincidence": q_events_coincidence,
         "orders_skyline": q_orders_skyline,
         "events_sparse_hours": q_events_sparse_hours,
+        "orders_yoy": q_orders_yoy,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "scene_stacks": q_scene_stacks,
@@ -13539,6 +13593,18 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
                        ::BIGINT AS cum_users
             FROM a LEFT JOIN n ON a.day = n.day
+        """,
+        "orders_yoy": """
+            WITH m AS (
+                SELECT ((year(o_orderdate) - 1992) * 12
+                        + month(o_orderdate) - 1)::BIGINT AS month_i,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           )::BIGINT AS rev_c
+                FROM orders GROUP BY 1
+            )
+            SELECT a.month_i, a.rev_c, b.rev_c AS rev_prev_c,
+                   (a.rev_c - b.rev_c) / b.rev_c AS growth
+            FROM m a JOIN m b ON b.month_i = a.month_i - 12
         """,
         "events_sparse_hours": """
             WITH h AS (

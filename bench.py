@@ -120,6 +120,7 @@ BENCH_QUERIES = (
     "image_hist_match",
     "orders_skyline",
     "events_sparse_hours",
+    "orders_yoy",
 )
 
 
