@@ -5346,6 +5346,63 @@ def _skyline_kernel(keys: np.ndarray, p: np.ndarray, d: np.ndarray):
     return ks[keep], ps[keep], ds[keep]
 
 
+def q_session_durations(sf_dir: str):
+    """Session-length analytics — the composition a product team runs
+    daily: gap-based sessionization (the groupbyTime semantics) →
+    per-session duration in whole seconds (µs span // 10⁶, exact) →
+    EXACT quantiles via the bounded-histogram inversion
+    (token_count_quantiles' rule: smallest value whose cumulative count
+    reaches ceil(q·N)). The duration domain is bounded by the longest
+    session in seconds regardless of corpus size, so the histogram
+    exchange and driver inversion stay tiny at any scale. One hash
+    exchange on user + one bounded keyed_sum. Twin: the sessionize
+    window SQL → per-session span → the same histogram inversion."""
+    import math
+
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def _durations(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.concatenate([[True], np.diff(us) > _GAP_US])
+        sid = np.cumsum(new) - 1
+        first = np.flatnonzero(new)
+        last = np.concatenate([first[1:] - 1, [len(us) - 1]])
+        dur_s = (us[last] - us[first]) // 1_000_000
+        u, c = np.unique(dur_s, return_counts=True)
+        return pd.DataFrame({"dur_s": u, "n": c.astype(np.int64)})
+
+    hist = collect_arrow(
+        keyed_sum(
+            events.groupby("user_id").map_groups(
+                _durations, batch_format="pandas"
+            ),
+            "dur_s", ["n"],
+        ),
+        empty_schema={"dur_s": pa.int64(), "n": pa.int64()},
+    ).to_pandas().sort_values("dur_s", ignore_index=True)
+    if hist.empty:
+        return pd.DataFrame(
+            {"q": pd.Series([], dtype="float64"),
+             "dur_s": pd.Series([], dtype="int64")}
+        )
+    values = hist["dur_s"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    total = int(cum[-1])
+    rows = []
+    for q in _QUANTILES:
+        rank = max(1, math.ceil(q * total))
+        rows.append(
+            {"q": float(q), "dur_s": int(values[np.searchsorted(cum, rank)])}
+        )
+    return pd.DataFrame(rows).astype({"dur_s": np.int64})
+
+
 def q_orders_yoy(sf_dir: str):
     """Year-over-year growth — the reporting classic: monthly revenue
     against the same month one year earlier, exact integer cents plus
@@ -8718,6 +8775,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": q_orders_skyline,
         "events_sparse_hours": q_events_sparse_hours,
         "orders_yoy": q_orders_yoy,
+        "session_durations": q_session_durations,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
         "scene_stacks": q_scene_stacks,
@@ -13593,6 +13651,36 @@ def oracle_sql() -> dict[str, str]:
                    SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
                        ::BIGINT AS cum_users
             FROM a LEFT JOIN n ON a.day = n.day
+        """,
+        "session_durations": f"""
+            WITH s AS (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN gap IS NOT NULL AND gap > {_GAP_US}
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           )::BIGINT AS session_id
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           date_diff('microsecond',
+                                     lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id),
+                                     ts) AS gap
+                    FROM events
+                )
+            ),
+            d AS (
+                SELECT (date_diff('microsecond', MIN(ts), MAX(ts))
+                        // 1000000)::BIGINT AS v
+                FROM s GROUP BY user_id, session_id
+            ),
+            h AS (SELECT v, COUNT(*) AS c FROM d GROUP BY v),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v)::BIGINT AS cumc FROM h),
+            tot AS (SELECT COUNT(*)::BIGINT AS total FROM d),
+            qs AS (SELECT unnest({list(_QUANTILES)}::DOUBLE[]) AS q)
+            SELECT q, MIN(v)::BIGINT AS dur_s
+            FROM qs, cum, tot
+            WHERE cumc >= GREATEST(1, CAST(ceil(q * total) AS BIGINT))
+            GROUP BY q
         """,
         "orders_yoy": """
             WITH m AS (

@@ -121,6 +121,7 @@ BENCH_QUERIES = (
     "orders_skyline",
     "events_sparse_hours",
     "orders_yoy",
+    "session_durations",
 )
 
 
