@@ -2831,6 +2831,46 @@ def q_doc_simhash(sf_dir: str):
     return simhash_column(docs)
 
 
+def q_doc_simhash_hist(sf_dir: str):
+    """SimHash separation audit — the distribution of pairwise Hamming
+    distances within source blocks: the measurement that justifies (or
+    refutes) a banded-dedup threshold, the doc_minhash_recall sibling
+    for the SimHash family. Per-source groups compute codes with the
+    shared FNV-1a/bit-vote kernel and fold a LUT-popcount over the
+    tiled pairwise XOR into a ≤64-bin histogram partial; one keyed_sum
+    finishes. Twin: the simhash CTE + bit_count(xor) self-join."""
+    from pyrosar_ray.stages.agg import keyed_sum
+    from pyrosar_ray.stages.dedup_text import simhash
+    from pyrosar_ray.stages.groups import typed_groups
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+    @typed_groups({"hamming": pa.int64(), "n_pairs": pa.int64()})
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        codes = simhash(df["text"].tolist()).astype(np.uint64)
+        n = len(codes)
+        if n < 2:
+            return pd.DataFrame(
+                {"hamming": pd.Series([], dtype="int64"),
+                 "n_pairs": pd.Series([], dtype="int64")}
+            )
+        x = (codes[:, None] ^ codes[None, :]).view(np.uint8).reshape(n, n, 8)
+        ham = POP[x].sum(axis=2)
+        iu = np.triu_indices(n, k=1)
+        u, c = np.unique(ham[iu], return_counts=True)
+        return pd.DataFrame(
+            {"hamming": u.astype(np.int64), "n_pairs": c.astype(np.int64)}
+        )
+
+    return keyed_sum(
+        docs.groupby("source").map_groups(_hist, batch_format="pandas"),
+        "hamming", ["n_pairs"],
+    )
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Rolling polynomial fingerprint mod 2^61-1 per doc."""
     import ray.data
@@ -8855,6 +8895,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_hist": q_doc_simhash_hist,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_neardup_fp": q_doc_neardup_fp,
         "image_meta": q_image_meta,
@@ -11310,6 +11351,17 @@ def oracle_sql() -> dict[str, str]:
                 <= 2250000
         """,
         "doc_simhash": _simhash_sql(),
+        "doc_simhash_hist": f"""
+            WITH sim AS ({_simhash_sql()}),
+            s AS (
+                SELECT m.doc_id, m.simhash, d.source
+                FROM sim m JOIN documents d USING (doc_id)
+            )
+            SELECT bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming,
+                   COUNT(*)::BIGINT AS n_pairs
+            FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY 1
+        """,
         "doc_minhash_pairs": _minhash_sql(),
         "doc_minhash_recall": f"""
             WITH m AS ({_minhash_sql()}),

@@ -122,6 +122,7 @@ BENCH_QUERIES = (
     "events_sparse_hours",
     "orders_yoy",
     "session_durations",
+    "doc_simhash_hist",
 )
 
 
