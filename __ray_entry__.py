@@ -2831,6 +2831,73 @@ def q_doc_simhash(sf_dir: str):
     return simhash_column(docs)
 
 
+def q_doc_vocab_growth(sf_dir: str):
+    """Heaps-law audit — vocabulary growth over the corpus in doc_id
+    order: distinct-token count after each 5%-of-corpus checkpoint,
+    computed WITHOUT any ordered scan: a token's contribution point is
+    its MINIMUM doc_id (one keyed_agg over the vocabulary domain), the
+    first-occurrence positions histogram into 20 fixed buckets, and
+    the cumulative sum at bucket edges IS the growth curve. Exact,
+    order-free, two bounded exchanges. Twin: min(doc_id) per token +
+    the same bucket arithmetic + a window sum."""
+    from ray.data.aggregate import Min
+
+    from pyrosar_ray.stages import collect_arrow
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+    n_buckets = 20
+
+    def _first_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "tok": batch["text"].to_pandas().astype("string").str.split(" "),
+            }
+        ).explode("tok")
+        g = df.groupby("tok", as_index=False)["doc_id"].min()
+        return pa.table(
+            {
+                "tok": pa.array(g["tok"].astype(str)),
+                "first_doc": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    firsts = (
+        docs.map_batches(_first_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+    )
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        fd = batch["first_doc"].to_numpy()
+        b = np.minimum(fd * n_buckets // n_docs, n_buckets - 1)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": u, "new_tokens": c.astype(np.int64)})
+
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    t = collect_arrow(
+        keyed_sum(
+            firsts.map_batches(_bucket, batch_format="pyarrow"),
+            "bucket", ["new_tokens"],
+        ),
+        empty_schema={"bucket": pa.int64(), "new_tokens": pa.int64()},
+    ).to_pandas().sort_values("bucket", ignore_index=True)
+    dense = np.zeros(n_buckets, dtype=np.int64)
+    if len(t):
+        dense[t["bucket"].to_numpy()] = t["new_tokens"].to_numpy()
+    return pd.DataFrame(
+        {
+            "bucket": np.arange(n_buckets, dtype=np.int64),
+            "new_tokens": dense,
+            "vocab_size": np.cumsum(dense),
+        }
+    )
+
+
 def q_doc_simhash_hist(sf_dir: str):
     """SimHash separation audit — the distribution of pairwise Hamming
     distances within source blocks: the measurement that justifies (or
@@ -5441,6 +5508,89 @@ def q_session_durations(sf_dir: str):
             {"q": float(q), "dur_s": int(values[np.searchsorted(cum, rank)])}
         )
     return pd.DataFrame(rows).astype({"dur_s": np.int64})
+
+
+def q_dq_lineitem(sf_dir: str):
+    """Data-quality assertion sweep — the contract checks a pipeline
+    runs before trusting a feed: per-rule violation counts over
+    lineitem (quantity ≥ 1, discount cents in [0,10], tax cents in
+    [0,8], positive extended price, ship date inside the fixture's
+    [1992, 2002) span, and referential integrity l_orderkey ∈ orders).
+    The five row-local rules are one stateless pass of integer
+    predicates; the orphan check broadcasts the orders key set (the
+    dbscan core-set contract — 8 bytes/order, bound disclosed there)
+    and probes map-side, so the whole sweep is ONE scan with a scalar
+    fold. A healthy feed returns all zeros — the point of the op.
+    Twin: the same predicates + a NOT IN anti count."""
+    import ray as _ray
+
+    from pyrosar_ray.stages import collect_arrow
+
+    okeys = np.sort(
+        collect_arrow(
+            _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]),
+            empty_schema={"o_orderkey": pa.int64()},
+        )["o_orderkey"].to_numpy()
+    )
+    oref = _ray.put(okeys)
+    LO = np.datetime64("1992-01-01", "us").astype(np.int64)
+    HI = np.datetime64("2002-01-01", "us").astype(np.int64)
+    RULES = (
+        "qty_lt_1", "disc_out_of_range", "tax_out_of_range",
+        "price_nonpos", "shipdate_out_of_span", "orphan_orderkey",
+    )
+
+    class _Check:
+        def __init__(self):
+            self.okeys = _ray.get(oref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qty = batch["l_quantity"].to_numpy()
+            disc = np.floor(batch["l_discount"].to_numpy() * 100.0 + 0.5)
+            tax = np.floor(batch["l_tax"].to_numpy() * 100.0 + 0.5)
+            price = np.floor(
+                batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+            )
+            sd = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+            ok = batch["l_orderkey"].to_numpy()
+            pos = np.clip(
+                np.searchsorted(self.okeys, ok), 0,
+                max(len(self.okeys) - 1, 0),
+            )
+            orphan = (
+                self.okeys[pos] != ok
+                if len(self.okeys)
+                else np.ones(len(ok), dtype=bool)
+            )
+            counts = [
+                int((qty < 1).sum()),
+                int(((disc < 0) | (disc > 10)).sum()),
+                int(((tax < 0) | (tax > 8)).sum()),
+                int((price <= 0).sum()),
+                int(((sd < LO) | (sd >= HI)).sum()),
+                int(orphan.sum()),
+            ]
+            return pa.table(
+                {
+                    "rule": pa.array(RULES, type=pa.string()),
+                    "n_violations": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_discount", "l_tax",
+                 "l_extendedprice", "l_shipdate"],
+    )
+    t = collect_arrow(
+        li.map_batches(_Check, batch_format="pyarrow", concurrency=(1, 4)),
+        empty_schema={"rule": pa.string(), "n_violations": pa.int64()},
+    ).to_pandas()
+    return (
+        t.groupby("rule", as_index=False)["n_violations"].sum()
+        .sort_values("rule", ignore_index=True)
+        .astype({"n_violations": np.int64})
+    )
 
 
 def q_orders_yoy(sf_dir: str):
@@ -8815,6 +8965,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": q_orders_skyline,
         "events_sparse_hours": q_events_sparse_hours,
         "orders_yoy": q_orders_yoy,
+        "dq_lineitem": q_dq_lineitem,
         "session_durations": q_session_durations,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
@@ -8896,6 +9047,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_hist": q_doc_simhash_hist,
+        "doc_vocab_growth": q_doc_vocab_growth,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_neardup_fp": q_doc_neardup_fp,
         "image_meta": q_image_meta,
@@ -11351,6 +11503,26 @@ def oracle_sql() -> dict[str, str]:
                 <= 2250000
         """,
         "doc_simhash": _simhash_sql(),
+        "doc_vocab_growth": """
+            WITH f AS (
+                SELECT MIN(doc_id) AS first_doc
+                FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY tok
+            ),
+            nd AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            b AS (
+                SELECT LEAST(first_doc * 20 // nd.n, 19)::BIGINT AS bucket,
+                       COUNT(*)::BIGINT AS new_tokens
+                FROM f, nd GROUP BY 1
+            ),
+            g AS (SELECT unnest(range(0, 20))::BIGINT AS bucket)
+            SELECT g.bucket,
+                   COALESCE(b.new_tokens, 0)::BIGINT AS new_tokens,
+                   SUM(COALESCE(b.new_tokens, 0))
+                       OVER (ORDER BY g.bucket)::BIGINT AS vocab_size
+            FROM g LEFT JOIN b USING (bucket)
+        """,
         "doc_simhash_hist": f"""
             WITH sim AS ({_simhash_sql()}),
             s AS (
@@ -13733,6 +13905,41 @@ def oracle_sql() -> dict[str, str]:
             FROM qs, cum, tot
             WHERE cumc >= GREATEST(1, CAST(ceil(q * total) AS BIGINT))
             GROUP BY q
+        """,
+        "dq_lineitem": """
+            WITH l AS (
+                SELECT l_orderkey, l_quantity,
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+                       CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tc,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS pc,
+                       l_shipdate
+                FROM lineitem
+            )
+            SELECT 'qty_lt_1' AS rule,
+                   SUM(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END
+                       )::BIGINT AS n_violations FROM l
+            UNION ALL
+            SELECT 'disc_out_of_range',
+                   SUM(CASE WHEN dc < 0 OR dc > 10 THEN 1 ELSE 0 END
+                       )::BIGINT FROM l
+            UNION ALL
+            SELECT 'tax_out_of_range',
+                   SUM(CASE WHEN tc < 0 OR tc > 8 THEN 1 ELSE 0 END
+                       )::BIGINT FROM l
+            UNION ALL
+            SELECT 'price_nonpos',
+                   SUM(CASE WHEN pc <= 0 THEN 1 ELSE 0 END)::BIGINT FROM l
+            UNION ALL
+            SELECT 'shipdate_out_of_span',
+                   SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                             OR l_shipdate >= TIMESTAMP '2002-01-01'
+                            THEN 1 ELSE 0 END)::BIGINT FROM l
+            UNION ALL
+            SELECT 'orphan_orderkey',
+                   COUNT(*)::BIGINT FROM l
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            ORDER BY 1
         """,
         "orders_yoy": """
             WITH m AS (

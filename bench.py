@@ -123,6 +123,8 @@ BENCH_QUERIES = (
     "orders_yoy",
     "session_durations",
     "doc_simhash_hist",
+    "doc_vocab_growth",
+    "dq_lineitem",
 )
 
 
