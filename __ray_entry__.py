@@ -3940,6 +3940,38 @@ def q_embed_ivf_recall(sf_dir: str):
     return ann_recall(exact, approx, k=10)
 
 
+def q_embed_ivf_curve(sf_dir: str):
+    """IVF tuning curve — mean recall@10 at nprobe ∈ {{1, 2, 4, 8}}:
+    the measurement that picks an ANN operating point (recall vs probe
+    cost), the multi-config sibling of embed_ivf_recall. Each setting
+    reuses the distributed index + recall join; per-setting totals fold
+    to one row (hits summed exactly, the mean is the single double
+    division hits/(10·n_queries)). Twin: a UNION of the per-nprobe
+    aggregate over the composed exact/IVF neighbor SQLs."""
+    from pyrosar_ray.stages.ann import ann_recall, brute_force_topk, ivf_topk
+
+    qids, qmat = _load_queries_matrix(sf_dir)
+    corpus = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = brute_force_topk(corpus, qids, qmat, k=10).materialize()
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        approx = ivf_topk(corpus, qids, qmat, k=10, ncells=16, nprobe=nprobe)
+        rec = ann_recall(exact, approx, k=10).to_pandas()
+        hits = int(rec["n_hits"].sum())
+        nq = len(rec)
+        rows.append(
+            {
+                "nprobe": nprobe, "total_hits": hits, "n_queries": nq,
+                "recall_at_10": float(hits) / float(10 * nq) if nq else 0.0,
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {c: np.int64 for c in ("nprobe", "total_hits", "n_queries")}
+    )
+
+
 def q_ann_lsh_topk(sf_dir: str):
     """LSH-bucketed approximate top-k, oracle-exact: integer hyperplane
     sign buckets over 1e-6-quantized embeddings, ranked by exact integer
@@ -9025,6 +9057,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_global_rank": q_doc_global_rank,
         "scene_overlap_area": q_scene_overlap_area,
         "embed_ivf_recall": q_embed_ivf_recall,
+        "embed_ivf_curve": q_embed_ivf_curve,
         "audio_adpcm_meta": q_audio_adpcm_meta,
         "embed_hard_negatives": q_embed_hard_negatives,
         "join_sample": q_join_sample,
@@ -10617,6 +10650,25 @@ def oracle_sql() -> dict[str, str]:
               ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
             GROUP BY ex.query_id
         """,
+        "embed_ivf_curve": " UNION ALL ".join(
+            f"""
+            SELECT {np_}::BIGINT AS nprobe,
+                   SUM(n_hits)::BIGINT AS total_hits,
+                   COUNT(*)::BIGINT AS n_queries,
+                   SUM(n_hits)::BIGINT / (10 * COUNT(*))::BIGINT
+                       AS recall_at_10
+            FROM (
+                WITH ex AS ({exact_topk}), iv AS ({_ivf_sql(nprobe=np_)})
+                SELECT ex.query_id,
+                       count(iv.neighbor_id)::BIGINT AS n_hits
+                FROM ex LEFT JOIN iv
+                  ON ex.query_id = iv.query_id
+                 AND ex.neighbor_id = iv.neighbor_id
+                GROUP BY ex.query_id
+            )
+            """
+            for np_ in (1, 2, 4, 8)
+        ),
         "spatial_join": f"""
             {_SCENES}, points AS ({POINTS_SQL})
             SELECT s.scene_key, p.point_id
