@@ -5542,6 +5542,59 @@ def q_session_durations(sf_dir: str):
     return pd.DataFrame(rows).astype({"dur_s": np.int64})
 
 
+def q_orders_interarrival(sf_dir: str):
+    """Customer inter-arrival analytics — the retention metric: exact
+    quantiles of the day gaps between a customer's consecutive orders
+    (ties broken by orderkey, gap 0 allowed for same-day orders). One
+    hash exchange on customer + per-group sorted diff, then the
+    bounded-histogram inversion (gap domain ≤ the fixture's day span
+    regardless of row count; the token_count_quantiles ceil(q·N) rule).
+    Twin: LAG window per customer + the histogram inversion."""
+    import math
+
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    EPOCH_US = np.datetime64("1992-01-01", "us").astype(np.int64)
+
+    def _gaps(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = (us - EPOCH_US) // 86_400_000_000
+        df = pd.DataFrame(
+            {"d": d, "k": df["o_orderkey"].to_numpy()}
+        ).sort_values(["d", "k"], kind="mergesort")
+        gaps = np.diff(df["d"].to_numpy())
+        u, c = np.unique(gaps, return_counts=True)
+        return pd.DataFrame({"gap_d": u, "n": c.astype(np.int64)})
+
+    hist = collect_arrow(
+        keyed_sum(
+            orders.groupby("o_custkey").map_groups(_gaps, batch_format="pandas"),
+            "gap_d", ["n"],
+        ),
+        empty_schema={"gap_d": pa.int64(), "n": pa.int64()},
+    ).to_pandas().sort_values("gap_d", ignore_index=True)
+    if hist.empty:
+        return pd.DataFrame(
+            {"q": pd.Series([], dtype="float64"),
+             "gap_d": pd.Series([], dtype="int64")}
+        )
+    values = hist["gap_d"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    total = int(cum[-1])
+    rows = []
+    for q in _QUANTILES:
+        rank = max(1, math.ceil(q * total))
+        rows.append(
+            {"q": float(q), "gap_d": int(values[np.searchsorted(cum, rank)])}
+        )
+    return pd.DataFrame(rows).astype({"gap_d": np.int64})
+
+
 def q_dq_lineitem(sf_dir: str):
     """Data-quality assertion sweep — the contract checks a pipeline
     runs before trusting a feed: per-rule violation counts over
@@ -8998,6 +9051,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_sparse_hours": q_events_sparse_hours,
         "orders_yoy": q_orders_yoy,
         "dq_lineitem": q_dq_lineitem,
+        "orders_interarrival": q_orders_interarrival,
         "session_durations": q_session_durations,
         "tile_revisit": q_tile_revisit,
         "scene_insar_pairs": q_scene_insar_pairs,
@@ -13954,6 +14008,29 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT COUNT(*)::BIGINT AS total FROM d),
             qs AS (SELECT unnest({list(_QUANTILES)}::DOUBLE[]) AS q)
             SELECT q, MIN(v)::BIGINT AS dur_s
+            FROM qs, cum, tot
+            WHERE cumc >= GREATEST(1, CAST(ceil(q * total) AS BIGINT))
+            GROUP BY q
+        """,
+        "orders_interarrival": f"""
+            WITH o AS (
+                SELECT o_custkey,
+                       date_diff('day', DATE '1992-01-01',
+                                 o_orderdate)::BIGINT AS d,
+                       o_orderkey
+                FROM orders
+            ),
+            g AS (
+                SELECT d - LAG(d) OVER (PARTITION BY o_custkey
+                                        ORDER BY d, o_orderkey) AS v
+                FROM o
+            ),
+            d2 AS (SELECT v FROM g WHERE v IS NOT NULL),
+            h AS (SELECT v, COUNT(*) AS c FROM d2 GROUP BY v),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v)::BIGINT AS cumc FROM h),
+            tot AS (SELECT COUNT(*)::BIGINT AS total FROM d2),
+            qs AS (SELECT unnest({list(_QUANTILES)}::DOUBLE[]) AS q)
+            SELECT q, MIN(v)::BIGINT AS gap_d
             FROM qs, cum, tot
             WHERE cumc >= GREATEST(1, CAST(ceil(q * total) AS BIGINT))
             GROUP BY q

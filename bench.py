@@ -125,6 +125,7 @@ BENCH_QUERIES = (
     "doc_simhash_hist",
     "doc_vocab_growth",
     "dq_lineitem",
+    "orders_interarrival",
 )
 
 
