@@ -2170,6 +2170,91 @@ def q_spatial_dbscan(sf_dir: str):
     )
 
 
+def q_grid_focal_mode(sf_dir: str):
+    """Majority (mode) focal filter — the non-linear sibling of
+    grid_focal: for every cell receiving a 3×3 contribution, the MODE
+    of the contributing occupied cells' point counts, ties to the
+    smallest count (the deterministic majority-filter rule raster
+    toolchains document). Longitude wraps at ±180 like grid_focal.
+    Plan: bounded per-batch cell partials → one grid-bounded keyed_sum
+    → 9× expansion of the AGGREGATED grid → one partition-domain
+    exchange whose kernel picks the mode with a lexsort run-length
+    (no per-cell Python). Twin: the offs CROSS JOIN + a (count desc,
+    value asc) ROW_NUMBER."""
+    from pyrosar_ray.pipelines.tables import load_points
+    from pyrosar_ray.stages import table_from_pandas
+    from pyrosar_ray.stages.agg import _MIX, _PART, keyed_sum
+    from pyrosar_ray.stages.groups import typed_groups
+
+    points = load_points(sf_dir)
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        cx = np.floor(batch["lon"].to_numpy()).astype(np.int64)
+        cy = np.floor(batch["lat"].to_numpy()).astype(np.int64)
+        packed = (cy + 91) * 360 + ((cx + 180) % 360)
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table({"cell": u, "n": c.astype(np.int64)})
+
+    grid = keyed_sum(
+        points.map_batches(_cells, batch_format="pyarrow"), "cell", ["n"]
+    )
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy()
+        n = batch["n"].to_numpy()
+        cy = cell // 360 - 91
+        cx = cell % 360 - 180
+        dx = np.array([-1, 0, 1] * 3, dtype=np.int64)
+        dy = np.array([-1] * 3 + [0] * 3 + [1] * 3, dtype=np.int64)
+        rx = (np.repeat(cx, 9) + np.tile(dx, len(cell)) + 540) % 360 - 180
+        ry = np.repeat(cy, 9) + np.tile(dy, len(cell))
+        rcell = (ry + 91) * 360 + (rx + 180)
+        with np.errstate(over="ignore"):
+            part = (
+                (rcell.astype(np.uint64) * _MIX) >> np.uint64(40)
+            ).astype(np.int64) % 64
+        return pa.table(
+            {"rcell": rcell, "n": np.repeat(n, 9), _PART: part}
+        )
+
+    schema = {
+        "cell_lon": pa.int64(), "cell_lat": pa.int64(),
+        "mode_n": pa.int64(), "mode_freq": pa.int64(),
+    }
+
+    @typed_groups(schema)
+    def _mode(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df["rcell"].to_numpy()
+        n = df["n"].to_numpy()
+        order = np.lexsort((n, cell))
+        cell, n = cell[order], n[order]
+        new = np.concatenate(
+            [[True], (cell[1:] != cell[:-1]) | (n[1:] != n[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(cell)))
+        ucell, un = cell[starts], n[starts]
+        pick = np.lexsort((un, -cnt, ucell))
+        first = np.concatenate(
+            [[True], ucell[pick][1:] != ucell[pick][:-1]]
+        )
+        sel = pick[first]
+        return pd.DataFrame(
+            {
+                "cell_lon": ucell[sel] % 360 - 180,
+                "cell_lat": ucell[sel] // 360 - 91,
+                "mode_n": un[sel],
+                "mode_freq": cnt[sel],
+            }
+        )
+
+    return (
+        grid.map_batches(_expand, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(_mode, batch_format="pandas")
+    )
+
+
 def q_points_idw(sf_dir: str):
     """Inverse-distance-weighted interpolation (the classic GIS
     gridding op) of a per-point attribute (v = point_id % 1000) onto a
@@ -9008,6 +9093,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "spatial_radius_join": q_spatial_radius_join,
         "spatial_dbscan": q_spatial_dbscan,
         "points_idw": q_points_idw,
+        "grid_focal_mode": q_grid_focal_mode,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "events_timetravel": q_events_timetravel,
         "image_mosaic": q_image_mosaic,
@@ -13236,6 +13322,32 @@ def oracle_sql() -> dict[str, str]:
                    SUM(c.n)::BIGINT AS focal_sum
             FROM cells c CROSS JOIN offs o
             GROUP BY 1, 2
+        """,
+        "grid_focal_mode": f"""
+            WITH p AS ({POINTS_SQL}),
+            cells AS (
+                SELECT floor(lon)::BIGINT AS cx, floor(lat)::BIGINT AS cy,
+                       COUNT(*)::BIGINT AS n
+                FROM p GROUP BY 1, 2
+            ),
+            offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1),
+                                    (0,0), (0,1), (1,-1), (1,0), (1,1)),
+            nb AS (
+                SELECT (((c.cx + o.dx + 180) % 360 + 360) % 360 - 180
+                        )::BIGINT AS cell_lon,
+                       (c.cy + o.dy)::BIGINT AS cell_lat,
+                       c.n, COUNT(*)::BIGINT AS cnt
+                FROM cells c CROSS JOIN offs o
+                GROUP BY 1, 2, 3
+            )
+            SELECT cell_lon, cell_lat, n AS mode_n, cnt AS mode_freq
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY cell_lon, cell_lat
+                    ORDER BY cnt DESC, n ASC
+                ) AS r
+                FROM nb
+            ) WHERE r = 1
         """,
         "image_mosaic": """
             WITH imgs AS (

@@ -126,6 +126,7 @@ BENCH_QUERIES = (
     "doc_vocab_growth",
     "dq_lineitem",
     "orders_interarrival",
+    "grid_focal_mode",
 )
 
 
