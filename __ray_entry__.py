@@ -2916,6 +2916,87 @@ def q_doc_simhash(sf_dir: str):
     return simhash_column(docs)
 
 
+def q_doc_source_overlap(sf_dir: str):
+    """Corpus-comparison diagnostics: vocabulary Jaccard between every
+    pair of sources — does src0 speak the same language as src3? The
+    whole pairwise table derives from ONE vocabulary-domain fold: each
+    (token, source) pair dedups into a per-token source BITMASK (sum of
+    distinct bits ≡ OR after dedup), the ≤2^S mask histogram folds
+    through one keyed_sum, and every pairwise intersection/union is a
+    driver sum over that tiny table. No token ever shuffles twice.
+    Output: (source_a, source_b, n_common, n_union, jaccard) with the
+    one double division. Twin: per-pair list_intersect over grouped
+    token lists."""
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_agg, keyed_sum
+
+    docs = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    sources = sorted(
+        r["source"]
+        for r in docs.select_columns(["source"]).groupby("source").count().take_all()
+    )
+    if len(sources) > 31:
+        raise ValueError("source bitmask: more than 31 sources")
+    bit = {s: 1 << i for i, s in enumerate(sources)}
+
+    def _tok_src(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "tok": batch["text"].to_pandas().astype("string").str.split(" "),
+                "b": batch["source"].to_pandas().map(bit).astype("int64"),
+            }
+        ).explode("tok")
+        g = df.groupby("tok", as_index=False)["b"].agg(lambda x: int(np.bitwise_or.reduce(x.to_numpy())))
+        return pa.table(
+            {"tok": pa.array(g["tok"].astype(str)),
+             "b": pa.array(g["b"].to_numpy().astype(np.int64))}
+        )
+
+    # dedup (token, source) via the partial OR above, then the global
+    # per-token mask: sum of DISTINCT bits == OR, so a second exchange
+    # folds partial masks with bit_or semantics via max per bit — use
+    # keyed_agg max on each of S bit columns? One column suffices:
+    # partial masks OR-combine associatively, but keyed_agg has no OR.
+    # Emit per-token PARTIAL masks and fold them with a typed_groups OR.
+    from pyrosar_ray.stages.groups import typed_groups
+
+    @typed_groups({"mask": pa.int64(), "one": pa.int64()})
+    def _or_fold(df: pd.DataFrame) -> pd.DataFrame:
+        m = int(np.bitwise_or.reduce(df["b"].to_numpy()))
+        return pd.DataFrame({"mask": [m], "one": [1]})
+
+    masks = (
+        docs.map_batches(_tok_src, batch_format="pyarrow")
+        .groupby("tok")
+        .map_groups(_or_fold, batch_format="pandas")
+    )
+    hist = collect_arrow(
+        keyed_sum(masks, "mask", ["one"]),
+        empty_schema={"mask": pa.int64(), "one": pa.int64()},
+    ).to_pandas()
+    mvals = hist["mask"].to_numpy()
+    mcnt = hist["one"].to_numpy()
+    rows = []
+    for i, sa in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            sb = sources[j]
+            ba, bb = 1 << i, 1 << j
+            inter = int(mcnt[(mvals & ba > 0) & (mvals & bb > 0)].sum())
+            union = int(mcnt[(mvals & ba > 0) | (mvals & bb > 0)].sum())
+            rows.append(
+                {
+                    "source_a": sa, "source_b": sb,
+                    "n_common": inter, "n_union": union,
+                    "jaccard": float(inter) / float(union) if union else 0.0,
+                }
+            )
+    return pd.DataFrame(rows).astype(
+        {"n_common": np.int64, "n_union": np.int64}
+    )
+
+
 def q_doc_vocab_growth(sf_dir: str):
     """Heaps-law audit — vocabulary growth over the corpus in doc_id
     order: distinct-token count after each 5%-of-corpus checkpoint,
@@ -5397,6 +5478,92 @@ def q_orders_brand_lift(sf_dir: str):
         }
     ).sort_values(["brand_a", "brand_b"], ignore_index=True)
     return out
+
+
+def q_part_hhi(sf_dir: str):
+    """Supply-concentration analytics — the Herfindahl–Hirschman index
+    of supplier revenue within each brand: HHI = Σ(rev_s/total)² =
+    Σrev_s²/total², shipped as its exact integer pair (sum of squared
+    supplier revenues, squared brand total — both guarded into int64)
+    plus the one double division. Per-(brand, supplier) revenue folds
+    through ONE packed-key keyed_sum (brand id·2²⁰ + suppkey, overflow
+    guarded); the per-brand moments are a bounded driver fold in
+    arbitrary-precision ints (the orders_trend contract). The
+    part→brand dimension broadcasts once (the brand_lift contract).
+    Twin: brand join + two-level aggregate with the same BIGINT casts."""
+    import ray as _ray
+
+    from pyrosar_ray.stages import collect_arrow
+    from pyrosar_ray.stages.agg import keyed_sum
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    brands = np.sort(part["p_brand"].unique())
+    bid = {b: i for i, b in enumerate(brands)}
+    if len(brands) >= 32:
+        raise ValueError("brand pack: vocabulary >= 32 needs a wider shift")
+    lut = np.zeros(int(part["p_partkey"].max()) + 1, dtype=np.int64)
+    lut[part["p_partkey"].to_numpy()] = part["p_brand"].map(bid).to_numpy()
+    lut_ref = _ray.put(lut)
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    class _BrandSupp:
+        def __init__(self):
+            self.lut = _ray.get(lut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = self.lut[batch["l_partkey"].to_numpy()]
+            sk = _check_pack(
+                batch["l_suppkey"].to_numpy(), name="l_suppkey"
+            )
+            cents = np.floor(
+                batch["l_extendedprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            df = (
+                pd.DataFrame({"bs": b * (1 << 20) + sk, "rev_c": cents})
+                .groupby("bs", as_index=False)
+                .sum()
+            )
+            return pa.table(
+                {"bs": df["bs"].to_numpy(), "rev_c": df["rev_c"].to_numpy()}
+            )
+
+    t = collect_arrow(
+        keyed_sum(
+            li.map_batches(
+                _BrandSupp, batch_format="pyarrow", concurrency=(1, 4)
+            ),
+            "bs", ["rev_c"],
+        ),
+        empty_schema={"bs": pa.int64(), "rev_c": pa.int64()},
+    ).to_pandas()
+    bidx = t["bs"].to_numpy() >> 20
+    rev = t["rev_c"].to_numpy()
+    rows = []
+    for i, b in enumerate(brands):
+        sel = bidx == i
+        rs = [int(v) for v in rev[sel]]
+        total = sum(rs)
+        s2 = sum(r * r for r in rs)  # Python ints: no overflow ever
+        # fixed-point HHI at 1e-8 resolution: the squared sums exceed
+        # int64 already at sf0.01, so the RATIO ships as one exact
+        # floored integer (the doc_kneser_ney fixed-point contract) —
+        # the twin reproduces it in HUGEINT
+        hhi_fp = s2 * 10**8 // (total * total) if total else 0
+        rows.append(
+            {
+                "p_brand": b, "n_suppliers": len(rs),
+                "total_rev_c": total, "hhi_fp": hhi_fp,
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {c: np.int64 for c in ("n_suppliers", "total_rev_c", "hhi_fp")}
+    )
 
 
 def q_orders_trend(sf_dir: str):
@@ -9132,6 +9299,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "orders_copurchase": q_orders_copurchase,
         "orders_brand_lift": q_orders_brand_lift,
         "orders_trend": q_orders_trend,
+        "part_hhi": q_part_hhi,
         "events_coincidence": q_events_coincidence,
         "orders_skyline": q_orders_skyline,
         "events_sparse_hours": q_events_sparse_hours,
@@ -9221,6 +9389,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q_doc_simhash,
         "doc_simhash_hist": q_doc_simhash_hist,
         "doc_vocab_growth": q_doc_vocab_growth,
+        "doc_source_overlap": q_doc_source_overlap,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_neardup_fp": q_doc_neardup_fp,
         "image_meta": q_image_meta,
@@ -11695,6 +11864,23 @@ def oracle_sql() -> dict[str, str]:
                 <= 2250000
         """,
         "doc_simhash": _simhash_sql(),
+        "doc_source_overlap": """
+            WITH v AS (
+                SELECT source,
+                       list_distinct(flatten(list(string_split(text, ' '))))
+                           AS toks
+                FROM documents GROUP BY source
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   len(list_intersect(a.toks, b.toks))::BIGINT AS n_common,
+                   (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks)))::BIGINT
+                       AS n_union,
+                   len(list_intersect(a.toks, b.toks))
+                   / (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))) AS jaccard
+            FROM v a JOIN v b ON a.source < b.source
+        """,
         "doc_vocab_growth": """
             WITH f AS (
                 SELECT MIN(doc_id) AS first_doc
@@ -14245,6 +14431,23 @@ def oracle_sql() -> dict[str, str]:
              AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
              AND a.event_type <> b.event_type
             GROUP BY 1, 2
+        """,
+        "part_hhi": """
+            WITH bs AS (
+                SELECT p.p_brand, l.l_suppkey,
+                       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           )::BIGINT AS rev_c
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p_brand,
+                   COUNT(*)::BIGINT AS n_suppliers,
+                   SUM(rev_c)::BIGINT AS total_rev_c,
+                   ((SUM(rev_c::HUGEINT * rev_c::HUGEINT)
+                     * CAST(100000000 AS HUGEINT))
+                    // (SUM(rev_c)::HUGEINT * SUM(rev_c)::HUGEINT)
+                   )::BIGINT AS hhi_fp
+            FROM bs GROUP BY 1
         """,
         "orders_trend": """
             WITH d AS (

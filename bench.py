@@ -127,6 +127,8 @@ BENCH_QUERIES = (
     "dq_lineitem",
     "orders_interarrival",
     "grid_focal_mode",
+    "doc_source_overlap",
+    "part_hhi",
 )
 
 
