@@ -5812,20 +5812,43 @@ def q_orders_interarrival(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
     EPOCH_US = np.datetime64("1992-01-01", "us").astype(np.int64)
+    from pyrosar_ray.stages.agg import _MIX, _PART
+    from pyrosar_ray.stages.groups import typed_groups
 
+    def _tag(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy()
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        with np.errstate(over="ignore"):
+            part = (
+                (ck.astype(np.uint64) * _MIX) >> np.uint64(40)
+            ).astype(np.int64) % 64
+        return pa.table(
+            {
+                "ck": ck,
+                "d": (us - EPOCH_US) // 86_400_000_000,
+                "k": batch["o_orderkey"].to_numpy(),
+                _PART: part,
+            }
+        )
+
+    # one partition-domain exchange, then a vectorized run-length diff
+    # per partition (150k one-row pandas groups cost 5.8 s the
+    # map_groups way; this is the tile_revisit plan shape)
+    @typed_groups({"gap_d": pa.int64(), "n": pa.int64()})
     def _gaps(df: pd.DataFrame) -> pd.DataFrame:
-        us = df["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        d = (us - EPOCH_US) // 86_400_000_000
-        df = pd.DataFrame(
-            {"d": d, "k": df["o_orderkey"].to_numpy()}
-        ).sort_values(["d", "k"], kind="mergesort")
-        gaps = np.diff(df["d"].to_numpy())
+        df = df.sort_values(["ck", "d", "k"], kind="mergesort")
+        ck = df["ck"].to_numpy()
+        d = df["d"].to_numpy()
+        same = ck[1:] == ck[:-1] if len(ck) else np.array([], dtype=bool)
+        gaps = (d[1:] - d[:-1])[same]
         u, c = np.unique(gaps, return_counts=True)
         return pd.DataFrame({"gap_d": u, "n": c.astype(np.int64)})
 
     hist = collect_arrow(
         keyed_sum(
-            orders.groupby("o_custkey").map_groups(_gaps, batch_format="pandas"),
+            orders.map_batches(_tag, batch_format="pyarrow")
+            .groupby(_PART)
+            .map_groups(_gaps, batch_format="pandas"),
             "gap_d", ["n"],
         ),
         empty_schema={"gap_d": pa.int64(), "n": pa.int64()},
